@@ -1,0 +1,164 @@
+"""Lakehouse table lifecycle + analyzer facade.
+
+Spark-first rebuild of the reference's ``ObservationLakehouse`` /
+``ObservationAnalyzer`` (/root/reference/olake/lakehouse.py:22-411). Differences by
+design, not omission:
+
+- Storage/catalog are EXTERNAL to the engine (BASELINE.json north star): we target
+  whatever catalog the session is configured with (``spark_catalog`` + warehouse dir
+  by default; Delta/Iceberg catalogs drop in via session conf with zero code change —
+  the DDL below uses format-neutral ``PARTITIONED BY``).
+- The reference's analyzer materializes the ENTIRE Iceberg table into Arrow before
+  querying (lakehouse.py:371 — no pushdown). That anti-pattern is deliberately NOT
+  reproduced: the facade returns lazy DataFrames, so Catalyst keeps predicate
+  pushdown, column pruning, and partition pruning on every path (SURVEY.md §7.3.7).
+- Identity partitioning on (data_set_id, problem_id) is preserved exactly — it is
+  the physical design the reference credits for sub-100 ms per-problem queries
+  (reference README.md:112); Catalyst turns the same layout into static partition
+  pruning, and dynamic partition pruning covers the join paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from observation_lakehouse_spark.schemas import PARTITION_COLUMNS, TABLE_SCHEMAS
+
+
+def _ddl_columns(schema: StructType) -> str:
+    cols = []
+    for f in schema.fields:
+        null = "" if f.nullable else " NOT NULL"
+        cols.append(f"  `{f.name}` {f.dataType.simpleString()}{null}")
+    return ",\n".join(cols)
+
+
+class ObservationLakehouse:
+    """Creates and appends to the three observation tables.
+
+    Mirrors the reference API surface (create_*_table / append_* / evolve_*_schema,
+    lakehouse.py:129-336) on Spark catalog tables. ``table_format`` defaults to
+    parquet (always available); pass ``delta`` / ``iceberg`` when the session has
+    the catalog extension configured.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        database: str = "olake",
+        table_format: str = "parquet",
+        location: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.database = database
+        self.table_format = table_format
+        loc = f" LOCATION '{location}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
+
+    # -- DDL (reference lakehouse.py:129-265) --------------------------------
+
+    def create_table(self, name: str) -> None:
+        schema = TABLE_SCHEMAS[name]
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{self.database}`.`{name}` (\n"
+            f"{_ddl_columns(schema)}\n)"
+            f" USING {self.table_format}"
+            f" PARTITIONED BY ({', '.join(PARTITION_COLUMNS)})"
+        )
+
+    def create_observations_table(self) -> None:
+        self.create_table("observations")
+
+    def create_code_table(self) -> None:
+        self.create_table("code_implementations")
+
+    def create_test_table(self) -> None:
+        self.create_table("tests")
+
+    def create_all(self) -> None:
+        for name in TABLE_SCHEMAS:
+            self.create_table(name)
+
+    # -- reads ----------------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(f"`{self.database}`.`{name}`")
+
+    def load_observations_table(self) -> DataFrame:
+        return self.table("observations")
+
+    def load_code_table(self) -> DataFrame:
+        return self.table("code_implementations")
+
+    def load_test_table(self) -> DataFrame:
+        return self.table("tests")
+
+    # -- appends (reference arena.py:146,229,359 — atomic snapshot commits) ---
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Single distributed write job; the table format commits atomically.
+
+        Column order is aligned by name (the reference casts Arrow batches to the
+        table schema for the same reason, arena.py:133-135).
+        """
+        target = self.table(name)
+        aligned = df.select([df[c] for c in target.columns])
+        aligned.write.insertInto(f"`{self.database}`.`{name}`", overwrite=False)
+
+    def append_observations(self, df: DataFrame) -> None:
+        self.append("observations", df)
+
+    def append_code_implementations(self, df: DataFrame) -> None:
+        self.append("code_implementations", df)
+
+    def append_tests(self, df: DataFrame) -> None:
+        self.append("tests", df)
+
+    # -- schema evolution (reference lakehouse.py:281-336) --------------------
+
+    def evolve_schema(self, name: str, column: str, spark_type: str) -> None:
+        """Add an optional column (the only evolution the reference supports)."""
+        self.spark.sql(
+            f"ALTER TABLE `{self.database}`.`{name}` ADD COLUMNS (`{column}` {spark_type})"
+        )
+
+    def evolve_observations_schema(self, column: str, spark_type: str) -> None:
+        self.evolve_schema("observations", column, spark_type)
+
+    def evolve_code_schema(self, column: str, spark_type: str) -> None:
+        self.evolve_schema("code_implementations", column, spark_type)
+
+    def evolve_test_schema(self, column: str, spark_type: str) -> None:
+        self.evolve_schema("tests", column, spark_type)
+
+
+class ObservationAnalyzer:
+    """Ad-hoc SQL facade (reference lakehouse.py:365-411), lazily.
+
+    Same method names; each returns a DataFrame (callers ``.toPandas()`` when they
+    want the reference's pandas behavior). Views are registered once per call so
+    the SQL can say plain ``observations`` like the reference queries do.
+    """
+
+    def __init__(self, lakehouse: ObservationLakehouse) -> None:
+        self.lakehouse = lakehouse
+
+    def _query(self, table: str, sql: str) -> DataFrame:
+        self.lakehouse.table(table).createOrReplaceTempView(table)
+        return self.lakehouse.spark.sql(sql)
+
+    def query_observations(self, sql: str) -> DataFrame:
+        return self._query("observations", sql)
+
+    def query_code(self, sql: str) -> DataFrame:
+        return self._query("code_implementations", sql)
+
+    def query_tests(self, sql: str) -> DataFrame:
+        return self._query("tests", sql)
+
+    def query(self, sql: str) -> DataFrame:
+        """All three tables visible at once (superset of the reference facade)."""
+        for t in TABLE_SCHEMAS:
+            self.lakehouse.table(t).createOrReplaceTempView(t)
+        return self.lakehouse.spark.sql(sql)

@@ -1,0 +1,36 @@
+"""Query-family operators of the observation lakehouse.
+
+One module per family from SURVEY.md §2:
+
+- :mod:`srm` — Stimulus-Response-Matrix output view (dynamic pivot V1 + the
+  scale-safe map-column variant).
+- :mod:`clustering` — behavioral clustering by ordered output traces and the
+  consensus (majority-vote) oracle (A7-A12).
+- :mod:`joins` — three-way observation/code/tests join (J1/J2).
+- :mod:`stats` — per-problem and global dataset statistics (A5/A6/A12/A13).
+- :mod:`dedup` — exact / MinHash-LSH / SimHash / n-gram-Jaccard deduplication
+  (LLM-pipeline extension).
+- :mod:`similarity` — embedding similarity search: brute-force cosine top-k and
+  LSH-bucketed ANN (extension).
+- :mod:`text` — text-analysis operators: language ID, quality scoring, token
+  counting, document fingerprinting (extension).
+- :mod:`multimodal` — binary-column plumbing for image/audio/video payloads
+  (extension; codec stubs clearly marked).
+"""
+
+from observation_lakehouse_spark.operators.clustering import (
+    behavioral_clustering,
+    consensus_oracle,
+)
+from observation_lakehouse_spark.operators.joins import three_way_join
+from observation_lakehouse_spark.operators.srm import srm_output_view
+from observation_lakehouse_spark.operators.stats import dataset_stats, per_problem_stats
+
+__all__ = [
+    "srm_output_view",
+    "behavioral_clustering",
+    "consensus_oracle",
+    "three_way_join",
+    "dataset_stats",
+    "per_problem_stats",
+]

@@ -1,0 +1,224 @@
+"""Deduplication operators for document corpora (LLM-pipeline extension).
+
+Four strategies, escalating in recall and cost; every one is a declarative
+DataFrame plan (no Python in the hot path) and is keyed so the expensive steps
+shuffle digests/signatures, never full documents:
+
+- :func:`exact_dedup` — byte-identical text via sha256 digest; one hash
+  aggregate / window. O(N).
+- :func:`minhash_lsh_dedup` — near-duplicates via shingle MinHash + banded LSH:
+  candidate pairs only form inside LSH buckets (self-join on a 16-byte bucket
+  key), then exact Jaccard verification on the candidates. This is the standard
+  scale path (O(N·bands) + per-bucket pairs, not O(N²)).
+- :func:`simhash_dedup` — 64-bit SimHash fingerprints; near-dups = Hamming
+  distance ≤ k, blocked on 4 fingerprint quarters (a pair within distance 3
+  must agree on ≥1 quarter — pigeonhole), so the join key is a 16-bit band.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard over candidate pairs from
+  any blocking column (for small corpora or final verification).
+
+All return stable, deterministic outputs (ties broken by doc id) so they can be
+differentially tested against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.text import (
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate marking: hash text, keep the lowest id per digest.
+
+    Adds ``content_hash``, ``dup_rank`` (1 = keeper) and ``is_duplicate``.
+    The window partitions by the 64-char digest — tiny shuffle key regardless of
+    document size, and skew-safe unless one document dominates the corpus.
+    """
+    hashed = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return hashed.withColumn("dup_rank", F.row_number().over(w)).withColumn(
+        "is_duplicate", F.col("dup_rank") > 1
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate PAIRS via MinHash + banded LSH, Jaccard-verified.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b and jaccard_sim ≥
+    threshold. Pipeline: shingle → signature → explode band keys → self-join on
+    (band, key) → distinct candidate pairs → exact Jaccard on shingle sets.
+
+    At 100 TB: the exploded band table is N·bands rows of (16-byte key, id); the
+    self-join shuffles only that. Exact verification re-joins the shingle arrays
+    for candidates only. Degenerate buckets (e.g. empty-text clusters) are the
+    skew risk — AQE skew-join handles moderate cases; pathological ones should
+    be pre-filtered (empty/whitespace docs).
+    """
+    rows_per_band = num_hashes // bands
+    # persist(): shingle arrays feed both the signature path and the pairwise
+    # verification joins, and the banded explode references the signature once
+    # per band — without a materialization boundary Catalyst's projection
+    # collapse would inline (and recompute) the minhash expression per band.
+    # At production scale this boundary is a signatures table, not a cache.
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, shingle_size).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+
+    sigs = base.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    ).persist()
+    banded = sigs.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprint (deterministic)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("simhash"),
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 × 16-bit quarters; any pair
+    within Hamming distance 3 agrees exactly on at least one quarter
+    (pigeonhole), so the self-join key is (quarter_idx, quarter_value) — never
+    a cross join.
+    """
+    fp = simhash_fingerprints(df, text_col, id_col)
+    quarters = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", F.col("blk.q").alias("q"), F.col("blk.v").alias("v"))
+
+    l, r = quarters.alias("l"), quarters.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked pairs (verification-grade dedup).
+
+    ``block_col`` bounds the quadratic term to within-block pairs (e.g. language,
+    source, or an LSH bucket). With ``block_col=None`` this is a full self-join —
+    only for small corpora/tests.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        word_shingles(text_col, shingle_size).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("l.sh"), F.col("r.sh")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.round("jaccard_sim", 6).alias("jaccard_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators for document corpora (LLM-pipeline extension).
+
+Everything is built-in-function column algebra (whole-stage codegen) — language
+ID and quality scoring run at scan speed, which is the requirement when the
+corpus is 100 TB and these run on EVERY document as a pre-training filter.
+
+- :func:`language_id` — stopword-marker n-gram heuristic: score = fraction of
+  tokens that are language-marker words; argmax over a small marker table that
+  folds into the plan as literals.
+- :func:`quality_features` / :func:`quality_score` — length, punctuation ratio,
+  stopword ratio, mean word length, alpha ratio → a [0,1] composite, the
+  Gopher/C4-style rule family.
+- :func:`token_stats` — whitespace and BPE-ish token counts.
+- :func:`document_fingerprints` — order-sensitive rolling hash + order-free
+  content digest per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.text import (
+    rolling_fingerprint,
+    token_pieces,
+    tokens,
+)
+
+# Tiny public marker-word lists (top function words per language). Enough for a
+# deterministic heuristic; swap for fastText/CLD3 offline models in production.
+LANGUAGE_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "des"),
+    "es": ("el", "la", "los", "y", "es", "una", "para", "que", "en", "por"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"),
+}
+
+_EN_STOPWORDS = LANGUAGE_MARKERS["en"] + ("as", "with", "was", "on", "are", "this")
+
+
+def _marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
+    hit = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.when(F.size(toks) > 0, hit.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", min_score: float = 0.05
+) -> DataFrame:
+    """Adds ``lang_pred`` + ``lang_score``: argmax marker-word ratio, 'und' below
+    threshold. Deterministic ties → lexicographically last language code (struct
+    max compares (score, lang))."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_marker_ratio(toks, m), 6).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, m in sorted(LANGUAGE_MARKERS.items())
+        ]
+    )
+    # array_max on struct = max by (score, lang); flip lang ordering afterwards is
+    # unnecessary — ties are broken by the LAST lang; to pin to first, compare desc.
+    best = F.array_max(scored)
+    return df.withColumn("lang_score", best["score"]).withColumn(
+        "lang_pred",
+        F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_tokens`` (whitespace) and ``n_pieces`` (BPE-ish regex)."""
+    return df.withColumn("n_tokens", F.size(tokens(text_col))).withColumn(
+        "n_pieces", F.size(token_pieces(text_col))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the raw quality signals used by C4/Gopher-style filters."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}]", ""))
+    mean_wl = F.when(
+        n_tok > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0).cast("double"), lambda a, t: a + F.length(t)
+            )
+            / n_tok,
+            6,
+        ),
+    ).otherwise(0.0)
+    stop_ratio = F.round(
+        _marker_ratio(F.transform(toks, lambda t: F.lower(t)), _EN_STOPWORDS), 6
+    )
+    return (
+        df.withColumn("n_chars_obs", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, F.round(alpha_chars.cast("double") / n_chars, 6)).otherwise(0.0),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, F.round(punct_chars.cast("double") / n_chars, 6)).otherwise(0.0),
+        )
+        .withColumn("stopword_ratio", stop_ratio)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from :func:`quality_features`.
+
+    Monotone, clamped linear blend — not a learned model, but the same shape
+    production heuristics take; every term is reproducible in ANSI SQL so the
+    operator stays oracle-testable.
+    """
+    feats = quality_features(df, text_col)
+    length_term = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    wl = F.col("mean_word_len")
+    wl_term = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
+    score = (
+        0.4 * length_term
+        + 0.3 * F.col("alpha_ratio")
+        + 0.2 * wl_term
+        + 0.1 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def document_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc fingerprints: order-sensitive rolling hash + content sha256."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    return df.select(
+        F.col(id_col),
+        rolling_fingerprint(toks).alias("rolling_fp"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )

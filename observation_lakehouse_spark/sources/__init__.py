@@ -1,0 +1,17 @@
+"""Source / sink helpers (SURVEY.md §2.1 S1-S11)."""
+
+from observation_lakehouse_spark.sources.io import (
+    read_arena_export,
+    read_solr_docs,
+    to_pandas,
+    write_csv,
+    write_partitioned_parquet,
+)
+
+__all__ = [
+    "read_arena_export",
+    "read_solr_docs",
+    "write_csv",
+    "write_partitioned_parquet",
+    "to_pandas",
+]

@@ -1,0 +1,48 @@
+"""Readers and writers around the lakehouse (SURVEY.md §2.1).
+
+- S1 glob Parquet scan → :func:`read_arena_export` (schema-pinned so a corrupt
+  export fails loudly instead of inferring a wrong schema).
+- S4 Solr JSON source → :func:`read_solr_docs` (``spark.read.json`` + explode —
+  distributed, unlike the reference's driver-side ``json.load`` at
+  /root/reference/olake/ingest/arena.py:257-269).
+- S9 CSV sink → :func:`write_csv`.
+- S10 pandas interchange → :func:`to_pandas` (Arrow-backed).
+- Partitioned Parquet layout (the identity-partition physical design,
+  reference README.md:95-112) → :func:`write_partitioned_parquet`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.schemas import ARENA_EXPORT_SCHEMA, PARTITION_COLUMNS
+
+
+def read_arena_export(spark: SparkSession, parquet_glob: str) -> DataFrame:
+    """Multi-file arena export scan with the pinned cell schema (S1)."""
+    return spark.read.schema(ARENA_EXPORT_SCHEMA).parquet(parquet_glob)
+
+
+def read_solr_docs(spark: SparkSession, json_path: str) -> DataFrame:
+    """Solr response envelope → one row per doc (S4)."""
+    raw = spark.read.option("multiLine", "true").json(json_path)
+    return raw.select(F.explode(F.col("response.docs")).alias("d")).select("d.*")
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Identity-partitioned layout on (data_set_id, problem_id) — the design the
+    reference credits for sub-100 ms per-problem scans (S5/S6 fallback path when
+    no catalog table format is configured)."""
+    df.write.mode(mode).partitionBy(*PARTITION_COLUMNS).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Benchmark-results CSV sink (S9)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def to_pandas(df: DataFrame) -> pd.DataFrame:
+    """Arrow-backed pandas interchange (S10) — session conf enables Arrow."""
+    return df.toPandas()
