@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "headline_queries_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>, ...}
+
+Each query is forced with the noop sink (full evaluation, no driver collect
+cost, no disk write). Timings exclude JVM/session startup (reported separately
+as "startup_sec" for context).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from observation_lakehouse_spark.session import get_spark  # noqa: E402
+
+# Every operator family, ordered cheap→expensive; names match queries().
+HEADLINE = [
+    "pricing_summary",
+    "srm_pivot",
+    "ordered_string_agg",
+    "trace_signatures",
+    "behavioral_clusters",
+    "consensus_cluster",
+    "three_way_join",
+    "per_nation_stats",
+    "global_stats",
+    "distinct_status",
+    "top10_orders",
+    "scalar_projection",
+    "conditional_max",
+    "json_extract",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ann_cosine_topk",
+    "text_quality",
+    "token_stats",
+    "language_id",
+    "doc_fingerprints",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    t0 = time.perf_counter()
+    spark = get_spark("bench")
+    # Warm up the JVM (codegen, shuffle machinery) and the parquet footers so
+    # the first timed query doesn't absorb one-time infrastructure cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for tbl in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        entrymod._t(spark, sf_dir, tbl).limit(1).collect()
+    startup = time.perf_counter() - t0
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t1 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t1, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "startup_sec": round(startup, 2),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

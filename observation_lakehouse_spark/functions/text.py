@@ -36,6 +36,8 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     leaving codegen; ``array_distinct`` because shingle SETS drive Jaccard.
     """
     toks = F.transform(tokens(text), lambda t: F.lower(t))
+    if n == 1:  # fast path: no windowing, no per-position slice/join
+        return F.array_distinct(toks)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
     return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
@@ -55,16 +57,79 @@ def char_shingles(text: str | Column, n: int = 5) -> Column:
     ).otherwise(F.when(length > 0, F.array(c)).otherwise(F.array().cast("array<string>")))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of salted xxhash64.
+_MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
 
-    Salting ``xxhash64(lit(i), s)`` gives an independent hash family per slot —
-    one pass over the shingle array per slot, all inside codegen. Empty shingle
-    sets get NULL mins; callers should filter empty docs first.
+
+def hashed_word_shingles(text: str | Column, n: int = 3) -> Column:
+    """Distinct n-token shingle HASHES (array<long>), never materializing the
+    shingle strings.
+
+    Each token is xxhash64'd once; consecutive-token windows combine via a
+    polynomial rolling combine over ``zip_with``-shifted hash arrays — O(n·len)
+    long arithmetic instead of per-position array slicing + string joins. This
+    is the input MinHash actually needs (it only ever hashes the shingle), so
+    the string shingle path (:func:`word_shingles`) is reserved for operators
+    that report shingles to humans.
+
+    Edge semantics match :func:`word_shingles`: docs with 0 < tokens < n get a
+    single whole-doc shingle; empty docs get an empty array.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    p = F.lit(_MINHASH_PRIME).cast("long")
+    mult = F.lit(1000003).cast("long")
+    hh = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), p))
+    acc = hh
+    for k in range(1, n):
+        # Align h[i+k] under h[i]; zip_with pads the shorter side with NULL,
+        # which poisons (and later drops) the incomplete tail windows.
+        shifted = F.slice(hh, k + 1, F.greatest(F.size(hh) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.pmod(a * mult + b, p))
+    windows = F.filter(acc, lambda x: x.isNotNull())
+    whole_doc = F.array(
+        F.aggregate(hh, F.lit(0).cast("long"), lambda a, b: F.pmod(a * mult + b, p))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(windows)).otherwise(
+        F.when(F.size(toks) > 0, whole_doc).otherwise(F.array().cast("array<long>"))
+    )
+
+
+def hashed_shingles(shingles: Column) -> Column:
+    """Shingle strings → int64 hashes in [0, 2^31-1): hash each shingle ONCE.
+
+    The expensive string hash happens here, a single pass; the MinHash hash
+    family is then cheap multiply-add permutations over these longs. Callers
+    should materialize this column (persist / write) before fanning out the
+    signature slots, otherwise projection collapse re-inlines the string hash.
+    """
+    p = F.lit(_MINHASH_PRIME).cast("long")
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+
+
+def minhash_signature(
+    shingle_hashes: Column, num_hashes: int = 128, seed: int = 42
+) -> Column:
+    """MinHash signature from pre-hashed shingles (:func:`hashed_shingles`).
+
+    Slot i = min over shingles of ``(a_i * h + b_i) mod p`` — the standard
+    universal-hash permutation family, seeded deterministically. All long
+    arithmetic: a,b,h < 2^31 so a*h < 2^62 never overflows ANSI bigint.
+    Empty shingle arrays yield NULL mins; filter empty docs upstream.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    p = F.lit(_MINHASH_PRIME).cast("long")
+    coeffs = [
+        (rnd.randrange(1, _MINHASH_PRIME), rnd.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    def perm(a: int, b: int):
+        # Closure factory: PySpark infers HOF arity from the lambda signature,
+        # so the coefficients must not appear as (default) parameters.
+        return lambda h: F.pmod(h * F.lit(a).cast("long") + F.lit(b).cast("long"), p)
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_hashes, perm(a, b))) for a, b in coeffs]
     )
 
 

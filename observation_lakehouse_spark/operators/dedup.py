@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.functions.text import (
+    hashed_word_shingles,
     jaccard,
     lsh_bands,
     minhash_signature,
-    simhash64,
     tokens,
     word_shingles,
 )
@@ -73,22 +73,25 @@ def minhash_lsh_dedup(
     be pre-filtered (empty/whitespace docs).
     """
     rows_per_band = num_hashes // bands
-    # persist(): shingle arrays feed both the signature path and the pairwise
-    # verification joins, and the banded explode references the signature once
-    # per band — without a materialization boundary Catalyst's projection
-    # collapse would inline (and recompute) the minhash expression per band.
-    # At production scale this boundary is a signatures table, not a cache.
+    # persist(): the hashed shingle sets feed both the signature path and the
+    # pairwise verification joins — without a materialization boundary
+    # Catalyst's projection collapse would inline (and recompute) them per
+    # consumer. At production scale this boundary is a signatures table.
+    # Shingle strings are never materialized: tokens are hashed once and
+    # windows combine arithmetically (hashed_word_shingles).
     base = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, shingle_size).alias("shingles"),
+            hashed_word_shingles(text_col, shingle_size).alias("sh_hashes"),
         )
-        .filter(F.size("shingles") > 0)
+        .filter(F.size("sh_hashes") > 0)
         .persist()
     )
 
-    sigs = base.withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    # Second boundary: the banded explode references `sig` once per band; keep
+    # the 64-slot signature from being inlined (and recomputed) 16 times.
+    sigs = base.select(
+        "doc_id", minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig")
     ).persist()
     banded = sigs.select(
         "doc_id",
@@ -108,14 +111,16 @@ def minhash_lsh_dedup(
         .distinct()
     )
 
+    # Verify on the hashed shingle sets (long arrays — cheaper set ops than the
+    # original strings; hash collisions within a doc pair are negligible).
     sh = base
     verified = (
         candidates.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh_hashes").alias("sh_a")),
             "id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh_hashes").alias("sh_b")),
             "id_b",
         )
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -128,11 +133,35 @@ def minhash_lsh_dedup(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document 64-bit SimHash fingerprint (deterministic)."""
-    return df.select(
+    """Per-document 64-bit SimHash fingerprint (deterministic).
+
+    Shape chosen for codegen: explode tokens → hash once → 64 conditional SUM
+    aggregates (one per bit) → fold the sign bits into one BIGINT. Hash
+    aggregation with partial (map-side) combine; no interpreted array folds.
+    Docs with no tokens keep a fingerprint of 0 (explode_outer + null votes).
+    """
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash64(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("simhash"),
+        F.explode_outer(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("tok"),
     )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), F.lit(0))
+                .when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        power = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        fp = fp.bitwiseXOR(
+            F.when(F.col(f"b{i}") > 0, power).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_dedup(
@@ -198,27 +227,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked pairs (verification-grade dedup).
 
-    ``block_col`` bounds the quadratic term to within-block pairs (e.g. language,
-    source, or an LSH bucket). With ``block_col=None`` this is a full self-join —
-    only for small corpora/tests.
+    Set-similarity-join shape: explode shingles → equi-join on (block, shingle)
+    → count intersections per pair → |A∩B| / (|A|+|B|-|A∩B|). This turns the
+    per-pair array intersection (O(pairs × shingles), interpreted) into one
+    shuffle-hash join + hash aggregate, all codegen — the plan that survives a
+    100× scale-up. Pairs with zero intersection never materialize, which is
+    correct for any ``threshold > 0``.
+
+    ``block_col`` bounds the candidate space to within-block pairs (language,
+    source, an LSH bucket). With ``block_col=None`` all docs share one block —
+    the join key degenerates to the shingle itself (a frequency-skew risk on
+    stopword shingles; AQE skew-join mitigates).
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-        word_shingles(text_col, shingle_size).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    l, r = base.alias("l"), base.alias("r")
-    return (
+    # persist(): the shingle expression feeds sizes + both join sides (4
+    # consumers) — materialize once.
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+            word_shingles(text_col, shingle_size).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    tok = base.select("doc_id", "blk", F.explode("sh").alias("shingle"))
+
+    l, r = tok.alias("l"), tok.alias("r")
+    inter = (
         l.join(
             r,
-            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .withColumn("jaccard_sim", jaccard(F.col("l.sh"), F.col("r.sh")))
+        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard_sim",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            F.round("jaccard_sim", 6).alias("jaccard_sim"),
-        )
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
         .orderBy("id_a", "id_b")
     )
