@@ -105,6 +105,11 @@ class ObservationLakehouse:
         target = self.table(name)
         aligned = df.select([df[c] for c in target.columns])
         aligned.write.insertInto(f"`{self.database}`.`{name}`", overwrite=False)
+        # A relation read before this append caches its file index; inserts into
+        # partitioned parquet tables do not reliably invalidate it, so later
+        # reads in the same session would miss the new files (observed via the
+        # streaming foreachBatch path). Refresh makes append read-your-writes.
+        self.spark.catalog.refreshTable(f"`{self.database}`.`{name}`")
 
     def append_observations(self, df: DataFrame) -> None:
         self.append("observations", df)

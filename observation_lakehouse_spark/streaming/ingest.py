@@ -71,11 +71,17 @@ def streaming_observation_counts(
 
     Input: a streaming DataFrame with the observations schema. Late rows beyond
     the watermark are dropped; a window emits once closed.
+
+    ``created_at`` is TIMESTAMP_NTZ in the table contract (Iceberg µs no-tz);
+    watermarks require an instant, so the event time is the NTZ value pinned to
+    the session timezone (UTC per the session factory).
     """
+    event_time = F.col("created_at").cast("timestamp")
     return (
-        observations_stream.withWatermark("created_at", watermark)
+        observations_stream.withColumn("event_time", event_time)
+        .withWatermark("event_time", watermark)
         .groupBy(
-            F.window("created_at", window_length).alias("time_window"),
+            F.window("event_time", window_length).alias("time_window"),
             "data_set_id",
             "problem_id",
         )

@@ -1,0 +1,147 @@
+"""LLM-pipeline extension operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    simhash_fingerprints,
+)
+from observation_lakehouse_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_image_features,
+    media_stats,
+    sample_video_frames,
+)
+from observation_lakehouse_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    lsh_ann_topk,
+)
+from observation_lakehouse_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away today"
+OTHER = "completely different words appear in this unrelated document about spark engines"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    out = {r["doc_id"]: r for r in exact_dedup(_docs(spark)).collect()}
+    assert not out[1]["is_duplicate"]
+    assert out[4]["is_duplicate"] and out[4]["dup_rank"] == 2
+    assert out[1]["content_hash"] == out[4]["content_hash"]
+    assert not out[2]["is_duplicate"] and not out[3]["is_duplicate"]
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_dedup(
+            _docs(spark), num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup pair
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc in no pair
+
+
+def test_simhash(spark):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert fp[1] == fp[4]  # identical docs → identical fingerprints
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dedup(_docs(spark)).collect()}
+    assert pairs.get((1, 4)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(_docs(spark), shingle_size=1, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipodal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["rank"] == 1 and out[0]["cosine_sim"] > 0.99
+    assert out[-1]["cosine_sim"] == -1.0
+
+
+def test_lsh_ann_recall_on_identical(spark):
+    vecs = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]) for i in range(9)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = [[1.0, -0.5, -0.5], [-0.5, 1.0, -0.5]]
+    out = lsh_ann_topk(df, df.filter(F.col("vec_id") == 0), planes, k=5).collect()
+    # identical vectors (3, 6) share vec 0's bucket and rank first
+    assert {r["neighbor_id"] for r in out if r["cosine_sim"] == 1.0} == {3, 6}
+
+
+def test_ivf_assign(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert out == {0: 0, 1: 1, 2: 0}
+
+
+def test_language_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house for a while and it was good"),
+            (2, "der hund und die katze sind nicht in das haus für ein spiel"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    q = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert 0.0 <= q[3]["quality_score"] <= q[1]["quality_score"] <= 1.0
+    t = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert t[1]["n_tokens"] == 16 and t[3]["n_tokens"] == 3
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", "image", b"\x89PNGfake", "png", 10, 10, None, 8),
+        ("m2", "image", None, "jpeg", None, None, None, None),
+        ("m3", "video", b"vid", "mp4", None, None, 2500, 3),
+        ("m4", "audio", b"wav", "wav", None, None, 1000, 3),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert set(feats) == {"m1", "m2"}
+    assert feats["m1"]["feature"].startswith("feat_")
+    assert feats["m2"]["content_sha256"] is None  # NULL payload → NULL features
+    stats = media_stats(media).collect()
+    assert {(r["modality"], r["format"]) for r in stats} == {
+        ("image", "png"), ("image", "jpeg"), ("video", "mp4"), ("audio", "wav")
+    }
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+    assert frames[1]["frame_key"] == "m3@1000"

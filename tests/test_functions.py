@@ -1,0 +1,140 @@
+"""Unit tests: ordered aggregation idioms, git-blob hashing, text primitives."""
+
+from __future__ import annotations
+
+import hashlib
+import subprocess
+
+import duckdb
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.hashing import (
+    git_blob_hash,
+    git_blob_hash_udf,
+    normalize_source,
+)
+from observation_lakehouse_spark.functions.ordered_agg import (
+    ordered_string_agg,
+    ordered_values,
+)
+from observation_lakehouse_spark.functions.text import (
+    hashed_word_shingles,
+    jaccard,
+    rolling_fingerprint,
+    tokens,
+    word_shingles,
+)
+
+
+def test_ordered_string_agg_matches_duckdb(spark):
+    """Differential: STRING_AGG(CASE WHEN ... ORDER BY x) on an awkward input —
+    NULL values, all-NULL groups, shuffled physical order."""
+    rows = [
+        ("g1", 3, "c", "keep"), ("g1", 1, "a", "keep"), ("g1", 2, None, "keep"),
+        ("g1", 4, "d", "drop"), ("g2", 1, None, "keep"), ("g2", 2, None, "keep"),
+        ("g3", 2, "z", "drop"),
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, v string, tag string")
+    got = {
+        r["g"]: r["agg"]
+        for r in df.groupBy("g")
+        .agg(ordered_string_agg("v", "x", ",", filter_cond=F.col("tag") == "keep").alias("agg"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x INT, v VARCHAR, tag VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT g, STRING_AGG(CASE WHEN tag='keep' THEN v END, ',' ORDER BY x) FROM t GROUP BY g"
+        ).fetchall()
+    )
+    assert got == want  # NULLs skipped; all-NULL group → NULL, not ''
+
+
+def test_ordered_values_keeps_order_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, None)], "g int, x int, v string"
+    )
+    out = df.groupBy("g").agg(ordered_values("x", "v").alias("vals")).collect()[0]
+    assert out["vals"] == ["a", None, "c"]
+
+
+def test_git_blob_hash_is_git_compatible(tmp_path):
+    """The hash must equal `git hash-object` on the normalized content."""
+    src = "class A {\n  int x;   \n}\n\n\n"
+    normalized = normalize_source(src)
+    expected = hashlib.sha1(
+        b"blob %d\0" % len(normalized.encode()) + normalized.encode()
+    ).hexdigest()
+    assert git_blob_hash(src) == expected
+    try:
+        f = tmp_path / "blob.txt"
+        f.write_text(normalized)
+        git_out = subprocess.run(
+            ["git", "hash-object", str(f)], capture_output=True, text=True, check=True
+        ).stdout.strip()
+        assert git_blob_hash(src) == git_out
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        pass  # git not installed — the hashlib derivation above already checks
+
+
+def test_git_blob_hash_udf_vectorized(spark):
+    df = spark.createDataFrame([("a\n",), (None,), ("b",)], "src string")
+    got = [r["h"] for r in df.select(git_blob_hash_udf("src").alias("h")).collect()]
+    assert got == [git_blob_hash("a\n"), None, git_blob_hash("b")]
+
+
+def test_normalize_source():
+    assert normalize_source("a\r\nb\r") == "a\nb"
+    assert normalize_source("a   \nb\n\n\n") == "a\nb"
+    assert normalize_source("") == ""
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps",), ("xy",), ("",)], "text string"
+    )
+    out = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["the quick brown", "quick brown fox", "brown fox jumps"]
+    assert out[1]["sh"] == ["xy"]  # shorter than window → whole doc
+    assert out[2]["sh"] == []
+    j = (
+        spark.range(1)
+        .select(
+            jaccard(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                F.array(F.lit("b"), F.lit("c"), F.lit("d")),
+            ).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert abs(j - 0.5) < 1e-9
+
+
+def test_hashed_word_shingles_matches_string_shingles(spark):
+    """Hashed shingle count per doc == string shingle count (set semantics)."""
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b c a b c",), ("one two",), ("",)], "text string"
+    )
+    out = df.select(
+        F.size(word_shingles("text", 3)).alias("n_str"),
+        F.size(hashed_word_shingles("text", 3)).alias("n_hash"),
+    ).collect()
+    for r in out:
+        assert r["n_str"] == r["n_hash"]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], "text string")
+    vals = [
+        r["fp"] for r in df.select(rolling_fingerprint(tokens("text")).alias("fp")).collect()
+    ]
+    assert vals[0] == vals[2]
+    assert vals[0] != vals[1]
+
+
+def test_tokens_edge_cases(spark):
+    df = spark.createDataFrame([("  a  b ",), ("",), ("   ",)], "text string")
+    out = [r["t"] for r in df.select(tokens("text").alias("t")).collect()]
+    assert out == [["a", "b"], [], []]

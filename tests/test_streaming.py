@@ -1,0 +1,77 @@
+"""Structured Streaming ingestion (availableNow over a landing dir) and the
+watermark-windowed streaming aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from observation_lakehouse_spark.lakehouse import ObservationLakehouse
+from observation_lakehouse_spark.streaming import (
+    stream_observations_from_cells,
+    streaming_observation_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_lakehouse(spark):
+    lh = ObservationLakehouse(spark, database="olake_stream")
+    lh.create_observations_table()
+    return lh
+
+
+def test_stream_ingestion_available_now(spark, arena_cells, stream_lakehouse, tmp_path_factory):
+    landing = tmp_path_factory.mktemp("landing")
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    arena_cells.write.mode("overwrite").parquet(str(landing))
+
+    q = stream_observations_from_cells(
+        stream_lakehouse, str(landing), str(ckpt), data_set_id="dsS", available_now=True
+    )
+    q.awaitTermination(120)
+    got = stream_lakehouse.load_observations_table()
+    assert got.count() == 16  # same reshape as batch (test_ingest_arena)
+    assert got.filter("implementation_id = 'sysA_default_0'").count() == 8
+
+    # exactly-once: re-running over the same checkpoint adds nothing
+    q2 = stream_observations_from_cells(
+        stream_lakehouse, str(landing), str(ckpt), data_set_id="dsS", available_now=True
+    )
+    q2.awaitTermination(120)
+    assert stream_lakehouse.load_observations_table().count() == 16
+
+
+def test_streaming_windowed_counts_plan(spark, tmp_path_factory):
+    """The windowed agg must be a valid *streaming* plan (watermark present,
+    append-mode compatible) — validated by starting it on a file stream."""
+    import datetime as dt
+
+    from observation_lakehouse_spark.schemas import OBSERVATIONS_SCHEMA
+    from tests.conftest import observation_rows
+
+    src_dir = tmp_path_factory.mktemp("obs_src")
+    out_dir = tmp_path_factory.mktemp("obs_out")
+    ckpt = tmp_path_factory.mktemp("obs_ckpt")
+    rows = [
+        r[:15] + (dt.datetime(2026, 1, 1, 0, i % 30),) + r[16:]
+        for i, r in enumerate(observation_rows()[:200])
+    ]
+    spark.createDataFrame(rows, OBSERVATIONS_SCHEMA).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(OBSERVATIONS_SCHEMA).parquet(str(src_dir))
+    counts = streaming_observation_counts(stream, watermark="5 minutes", window_length="10 minutes")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; with availableNow the watermark
+    # advances only between batches, so rows may be 0 — the contract here is
+    # that the streaming plan is valid and runs to completion.
+    out = spark.read.schema(counts.schema).parquet(str(out_dir))
+    assert {"time_window", "data_set_id", "problem_id", "n_observations", "approx_impls"} <= set(
+        out.columns
+    )
