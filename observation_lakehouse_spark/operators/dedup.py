@@ -88,10 +88,31 @@ def minhash_lsh_dedup(
         .persist()
     )
 
-    # Second boundary: the banded explode references `sig` once per band; keep
-    # the 64-slot signature from being inlined (and recomputed) 16 times.
-    sigs = base.select(
-        "doc_id", minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig")
+    # Signature via explode + num_hashes MIN aggregates: hash aggregation is
+    # whole-stage-codegen with map-side partial combine, an order of magnitude
+    # faster than interpreted per-row array folds, and the same shape works at
+    # any corpus size. (minhash_signature in functions.text remains the
+    # column-level variant for composing into single-pass expressions.)
+    exploded = base.select("doc_id", F.explode("sh_hashes").alias("h"))
+    p = F.lit((1 << 31) - 1).cast("long")
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [
+        (rnd.randrange(1, (1 << 31) - 1), rnd.randrange(0, (1 << 31) - 1))
+        for _ in range(num_hashes)
+    ]
+    slot_mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(a).cast("long") + F.lit(b).cast("long"), p)
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    # Same permutation family and seed as minhash_signature → identical slots.
+    sigs = slot_mins.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
     ).persist()
     banded = sigs.select(
         "doc_id",

@@ -45,27 +45,44 @@ def _marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
 
 
 def language_id(
-    df: DataFrame, text_col: str = "text", min_score: float = 0.05
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_score: float = 0.05,
 ) -> DataFrame:
-    """Adds ``lang_pred`` + ``lang_score``: argmax marker-word ratio, 'und' below
-    threshold. Deterministic ties → lexicographically last language code (struct
-    max compares (score, lang))."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(_marker_ratio(toks, m), 6).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, m in sorted(LANGUAGE_MARKERS.items())
-        ]
+    """(id, lang_score, lang_pred): argmax marker-word ratio, 'und' below
+    threshold. Deterministic ties → lexicographically last language code.
+
+    Single-pass shape: explode tokens once, then one conditional SUM per
+    language in a single hash aggregate — whole-stage codegen with map-side
+    partial combine, so the exploded tokens collapse to one 6-counter row per
+    document BEFORE the shuffle. At 100 TB the shuffle is O(docs), not
+    O(tokens), and the text column itself is never shuffled.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("_tok"),
     )
-    # array_max on struct = max by (score, lang); flip lang ordering afterwards is
-    # unnecessary — ties are broken by the LAST lang; to pin to first, compare desc.
-    best = F.array_max(scored)
-    return df.withColumn("lang_score", best["score"]).withColumn(
-        "lang_pred",
-        F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und")),
+    langs = sorted(LANGUAGE_MARKERS.items())
+    counted = toks.groupBy("_id").agg(
+        F.count("_tok").alias("_n"),
+        *[
+            F.sum(F.when(F.col("_tok").isin(*markers), 1).otherwise(0)).alias(f"_c_{lang}")
+            for lang, markers in langs
+        ],
+    )
+    score = lambda lang: F.round(  # noqa: E731
+        F.when(F.col("_n") > 0, F.col(f"_c_{lang}") / F.col("_n")).otherwise(0.0), 6
+    )
+    best_score = F.greatest(*[score(lang) for lang, _ in langs])
+    # argmax with lexicographically-LAST tie-break → first match in desc order.
+    chosen = None
+    for lang, _ in sorted(langs, reverse=True):
+        cond = score(lang) == best_score
+        chosen = F.when(cond, F.lit(lang)) if chosen is None else chosen.when(cond, F.lit(lang))
+    pred = F.when(best_score >= min_score, chosen).otherwise(F.lit("und"))
+    return counted.select(
+        F.col("_id").alias(id_col), best_score.alias("lang_score"), pred.alias("lang_pred")
     )
 
 
