@@ -32,13 +32,26 @@ def compact_sort_partitions(
     task); ``sortWithinPartitions`` lines rows up for row-group min/max pruning
     on the sort columns. Run 'from time to time', as the reference comment says
     — it is a full rewrite of the touched partitions.
+
+    ``target_files_per_partition`` is an upper bound per partition dir, split
+    by a deterministic sort-key salt: task-hash collisions can merge salts, and
+    AQE coalesces away splits whose outputs are small — which is the desired
+    behavior (the knob matters exactly when partitions are big enough that AQE
+    keeps the splits).
     """
-    compacted = (
-        df.repartition(*[df[c] for c in PARTITION_COLUMNS])
-        .sortWithinPartitions(*[df[c] for c in sort_columns])
-    )
+    keys = [df[c] for c in PARTITION_COLUMNS]
     if target_files_per_partition > 1:
-        compacted = df.repartition(
-            target_files_per_partition, *[df[c] for c in PARTITION_COLUMNS]
-        ).sortWithinPartitions(*[df[c] for c in sort_columns])
+        # Salt derived from the sort key splits each table partition across N
+        # shuffle tasks → N files per partition dir. (A bare
+        # repartition(N, keys) would set the TOTAL task count instead.)
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(
+            F.xxhash64(*[df[c] for c in sort_columns]),
+            F.lit(target_files_per_partition),
+        )
+        repartitioned = df.repartition(*keys, salt)
+    else:
+        repartitioned = df.repartition(*keys)
+    compacted = repartitioned.sortWithinPartitions(*[df[c] for c in sort_columns])
     compacted.write.mode("overwrite").partitionBy(*PARTITION_COLUMNS).parquet(output_path)

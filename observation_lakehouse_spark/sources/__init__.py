@@ -4,6 +4,7 @@ from observation_lakehouse_spark.sources.io import (
     read_arena_export,
     read_solr_docs,
     to_pandas,
+    union_datasets,
     write_csv,
     write_partitioned_parquet,
 )
@@ -11,6 +12,7 @@ from observation_lakehouse_spark.sources.io import (
 __all__ = [
     "read_arena_export",
     "read_solr_docs",
+    "union_datasets",
     "write_csv",
     "write_partitioned_parquet",
     "to_pandas",

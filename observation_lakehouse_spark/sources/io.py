@@ -38,6 +38,21 @@ def write_partitioned_parquet(df: DataFrame, path: str, mode: str = "append") ->
     df.write.mode(mode).partitionBy(*PARTITION_COLUMNS).parquet(path)
 
 
+def union_datasets(*dfs: DataFrame) -> DataFrame:
+    """Multi-dataset integration (SURVEY.md §2.7).
+
+    The reference integrates datasets purely by appending rows with different
+    ``data_set_id`` values (lasso_arena_ingest.py:24-72); when sources have
+    drifted schemas (a column added by evolution), ``unionByName`` with
+    ``allowMissingColumns`` aligns by name and NULL-fills — the Spark-native
+    equivalent that keeps working across schema evolution.
+    """
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Benchmark-results CSV sink (S9)."""
     df.write.mode(mode).option("header", "true").csv(path)

@@ -1,0 +1,107 @@
+"""Property-based tests (SURVEY.md §5): differential against DuckDB on random
+inputs, plus structural invariants that must hold for any data."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.ordered_agg import ordered_string_agg
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),            # group
+        st.integers(min_value=0, max_value=20),          # order key
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])),  # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=rows_strategy)
+def test_ordered_string_agg_differential(spark_global, rows):
+    """STRING_AGG(v, ',' ORDER BY k, v) must equal DuckDB for ANY input.
+
+    The order key is made total by adding the value as a tie-break in BOTH
+    engines (without it, equal keys make the aggregate genuinely
+    nondeterministic in each engine independently).
+    """
+    spark = spark_global
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g string, k int, v string")
+    got = {
+        r["g"]: r["agg"]
+        for r in df.groupBy("g")
+        .agg(ordered_string_agg("v", F.struct("k", "v")).alias("agg"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, k INT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT g, STRING_AGG(v, ',' ORDER BY k, v) FROM t GROUP BY g"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    outputs=st.lists(
+        st.tuples(
+            st.integers(0, 3),                    # impl
+            st.integers(0, 2),                    # test
+            st.integers(0, 2),                    # step
+            st.sampled_from(["x", "y", "z"]),     # output
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1], t[2]),   # dedup (impl,test,step)
+    )
+)
+def test_fingerprint_equality_iff_trace_equality(spark_global, outputs):
+    """Two implementations land in the same cluster IFF their full ordered
+    (test, step) → output traces are identical."""
+    spark = spark_global
+    from observation_lakehouse_spark.operators.clustering import behavioral_clustering
+
+    rows = [
+        ("DS", "p", f"i{impl}", f"t{test}", "", "", "r", "e", step, None, None, out,
+         None, None, None, None, None, None, None, False)
+        for impl, test, step, out in outputs
+    ]
+    from observation_lakehouse_spark.schemas import OBSERVATIONS_SCHEMA
+
+    obs = spark.createDataFrame(rows, OBSERVATIONS_SCHEMA)
+    clusters = behavioral_clustering(obs).collect()
+
+    traces: dict[str, tuple] = {}
+    impls = sorted({f"i{i}" for i, _, _, _ in outputs})
+    for impl in impls:
+        per_test: dict[str, list] = {}
+        for i, t, s, o in sorted(outputs, key=lambda r: (r[1], r[2])):
+            if f"i{i}" == impl:
+                per_test.setdefault(f"t{t}", []).append(o)
+        # reference semantics: fingerprint = signatures ordered by test_id,
+        # WITHOUT the test ids themselves (array_agg(sig ORDER BY test_id))
+        traces[impl] = tuple(tuple(v) for _, v in sorted(per_test.items()))
+
+    expected_clusters = {}
+    for impl, trace in traces.items():
+        expected_clusters.setdefault(trace, []).append(impl)
+    expected = sorted(sorted(v) for v in expected_clusters.values())
+    got = sorted(sorted(r["equivalent_commits_cluster"]) for r in clusters)
+    assert got == expected
+    assert sum(r["cluster_size"] for r in clusters) == len(impls)
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
