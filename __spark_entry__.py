@@ -369,6 +369,108 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
 """
 
 
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (beyond the reference's surface, built-in in Spark):
+    per-user running event count + value total ordered by time, and the gap to
+    the previous event's value (lag)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("event_seq"),
+        F.round(F.sum(_dec("value")).over(w).cast("double"), 2).alias("running_value"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+    )
+
+
+_ORACLE_WINDOW = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS event_seq,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS running_value,
+       LAG(value, 1) OVER w AS prev_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (§2.3 'available built-in'): customers with
+    at least one URGENT order vs customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(F.col("c_custkey"), F.lit("has_urgent").alias("segment"))
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey"), F.lit("no_orders").alias("segment"))
+    return with_urgent.unionByName(no_orders)
+
+
+_ORACLE_SEMI_ANTI = """
+SELECT c_custkey, 'has_urgent' AS segment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'no_orders' AS segment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native ASOF): for every
+    event, the user's most recent purchase value at or before that moment.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from observation_lakehouse_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="backward",
+    )
+    return out.select("event_id", F.col("asof_value").alias("last_purchase_value"))
+
+
+_ORACLE_ASOF = """
+SELECT l.event_id, r.value AS last_purchase_value
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (§2.4 'available built-in'): order counts and exact money totals
+    at (status, priority), (status), and grand-total levels."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -557,6 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_projection": q_scalar_projection,
         "conditional_max": q_conditional_max,
         "json_extract": q_json_extract,
+        "window_running_total": q_window_running_total,
+        "semi_anti_join": q_semi_anti_join,
+        "rollup_status": q_rollup_status,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -585,6 +691,10 @@ def oracle_sql() -> dict[str, str]:
         "scalar_projection": _ORACLE_SCALAR,
         "conditional_max": _ORACLE_COND_MAX,
         "json_extract": _ORACLE_JSON,
+        "window_running_total": _ORACLE_WINDOW,
+        "semi_anti_join": _ORACLE_SEMI_ANTI,
+        "rollup_status": _ORACLE_ROLLUP,
+        "asof_join": _ORACLE_ASOF,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "ann_cosine_topk": _ORACLE_ANN,

@@ -38,6 +38,10 @@ HEADLINE = [
     "scalar_projection",
     "conditional_max",
     "json_extract",
+    "window_running_total",
+    "semi_anti_join",
+    "rollup_status",
+    "asof_join",
     "dedup_exact",
     "ngram_jaccard",
     "minhash_lsh_dedup",

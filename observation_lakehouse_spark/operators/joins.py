@@ -67,3 +67,106 @@ def three_way_join(
     return obs.join(
         code, on=["implementation_id", "data_set_id", "problem_id"], how="inner"
     ).join(tst, on=["test_id", "data_set_id", "problem_id"], how="inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts per key ('backward'; 'forward' = earliest >=).
+
+    Spark has no native ASOF JOIN; the scalable idiom is the union trick:
+    tag and union both sides, then one window pass per key carrying the last
+    seen right-side values forward. Cost = one shuffle on (key) + one sort —
+    no range self-join, no per-row subquery; skew only if one key dominates.
+
+    Returns all left columns plus ``value_cols`` from the matched right row
+    (NULL when nothing precedes/follows).
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → ts-equal rights match
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_ts"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.desc("_ts"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_is_left") == 1
+    )
+    return matched.select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_m")[c].alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join without a cross product.
+
+    Naive ``points JOIN intervals ON p BETWEEN s AND e`` is a broadcast
+    nested-loop (O(P·I)). The scale shape buckets the domain: each interval
+    explodes into the ⌈(e-s)/w⌉+1 coarse buckets it overlaps; points join on
+    their single bucket (equi-join → shuffle hash join) and the exact BETWEEN
+    filters inside the bucket. Choose ``bucket_width`` near the typical
+    interval length so the explode factor stays small.
+
+    ``point_col``/``start_col``/``end_col`` must be numeric (cast timestamps
+    to epoch first).
+    """
+    p = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, "_bucket", how).filter(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("_bucket")

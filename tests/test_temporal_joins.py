@@ -1,0 +1,82 @@
+"""As-of and range joins (custom operators — Spark lacks both natively)."""
+
+from __future__ import annotations
+
+from observation_lakehouse_spark.operators.joins import asof_join, range_join
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 20, "t2"), ("A", 5, "t0"), ("B", 15, "t3")],
+        "sym string, ts long, trade_id string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 10, 101.0), ("A", 18, 102.0), ("B", 99, 200.0)],
+        "sym string, ts long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["asof_px"]
+        for r in asof_join(
+            trades, quotes, key="sym", left_ts="ts", right_ts="ts",
+            value_cols=["px"],
+        ).collect()
+    }
+    assert out == {
+        "t0": None,     # nothing at or before ts=5
+        "t1": 101.0,    # ts-equal quote matches (<= semantics)
+        "t2": 102.0,    # most recent, not first
+        "t3": None,     # B's only quote is later
+    }
+
+
+def test_asof_forward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["asof_px"]
+        for r in asof_join(
+            trades, quotes, key="sym", left_ts="ts", right_ts="ts",
+            value_cols=["px"], direction="forward",
+        ).collect()
+    }
+    assert out == {"t0": 100.0, "t1": 101.0, "t2": None, "t3": 200.0}
+
+
+def test_asof_preserves_left_columns_and_rows(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px", "ts"])
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"sym", "ts", "trade_id", "asof_px", "asof_ts"}
+
+
+def test_range_join_point_in_interval(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 25), (4, 250)], "pid int, t long"
+    )
+    intervals = spark.createDataFrame(
+        [("i1", 0, 10), ("i2", 10, 20), ("i3", 0, 300)], "iid string, s long, e long"
+    )
+    out = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "t", "s", "e", bucket_width=10).collect()
+    )
+    assert out == [
+        (1, "i1"), (1, "i3"),
+        (2, "i2"), (2, "i3"),
+        (3, "i3"),
+        (4, "i3"),
+    ]
+
+
+def test_range_join_no_cross_product_plan(spark):
+    from observation_lakehouse_spark.plans.inspect import explain_str
+
+    points = spark.range(100).selectExpr("id as pid", "id * 3 as t")
+    intervals = spark.range(10).selectExpr("id as iid", "id * 30 as s", "id * 30 + 15 as e")
+    joined = range_join(points, intervals, "t", "s", "e", bucket_width=16)
+    plan = explain_str(joined)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
