@@ -156,6 +156,11 @@ class ObservationAnalyzer:
     def query_observations(self, sql: str) -> DataFrame:
         return self._query("observations", sql)
 
+    def query_observations_duck(self, sql: str) -> list:
+        """API-parity twin of the reference's fetchall variant
+        (lakehouse.py:377-387): same query path, rows instead of a frame."""
+        return self._query("observations", sql).collect()
+
     def query_code(self, sql: str) -> DataFrame:
         return self._query("code_implementations", sql)
 
