@@ -557,6 +557,34 @@ SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: sign-LSH bucketing + exact re-rank inside the probed
+    bucket (rows-only; the seeded hyperplane family is not oracle-expressible).
+    Compare against ann_cosine_topk (exact) to judge recall."""
+    import random
+
+    from observation_lakehouse_spark.operators.similarity import lsh_ann_topk
+
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk(emb, queries, planes, k=10)
+
+
+def q_srm_output_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRM map-column twin (SURVEY §7.5): same information as the dynamic
+    pivot with no schema explosion — entity → map<event_type, max value> on
+    events (rows-only; MAP columns don't hash-compare across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    per_cell = ev.groupBy("user_id", "event_type").agg(F.max("value").alias("v"))
+    return per_cell.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "v")))
+        ).alias("outputs")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return quality_score(docs).select(
@@ -668,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "srm_output_map": q_srm_output_map,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "language_id": q_language_id,

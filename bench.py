@@ -47,6 +47,8 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "srm_output_map",
     "text_quality",
     "token_stats",
     "language_id",
@@ -86,6 +88,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t1)
         timings[name] = round(best, 4)
 
+    # Ingestion throughput (reference headline: ~155k records/s, BASELINE.md):
+    # reshape-shaped write of the largest table into the identity-partitioned
+    # layout the engine uses, records/sec wall-clock.
+    import shutil
+    import tempfile
+
+    li = entrymod._t(spark, sf_dir, "lineitem")
+    n_records = li.count()
+    out_dir = tempfile.mkdtemp(prefix="bench_ingest_")
+    t2 = time.perf_counter()
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out_dir)
+    ingest_sec = time.perf_counter() - t2
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -96,6 +112,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "startup_sec": round(startup, 2),
+                "ingest_records_per_sec": int(n_records / ingest_sec),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )

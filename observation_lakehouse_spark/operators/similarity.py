@@ -111,25 +111,39 @@ def lsh_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate cosine top-k: probe only the query's sign-LSH bucket.
+    """Approximate cosine top-k: probe the query's sign-LSH bucket(s).
 
-    Recall/cost trade-off is the number of hyperplanes (bucket count = 2^H).
-    Re-ranking inside the bucket is exact cosine. Same output schema as
-    :func:`cosine_topk` (ranks are per-query within the probed set).
+    Recall/cost trade-off is the number of hyperplanes (bucket count = 2^H);
+    with ``multi_probe`` each query also probes every Hamming-1 neighbor bucket
+    (H+1 probes — the standard multi-probe LSH recall boost, which matters most
+    for points near a hyperplane). Re-ranking inside the probed set is exact
+    cosine. Same output schema as :func:`cosine_topk`.
     """
+    n_planes = len(hyperplanes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         hyperplane_signature(F.col(vec_col), hyperplanes).alias("bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            hyperplane_signature(F.col(vec_col), hyperplanes).alias("bucket"),
-        )
+    q_sig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_signature(F.col(vec_col), hyperplanes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q_sig = q_sig.select(
+            "query_id", "q_vec", F.explode(probes).alias("bucket")
+        )
+    q = F.broadcast(q_sig)
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -140,6 +154,7 @@ def lsh_ann_topk(
                 "cosine_sim"
             ),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
