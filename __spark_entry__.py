@@ -618,12 +618,12 @@ SELECT doc_id,
        CASE WHEN len(tk) > 0
             THEN ROUND(CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for','as','with','was','on','are','this'], lower(t)))) AS DOUBLE) / len(tk), 6)
             ELSE 0.0 END AS stopword_ratio,
-       ROUND(
-         0.4 * LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
-       + 0.3 * (CASE WHEN length(text) > 0 THEN ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) ELSE 0.0 END)
-       + 0.2 * (CASE WHEN (CASE WHEN len(tk) > 0 THEN ROUND(CAST(list_aggregate(list_transform(tk, t -> CAST(length(t) AS DOUBLE)), 'sum') AS DOUBLE) / len(tk), 6) ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
-       + 0.1 * LEAST((CASE WHEN len(tk) > 0 THEN ROUND(CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for','as','with','was','on','are','this'], lower(t)))) AS DOUBLE) / len(tk), 6) ELSE 0.0 END) * 5.0, 1.0)
-       , 6) AS quality_score
+       CAST(
+         4 * CAST(ROUND(LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 1000000.0) AS BIGINT)
+       + 3 * CAST(ROUND((CASE WHEN length(text) > 0 THEN ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) ELSE 0.0 END) * 1000000.0) AS BIGINT)
+       + 2 * CAST(ROUND((CASE WHEN (CASE WHEN len(tk) > 0 THEN ROUND(CAST(list_aggregate(list_transform(tk, t -> CAST(length(t) AS DOUBLE)), 'sum') AS DOUBLE) / len(tk), 6) ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 1000000.0) AS BIGINT)
+       + CAST(ROUND(LEAST((CASE WHEN len(tk) > 0 THEN ROUND(CAST(len(list_filter(tk, t -> list_contains(['the','and','of','to','a','in','is','that','it','for','as','with','was','on','are','this'], lower(t)))) AS DOUBLE) / len(tk), 6) ELSE 0.0 END) * 5.0, 1.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 10000000.0 AS quality_score
 FROM toks
 """
 

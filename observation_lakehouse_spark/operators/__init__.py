@@ -22,15 +22,50 @@ from observation_lakehouse_spark.operators.clustering import (
     behavioral_clustering,
     consensus_oracle,
 )
-from observation_lakehouse_spark.operators.joins import three_way_join
-from observation_lakehouse_spark.operators.srm import srm_output_view
+from observation_lakehouse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from observation_lakehouse_spark.operators.joins import (
+    asof_join,
+    range_join,
+    three_way_join,
+)
+from observation_lakehouse_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    lsh_ann_topk,
+)
+from observation_lakehouse_spark.operators.srm import srm_output_map, srm_output_view
 from observation_lakehouse_spark.operators.stats import dataset_stats, per_problem_stats
+from observation_lakehouse_spark.operators.text import (
+    document_fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+)
 
 __all__ = [
     "srm_output_view",
+    "srm_output_map",
     "behavioral_clustering",
     "consensus_oracle",
     "three_way_join",
+    "asof_join",
+    "range_join",
     "dataset_stats",
     "per_problem_stats",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_assign",
+    "language_id",
+    "quality_score",
+    "token_stats",
+    "document_fingerprints",
 ]

@@ -140,14 +140,23 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats = quality_features(df, text_col)
     length_term = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
     wl = F.col("mean_word_len")
-    wl_term = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
-    score = (
-        0.4 * length_term
-        + 0.3 * F.col("alpha_ratio")
-        + 0.2 * wl_term
-        + 0.1 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    wl_term = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_term = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    # Composite in exact integer micro-units: each term's true value is an
+    # integer multiple of 1e-6, so round(term*1e6) hits an integer with no
+    # rounding tie, and the weighted sum is exact long arithmetic. A double
+    # blend rounded to 6dp would land on 7th-decimal .5 ties where engines'
+    # rounding implementations disagree (found by the sf0.1 differential).
+    micro = lambda c: F.round(c * F.lit(1000000.0)).cast("long")  # noqa: E731
+    score_micro = (
+        4 * micro(length_term)
+        + 3 * micro(F.col("alpha_ratio"))
+        + 2 * micro(wl_term)
+        + micro(stop_term)
     )
-    return feats.withColumn("quality_score", F.round(score, 6))
+    return feats.withColumn(
+        "quality_score", score_micro.cast("double") / F.lit(10000000.0)
+    )
 
 
 def document_fingerprints(

@@ -1,0 +1,55 @@
+"""Safety net for the driver contract: a slice of the differential gate runs
+inside pytest at sf0.001, so `pytest` alone catches contract breaks
+(the full gate is scripts/check_correctness.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from scripts.check_correctness import TABLES, compare
+
+SF = "/root/testdata/sf0.001"
+
+# One representative per family: agg, pivot, ordered agg, join, window,
+# dedup, similarity, text.
+SAMPLE = [
+    "pricing_summary",
+    "srm_pivot",
+    "ordered_string_agg",
+    "three_way_join",
+    "window_running_total",
+    "asof_join",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert df.columns[0] == "l_orderkey"
+
+
+def test_every_query_has_callable_and_oracle_keys_align():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_differential_sample(spark, duck, name):
+    got = entry.queries()[name](spark, SF).toPandas()
+    want = duck.execute(entry.oracle_sql()[name]).fetchdf()
+    problems = compare(name, got, want)
+    assert not problems, problems
