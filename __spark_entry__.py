@@ -16,10 +16,17 @@ Cross-engine determinism rules used throughout (so value hashes match):
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Importable regardless of the caller's CWD (the driver may run elsewhere).
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from observation_lakehouse_spark.functions.ordered_agg import (
     ordered_string_agg,
