@@ -1,0 +1,177 @@
+"""Domain benchmark: the reference's own per-problem workload on this engine.
+
+Reproduces the shape of the reference's benchmark scripts
+(/root/reference/benchmark_*.py): a study-scale corpus of problems stored in
+the identity-partitioned layout, then per-problem latencies of the three hot
+query families (SRM output view, behavioral clustering, three-way join) against
+the partition-pruned store — the numbers BASELINE.md reports for DuckDB
+(53.2 / 27.9 / 90.7 ms per problem).
+
+    python scripts/bench_domain.py [n_problems] [n_samples]
+
+Writes DOMAIN_BENCH.json (one JSON line) and prints it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from observation_lakehouse_spark.operators import (  # noqa: E402
+    behavioral_clustering,
+    srm_output_view,
+    three_way_join,
+)
+from observation_lakehouse_spark.schemas import (  # noqa: E402
+    CODE_IMPLEMENTATIONS_SCHEMA,
+    OBSERVATIONS_SCHEMA,
+    TESTS_SCHEMA,
+)
+from observation_lakehouse_spark.session import get_spark  # noqa: E402
+from observation_lakehouse_spark.sources import write_partitioned_parquet  # noqa: E402
+
+# Study-scale shape (BASELINE.md): ~26 impls/problem, ~646 SRM rows/problem.
+N_IMPLS, N_TESTS, N_STEPS = 26, 81, 8  # 648 SRM rows/problem
+FIXED_TS = dt.datetime(2026, 1, 1)
+
+
+def build_corpus(spark, root: str, n_problems: int) -> None:
+    base = spark.range(n_problems * N_IMPLS * N_TESTS * N_STEPS).select(
+        (F.col("id") / (N_IMPLS * N_TESTS * N_STEPS)).cast("long").alias("p"),
+        (F.col("id") / (N_TESTS * N_STEPS) % N_IMPLS).cast("long").alias("i"),
+        (F.col("id") / N_STEPS % N_TESTS).cast("long").alias("t"),
+        (F.col("id") % N_STEPS).cast("long").alias("s"),
+    )
+    obs = base.select(
+        F.lit("DSA").alias("data_set_id"),
+        F.format_string("p_%04d", "p").alias("problem_id"),
+        F.format_string("impl_%02d_original_0", "i").alias("implementation_id"),
+        F.format_string("t_%02d()", "t").alias("test_id"),
+        F.lit("").alias("implementation_hash"),
+        F.lit("").alias("test_hash"),
+        F.lit("run-1").alias("run_id"),
+        F.lit("env-1").alias("environment_id"),
+        F.col("s").cast("int").alias("step_id"),
+        F.lit("op()").alias("operation"),
+        F.lit('"[1]"').alias("inputs"),
+        # ~3 behavior classes per problem (impl mod 3) with per-(p,t,s) outputs
+        F.format_string("out_%d_%d_%d_%d", F.pmod("i", F.lit(3)), "p", "t", "s").alias(
+            "output"
+        ),
+        (F.col("s") * 1.5 + 1).alias("execution_time_ms"),
+        F.lit(None).cast("double").alias("memory_used_mb"),
+        F.lit(None).cast("double").alias("branch_coverage_percent"),
+        F.lit(FIXED_TS).cast("timestamp_ntz").alias("created_at"),
+        F.lit(None).cast("string").alias("git_commit_hash"),
+        F.lit(None).cast("string").alias("ci_pipeline_id"),
+        F.lit(None).cast("string").alias("researcher_name"),
+        F.lit(False).alias("specified_oracle"),
+    )
+    write_partitioned_parquet(obs, f"{root}/observations", mode="overwrite")
+    code = (
+        base.select("p", "i")
+        .distinct()
+        .select(
+            F.lit("DSA").alias("data_set_id"),
+            F.format_string("p_%04d", "p").alias("problem_id"),
+            F.format_string("impl_%02d_original_0", "i").alias("implementation_id"),
+            F.format_string("class P%d_%d {}", "p", "i").alias("source_code"),
+            F.lit(None).cast("string").alias("code_hash"),
+            F.lit(FIXED_TS).cast("timestamp_ntz").alias("created_at"),
+            F.lit(3).alias("lines_of_code"),
+            F.lit(1).alias("cyclomatic_complexity"),
+            F.lit("java").alias("language"),
+        )
+    )
+    write_partitioned_parquet(code, f"{root}/code_implementations", mode="overwrite")
+    tests = (
+        base.select("p", "t")
+        .distinct()
+        .select(
+            F.lit("DSA").alias("data_set_id"),
+            F.format_string("p_%04d", "p").alias("problem_id"),
+            F.format_string("t_%02d()", "t").alias("test_id"),
+            F.lit('{"cells":{}}').alias("source_code"),
+            F.lit("P { m()->long }").alias("focal_interface"),
+            F.lit(None).cast("string").alias("code_hash"),
+            F.lit(FIXED_TS).cast("timestamp_ntz").alias("created_at"),
+            F.lit("java").alias("language"),
+        )
+    )
+    write_partitioned_parquet(tests, f"{root}/tests", mode="overwrite")
+
+
+def main() -> None:
+    n_problems = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("bench-domain")
+    root = tempfile.mkdtemp(prefix="domain_bench_")
+    build_corpus(spark, root, n_problems)
+
+    obs = spark.read.parquet(f"{root}/observations")
+    code = spark.read.parquet(f"{root}/code_implementations")
+    tst = spark.read.parquet(f"{root}/tests")
+    impl_ids = [f"impl_{i:02d}_original_0" for i in range(N_IMPLS)]
+
+    families = {
+        "srm_output_view": lambda pid: srm_output_view(
+            obs, problem_id=pid, data_set_id="DSA", implementation_ids=impl_ids
+        ),
+        "behavioral_clustering": lambda pid: behavioral_clustering(
+            obs, problem_id=pid, data_set_id="DSA"
+        ),
+        "three_way_join": lambda pid: three_way_join(
+            obs, code, tst, data_set_id="DSA", problem_id=pid
+        ),
+    }
+    # Warm (codegen + file index) on a problem outside the sample.
+    for fam in families.values():
+        fam(f"p_{n_problems - 1:04d}").write.mode("overwrite").format("noop").save()
+
+    result: dict[str, dict[str, float]] = {}
+    for name, fam in families.items():
+        lat = []
+        for k in range(n_samples):
+            pid = f"p_{k:04d}"
+            t0 = time.perf_counter()
+            fam(pid).write.mode("overwrite").format("noop").save()
+            lat.append((time.perf_counter() - t0) * 1000)
+        result[name] = {
+            "mean_ms": round(statistics.mean(lat), 1),
+            "p50_ms": round(statistics.median(lat), 1),
+            "min_ms": round(min(lat), 1),
+            "max_ms": round(max(lat), 1),
+        }
+
+    out = {
+        "metric": "per_problem_latency_ms",
+        "n_problems": n_problems,
+        "n_samples": n_samples,
+        "srm_rows_per_problem": N_TESTS * N_STEPS,
+        "impls_per_problem": N_IMPLS,
+        "families": result,
+        "reference_baseline_ms": {
+            "srm_output_view": 53.2,
+            "behavioral_clustering": 27.9,
+            "three_way_join": 90.7,
+        },
+    }
+    line = json.dumps(out)
+    Path(__file__).resolve().parent.parent.joinpath("DOMAIN_BENCH.json").write_text(
+        line + "\n"
+    )
+    print(line)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
