@@ -90,6 +90,26 @@ def test_three_way_join(observations, code_implementations, tests_table):
     assert row["test_code"].startswith('{"cells"')
 
 
+def test_pivot_cell_is_unique_output_when_deduplicated(spark, observations):
+    """SURVEY §5 property: after (test, step, impl) dedup, each pivot cell IS
+    the unique output for that coordinate — FIRST degenerates to identity."""
+    deduped = observations.dropDuplicates(["test_id", "step_id", "implementation_id"])
+    srm = srm_output_view(deduped, problem_id="p_003", data_set_id="DSA")
+    cells = {
+        (r["test_id"], r["step_id"], impl): r[impl]
+        for r in srm.collect()
+        for impl in srm.columns[2:]
+    }
+    expected = {
+        (r["test_id"], r["step_id"], r["implementation_id"]): r["output"]
+        for r in deduped.filter(
+            (F.col("problem_id") == "p_003") & (F.col("data_set_id") == "DSA")
+        ).collect()
+    }
+    for key, out in expected.items():
+        assert cells[key] == out
+
+
 def test_stats(observations):
     per = per_problem_stats(observations).collect()
     assert len(per) == N_PROBLEMS
