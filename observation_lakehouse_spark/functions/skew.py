@@ -1,0 +1,69 @@
+"""Skew-mitigation helpers (SURVEY.md §7.3.9: 'salt skewed problems').
+
+AQE's skew-join splitting handles join-side skew automatically; aggregation
+skew on a hot key (one problem_id carrying a CI-scale fan-in) still funnels
+that key's rows into one reducer. :func:`salted_agg` runs the classic
+two-phase shape for MERGEABLE aggregates:
+
+    phase 1: groupBy(keys + salt)  — the hot key spreads over N reducers
+    phase 2: groupBy(keys)         — merge the N partial buffers
+
+Supported aggregate specs (mergeable algebra): count → sum of partial counts,
+sum → sum, min → min, max → max, collect_set → flatten+dedup. Averages must be
+requested as (sum, count) and divided by the caller — a salted avg of avgs
+would be wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PHASE1 = {
+    "count": lambda c: F.count(F.lit(1) if c is None else F.col(c)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "collect_set": lambda c: F.collect_set(c),
+}
+_PHASE2 = {
+    "count": lambda name: F.sum(name),
+    "sum": lambda name: F.sum(name),
+    "min": lambda name: F.min(name),
+    "max": lambda name: F.max(name),
+    "collect_set": lambda name: F.array_distinct(F.flatten(F.collect_list(name))),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    exprs: dict[str, tuple[str, str | None]],
+    salt_buckets: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation over possibly-skewed ``keys``.
+
+    ``exprs`` maps output name → (agg, column); e.g.
+    ``{"n": ("count", None), "total": ("sum", "x"), "hi": ("max", "x")}``.
+    ``salt_on`` picks the salt source (default: random-ish spread via
+    ``spark_partition_id``+monotonic id hash — deterministic per run layout but
+    NOT content-stable; pass a column for reproducible salting).
+    """
+    unknown = {a for a, _ in exprs.values()} - set(_PHASE1)
+    if unknown:
+        raise ValueError(f"unsupported salted aggregates: {sorted(unknown)}")
+    if salt_on is None:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    else:
+        col = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+        salt = F.pmod(F.xxhash64(col), F.lit(salt_buckets))
+
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[_PHASE1[agg](col).alias(name) for name, (agg, col) in exprs.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_PHASE2[agg](name).alias(name) for name, (agg, _) in exprs.items()]
+    )

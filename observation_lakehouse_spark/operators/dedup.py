@@ -51,6 +51,17 @@ def exact_dedup(
     )
 
 
+def deduplicate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The pipeline-facing form of :func:`exact_dedup`: return only the kept
+    rows (lowest id per content hash), original schema preserved."""
+    marked = exact_dedup(df, text_col, id_col)
+    return marked.filter(~F.col("is_duplicate")).drop(
+        "content_hash", "dup_rank", "is_duplicate"
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",

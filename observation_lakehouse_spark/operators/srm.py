@@ -59,6 +59,19 @@ def srm_output_view(
     return pivoted.agg(F.first("output")).orderBy("test_id", "step_id")
 
 
+def srm_shape_stats(srm: DataFrame) -> dict[str, int]:
+    """The reference's client-side SRM accounting
+    (benchmark_srm_output_view.py:89-92): implementation count, row count, and
+    the pairwise-comparison count n·k·(k-1)/2 the SRM enables."""
+    impls = len(srm.columns) - 2  # minus (test_id, step_id)
+    rows = srm.count()
+    return {
+        "implementations": impls,
+        "srm_rows": rows,
+        "comparisons": rows * impls * (impls - 1) // 2,
+    }
+
+
 def srm_output_map(
     observations: DataFrame,
     problem_id: str | None = None,

@@ -1,0 +1,82 @@
+"""Salted two-phase aggregation + pipeline dedup + SRM accounting helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.skew import salted_agg
+from observation_lakehouse_spark.operators.dedup import deduplicate
+from observation_lakehouse_spark.operators.srm import srm_output_view, srm_shape_stats
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    # skewed: key 'hot' has 10k rows, others 10
+    df = spark.range(10_000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("x")
+    ).unionByName(
+        spark.range(10).select(
+            F.concat(F.lit("cold"), F.col("id")).alias("k"),
+            F.col("id").cast("double").alias("x"),
+        )
+    )
+    salted = {
+        r["k"]: r
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", None), "total": ("sum", "x"), "hi": ("max", "x"),
+             "lo": ("min", "x")},
+            salt_buckets=8,
+        ).collect()
+    }
+    plain = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("total"),
+            F.max("x").alias("hi"), F.min("x").alias("lo"),
+        )
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        for c in ("n", "hi", "lo"):
+            assert salted[k][c] == plain[k][c], (k, c)
+        assert abs(salted[k]["total"] - plain[k]["total"]) < 1e-6
+
+
+def test_salted_collect_set_and_content_stable_salt(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    out = {
+        r["k"]: sorted(r["vals"])
+        for r in salted_agg(
+            df, ["k"], {"vals": ("collect_set", "v")}, salt_buckets=4, salt_on="v"
+        ).collect()
+    }
+    assert out == {"a": [1, 2], "b": [3]}
+
+
+def test_salted_agg_rejects_non_mergeable():
+    with pytest.raises(ValueError, match="avg"):
+        salted_agg(None, ["k"], {"m": ("avg", "x")})
+
+
+def test_deduplicate_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    kept = deduplicate(df).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["text"]) for r in kept] == [(1, "same"), (2, "other")]
+    assert kept[0].asDict().keys() == {"doc_id", "text"}
+
+
+def test_srm_shape_stats(observations):
+    srm = srm_output_view(observations, problem_id="p_000", data_set_id="DSA")
+    stats = srm_shape_stats(srm)
+    assert stats == {
+        "implementations": 10,
+        "srm_rows": 40,
+        "comparisons": 40 * 10 * 9 // 2,
+    }
