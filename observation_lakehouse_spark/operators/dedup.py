@@ -29,7 +29,6 @@ from observation_lakehouse_spark.functions.text import (
     hashed_word_shingles,
     jaccard,
     lsh_bands,
-    minhash_signature,
     tokens,
     word_shingles,
 )
