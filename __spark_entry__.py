@@ -402,6 +402,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of streaming.stateful.sessionize):
+    one shuffle, fused windows, decimal-exact session value. Timestamps are
+    compared and emitted as epoch MICROS (`ts DIV 1000` on the nanos long) so
+    both engines truncate identically."""
+    from observation_lakehouse_spark.operators.sessionization import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id", "value"
+    )
+    return (
+        sessionize_batch(ev, gap=6 * 3600 * 1_000_000)
+        .withColumnRenamed("session_start", "session_start_us")
+        .withColumnRenamed("session_end", "session_end_us")
+        .orderBy("user_id", "session_no")
+    )
+
+
+_ORACLE_SESSIONIZATION = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), flagged AS (
+    SELECT user_id, event_id, ts_us, value,
+           CASE WHEN ts_us - LAG(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+    SELECT user_id, ts_us, value,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins (§2.3 'available built-in'): customers with
     at least one URGENT order vs customers with no orders at all."""
@@ -695,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_max": q_conditional_max,
         "json_extract": q_json_extract,
         "window_running_total": q_window_running_total,
+        "sessionization": q_sessionization,
         "semi_anti_join": q_semi_anti_join,
         "rollup_status": q_rollup_status,
         "asof_join": q_asof_join,
@@ -729,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_max": _ORACLE_COND_MAX,
         "json_extract": _ORACLE_JSON,
         "window_running_total": _ORACLE_WINDOW,
+        "sessionization": _ORACLE_SESSIONIZATION,
         "semi_anti_join": _ORACLE_SEMI_ANTI,
         "rollup_status": _ORACLE_ROLLUP,
         "asof_join": _ORACLE_ASOF,

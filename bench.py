@@ -39,6 +39,7 @@ HEADLINE = [
     "conditional_max",
     "json_extract",
     "window_running_total",
+    "sessionization",
     "semi_anti_join",
     "rollup_status",
     "asof_join",
