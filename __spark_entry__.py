@@ -582,6 +582,28 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs, max_hamming=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs (dedup strategy #5): exact all-pairs cosine >=
+    0.4 (the synthetic embeddings top out at ~0.51, so 0.4 exercises the tail
+    without an empty result). Scale path = same operator with hyperplanes."""
+    from observation_lakehouse_spark.operators.embedding_dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+_ORACLE_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the query subset vec_id % 100 == 0."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -745,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "srm_output_map": q_srm_output_map,
@@ -778,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ORACLE_ASOF,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
         "ann_cosine_topk": _ORACLE_ANN,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "token_stats": _ORACLE_TOKEN_STATS,

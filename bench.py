@@ -47,6 +47,7 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "embedding_near_dup",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "srm_output_map",

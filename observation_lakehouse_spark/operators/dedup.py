@@ -16,13 +16,16 @@ shuffle digests/signatures, never full documents:
 - :func:`ngram_jaccard_pairs` — exact n-gram Jaccard over candidate pairs from
   any blocking column (for small corpora or final verification).
 
+The fifth, semantic strategy (embedding-cosine near-dup, blocked numpy
+all-pairs / sign-LSH) lives in :mod:`.embedding_dedup`.
+
 All return stable, deterministic outputs (ties broken by doc id) so they can be
 differentially tested against a SQL oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.functions.text import (

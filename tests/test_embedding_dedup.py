@@ -1,0 +1,75 @@
+"""Embedding near-dup: blocked-exact semantics, orientation, LSH path."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from observation_lakehouse_spark.operators.embedding_dedup import embedding_near_dup
+
+DIM = 64
+
+
+def _vec(seed: int) -> list[float]:
+    rnd = random.Random(seed)
+    return [rnd.uniform(-1, 1) for _ in range(DIM)]
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_exact_matches_bruteforce(spark):
+    vecs = {i: _vec(i) for i in range(40)}
+    # plant two near-dup pairs across different id blocks (ids 3 & 18, 7 & 7+16)
+    vecs[18] = [x + 0.01 for x in vecs[3]]
+    vecs[23] = [x * 1.001 for x in vecs[7]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine_sim"]
+        for r in embedding_near_dup(df, threshold=0.9, n_blocks=4).collect()
+    }
+    # brute force in python over the float32-truncated vectors
+    import numpy as np
+
+    f32 = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in vecs.items()}
+    want = {}
+    for i in sorted(f32):
+        for j in sorted(f32):
+            if i < j:
+                c = round(_cos(list(f32[i]), list(f32[j])), 6)
+                if c >= 0.9:
+                    want[(i, j)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert (3, 18) in got and (7, 23) in got
+
+
+def test_pairs_are_oriented_and_sorted(spark):
+    vecs = [(i, _vec(1)) for i in range(10)]  # all identical → all pairs
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = embedding_near_dup(df, threshold=0.99, n_blocks=3).collect()
+    assert len(rows) == 45
+    pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
+    assert all(a < b for a, b in pairs)
+    assert pairs == sorted(pairs)
+
+
+def test_lsh_path_finds_identical_vectors(spark):
+    """Identical vectors share the LSH signature, so the approximate path
+    must always surface them."""
+    rnd = random.Random(5)
+    planes = [[rnd.gauss(0, 1) for _ in range(DIM)] for _ in range(6)]
+    vecs = [(i, _vec(i)) for i in range(30)] + [(100, _vec(4)), (101, _vec(9))]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup(df, threshold=0.999, hyperplanes=planes).collect()
+    }
+    assert (4, 100) in got and (9, 101) in got
