@@ -520,6 +520,104 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (§2.4 'available built-in'): all four grouping levels in one scan +
+    one shuffle; grouping_id disambiguates subtotal NULLs from data NULLs."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ORACLE_CUBE = """
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7 — ABSENT in reference, built-in here): nations
+    present on both the customer and supplier side vs customer-only."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust_n.intersect(supp_n).select("nationkey", F.lit("both").alias("side"))
+    cust_only = cust_n.subtract(supp_n).select(
+        "nationkey", F.lit("customer_only").alias("side")
+    )
+    return both.unionByName(cust_only).orderBy("side", "nationkey")
+
+
+_ORACLE_SET_OPS = """
+WITH b AS (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+), co AS (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+)
+SELECT nationkey, 'both' AS side FROM b
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM co
+ORDER BY side, nationkey
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (rows-only): corpus assigned to fixed centroids
+    (ivf_assign), each query probes only its own cell, exact re-rank inside.
+    The partition-the-corpus-by-cell layout is the 100 TB alternative to the
+    sign-LSH bucket path (ann_lsh_topk)."""
+    import random
+
+    from observation_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+    )
+
+    rnd = random.Random(11)
+    centroids = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = ivf_assign(emb, centroids).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "centroid_id"
+    )
+    queries_df = ivf_assign(
+        emb.filter(F.col("vec_id") % 100 == 0), centroids
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "centroid_id")
+    scored = (
+        corpus.join(F.broadcast(queries_df), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -762,7 +860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "semi_anti_join": q_semi_anti_join,
         "rollup_status": q_rollup_status,
+        "cube_status": q_cube_status,
+        "set_ops": q_set_ops,
         "asof_join": q_asof_join,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -798,6 +899,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": _ORACLE_SESSIONIZATION,
         "semi_anti_join": _ORACLE_SEMI_ANTI,
         "rollup_status": _ORACLE_ROLLUP,
+        "cube_status": _ORACLE_CUBE,
+        "set_ops": _ORACLE_SET_OPS,
         "asof_join": _ORACLE_ASOF,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,

@@ -42,7 +42,10 @@ HEADLINE = [
     "sessionization",
     "semi_anti_join",
     "rollup_status",
+    "cube_status",
+    "set_ops",
     "asof_join",
+    "ann_ivf_topk",
     "dedup_exact",
     "ngram_jaccard",
     "minhash_lsh_dedup",

@@ -177,12 +177,18 @@ def ivf_assign(
     expressed as plain partitioning.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm_v = _norm(vec_d)
-    best_id, best_sim = F.lit(-1), F.lit(-2.0)
-    for i, cent in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in cent])
-        sim = _dot(vec_d, arr) / (norm_v * F.lit(sum(x * x for x in cent) ** 0.5))
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return corpus.withColumn("centroid_id", best_id)
+    # One array of per-centroid sims + argmax via array_position. A chained
+    # when(sim > best)-fold would reference the running best TWICE per step,
+    # doubling the expression tree per centroid (2^K nodes — measured seconds
+    # of eval per row at K=8); this stays linear in K. The row's own norm is a
+    # positive scalar common to every sim, so the cosine argmax doesn't need it.
+    sims = F.array(
+        *[
+            _dot(vec_d, F.array(*[F.lit(float(x)) for x in cent]))
+            / F.lit(sum(x * x for x in cent) ** 0.5)
+            for cent in centroids
+        ]
+    )
+    return corpus.withColumn(
+        "centroid_id", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
