@@ -133,6 +133,14 @@ def main() -> None:
             obs, code, tst, data_set_id="DSA", problem_id=pid
         ),
     }
+    # Interactive profile for the per-problem loop: a pruned problem is ~650
+    # rows, so one shuffle partition is the right plan and AQE's per-stage
+    # re-optimization is pure overhead (measured: 441 -> 207 ms p50 on the SRM
+    # family). Runtime-settable confs only; the corpus build above used the
+    # throughput defaults.
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     # Warm (codegen + file index) on a problem outside the sample.
     for fam in families.values():
         fam(f"p_{n_problems - 1:04d}").write.mode("overwrite").format("noop").save()
@@ -156,6 +164,7 @@ def main() -> None:
         "metric": "per_problem_latency_ms",
         "n_problems": n_problems,
         "n_samples": n_samples,
+        "profile": {"spark.sql.shuffle.partitions": 1, "spark.sql.adaptive.enabled": False},
         "srm_rows_per_problem": N_TESTS * N_STEPS,
         "impls_per_problem": N_IMPLS,
         "families": result,
