@@ -520,6 +520,51 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 describe()/summary() parity: per-group count/mean/stddev/min/max.
+    Cross-engine determinism: moments derive from EXACT decimal sums (sum,
+    sum-of-squares) cast to double only at the end, so both engines run the
+    identical float expression tree (a native stddev agg would accumulate in
+    partition order and drift at the 6th dp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("_s"),
+        F.sum(_dec("l_quantity") * _dec("l_quantity")).cast("double").alias("_s2"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("_s") / n, 6).alias("mean_qty"),
+        F.round(
+            F.sqrt((F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))), 6
+        ).alias("stddev_qty"),
+        "min_qty",
+        "max_qty",
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_SUMMARY = """
+WITH a AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(s / CAST(n AS DOUBLE), 6) AS mean_qty,
+       ROUND(sqrt((s2 - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_qty,
+       min_qty, max_qty
+FROM a ORDER BY l_returnflag
+"""
+
+
 def q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (§2.4 'available built-in'): all four grouping levels in one scan +
     one shuffle; grouping_id disambiguates subtotal NULLs from data NULLs."""
@@ -811,10 +856,51 @@ FROM documents
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID (rows-only: argmax tie-break over the marker table
-    is awkward but possible in SQL; kept Spark-side, verified by pytest)."""
+    """Marker-word language ID; oracle generated from the SAME marker table
+    (argmax with lexicographically-last tie-break as a desc-ordered CASE)."""
     docs = _t(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang_pred", "lang_score")
+
+
+def _lang_oracle() -> str:
+    from observation_lakehouse_spark.operators.text import LANGUAGE_MARKERS
+
+    langs = sorted(LANGUAGE_MARKERS.items())
+    counts = ",\n           ".join(
+        "len(list_filter(tk, t -> list_contains(["
+        + ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
+        + "], lower(t)))) AS c_" + lang
+        for lang, markers in langs
+    )
+    score = lambda lang: (  # noqa: E731
+        f"CASE WHEN n > 0 THEN ROUND(c_{lang} / CAST(n AS DOUBLE), 6) ELSE 0.0 END"
+    )
+    scores = ",\n           ".join(f"{score(lang)} AS s_{lang}" for lang, _ in langs)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in langs) + ")"
+    chosen = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang, _ in sorted(langs, reverse=True)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+    FROM documents
+), c AS (
+    SELECT doc_id, len(tk) AS n,
+           {counts}
+    FROM tk
+), s AS (
+    SELECT doc_id, n,
+           {scores}
+    FROM c
+), b AS (
+    SELECT doc_id, {best} AS best, * EXCLUDE (doc_id) FROM s
+)
+SELECT doc_id,
+       CASE WHEN best >= 0.05 THEN (CASE {chosen} END) ELSE 'und' END AS lang_pred,
+       best AS lang_score
+FROM b
+"""
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "semi_anti_join": q_semi_anti_join,
         "rollup_status": q_rollup_status,
+        "summary_stats": q_summary_stats,
         "cube_status": q_cube_status,
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
@@ -899,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": _ORACLE_SESSIONIZATION,
         "semi_anti_join": _ORACLE_SEMI_ANTI,
         "rollup_status": _ORACLE_ROLLUP,
+        "summary_stats": _ORACLE_SUMMARY,
         "cube_status": _ORACLE_CUBE,
         "set_ops": _ORACLE_SET_OPS,
         "asof_join": _ORACLE_ASOF,
@@ -908,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ORACLE_ANN,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "token_stats": _ORACLE_TOKEN_STATS,
-        # minhash_lsh_dedup / simhash_dedup / language_id / doc_fingerprints:
-        # rows-only (hash families / argmax tie-break not oracle-expressible).
+        "language_id": _lang_oracle(),
+        # minhash_lsh_dedup / simhash_dedup / doc_fingerprints / ann_lsh_topk /
+        # ann_ivf_topk / srm_output_map: rows-only (seeded hash families /
+        # non-SQL map payloads not oracle-expressible).
     }

@@ -42,6 +42,7 @@ HEADLINE = [
     "sessionization",
     "semi_anti_join",
     "rollup_status",
+    "summary_stats",
     "cube_status",
     "set_ops",
     "asof_join",
