@@ -213,7 +213,11 @@ def simhash_dedup(
     (pigeonhole), so the self-join key is (quarter_idx, quarter_value) — never
     a cross join.
     """
-    fp = simhash_fingerprints(df, text_col, id_col)
+    # persist(): the fingerprint aggregation (explode + 65 sums over every
+    # token) feeds BOTH sides of the quarter self-join; without the boundary
+    # Spark recomputes it per side (measured ~0.8 s of the 2.4 s total at
+    # sf0.1). In production this is the materialized fingerprints table.
+    fp = simhash_fingerprints(df, text_col, id_col).persist()
     quarters = fp.select(
         "doc_id",
         "simhash",
