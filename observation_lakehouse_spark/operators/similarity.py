@@ -233,19 +233,35 @@ def ivf_assign(
     ``nprobe`` cells instead of the whole corpus — the classic IVF-flat layout
     expressed as plain partitioning.
     """
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # One array of per-centroid sims + argmax via array_position. A chained
-    # when(sim > best)-fold would reference the running best TWICE per step,
-    # doubling the expression tree per centroid (2^K nodes — measured seconds
-    # of eval per row at K=8); this stays linear in K. The row's own norm is a
-    # positive scalar common to every sim, so the cosine argmax doesn't need it.
-    sims = F.array(
-        *[
-            _dot(vec_d, F.array(*[F.lit(float(x)) for x in cent]))
-            / F.lit(sum(x * x for x in cent) ** 0.5)
-            for cent in centroids
-        ]
+    import numpy as np
+
+    # Vectorized assignment: one (batch x K) score matmul per Arrow batch with
+    # the norm-scaled centroid matrix broadcast to executors. The row's own
+    # norm is a positive scalar common to every sim, so the cosine argmax
+    # doesn't need it; np.argmax keeps the first-max tie-break. (A per-row
+    # Column expression with K interpreted dot folds measured ~1.5 s at 2k
+    # rows x K=8 — assignment is dense math, the numpy path is the 100 TB
+    # shape.)
+    C = np.array(centroids, dtype=np.float64)
+    Cn = (C / np.sqrt((C * C).sum(axis=1))[:, None]).T  # d x K
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(Cn)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # NB: StructType.add() mutates in place — mutating corpus.schema would
+    # poison the input DataFrame's cached schema. Build a fresh StructType.
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("centroid_id", IntegerType())]
     )
-    return corpus.withColumn(
-        "centroid_id", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    )
+
+    def assign(batches):
+        M = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["centroid_id"] = (V @ M).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return corpus.mapInPandas(assign, out_schema)
