@@ -6,5 +6,12 @@ from observation_lakehouse_spark.streaming.ingest import (
     stream_observations_from_cells,
     streaming_observation_counts,
 )
+from observation_lakehouse_spark.streaming.joins import stream_stream_interval_join
+from observation_lakehouse_spark.streaming.stateful import sessionize
 
-__all__ = ["stream_observations_from_cells", "streaming_observation_counts"]
+__all__ = [
+    "sessionize",
+    "stream_observations_from_cells",
+    "stream_stream_interval_join",
+    "streaming_observation_counts",
+]
