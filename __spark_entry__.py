@@ -789,14 +789,34 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_srm_output_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRM map-column twin (SURVEY §7.5): same information as the dynamic
     pivot with no schema explosion — entity → map<event_type, max value> on
-    events (rows-only; MAP columns don't hash-compare across engines)."""
+    events. The map itself can't hash-compare across engines, so the query
+    serializes its (insertion-ordered) entries to a canonical string with
+    DECIMAL-formatted values — now fully oracle-checked."""
     ev = _t(spark, sf_dir, "events")
     per_cell = ev.groupBy("user_id", "event_type").agg(F.max("value").alias("v"))
+    m = F.map_from_entries(F.array_sort(F.collect_list(F.struct("event_type", "v"))))
     return per_cell.groupBy("user_id").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("event_type", "v")))
-        ).alias("outputs")
+        F.array_join(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws(
+                    ":", e["key"], e["value"].cast("decimal(18,2)").cast("string")
+                ),
+            ),
+            ",",
+        ).alias("outputs_repr")
     )
+
+
+_ORACLE_SRM_MAP = """
+WITH pc AS (
+    SELECT user_id, event_type, MAX(value) AS v FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       STRING_AGG(event_type || ':' || CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR),
+                  ',' ORDER BY event_type) AS outputs_repr
+FROM pc GROUP BY user_id
+"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_TEXT_QUALITY,
         "token_stats": _ORACLE_TOKEN_STATS,
         "language_id": _lang_oracle(),
+        "srm_output_map": _ORACLE_SRM_MAP,
         # minhash_lsh_dedup / simhash_dedup / doc_fingerprints / ann_lsh_topk /
         # ann_ivf_topk / srm_output_map: rows-only (seeded hash families /
         # non-SQL map payloads not oracle-expressible).
