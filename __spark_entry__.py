@@ -625,20 +625,25 @@ ORDER BY side, nationkey
 """
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (rows-only): corpus assigned to fixed centroids
-    (ivf_assign), each query probes only its own cell, exact re-rank inside.
-    The partition-the-corpus-by-cell layout is the 100 TB alternative to the
-    sign-LSH bucket path (ann_lsh_topk)."""
+def _ivf_centroids() -> list[list[float]]:
     import random
 
+    rnd = random.Random(11)
+    return [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus assigned to fixed centroids (ivf_assign), each
+    query probes only its own cell, exact re-rank inside. The centroid matrix
+    is literal, so the oracle recomputes the same cell argmax in SQL — fully
+    checked. The partition-the-corpus-by-cell layout is the 100 TB alternative
+    to the sign-LSH bucket path (ann_lsh_topk)."""
     from observation_lakehouse_spark.operators.similarity import (
         cosine_similarity,
         ivf_assign,
     )
 
-    rnd = random.Random(11)
-    centroids = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    centroids = _ivf_centroids()
     emb = _t(spark, sf_dir, "embeddings")
     corpus = ivf_assign(emb, centroids).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "centroid_id"
@@ -661,6 +666,45 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+def _ivf_oracle() -> str:
+    import numpy as np
+
+    C = np.array(_ivf_centroids(), dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]  # the matrix ivf_assign uses
+    sims = ",\n           ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
+        for i, row in enumerate(Cn)
+    )
+    best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
+    # np.argmax keeps the FIRST max -> ascending CASE order.
+    argmax = " ".join(f"WHEN s_{i} = m THEN {i}" for i in range(len(Cn)))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           {sims}
+    FROM e
+),
+a AS (
+    SELECT vec_id, v, (CASE {argmax} END) AS cell
+    FROM (SELECT *, {best} AS m FROM s)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM a WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           ROUND(list_dot_product(qv, a.v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine_sim
+    FROM q JOIN a ON a.cell = q.cell AND a.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -771,19 +815,66 @@ SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANN scale path: sign-LSH bucketing + exact re-rank inside the probed
-    bucket (rows-only; the seeded hyperplane family is not oracle-expressible).
-    Compare against ann_cosine_topk (exact) to judge recall."""
+def _lsh_planes() -> list[list[float]]:
     import random
 
+    rnd = random.Random(7)
+    return [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: sign-LSH bucketing (multi-probe, Hamming-1) + exact
+    re-rank inside the probed buckets. The hyperplane family is a literal float
+    matrix, so the oracle recomputes the SAME buckets in SQL — fully checked.
+    Compare against ann_cosine_topk (exact) to judge recall."""
     from observation_lakehouse_spark.operators.similarity import lsh_ann_topk
 
-    rnd = random.Random(7)
-    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_ann_topk(emb, queries, planes, k=10)
+    return lsh_ann_topk(emb, queries, _lsh_planes(), k=10)
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes()
+    sig_terms = "\n         + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    probe_union = "\n    ".join(
+        f"UNION ALL SELECT query_id, qv, xor(b, {1 << i}) AS pb FROM q"
+        for i in range(len(planes))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+    SELECT vec_id, v,
+           ({sig_terms}) AS b
+    FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, b FROM sig WHERE vec_id % 100 = 0),
+probes AS (
+    SELECT query_id, qv, b AS pb FROM q
+    {probe_union}
+),
+cand AS (
+    SELECT DISTINCT query_id, qv, s.vec_id AS neighbor_id, s.v AS cv
+    FROM probes p JOIN sig s ON s.b = p.pb AND s.vec_id <> p.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+    FROM cand
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
 
 
 def q_srm_output_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,6 +1109,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _ORACLE_TOKEN_STATS,
         "language_id": _lang_oracle(),
         "srm_output_map": _ORACLE_SRM_MAP,
+        "ann_lsh_topk": _lsh_oracle(),
+        "ann_ivf_topk": _ivf_oracle(),
         # minhash_lsh_dedup / simhash_dedup / doc_fingerprints / ann_lsh_topk /
         # ann_ivf_topk / srm_output_map: rows-only (seeded hash families /
         # non-SQL map payloads not oracle-expressible).
