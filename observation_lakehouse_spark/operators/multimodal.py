@@ -94,6 +94,48 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: same media schema out, content re-encoded, metadata
+    (width/height/size_bytes) updated — the shape of a pre-training image
+    normalization pass. Partitioning is preserved (no shuffle); memory stays
+    bounded by the Arrow batch size.
+
+    The resample inner loop is the STUB (production:
+    ``PIL.Image.resize`` + re-encode); the fake is deterministic — content is
+    digest-tagged, dimensions scale so max(width, height) == max_side with
+    aspect preserved (never upscaled).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def scale(w, h):
+                if pd.isna(w) or pd.isna(h):  # Arrow nulls surface as NaN here
+                    return None, None
+                if max(w, h) <= max_side:
+                    return int(w), int(h)
+                f = max_side / max(w, h)
+                return max(1, round(w * f)), max(1, round(h * f))
+
+            dims = [scale(w, h) for w, h in zip(pdf["width"], pdf["height"])]
+            # STUB — production: decode, resize, re-encode via Pillow.
+            pdf["content"] = [
+                None if c is None else b"resized:" + hashlib.sha256(c).digest()
+                for c in pdf["content"]
+            ]
+            pdf["width"] = pd.array([d[0] for d in dims], dtype="Int32")
+            pdf["height"] = pd.array([d[1] for d in dims], dtype="Int32")
+            pdf["size_bytes"] = pd.array(
+                [None if c is None else len(c) for c in pdf["content"]], dtype="Int64"
+            )
+            yield pdf
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-relational health stats over the media table (no decode)."""
     return (

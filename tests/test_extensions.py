@@ -145,3 +145,23 @@ def test_multimodal_plumbing(spark):
     frames = sample_video_frames(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
     assert frames[1]["frame_key"] == "m3@1000"
+
+
+def test_multimodal_resize(spark):
+    from observation_lakehouse_spark.operators.multimodal import resize_images
+
+    rows = [
+        ("m1", "image", b"big", "png", 1024, 512, None, 3),
+        ("m2", "image", b"small", "png", 100, 50, None, 5),
+        ("m3", "image", None, "jpeg", None, None, None, None),
+        ("m4", "video", b"vid", "mp4", None, None, 2500, 3),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=256).collect()}
+    assert set(out) == {"m1", "m2", "m3"}  # image-only, video untouched
+    assert (out["m1"]["width"], out["m1"]["height"]) == (256, 128)  # downscaled
+    assert (out["m2"]["width"], out["m2"]["height"]) == (100, 50)  # never upscaled
+    assert out["m1"]["content"].startswith(b"resized:")
+    assert out["m1"]["size_bytes"] == len(out["m1"]["content"])
+    assert out["m3"]["content"] is None and out["m3"]["size_bytes"] is None
+    assert out["m1"].asDict().keys() == dict(zip(MEDIA_SCHEMA.names, rows[0])).keys()
