@@ -32,7 +32,6 @@ from observation_lakehouse_spark.functions.ordered_agg import (
     ordered_string_agg,
     ordered_values,
 )
-from observation_lakehouse_spark.functions.hashing import git_blob_hash_udf
 from observation_lakehouse_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -757,16 +756,134 @@ ORDER BY id_a, id_b
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, Jaccard-verified (rows-only check: the
-    salted-xxhash64 hash family is not reproducible in ANSI SQL)."""
+    """MinHash+LSH near-dup candidates, Jaccard-verified — fully oracle-checked:
+    the md5-prefix token hash (functions.text.tok_hash60) and the literal
+    permutation coefficients (operators.dedup.minhash_coeffs) reproduce in
+    DuckDB SQL, so the oracle recomputes the same signatures, bands and
+    verified pairs."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dedup(docs, shingle_size=3, num_hashes=64, bands=16, threshold=0.5)
 
 
+_MINHASH_P = (1 << 31) - 1
+_MINHASH_MULT = 1000003
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_lsh_dedup, generated from the literal
+    coefficient family (seed 42). Shingle hashes = the same rolling md5-prefix
+    combine as functions.text.hashed_word_shingles; candidates = exact
+    slot-tuple agreement per band (the Spark side keys bands by xxhash64 of
+    the slot tuple — collision-free at any realistic scale, so the candidate
+    sets coincide); verification = the same exact Jaccard ≥ threshold."""
+    from observation_lakehouse_spark.operators.dedup import minhash_coeffs
+
+    P, M = _MINHASH_P, _MINHASH_MULT
+    rows_per_band = num_hashes // bands
+    slots = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % {P}) AS s{i}" for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{key}] AS key FROM sig".format(
+            b=b,
+            key=", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), hh AS (
+    SELECT doc_id,
+           list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {P}) AS hh
+    FROM tk WHERE len(toks) > 0
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(hh) >= 3
+                THEN list_transform(range(1, len(hh) - 1), i -> ((hh[i] * {M} + hh[i+1]) % {P} * {M} + hh[i+2]) % {P})
+                ELSE [list_reduce(hh, (a, b) -> (a * {M} + b) % {P})] END) AS sh
+    FROM hh
+), shr AS (
+    SELECT doc_id, unnest(sh) AS h FROM sh
+), sig AS (
+    SELECT doc_id,
+           {slots}
+    FROM shr GROUP BY doc_id
+), bands AS (
+    {band_rows}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim
+FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 3 (rows-only check)."""
+    """SimHash near-dup pairs, Hamming ≤ 3 — fully oracle-checked via the
+    md5-prefix bit family (functions.text.md5_hi32/md5_lo32)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_dedup(docs, max_hamming=3)
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of q_simhash_dedup: same tokens, same md5-prefix bit votes,
+    same majority rule (bit set iff 2·Σbit > n), same quarter blocking."""
+    sums = ",\n           ".join(
+        f"SUM(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS s{i}" for i in range(64)
+    )
+    # i = 63 stays LAST so every partial sum fits in a signed 64-bit value.
+    fp_terms = "\n            + ".join(
+        f"CASE WHEN 2 * s{i} > n THEN {(1 << i) if i < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END"
+        for i in range(64)
+    )
+    quarters = ",\n           ".join(
+        "("
+        + " + ".join(f"CASE WHEN 2 * s{q * 16 + j} > n THEN {1 << j} ELSE 0 END" for j in range(16))
+        + f") AS q{q}"
+        for q in range(4)
+    )
+    quarter_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, simhash, {q} AS q, q{q} AS v FROM fp" for q in range(4)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, unnest(toks) AS t FROM tk WHERE len(toks) > 0
+), h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+           ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+    FROM tok
+), v AS (
+    SELECT doc_id, COUNT(*) AS n,
+           {sums}
+    FROM h GROUP BY doc_id
+), fp AS (
+    SELECT doc_id,
+           CAST({fp_terms} AS BIGINT) AS simhash,
+           {quarters}
+    FROM v
+), qrt AS (
+    {quarter_rows}
+), pairs AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+    FROM qrt l JOIN qrt r ON l.q = r.q AND l.v = r.v AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming} ORDER BY id_a, id_b
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,16 +1132,33 @@ FROM b
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash + git-blob-hash fingerprints (rows-only: xxhash64/sha1-blob
-    are not reproducible in the oracle dialect)."""
+    """Rolling-hash + content-sha256 fingerprints, fully oracle-checked (the
+    md5-prefix token family reproduces in DuckDB). The git-blob-sha1 identity
+    (U1/U2, functions.hashing.git_blob_hash_udf) is pytest-verified against
+    git's own plumbing instead: DuckDB ships no sha1(), so that column cannot
+    join a differential query."""
     from observation_lakehouse_spark.operators.text import document_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    fp = document_fingerprints(docs)
-    return fp.join(
-        docs.select("doc_id", git_blob_hash_udf(F.col("text")).alias("git_blob_hash")),
-        "doc_id",
-    )
+    return document_fingerprints(docs)
+
+
+_ORACLE_DOC_FP = """
+WITH tk AS (
+    SELECT doc_id, text,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), hh AS (
+    SELECT doc_id, text,
+           list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483648) AS hh
+    FROM tk
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(hh) = 0 THEN 0
+            ELSE list_reduce(hh, (a, b) -> (a * 1000003 + b) % 2147483648) END AS BIGINT) AS rolling_fp,
+       sha256(text) AS content_sha256
+FROM hh
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),
-        # minhash_lsh_dedup / simhash_dedup / doc_fingerprints / ann_lsh_topk /
-        # ann_ivf_topk / srm_output_map: rows-only (seeded hash families /
-        # non-SQL map payloads not oracle-expressible).
+        "minhash_lsh_dedup": _minhash_oracle(),
+        "simhash_dedup": _simhash_oracle(),
+        "doc_fingerprints": _ORACLE_DOC_FP,
     }

@@ -60,11 +60,35 @@ def char_shingles(text: str | Column, n: int = 5) -> Column:
 _MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
+def tok_hash60(text: Column) -> Column:
+    """Deterministic 60-bit token hash, reproducible in ANSI-ish SQL.
+
+    ``conv(substr(md5(t), 1, 15), 16, 10)`` — the first 15 hex chars of the
+    MD5 digest parsed as an integer, so any engine with ``md5()`` and a
+    hex-string cast computes the identical value (DuckDB twin:
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``). Replaces ``xxhash64`` as the
+    token/shingle hash family precisely so every downstream sketch (MinHash,
+    SimHash, rolling fingerprints) is differentially testable against a SQL
+    oracle. NULL in → NULL out.
+    """
+    return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+
+def md5_hi32(text: Column) -> Column:
+    """Bits 32..63 of the cross-engine 64-bit token hash (hex chars 1-8)."""
+    return F.conv(F.substring(F.md5(text), 1, 8), 16, 10).cast("long")
+
+
+def md5_lo32(text: Column) -> Column:
+    """Bits 0..31 of the cross-engine 64-bit token hash (hex chars 9-16)."""
+    return F.conv(F.substring(F.md5(text), 9, 8), 16, 10).cast("long")
+
+
 def hashed_word_shingles(text: str | Column, n: int = 3) -> Column:
     """Distinct n-token shingle HASHES (array<long>), never materializing the
     shingle strings.
 
-    Each token is xxhash64'd once; consecutive-token windows combine via a
+    Each token is hashed once (:func:`tok_hash60`); consecutive-token windows combine via a
     polynomial rolling combine over ``zip_with``-shifted hash arrays — O(n·len)
     long arithmetic instead of per-position array slicing + string joins. This
     is the input MinHash actually needs (it only ever hashes the shingle), so
@@ -77,7 +101,7 @@ def hashed_word_shingles(text: str | Column, n: int = 3) -> Column:
     toks = F.transform(tokens(text), lambda t: F.lower(t))
     p = F.lit(_MINHASH_PRIME).cast("long")
     mult = F.lit(1000003).cast("long")
-    hh = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), p))
+    hh = F.transform(toks, lambda t: F.pmod(tok_hash60(t), p))
     acc = hh
     for k in range(1, n):
         # Align h[i+k] under h[i]; zip_with pads the shorter side with NULL,
@@ -102,7 +126,7 @@ def hashed_shingles(shingles: Column) -> Column:
     signature slots, otherwise projection collapse re-inlines the string hash.
     """
     p = F.lit(_MINHASH_PRIME).cast("long")
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+    return F.transform(shingles, lambda s: F.pmod(tok_hash60(s), p))
 
 
 def minhash_signature(
@@ -161,7 +185,7 @@ def jaccard(a: Column, b: Column) -> Column:
 def simhash64(token_array: Column) -> Column:
     """64-bit SimHash of a token array, fully declarative.
 
-    Per token: xxhash64 → ±1 per bit; accumulate a 64-wide vector with
+    Per token: 64-bit md5-prefix hash → ±1 per bit; accumulate a 64-wide vector with
     ``aggregate``+``zip_with``; sign → bit. Returns BIGINT fingerprint.
 
     Shift amounts must be Python ints for the ``shiftright`` builtin, so the
@@ -170,11 +194,15 @@ def simhash64(token_array: Column) -> Column:
     """
 
     def bit_signs(t: Column) -> Column:
-        h = F.xxhash64(t)
+        # Same cross-engine md5 family as the explode-based operator
+        # (operators.dedup.simhash_fingerprints): bits 0..31 from the low
+        # word, 32..63 from the high word of the 64-bit digest prefix.
+        hi, lo = md5_hi32(t), md5_lo32(t)
         return F.array(
             *[
                 F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+                    F.shiftright(lo if i < 32 else hi, i % 32).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
                 ).otherwise(F.lit(-1).cast("long"))
                 for i in range(64)
             ]
@@ -212,7 +240,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def rolling_fingerprint(token_array: Column, modulus: int = 1 << 31) -> Column:
     """Order-sensitive polynomial rolling hash of a token sequence (BIGINT).
 
-    ``fp = (fp * 1000003 + xxhash64(tok) mod M) mod M`` — a Rabin-Karp-style
+    ``fp = (fp * 1000003 + tok_hash60(tok) mod M) mod M`` — a Rabin-Karp-style
     document fingerprint: equal iff token sequences equal (mod collisions).
     pmod keeps the accumulator < 2^31 so the multiply never overflows ANSI longs.
     """
@@ -220,5 +248,5 @@ def rolling_fingerprint(token_array: Column, modulus: int = 1 << 31) -> Column:
     return F.aggregate(
         token_array,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(t), m), m),
+        lambda acc, t: F.pmod(acc * F.lit(1000003).cast("long") + F.pmod(tok_hash60(t), m), m),
     )

@@ -32,9 +32,26 @@ from observation_lakehouse_spark.functions.text import (
     hashed_word_shingles,
     jaccard,
     lsh_bands,
+    md5_hi32,
+    md5_lo32,
     tokens,
     word_shingles,
 )
+
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The seeded universal-hash permutation family shared by the operator, the
+    column variant (functions.text.minhash_signature) and the SQL oracle
+    generator — coefficients are plain ints so they fold into generated SQL."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MINHASH_PRIME), rnd.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup(
@@ -107,14 +124,8 @@ def minhash_lsh_dedup(
     # any corpus size. (minhash_signature in functions.text remains the
     # column-level variant for composing into single-pass expressions.)
     exploded = base.select("doc_id", F.explode("sh_hashes").alias("h"))
-    p = F.lit((1 << 31) - 1).cast("long")
-    import random
-
-    rnd = random.Random(42)
-    coeffs = [
-        (rnd.randrange(1, (1 << 31) - 1), rnd.randrange(0, (1 << 31) - 1))
-        for _ in range(num_hashes)
-    ]
+    p = F.lit(_MINHASH_PRIME).cast("long")
+    coeffs = minhash_coeffs(num_hashes)
     slot_mins = exploded.groupBy("doc_id").agg(
         *[
             F.min(
@@ -167,25 +178,33 @@ def minhash_lsh_dedup(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document 64-bit SimHash fingerprint (deterministic).
+    """Per-document 64-bit SimHash fingerprint (deterministic) + token count.
 
     Shape chosen for codegen: explode tokens → hash once → 64 conditional SUM
     aggregates (one per bit) → fold the sign bits into one BIGINT. Hash
     aggregation with partial (map-side) combine; no interpreted array folds.
-    Docs with no tokens keep a fingerprint of 0 (explode_outer + null votes).
+    The per-token hash is the cross-engine md5-prefix family
+    (functions.text.md5_hi32/md5_lo32), so the whole operator is reproducible
+    in a SQL oracle. Docs with no tokens get fingerprint 0 and n_tokens 0
+    (explode_outer emits a NULL token, md5(NULL) is NULL, so every vote sum is
+    NULL → every bit clear) — matching the ``simhash64`` column variant.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("tok"),
     )
     # Branch-free votes: bit i is set iff #ones > #zeros ⇔ 2·Σbit_i > n.
-    # Plain arithmetic sums beat when/otherwise branches by ~20% in codegen;
-    # empty docs (null h from explode_outer) yield null sums → bit clear → 0.
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # Plain arithmetic sums beat when/otherwise branches by ~20% in codegen.
+    # Bits 0..31 come from the low md5 word, 32..63 from the high word.
+    hashed = toks.select(
+        "doc_id", md5_hi32(F.col("tok")).alias("hi"), md5_lo32(F.col("tok")).alias("lo")
+    )
     votes = hashed.groupBy("doc_id").agg(
-        F.count("h").alias("n"),
+        F.count("lo").alias("n"),
         *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+            F.sum(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32).bitwiseAND(F.lit(1))
+            ).alias(f"s{i}")
             for i in range(64)
         ],
     )
@@ -197,7 +216,7 @@ def simhash_fingerprints(
                 F.lit(0).cast("long")
             )
         )
-    return votes.select("doc_id", fp.alias("simhash"))
+    return votes.select("doc_id", fp.alias("simhash"), F.col("n").alias("n_tokens"))
 
 
 def simhash_dedup(
@@ -212,12 +231,22 @@ def simhash_dedup(
     within Hamming distance 3 agrees exactly on at least one quarter
     (pigeonhole), so the self-join key is (quarter_idx, quarter_value) — never
     a cross join.
+
+    Token-less (empty/whitespace) docs are excluded from pairing: their
+    fingerprint is degenerately 0, so they would all pair with each other at
+    Hamming 0 while carrying no content signal — exact_dedup is the right tool
+    for those.
     """
     # persist(): the fingerprint aggregation (explode + 65 sums over every
     # token) feeds BOTH sides of the quarter self-join; without the boundary
     # Spark recomputes it per side (measured ~0.8 s of the 2.4 s total at
     # sf0.1). In production this is the materialized fingerprints table.
-    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    fp = (
+        simhash_fingerprints(df, text_col, id_col)
+        .filter(F.col("n_tokens") > 0)
+        .drop("n_tokens")
+        .persist()
+    )
     quarters = fp.select(
         "doc_id",
         "simhash",
