@@ -41,6 +41,26 @@ from observation_lakehouse_spark.functions.text import (
 _MINHASH_PRIME = (1 << 31) - 1
 
 
+def release_cached(df: DataFrame) -> None:
+    """Free the persisted intermediates backing an operator result plan.
+
+    The near-dup operators persist shared intermediates (shingle sets,
+    signatures, fingerprints) because several plan branches consume them and
+    Catalyst's projection collapse would otherwise recompute the expensive
+    expression per consumer. Spark has no consume-once cache, so a long-lived
+    session running many operator plans should call this once the returned
+    plan has been fully consumed (collected / written); otherwise the cached
+    blocks live until session end. No-op for plans without registered caches.
+    """
+    for cached in getattr(df, "_cached_deps", ()):
+        cached.unpersist()
+
+
+def _with_cached_deps(df: DataFrame, *deps: DataFrame) -> DataFrame:
+    df._cached_deps = deps  # type: ignore[attr-defined]  # noqa: SLF001
+    return df
+
+
 def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """The seeded universal-hash permutation family shared by the operator, the
     column variant (functions.text.minhash_signature) and the SQL oracle
@@ -172,7 +192,7 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
-    return verified.orderBy("id_a", "id_b")
+    return _with_cached_deps(verified.orderBy("id_a", "id_b"), base, sigs)
 
 
 def simhash_fingerprints(
@@ -266,7 +286,7 @@ def simhash_dedup(
     ).select("doc_id", "simhash", F.col("blk.q").alias("q"), F.col("blk.v").alias("v"))
 
     l, r = quarters.alias("l"), quarters.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.q") == F.col("r.q"))
@@ -284,6 +304,7 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+    return _with_cached_deps(out, fp)
 
 
 def ngram_jaccard_pairs(
@@ -333,7 +354,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
@@ -345,3 +366,4 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
         .orderBy("id_a", "id_b")
     )
+    return _with_cached_deps(out, base)

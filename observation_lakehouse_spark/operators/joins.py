@@ -111,17 +111,23 @@ def asof_join(
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     u = l_tag.unionByName(r_tag)
+    # The trailing _r sort key makes ties deterministic: when several right
+    # rows share the same (key, ts), last() picks the row with the GREATEST
+    # value tuple (struct fields compared left to right). DuckDB's ASOF JOIN
+    # leaves the same tie unspecified, so any oracle comparison must either be
+    # tie-free or order the right side identically. Left rows all carry a NULL
+    # _r, so the extra key never reorders them relative to each other.
     if direction == "backward":
         # right rows sort before left rows at equal ts → ts-equal rights match
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.asc("_ts"), F.asc("_is_left"))
+            .orderBy(F.asc("_ts"), F.asc("_is_left"), F.asc_nulls_last("_r"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.desc("_ts"), F.asc("_is_left"))
+            .orderBy(F.desc("_ts"), F.asc("_is_left"), F.asc_nulls_last("_r"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
@@ -152,8 +158,19 @@ def range_join(
     interval length so the explode factor stays small.
 
     ``point_col``/``start_col``/``end_col`` must be numeric (cast timestamps
-    to epoch first).
+    to epoch first). Only ``how='inner'`` is supported: the exact BETWEEN
+    predicate is applied after the bucket equi-join, so an outer join's
+    null-extended rows would be silently dropped — degrading to inner
+    semantics. An outer range join needs the unmatched side re-attached via
+    anti-join; raise rather than lie.
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}): the exact "
+            "BETWEEN filter runs after the bucket join and would drop an outer "
+            "join's null-extended rows. For left semantics, anti-join the "
+            "inner result back against points."
+        )
     p = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )

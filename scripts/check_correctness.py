@@ -20,6 +20,7 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from observation_lakehouse_spark.operators.dedup import release_cached  # noqa: E402
 from observation_lakehouse_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -94,7 +95,9 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            spark_pdf = df.toPandas()
+            release_cached(df)
         except Exception as e:  # noqa: BLE001
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1

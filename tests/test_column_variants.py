@@ -84,3 +84,23 @@ def test_hashed_shingles_consistent_with_word_shingles(spark):
         F.size(F.array_distinct(hashed_shingles(word_shingles("text", 2)))).alias("n_hash"),
     ).collect()[0]
     assert out["n_str"] == out["n_hash"] == 5
+
+
+def test_simhash64_empty_doc_is_zero_in_both_shapes(spark):
+    """Empty/whitespace docs fingerprint to 0 in BOTH the column variant and
+    the explode-based operator (locked equivalence contract — the md5 family
+    yields NULL token hashes, never a seed constant)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], "doc_id long, text string"
+    )
+    col_fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id",
+            simhash64(F.transform(tokens("text"), lambda t: F.lower(t))).alias("fp"),
+        ).collect()
+    }
+    op = {r["doc_id"]: r for r in simhash_fingerprints(docs).collect()}
+    assert col_fp[1] == col_fp[2] == op[1]["simhash"] == op[2]["simhash"] == 0
+    assert op[1]["n_tokens"] == 0 and op[3]["n_tokens"] == 1
+    assert col_fp[3] == op[3]["simhash"] != 0

@@ -80,3 +80,26 @@ def test_range_join_no_cross_product_plan(spark):
     joined = range_join(points, intervals, "t", "s", "e", bucket_width=16)
     plan = explain_str(joined)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_tie_on_right_ts_is_deterministic(spark):
+    """Several right rows at the same (key, ts): the match is the row with the
+    greatest value tuple — stable under repartitioning, not partition-order
+    luck (total-tie-break invariant)."""
+    trades = spark.createDataFrame([("A", 10, "t1")], "sym string, ts long, trade_id string")
+    quotes = spark.createDataFrame(
+        [("A", 10, 101.0), ("A", 10, 99.0), ("A", 10, 100.5)],
+        "sym string, ts long, px double",
+    )
+    for q in (quotes, quotes.repartition(7), quotes.repartition(1)):
+        out = asof_join(trades, q, "sym", "ts", "ts", ["px"]).collect()
+        assert [r["asof_px"] for r in out] == [101.0]
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, 5)], "pid int, t long")
+    intervals = spark.createDataFrame([(1, 0, 10)], "iid int, s long, e long")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(points, intervals, "t", "s", "e", bucket_width=10, how="left")
