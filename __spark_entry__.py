@@ -631,6 +631,11 @@ def _ivf_centroids() -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
 
 
+# Queries probe their 2 nearest cells (corpus stays single-assigned): the
+# recall knob whose floor is locked by test_ann_recall / reported by bench.
+_IVF_NPROBE = 2
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus assigned to fixed centroids (ivf_assign), each
     query probes only its own cell, exact re-rank inside. The centroid matrix
@@ -648,7 +653,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "centroid_id"
     )
     queries_df = ivf_assign(
-        emb.filter(F.col("vec_id") % 100 == 0), centroids
+        emb.filter(F.col("vec_id") % 100 == 0), centroids, nprobe=_IVF_NPROBE
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "centroid_id")
     scored = (
         corpus.join(F.broadcast(queries_df), "centroid_id")
@@ -679,6 +684,12 @@ def _ivf_oracle() -> str:
     best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
     # np.argmax keeps the FIRST max -> ascending CASE order.
     argmax = " ".join(f"WHEN s_{i} = m THEN {i}" for i in range(len(Cn)))
+    # Query-side nprobe ranking: sim DESC, cell ASC = numpy's stable
+    # argsort(-S) in ivf_assign.
+    qcells = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS cell, s_{i} AS sim FROM s WHERE vec_id % 100 = 0"
+        for i in range(len(Cn))
+    )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (
@@ -690,7 +701,14 @@ a AS (
     SELECT vec_id, v, (CASE {argmax} END) AS cell
     FROM (SELECT *, {best} AS m FROM s)
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, cell FROM a WHERE vec_id % 100 = 0),
+qc AS (
+    {qcells}
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS cr FROM qc)
+    WHERE cr <= {_IVF_NPROBE}
+),
 scored AS (
     SELECT q.query_id, a.vec_id AS neighbor_id,
            ROUND(list_dot_product(qv, a.v)
@@ -948,10 +966,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_ann_topk(emb, queries, _lsh_planes(), k=10)
+    return lsh_ann_topk(emb, queries, _lsh_planes(), k=10, probe_radius=_LSH_PROBE_RADIUS)
+
+
+# Probe every bucket within Hamming distance 2 of the query signature: the
+# multi-probe recall knob whose floor is locked by test_ann_recall.
+_LSH_PROBE_RADIUS = 2
 
 
 def _lsh_oracle() -> str:
+    from observation_lakehouse_spark.operators.similarity import probe_masks
+
     planes = _lsh_planes()
     sig_terms = "\n         + ".join(
         "CASE WHEN list_dot_product(v, ["
@@ -960,8 +985,9 @@ def _lsh_oracle() -> str:
         for i, p in enumerate(planes)
     )
     probe_union = "\n    ".join(
-        f"UNION ALL SELECT query_id, qv, xor(b, {1 << i}) AS pb FROM q"
-        for i in range(len(planes))
+        f"UNION ALL SELECT query_id, qv, xor(b, {m}) AS pb FROM q"
+        for m in probe_masks(len(planes), _LSH_PROBE_RADIUS)
+        if m != 0
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

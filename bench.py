@@ -104,6 +104,16 @@ def main() -> None:
             release_cached(df)
         timings[name] = round(best, 4)
 
+    # ANN quality: recall@10 of the approximate paths vs the exact baseline
+    # (the number a user needs before choosing the scale path; floors locked
+    # by tests/test_ann_recall.py).
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(entrymod.q_ann_cosine_topk(spark, sf_dir))
+    lsh_recall = len(exact & pairs(entrymod.q_ann_lsh_topk(spark, sf_dir))) / len(exact)
+    ivf_recall = len(exact & pairs(entrymod.q_ann_ivf_topk(spark, sf_dir))) / len(exact)
+
     # Ingestion throughput (reference headline: ~155k records/s, BASELINE.md):
     # reshape-shaped write of the largest table into the identity-partitioned
     # layout the engine uses, records/sec wall-clock.
@@ -127,6 +137,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ann_lsh_recall_at_10": round(lsh_recall, 4),
+                "ann_ivf_recall_at_10": round(ivf_recall, 4),
                 "startup_sec": round(startup, 2),
                 "ingest_records_per_sec": int(n_records / ingest_sec),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -161,6 +161,14 @@ def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     return sig
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks within Hamming distance ``radius`` of a signature
+    (including 0 = the bucket itself), ordered by popcount then value —
+    deterministic, shared by the operator and SQL-oracle generators."""
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
+    return sorted(masks, key=lambda m: (bin(m).count("1"), m))
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,17 +176,24 @@ def lsh_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multi_probe: bool = True,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: probe the query's sign-LSH bucket(s).
 
-    Recall/cost trade-off is the number of hyperplanes (bucket count = 2^H);
-    with ``multi_probe`` each query also probes every Hamming-1 neighbor bucket
-    (H+1 probes — the standard multi-probe LSH recall boost, which matters most
-    for points near a hyperplane). Re-ranking inside the probed set is exact
+    Recall/cost knobs: the number of hyperplanes H (bucket count = 2^H,
+    bucket size ~ N/2^H) and ``probe_radius`` — each query probes every
+    bucket within Hamming distance ≤ radius of its own signature (the
+    standard multi-probe LSH recall boost; radius 1 = H+1 probes, radius 2
+    adds the C(H,2) two-bit flips). For a neighbor whose per-plane sign
+    agreement probability is p, recall ≈ Σ_{i≤r} C(H,i)·p^(H-i)·(1-p)^i —
+    on unstructured (near-random) embeddings p is barely above ½, so high
+    recall genuinely requires probing a large corpus fraction; the knob
+    makes that trade explicit. Re-ranking inside the probed set is exact
     cosine. Same output schema as :func:`cosine_topk`.
     """
     n_planes = len(hyperplanes)
+    if not 0 <= probe_radius <= n_planes:
+        raise ValueError(f"probe_radius must be in [0, {n_planes}], got {probe_radius}")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -189,13 +204,12 @@ def lsh_ann_topk(
         F.col(vec_col).alias("q_vec"),
         hyperplane_signature(F.col(vec_col), hyperplanes).alias("bucket"),
     )
-    if multi_probe:
+    if probe_radius > 0:
         probes = F.array(
-            F.col("bucket"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(n_planes)
-            ],
+                F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+                for m in probe_masks(n_planes, probe_radius)
+            ]
         )
         q_sig = q_sig.select(
             "query_id", "q_vec", F.explode(probes).alias("bucket")
@@ -226,12 +240,19 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (centroids precomputed).
+    """IVF cell assignment: nearest centroid(s) by cosine (centroids precomputed).
 
-    Adds ``centroid_id``. Partition/bucket the output by it so ANN probes read
-    ``nprobe`` cells instead of the whole corpus — the classic IVF-flat layout
-    expressed as plain partitioning.
+    Adds ``centroid_id``. With ``nprobe=1`` (corpus side) each row gets its
+    single nearest cell; partition/bucket the output by it — the classic
+    IVF-flat layout expressed as plain partitioning. With ``nprobe>1`` (query
+    side) each row is emitted once per probed cell, nearest first — ranked by
+    centroid similarity descending, first-max/stable tie-break — so a join on
+    ``centroid_id`` scans the ``nprobe`` most promising cells per query.
+    Recall on unstructured embeddings is bounded by the corpus fraction the
+    probes cover (~nprobe/K); clustered corpora do far better, which is the
+    assumption IVF is built on.
     """
     import numpy as np
 
@@ -254,14 +275,26 @@ def ivf_assign(
         list(corpus.schema.fields) + [StructField("centroid_id", IntegerType())]
     )
 
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+
     def assign(batches):
         M = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            pdf = pdf.copy()
-            pdf["centroid_id"] = (V @ M).argmax(axis=1).astype("int32")
-            yield pdf
+            S = V @ M
+            if nprobe == 1:
+                pdf = pdf.copy()
+                pdf["centroid_id"] = S.argmax(axis=1).astype("int32")
+                yield pdf
+            else:
+                # Stable argsort of -sims: nearest cell first; equal sims
+                # break toward the lower cell id (same rule as argmax).
+                order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+                rep = pdf.iloc[np.repeat(np.arange(len(pdf)), nprobe)].copy()
+                rep["centroid_id"] = order.ravel().astype("int32")
+                yield rep
 
     return corpus.mapInPandas(assign, out_schema)
