@@ -905,13 +905,56 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming} ORDER BY id
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs (dedup strategy #5): exact all-pairs cosine >=
-    0.4 (the synthetic embeddings top out at ~0.51, so 0.4 exercises the tail
-    without an empty result). Scale path = same operator with hyperplanes."""
+    """Semantic near-dup pairs (dedup strategy #5), EXACT all-pairs twin:
+    cosine >= 0.4 over every pair (the synthetic embeddings top out at ~0.51,
+    so 0.4 exercises the tail without an empty result). The operator's
+    DEFAULT is the sign-LSH blocked scale path (q_embedding_near_dup_lsh);
+    hyperplanes=None explicitly requests this quadratic verification sweep."""
+    from observation_lakehouse_spark.operators.embedding_dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4, hyperplanes=None)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path (and operator default): sign-LSH blocked semantic
+    near-dup — only same-bucket and Hamming-1 bucket pairs are scored, so
+    FLOPs follow bucket occupancy instead of N². Oracle-checked end to end:
+    the 'auto' plane family is a literal matrix, and the blocking reduces to
+    the SQL predicate bit_count(xor(sig_a, sig_b)) <= 1."""
     from observation_lakehouse_spark.operators.embedding_dedup import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.4)
+
+
+def _emb_lsh_oracle(threshold: float = 0.4) -> str:
+    from observation_lakehouse_spark.operators.embedding_dedup import auto_hyperplanes
+
+    sig_terms = "\n         + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(auto_hyperplanes(64))
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+    SELECT vec_id, v,
+           ({sig_terms}) AS b
+    FROM e
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND({cos}, 6) AS cosine_sim
+FROM sig a JOIN sig b
+  ON a.vec_id < b.vec_id AND bit_count(xor(a.b, b.b)) <= 1
+WHERE ROUND({cos}, 6) >= {threshold}
+ORDER BY vec_id_a, vec_id_b
+"""
 
 
 _ORACLE_EMB_NEAR_DUP = """
@@ -1227,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "srm_output_map": q_srm_output_map,
@@ -1264,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": _emb_lsh_oracle(),
         "ann_cosine_topk": _ORACLE_ANN,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "token_stats": _ORACLE_TOKEN_STATS,

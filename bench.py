@@ -53,6 +53,7 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "srm_output_map",

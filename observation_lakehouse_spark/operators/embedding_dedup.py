@@ -84,12 +84,21 @@ def _block_pair_scorer(threshold: float, dim: int):
     return score
 
 
+def auto_hyperplanes(dim: int, n_planes: int = 4, seed: int = 7) -> list[list[float]]:
+    """The seeded Gaussian plane family used by ``hyperplanes='auto'`` — a
+    plain literal matrix, so it folds into generated oracle SQL too."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    hyperplanes: list[list[float]] | None = None,
+    hyperplanes: list[list[float]] | None | str = "auto",
     dim: int = 64,
     n_blocks: int = 16,
 ) -> DataFrame:
@@ -98,8 +107,19 @@ def embedding_near_dup(
     Returns (vec_id_a, vec_id_b, cosine_sim) with a < b, cosine rounded to
     6 dp, thresholded on the rounded value, sorted. See module docstring for
     the blocked-exact vs LSH-approximate paths and the determinism contract.
+
+    The DEFAULT is the scale-safe sign-LSH blocked path (``'auto'`` = the
+    seeded 4-plane family from :func:`auto_hyperplanes`): FLOPs are bounded by
+    bucket sizes, not N². Pass ``hyperplanes=None`` explicitly to request the
+    exact all-pairs sweep — the verification twin whose cost is quadratic in
+    the corpus regardless of the blocking layout; at 100 TB that is a
+    deliberate offline audit, never a default.
     """
     spark = emb.sparkSession
+    if isinstance(hyperplanes, str):
+        if hyperplanes != "auto":
+            raise ValueError(f"hyperplanes must be a matrix, None, or 'auto' (got {hyperplanes!r})")
+        hyperplanes = auto_hyperplanes(dim)
     if hyperplanes is None:
         blk = (F.col(id_col) % n_blocks).cast("int")
         bp = spark.createDataFrame(

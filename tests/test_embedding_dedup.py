@@ -32,7 +32,7 @@ def test_exact_matches_bruteforce(spark):
     )
     got = {
         (r["vec_id_a"], r["vec_id_b"]): r["cosine_sim"]
-        for r in embedding_near_dup(df, threshold=0.9, n_blocks=4).collect()
+        for r in embedding_near_dup(df, threshold=0.9, n_blocks=4, hyperplanes=None).collect()
     }
     # brute force in python over the float32-truncated vectors
     import numpy as np
@@ -54,7 +54,7 @@ def test_exact_matches_bruteforce(spark):
 def test_pairs_are_oriented_and_sorted(spark):
     vecs = [(i, _vec(1)) for i in range(10)]  # all identical → all pairs
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    rows = embedding_near_dup(df, threshold=0.99, n_blocks=3).collect()
+    rows = embedding_near_dup(df, threshold=0.99, n_blocks=3, hyperplanes=None).collect()
     assert len(rows) == 45
     pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
     assert all(a < b for a, b in pairs)
@@ -71,5 +71,17 @@ def test_lsh_path_finds_identical_vectors(spark):
     got = {
         (r["vec_id_a"], r["vec_id_b"])
         for r in embedding_near_dup(df, threshold=0.999, hyperplanes=planes).collect()
+    }
+    assert (4, 100) in got and (9, 101) in got
+
+
+def test_auto_default_is_lsh_blocked_and_finds_identicals(spark):
+    """The DEFAULT path is sign-LSH blocked (scale-safe): identical vectors
+    share every signature bit, so they must always surface."""
+    vecs = [(i, _vec(i)) for i in range(30)] + [(100, _vec(4)), (101, _vec(9))]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup(df, threshold=0.999).collect()
     }
     assert (4, 100) in got and (9, 101) in got
