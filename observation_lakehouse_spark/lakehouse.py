@@ -40,7 +40,10 @@ class ObservationLakehouse:
     Mirrors the reference API surface (create_*_table / append_* / evolve_*_schema,
     lakehouse.py:129-336) on Spark catalog tables. ``table_format`` defaults to
     parquet (always available); pass ``delta`` / ``iceberg`` when the session has
-    the catalog extension configured.
+    the catalog extension configured, or ``atomic`` for the built-in
+    manifest-committed parquet format (:mod:`..transaction`) — the dependency-free
+    stand-in for the reference's Iceberg snapshot commits: crash-atomic appends,
+    snapshot-isolated reads, time travel, and idempotent (exactly-once) retries.
     """
 
     def __init__(
@@ -53,12 +56,34 @@ class ObservationLakehouse:
         self.spark = spark
         self.database = database
         self.table_format = table_format
-        loc = f" LOCATION '{location}'" if location else ""
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
+        if table_format == "atomic":
+            from pathlib import Path
+
+            wh = location or spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            self._atomic_root = Path(wh) / f"{database}.atomic"
+            self._atomic_tables: dict[str, object] = {}
+        else:
+            loc = f" LOCATION '{location}'" if location else ""
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
+
+    def _atomic(self, name: str):
+        from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+        if name not in self._atomic_tables:
+            self._atomic_tables[name] = AtomicParquetTable(
+                self.spark,
+                str(self._atomic_root / name),
+                schema=TABLE_SCHEMAS[name],
+                partition_by=PARTITION_COLUMNS,
+            )
+        return self._atomic_tables[name]
 
     # -- DDL (reference lakehouse.py:129-265) --------------------------------
 
     def create_table(self, name: str) -> None:
+        if self.table_format == "atomic":
+            self._atomic(name)
+            return
         schema = TABLE_SCHEMAS[name]
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS `{self.database}`.`{name}` (\n"
@@ -83,6 +108,8 @@ class ObservationLakehouse:
     # -- reads ----------------------------------------------------------------
 
     def table(self, name: str) -> DataFrame:
+        if self.table_format == "atomic":
+            return self._atomic(name).read()
         return self.spark.table(f"`{self.database}`.`{name}`")
 
     def load_observations_table(self) -> DataFrame:
@@ -96,12 +123,21 @@ class ObservationLakehouse:
 
     # -- appends (reference arena.py:146,229,359 — atomic snapshot commits) ---
 
-    def append(self, name: str, df: DataFrame) -> None:
-        """Single distributed write job; the table format commits atomically.
+    def append(self, name: str, df: DataFrame, idempotency_key: str | None = None) -> None:
+        """Single distributed write job; column order aligned by name (the
+        reference casts Arrow batches to the table schema for the same reason,
+        arena.py:133-135).
 
-        Column order is aligned by name (the reference casts Arrow batches to the
-        table schema for the same reason, arena.py:133-135).
+        ``atomic`` format: a staged snapshot commit — crash-atomic, and with
+        ``idempotency_key`` a retried append is a no-op (exactly-once).
+        Catalog formats: ``insertInto`` appends files non-atomically, so a
+        mid-write failure can leave a partial batch visible and a retry
+        duplicates rows (at-least-once); ``idempotency_key`` is ignored there
+        because plain parquet has no commit log to record it in.
         """
+        if self.table_format == "atomic":
+            self._atomic(name).append(df, idempotency_key=idempotency_key)
+            return
         target = self.table(name)
         aligned = df.select([df[c] for c in target.columns])
         aligned.write.insertInto(f"`{self.database}`.`{name}`", overwrite=False)
@@ -111,19 +147,22 @@ class ObservationLakehouse:
         # streaming foreachBatch path). Refresh makes append read-your-writes.
         self.spark.catalog.refreshTable(f"`{self.database}`.`{name}`")
 
-    def append_observations(self, df: DataFrame) -> None:
-        self.append("observations", df)
+    def append_observations(self, df: DataFrame, idempotency_key: str | None = None) -> None:
+        self.append("observations", df, idempotency_key)
 
-    def append_code_implementations(self, df: DataFrame) -> None:
-        self.append("code_implementations", df)
+    def append_code_implementations(self, df: DataFrame, idempotency_key: str | None = None) -> None:
+        self.append("code_implementations", df, idempotency_key)
 
-    def append_tests(self, df: DataFrame) -> None:
-        self.append("tests", df)
+    def append_tests(self, df: DataFrame, idempotency_key: str | None = None) -> None:
+        self.append("tests", df, idempotency_key)
 
     # -- schema evolution (reference lakehouse.py:281-336) --------------------
 
     def evolve_schema(self, name: str, column: str, spark_type: str) -> None:
         """Add an optional column (the only evolution the reference supports)."""
+        if self.table_format == "atomic":
+            self._atomic(name).add_column(column, spark_type)
+            return
         self.spark.sql(
             f"ALTER TABLE `{self.database}`.`{name}` ADD COLUMNS (`{column}` {spark_type})"
         )

@@ -9,8 +9,17 @@ Two pieces:
   reshape is a multi-aggregate pivot per sheet: an arena export file is a
   complete, self-contained execution dump (the reference ingests whole files
   too — /root/reference/olake/ingest/arena.py:58-64), so grouping within the
-  micro-batch is exact, needs no watermark state, and the sink append stays
-  atomic per batch. Checkpointing gives exactly-once into the table.
+  micro-batch is exact and needs no watermark state.
+
+  Delivery semantics depend on the sink table's format. ``foreachBatch`` is
+  at-least-once by itself: after a failure between the table append and the
+  checkpoint commit, restart re-runs the batch and a plain parquet
+  ``insertInto`` would duplicate it. With the ``atomic`` lakehouse format the
+  sink passes an idempotency key derived from (checkpoint, batch_id) into the
+  manifest commit, so the replayed batch is recognized and skipped —
+  exactly-once end to end (proved by the restart-replay test). For catalog
+  parquet tables the checkpoint only de-duplicates INPUT files; the sink
+  append itself remains at-least-once, stated here rather than papered over.
 - :func:`streaming_observation_counts` — a watermark-windowed streaming
   aggregation (observations per problem per minute) showing the late-data
   policy for continuous analytics: 10-minute watermark on created_at, append
@@ -50,7 +59,13 @@ def stream_observations_from_cells(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         observations = reshape_observations(batch_df, data_set_id=data_set_id)
-        lakehouse.append_observations(observations)
+        # The key identifies this micro-batch across restarts: Structured
+        # Streaming replays a batch with the SAME id from the SAME checkpoint,
+        # and distinct queries have distinct checkpoints. Atomic-format tables
+        # record it inside the manifest commit → replay becomes a no-op.
+        lakehouse.append_observations(
+            observations, idempotency_key=f"{checkpoint_dir}#{batch_id}"
+        )
 
     writer = (
         cells.writeStream.option("checkpointLocation", checkpoint_dir)

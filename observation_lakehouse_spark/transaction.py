@@ -1,0 +1,229 @@
+"""Atomic snapshot commits over plain parquet — a minimal table format.
+
+The reference's appends are atomic Iceberg snapshot commits
+(/root/reference/olake/ingest/arena.py:138-146, olake/lakehouse.py:28-35) and
+its readers scan Iceberg metadata. Format jars are absent from this container,
+so :class:`AtomicParquetTable` re-creates the two properties a user hits first
+without them — crash atomicity and snapshot isolation — with nothing but
+parquet files and an append-only manifest log:
+
+Layout::
+
+    <location>/
+      _schema.json            table schema + partition columns (written once)
+      _manifests/v<N>.json    snapshot N: cumulative data-file list + commits
+      data/<k=v dirs>/<uuid>-part-*.parquet
+
+Protocol (writer):
+
+1. Stage: write the batch with a normal distributed parquet job into
+   ``_staging/<uuid>/`` (partitioned layout).
+2. Move: rename each staged file into ``data/`` under a fresh uuid prefix.
+   Renames are per-file atomic on a posix filesystem; the files are INVISIBLE
+   to readers until a manifest lists them, so a crash mid-move leaks orphan
+   bytes (vacuum reclaims them) but never a partial table state.
+3. Commit: write snapshot ``v<N+1>`` (parent's files + the new ones) to a temp
+   file and publish it with ``os.link`` — create-if-absent, so two concurrent
+   committers cannot both claim version N+1; the loser re-reads the new head
+   and retries (optimistic concurrency, the Iceberg commit loop). On an object
+   store the link step maps to a conditional PUT (put-if-absent); everything
+   else is already rename-free.
+
+Readers load the highest committed manifest and scan exactly its file list
+(``basePath`` keeps partition-column parsing and pruning), so they see every
+commit entirely or not at all — snapshot isolation — and ``read(version=N)``
+is time travel for free. An ``idempotency_key`` per commit makes retried
+appends no-ops: the key is recorded inside the same atomic manifest publish as
+the data, which is what upgrades a replayed streaming micro-batch from
+at-least-once to exactly-once (streaming/ingest.py passes the batch id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """Raised when the optimistic commit loop exhausts its retries."""
+
+
+class AtomicParquetTable:
+    """A parquet directory with manifest-committed snapshots (see module doc)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        schema: StructType | None = None,
+        partition_by: tuple[str, ...] = (),
+        max_commit_retries: int = 20,
+    ) -> None:
+        self.spark = spark
+        self.location = Path(location)
+        self.manifest_dir = self.location / "_manifests"
+        self.data_dir = self.location / "data"
+        self.max_commit_retries = max_commit_retries
+        schema_file = self.location / "_schema.json"
+        if schema_file.exists():
+            meta = json.loads(schema_file.read_text())
+            self.schema = StructType.fromJson(meta["schema"])
+            self.partition_by = tuple(meta["partition_by"])
+        elif schema is not None:
+            self.manifest_dir.mkdir(parents=True, exist_ok=True)
+            self.data_dir.mkdir(parents=True, exist_ok=True)
+            self.schema = schema
+            self.partition_by = tuple(partition_by)
+            tmp = schema_file.with_suffix(f".{uuid.uuid4().hex}.tmp")
+            tmp.write_text(
+                json.dumps({"schema": schema.jsonValue(), "partition_by": list(partition_by)})
+            )
+            tmp.rename(schema_file)
+        else:
+            raise ValueError(f"no table at {location} and no schema given to create one")
+
+    # -- snapshot log ---------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(p.stem[1:]) for p in self.manifest_dir.glob("v*.json") if p.stem[1:].isdigit()
+        )
+
+    def latest_version(self) -> int:
+        """Highest committed snapshot version (0 = empty table)."""
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "files": [], "commits": {}}
+        return json.loads((self.manifest_dir / f"v{version}.json").read_text())
+
+    # -- writes ---------------------------------------------------------------
+
+    def append(self, df: DataFrame, idempotency_key: str | None = None) -> int:
+        """Stage + move + commit one batch; returns the committed version.
+
+        With ``idempotency_key``, a key already present in the table's commit
+        log makes the call a no-op (returns the recording version) — safe to
+        retry after any failure, which is the exactly-once contract.
+        """
+        if idempotency_key is not None:
+            head = self._manifest(self.latest_version())
+            if idempotency_key in head["commits"]:
+                return head["commits"][idempotency_key]
+
+        # 1. Stage with a normal distributed write job.
+        staging = self.location / "_staging" / uuid.uuid4().hex
+        writer = df.select([df[f.name] for f in self.schema.fields]).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(str(staging))
+
+        # 2. Move data files under data/ (invisible until a manifest lists them).
+        prefix = uuid.uuid4().hex[:12]
+        new_files: list[str] = []
+        for src in sorted(staging.rglob("*.parquet")):
+            rel = src.relative_to(staging)
+            dst = self.data_dir / rel.parent / f"{prefix}-{rel.name}"
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            if getattr(self, "_test_fail_before", None) == "commit" and new_files:
+                raise RuntimeError("injected crash after staging, before commit")
+            src.rename(dst)
+            new_files.append(str(dst.relative_to(self.data_dir)))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # 3. Commit: optimistic create-if-absent of the next manifest version.
+        return self._commit(new_files, idempotency_key)
+
+    def _commit(self, new_files: list[str], idempotency_key: str | None) -> int:
+        for _ in range(self.max_commit_retries):
+            head_v = self.latest_version()
+            head = self._manifest(head_v)
+            if idempotency_key is not None and idempotency_key in head["commits"]:
+                return head["commits"][idempotency_key]  # raced with our retry twin
+            next_v = head_v + 1
+            manifest = {
+                "version": next_v,
+                "parent": head_v,
+                "files": head["files"] + new_files,
+                "commits": {**head["commits"], **(
+                    {idempotency_key: next_v} if idempotency_key is not None else {}
+                )},
+            }
+            target = self.manifest_dir / f"v{next_v}.json"
+            tmp = self.manifest_dir / f".{uuid.uuid4().hex}.tmp"
+            tmp.write_text(json.dumps(manifest))
+            try:
+                os.link(tmp, target)  # atomic claim of version next_v
+                return next_v
+            except FileExistsError:
+                continue  # another committer won; rebase on the new head
+            finally:
+                tmp.unlink(missing_ok=True)
+        raise CommitConflict(f"gave up after {self.max_commit_retries} commit attempts")
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (latest by default; pass ``version`` to time-travel).
+
+        Scans exactly the manifest's file list: concurrent appends never tear,
+        uncommitted/orphan files are never seen. ``basePath`` keeps the hive
+        partition directories parsed as columns, so partition pruning still
+        applies; the explicit schema keeps their declared types.
+        """
+        v = self.latest_version() if version is None else version
+        files = self._manifest(v)["files"]
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        reader = self.spark.read.schema(self.schema).option("basePath", str(self.data_dir))
+        return reader.parquet(*[str(self.data_dir / f) for f in files]).select(
+            [f.name for f in self.schema.fields]
+        )
+
+    def add_column(self, column: str, spark_type: str) -> None:
+        """Widen the table schema with an optional column (additive evolution).
+
+        Existing data files simply lack the column; the explicit-schema read
+        returns NULLs for them — the same reader-resolves-by-name behavior the
+        reference relies on for Iceberg schema evolution.
+        """
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        dt = _parse_datatype_string(spark_type)
+        self.schema = StructType(list(self.schema.fields) + [StructField(column, dt, True)])
+        schema_file = self.location / "_schema.json"
+        tmp = schema_file.with_suffix(f".{uuid.uuid4().hex}.tmp")
+        tmp.write_text(
+            json.dumps({"schema": self.schema.jsonValue(), "partition_by": list(self.partition_by)})
+        )
+        tmp.rename(schema_file)  # atomic replace
+
+    def committed_keys(self) -> dict[str, int]:
+        """Idempotency keys recorded so far → committing version."""
+        return dict(self._manifest(self.latest_version())["commits"])
+
+    def vacuum(self) -> list[str]:
+        """Delete orphan data files no snapshot references (crash leftovers).
+
+        Run only while no writer is active: an in-flight append has moved its
+        files into ``data/`` but not yet committed the manifest that references
+        them, and vacuuming that window would delete files the imminent commit
+        expects (the same rule Iceberg's remove-orphan-files maintenance has).
+        """
+        referenced = set(self._manifest(self.latest_version())["files"])
+        removed: list[str] = []
+        for f in self.data_dir.rglob("*.parquet"):
+            rel = str(f.relative_to(self.data_dir))
+            if rel not in referenced:
+                f.unlink()
+                removed.append(rel)
+        shutil.rmtree(self.location / "_staging", ignore_errors=True)
+        return removed

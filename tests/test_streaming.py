@@ -75,3 +75,40 @@ def test_streaming_windowed_counts_plan(spark, tmp_path_factory):
     assert {"time_window", "data_set_id", "problem_id", "n_observations", "approx_impls"} <= set(
         out.columns
     )
+
+
+def test_stream_replay_after_sink_commit_gap_is_exactly_once(
+    spark, arena_cells, tmp_path_factory
+):
+    """The at-least-once window: a batch's table append succeeded but the
+    checkpoint never recorded the batch as complete (crash between sink and
+    commit). Simulated by deleting the checkpoint's commit marker after a
+    successful run — restart re-executes batch 0 against the already-appended
+    table. With the atomic format's idempotency key the replay is a no-op."""
+    import shutil
+    from pathlib import Path
+
+    lh = ObservationLakehouse(spark, database="olake_stream_x1", table_format="atomic")
+    lh.create_observations_table()
+    landing = tmp_path_factory.mktemp("landing_x1")
+    ckpt = tmp_path_factory.mktemp("ckpt_x1")
+    arena_cells.write.mode("overwrite").parquet(str(landing))
+
+    q = stream_observations_from_cells(
+        lh, str(landing), str(ckpt), data_set_id="dsX", available_now=True
+    )
+    q.awaitTermination(120)
+    assert lh.load_observations_table().count() == 16
+    keys_after_run1 = set(lh._atomic("observations").committed_keys())
+    assert keys_after_run1  # the batch recorded its idempotency key
+
+    # crash window: the batch committed to the TABLE but not the CHECKPOINT
+    shutil.rmtree(Path(str(ckpt)) / "commits", ignore_errors=True)
+
+    q2 = stream_observations_from_cells(
+        lh, str(landing), str(ckpt), data_set_id="dsX", available_now=True
+    )
+    q2.awaitTermination(120)
+    # replayed batch recognized by its key → no duplicates, no new version
+    assert lh.load_observations_table().count() == 16
+    assert set(lh._atomic("observations").committed_keys()) == keys_after_run1
