@@ -31,7 +31,10 @@ _PHASE2 = {
     "sum": lambda name: F.sum(name),
     "min": lambda name: F.min(name),
     "max": lambda name: F.max(name),
-    "collect_set": lambda name: F.array_distinct(F.flatten(F.collect_list(name))),
+    # array_sort: collect_set promises no order, but partial-buffer arrival
+    # order would otherwise leak into the result — sorting makes the merged
+    # set value-deterministic under any partitioning.
+    "collect_set": lambda name: F.array_sort(F.array_distinct(F.flatten(F.collect_list(name)))),
 }
 
 
@@ -46,15 +49,18 @@ def salted_agg(
 
     ``exprs`` maps output name → (agg, column); e.g.
     ``{"n": ("count", None), "total": ("sum", "x"), "hi": ("max", "x")}``.
-    ``salt_on`` picks the salt source (default: random-ish spread via
-    ``spark_partition_id``+monotonic id hash — deterministic per run layout but
-    NOT content-stable; pass a column for reproducible salting).
+    ``salt_on`` picks the salt source. The default is CONTENT-STABLE: a hash
+    of every input column, so a row salts identically no matter how the input
+    was partitioned or ordered — results (including merged collect_set
+    arrays, which phase 2 sorts) are reproducible across repartitionings.
+    Fully duplicate rows share a bucket; if a hot key's rows are largely
+    identical, pass a higher-entropy ``salt_on`` column explicitly.
     """
     unknown = {a for a, _ in exprs.values()} - set(_PHASE1)
     if unknown:
         raise ValueError(f"unsupported salted aggregates: {sorted(unknown)}")
     if salt_on is None:
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     else:
         col = F.col(salt_on) if isinstance(salt_on, str) else salt_on
         salt = F.pmod(F.xxhash64(col), F.lit(salt_buckets))

@@ -80,3 +80,31 @@ def test_srm_shape_stats(observations):
         "srm_rows": 40,
         "comparisons": 40 * 10 * 9 // 2,
     }
+
+
+def test_default_salt_is_content_stable_under_repartition(spark):
+    """The default salt hashes row content, so every result column — including
+    the sorted merged collect_set — is identical under any input partitioning
+    or ordering."""
+    df = spark.range(2_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("k"),
+        (F.col("id") % 211).cast("double").alias("x"),
+        (F.col("id") % 17).alias("tag"),
+    )
+    exprs = {
+        "n": ("count", None),
+        "total": ("sum", "x"),
+        "hi": ("max", "x"),
+        "tags": ("collect_set", "tag"),
+    }
+
+    def run(d):
+        return sorted(
+            (r["k"], r["n"], round(r["total"], 6), r["hi"], tuple(r["tags"]))
+            for r in salted_agg(d, ["k"], exprs, salt_buckets=8).collect()
+        )
+
+    base = run(df)
+    assert base == run(df.repartition(13))
+    assert base == run(df.repartition(1))
+    assert base == run(df.orderBy(F.desc("x")))
