@@ -56,6 +56,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query vector.
 
@@ -76,9 +77,22 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
+    # Guard the driver collect: fetch at most max_queries+1 rows, so an
+    # unexpectedly large query set fails fast with a pointer at the scale
+    # paths instead of OOMing the driver / broadcasting a giant matrix.
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk collects the query set to the driver; got more than "
+            f"max_queries={max_queries} rows. Brute force is meant for small "
+            f"query panels — for large query sets use the bucketed paths "
+            f"(lsh_ann_topk / ivf_assign+nprobe), or raise max_queries "
+            f"deliberately if the driver can hold the matrix."
+        )
     if not q_rows:
         empty = "query_id long, neighbor_id long, cosine_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], empty)

@@ -165,3 +165,14 @@ def test_multimodal_resize(spark):
     assert out["m1"]["size_bytes"] == len(out["m1"]["content"])
     assert out["m3"]["content"] is None and out["m3"]["size_bytes"] is None
     assert out["m1"].asDict().keys() == dict(zip(MEDIA_SCHEMA.names, rows[0])).keys()
+
+
+def test_cosine_topk_query_set_size_guard(spark):
+    import pytest as _pytest
+
+    vecs = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk(df, df, k=2, max_queries=5)
+    # at the limit it still works
+    assert cosine_topk(df, df.limit(5), k=2, max_queries=5).count() == 10
