@@ -61,16 +61,29 @@ def behavioral_clustering(
     observations: DataFrame,
     problem_id: str | None = None,
     data_set_id: str | None = None,
+    single_partition: bool | None = None,
 ) -> DataFrame:
     """Level 3: clusters of behaviorally-equivalent implementations.
 
     Returns (equivalent_commits_cluster: array<string> sorted, cluster_size,
     test_size, behavior_fingerprint exemplar), largest cluster first.
+
+    ``single_partition`` (default: auto — on iff ``problem_id`` is scoped)
+    coalesces the pruned scan to one partition. All three aggregation levels
+    group by supersets of a common prefix, so a single partition satisfies
+    every required distribution and the whole chain — signature, fingerprint,
+    cluster, sort — collapses into ONE single-task stage instead of four
+    exchanges (the interactive per-problem plan). Full-corpus runs
+    (``problem_id=None``) keep the parallel shuffle plan.
     """
+    if single_partition is None:
+        single_partition = problem_id is not None
     if data_set_id is not None:
         observations = observations.filter(F.col("data_set_id") == data_set_id)
     if problem_id is not None:
         observations = observations.filter(F.col("problem_id") == problem_id)
+    if single_partition:
+        observations = observations.coalesce(1)
 
     fp = behavior_fingerprints(observations)
     # Shuffle a 64-char digest, not the full fingerprint array (scale rule §7.3.3).

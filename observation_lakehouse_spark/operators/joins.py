@@ -31,12 +31,21 @@ def three_way_join(
     data_set_id: str | None = None,
     problem_id: str | None = None,
     broadcast_dims: bool = True,
+    single_partition: bool = False,
 ) -> DataFrame:
     """observations ⋈ code ⋈ tests with per-leg partition filters (J2).
 
     The reference repeats the (data_set_id, problem_id) literal on all three legs
     so each engine prunes each scan independently — we do the same rather than
     relying on Catalyst's filter inference, so pruning is static on every leg.
+
+    ``single_partition=True`` is the interactive per-problem profile: all three
+    pruned legs coalesce to one partition, which satisfies the join
+    distributions outright — no broadcast-build jobs (a broadcast costs a
+    separate collect job per dimension per query, real milliseconds at
+    interactive latency) and no exchanges; the whole join is one single-task
+    stage. Use only with a problem-scoped call; the broadcast plan is the
+    at-scale default.
     """
 
     def scoped(df: DataFrame) -> DataFrame:
@@ -60,7 +69,9 @@ def three_way_join(
         "test_id",
         F.col("source_code").alias("test_code"),
     )
-    if broadcast_dims:
+    if single_partition:
+        obs, code, tst = obs.coalesce(1), code.coalesce(1), tst.coalesce(1)
+    elif broadcast_dims:
         code = F.broadcast(code)
         tst = F.broadcast(tst)
 

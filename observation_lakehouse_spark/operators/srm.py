@@ -41,16 +41,28 @@ def srm_output_view(
     problem_id: str | None = None,
     data_set_id: str | None = None,
     implementation_ids: list[str] | None = None,
+    single_partition: bool | None = None,
 ) -> DataFrame:
     """Dynamic-pivot SRM: rows (test_id, step_id) × implementation columns.
 
     ``FIRST(output)`` mirrors the reference's ``USING FIRST(output)`` — with the
     same order-dependence caveat both engines share (SURVEY.md §7.3.4): dedupe
     (test_id, step_id, implementation_id) upstream when determinism matters.
+
+    ``single_partition`` (default: auto — on iff ``problem_id`` is scoped)
+    coalesces the pruned scan to one partition, so the pivot aggregate and the
+    sort satisfy their distributions without any exchange: the whole query is
+    ONE single-task stage — the interactive per-problem plan. A problem with
+    CI-scale fan-in (≫10⁵ rows) should pass ``False`` to keep the parallel
+    shuffle plan.
     """
+    if single_partition is None:
+        single_partition = problem_id is not None
     scoped = _scoped(observations, data_set_id, problem_id).select(
         "test_id", "step_id", "implementation_id", "output"
     )
+    if single_partition:
+        scoped = scoped.coalesce(1)
     pivoted = scoped.groupBy("test_id", "step_id")
     if implementation_ids is not None:
         pivoted = pivoted.pivot("implementation_id", implementation_ids)

@@ -117,9 +117,26 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="domain_bench_")
     build_corpus(spark, root, n_problems)
 
-    obs = spark.read.parquet(f"{root}/observations")
-    code = spark.read.parquet(f"{root}/code_implementations")
-    tst = spark.read.parquet(f"{root}/tests")
+    # Serve from the maintained layout (S11 compaction): one sorted file per
+    # (data_set_id, problem_id) partition. The parallel corpus build leaves
+    # ~a dozen tiny files per partition, and the interactive single-task scan
+    # pays a footer-open per file — the reference's DuckDB store is likewise
+    # one object per problem. Measured: SRM p50 ~220 → ~180 ms.
+    from observation_lakehouse_spark.plans.maintenance import compact_sort_partitions
+
+    sort_cols = {
+        "observations": ("implementation_id", "test_id", "step_id"),
+        "code_implementations": ("implementation_id",),
+        "tests": ("test_id",),
+    }
+    for t, cols in sort_cols.items():
+        compact_sort_partitions(
+            spark.read.parquet(f"{root}/{t}"), f"{root}/compact_{t}", sort_columns=cols
+        )
+
+    obs = spark.read.parquet(f"{root}/compact_observations")
+    code = spark.read.parquet(f"{root}/compact_code_implementations")
+    tst = spark.read.parquet(f"{root}/compact_tests")
     impl_ids = [f"impl_{i:02d}_original_0" for i in range(N_IMPLS)]
 
     families = {
@@ -134,24 +151,31 @@ def main() -> None:
         ),
     }
     # Interactive profile for the per-problem loop: a pruned problem is ~650
-    # rows, so one shuffle partition is the right plan and AQE's per-stage
-    # re-optimization is pure overhead (measured: 441 -> 207 ms p50 on the SRM
-    # family). Runtime-settable confs only; the corpus build above used the
+    # rows on one partition, so the problem-scoped aggregation operators
+    # collapse to single-task single-stage plans (coalesce(1) satisfies every
+    # agg distribution — no exchanges); AQE's per-stage re-optimization is
+    # pure overhead at this size. The join keeps its broadcast dims (tiny
+    # per-problem builds). Runtime-settable confs only; the corpus build used
     # throughput defaults.
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     # Warm (codegen + file index) on a problem outside the sample.
     for fam in families.values():
-        fam(f"p_{n_problems - 1:04d}").write.mode("overwrite").format("noop").save()
+        fam(f"p_{n_problems - 1:04d}").toPandas()
 
+    # Measured like the reference measures: the client fetches the result
+    # into a pandas frame (its DuckDB scripts do the same; here via Arrow
+    # batches) — not a sink write, which in Spark re-runs DataSourceV2 write
+    # planning per call (~70 ms of pure overhead at this scale).
     result: dict[str, dict[str, float]] = {}
     for name, fam in families.items():
         lat = []
         for k in range(n_samples):
             pid = f"p_{k:04d}"
             t0 = time.perf_counter()
-            fam(pid).write.mode("overwrite").format("noop").save()
+            fam(pid).toPandas()
             lat.append((time.perf_counter() - t0) * 1000)
         result[name] = {
             "mean_ms": round(statistics.mean(lat), 1),
@@ -160,14 +184,42 @@ def main() -> None:
             "max_ms": round(max(lat), 1),
         }
 
+    # Floor diagnostics: what an empty Spark job and pure Catalyst planning
+    # cost in this session — the irreducible part of every per-problem number
+    # above (DuckDB's in-process planner+scheduler has no analogous floor).
+    floor = []
+    trivial = spark.range(1)
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        trivial.collect()
+        floor.append((time.perf_counter() - t0) * 1000)
+    plan_ms: dict[str, float] = {}
+    for name, fam in families.items():
+        samples = []
+        for k in range(n_samples):
+            t0 = time.perf_counter()
+            df = fam(f"p_{k:04d}")
+            df._jdf.queryExecution().executedPlan()
+            samples.append((time.perf_counter() - t0) * 1000)
+        plan_ms[name] = round(statistics.median(samples), 1)
+
     out = {
         "metric": "per_problem_latency_ms",
         "n_problems": n_problems,
         "n_samples": n_samples,
-        "profile": {"spark.sql.shuffle.partitions": 1, "spark.sql.adaptive.enabled": False},
+        "profile": {
+            "spark.sql.shuffle.partitions": 1,
+            "spark.sql.adaptive.enabled": False,
+            "single_partition_plans": True,
+            "compacted_partitions": True,
+        },
         "srm_rows_per_problem": N_TESTS * N_STEPS,
         "impls_per_problem": N_IMPLS,
         "families": result,
+        "floor_ms": {
+            "trivial_job_p50": round(statistics.median(floor), 1),
+            "catalyst_planning_p50": plan_ms,
+        },
         "reference_baseline_ms": {
             "srm_output_view": 53.2,
             "behavioral_clustering": 27.9,
