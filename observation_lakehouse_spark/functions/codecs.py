@@ -1,0 +1,308 @@
+"""Pure-Python media codecs (stdlib + numpy only — no Pillow/libav).
+
+Real decoders for the self-describing formats whose specs need nothing beyond
+``zlib``/``wave``: PNG (RFC 2083: 8-bit gray/gray+alpha/RGB/RGBA,
+non-interlaced, all five scanline filters), BMP (BITMAPINFOHEADER, 24/32-bit
+uncompressed), PPM/PGM (binary P6/P5, maxval ≤ 255), and WAV (RIFF PCM via the
+stdlib ``wave`` module). Plus a PNG *encoder* (filter 0) so image transforms can
+re-encode losslessly, and a deterministic area-style resizer.
+
+Formats that require an entropy-coding library we cannot ship (JPEG, video
+containers) raise :class:`UnsupportedMediaFormat`; callers fall back to the
+clearly-marked digest stubs in ``operators/multimodal.py``.
+
+These are deliberately simple reference implementations: the per-image work
+happens inside Arrow-batched ``mapInPandas`` workers (see multimodal.py), so
+throughput scales with cores/executors, and numpy keeps the per-scanline inner
+loops vectorized where the format allows (Up filter, BMP/PPM bulk reshape).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+
+class UnsupportedMediaFormat(ValueError):
+    """Raised when payload bytes are not in a format we can decode natively."""
+
+
+# --------------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color_type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to an ``(H, W, C) uint8`` array.
+
+    Implements the full filter set (None/Sub/Up/Average/Paeth) so PNGs from any
+    encoder decode, not just our own filter-0 output.
+    """
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise UnsupportedMediaFormat("not a PNG signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise UnsupportedMediaFormat(
+                    f"unsupported PNG depth/color ({depth}/{color})"
+                )
+            if interlace != 0:
+                raise UnsupportedMediaFormat("interlaced PNG unsupported")
+            if comp != 0 or filt != 0:
+                raise UnsupportedMediaFormat("nonstandard PNG compression/filter")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + CRC
+    if width is None or not idat:
+        raise UnsupportedMediaFormat("PNG missing IHDR/IDAT")
+
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise UnsupportedMediaFormat("PNG payload size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        offset = y * (stride + 1)
+        ftype = raw[offset]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=offset + 1)
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 2:  # Up — fully vectorized
+            cur = line + prev
+        else:  # Sub/Average/Paeth are sequential along x
+            cur = np.zeros(stride, dtype=np.uint8)
+            if ftype == 1:  # Sub
+                cur[:bpp] = line[:bpp]
+                for x in range(bpp, stride):
+                    cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+            else:
+                raise UnsupportedMediaFormat(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an ``(H, W, C) uint8`` array (C in 1/2/3/4) as a filter-0 PNG."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    # prepend the filter-type byte (0) to every scanline in one vectorized op
+    lines = np.zeros((height, width * channels + 1), dtype=np.uint8)
+    lines[:, 1:] = arr.reshape(height, width * channels)
+    idat = zlib.compress(lines.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+# --------------------------------------------------------------------------- BMP
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BITMAPINFOHEADER BMP to ``(H, W, 3|4)``."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise UnsupportedMediaFormat("not a BMP")
+    pixel_offset = struct.unpack("<I", data[10:14])[0]
+    header_size = struct.unpack("<I", data[14:18])[0]
+    if header_size < 40:
+        raise UnsupportedMediaFormat("BMP core header unsupported")
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaFormat(f"BMP compression/bpp unsupported ({compression}/{bpp})")
+    channels = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * channels + 3) & ~3  # rows padded to 4 bytes
+    need = pixel_offset + stride * height
+    if len(data) < need:
+        raise UnsupportedMediaFormat("BMP truncated")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=pixel_offset
+    ).reshape(height, stride)[:, : width * channels]
+    arr = rows.reshape(height, width, channels)
+    if bottom_up:
+        arr = arr[::-1]
+    # BGR(A) -> RGB(A)
+    if channels >= 3:
+        arr = arr[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    return np.ascontiguousarray(arr)
+
+
+# --------------------------------------------------------------------------- PPM / PGM
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) / PGM (P5), maxval ≤ 255, to ``(H, W, 3|1)``."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise UnsupportedMediaFormat("not a binary PPM/PGM")
+    channels = 3 if data[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(data):
+            raise UnsupportedMediaFormat("PPM header truncated")
+        ch = data[pos : pos + 1]
+        if ch == b"#":  # comment to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise UnsupportedMediaFormat("16-bit PPM unsupported")
+    count = width * height * channels
+    if len(data) - pos < count:
+        raise UnsupportedMediaFormat("PPM truncated")
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=count, offset=pos)
+        .reshape(height, width, channels)
+        .copy()
+    )
+
+
+# --------------------------------------------------------------------------- sniff + resize
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff magic bytes and decode PNG/BMP/PPM; raise for anything else."""
+    if data is None:
+        raise UnsupportedMediaFormat("null payload")
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] in (b"P6", b"P5"):
+        return decode_ppm(data)
+    raise UnsupportedMediaFormat("unrecognized image magic (JPEG et al. need external libs)")
+
+
+def resize_image(pixels: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving downscale so ``max(H, W) <= max_side`` (never upscales).
+
+    Deterministic nearest-neighbor sampling at pixel centers — no float
+    accumulation, so results are bit-stable across platforms.
+    """
+    h, w = pixels.shape[:2]
+    if max(h, w) <= max_side:
+        return pixels
+    f = max_side / max(h, w)
+    nh, nw = max(1, round(h * f)), max(1, round(w * f))
+    ys = np.minimum((np.arange(nh) + 0.5) * (h / nh), h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(nw) + 0.5) * (w / nw), w - 1).astype(np.int64)
+    return np.ascontiguousarray(pixels[ys][:, xs])
+
+
+def average_hash(pixels: np.ndarray, hash_side: int = 8) -> int:
+    """64-bit aHash: downsample luminance to 8×8, threshold at the mean.
+
+    The standard perceptual-dedup fingerprint (public aHash algorithm): robust
+    to re-encode/resize, usable as an LSH key for near-duplicate images.
+    """
+    if pixels.ndim == 3 and pixels.shape[2] >= 3:
+        # integer Rec.601 luma (×256) keeps this bit-deterministic
+        luma = (
+            77 * pixels[:, :, 0].astype(np.int64)
+            + 150 * pixels[:, :, 1].astype(np.int64)
+            + 29 * pixels[:, :, 2].astype(np.int64)
+        )
+    else:
+        luma = pixels.reshape(pixels.shape[0], pixels.shape[1], -1)[:, :, 0].astype(
+            np.int64
+        ) * 256
+    h, w = luma.shape
+    ys = np.minimum((np.arange(hash_side) + 0.5) * (h / hash_side), h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(hash_side) + 0.5) * (w / hash_side), w - 1).astype(np.int64)
+    grid = luma[ys][:, xs]
+    bits = (grid >= grid.mean()).astype(np.uint64).ravel()
+    value = np.uint64(0)
+    for b in bits:
+        value = (value << np.uint64(1)) | b
+    return int(value.astype(np.int64))  # two's-complement into a Spark LongType
+
+
+# --------------------------------------------------------------------------- WAV
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode RIFF PCM WAV via stdlib ``wave``; return metadata + sample stats.
+
+    Returns sample_rate, channels, sample_width, n_frames, duration_ms, and
+    rms/peak over all samples (int PCM normalized to [-1, 1])."""
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            channels = wf.getnchannels()
+            rate = wf.getframerate()
+            width = wf.getsampwidth()
+            n_frames = wf.getnframes()
+            frames = wf.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        raise UnsupportedMediaFormat(f"not a PCM WAV: {exc}") from exc
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise UnsupportedMediaFormat(f"unsupported WAV sample width {width}")
+    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
+    peak = float(np.max(np.abs(samples))) if samples.size else 0.0
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "sample_width": width,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else None,
+        "rms": rms,
+        "peak": peak,
+    }

@@ -3,9 +3,12 @@
 Design: media payloads are opaque ``binary`` columns carried next to a typed
 metadata struct — the lakehouse pattern for multimodal pre-training data. The
 Spark-side plumbing (schemas, batch iteration, partition sizing, UDF signatures)
-is real and tested; the codec inner loops are STUBBED with deterministic fakes
-because no image/audio library ships in this container — swap ``_decode_*_stub``
-for Pillow/libav calls in production (each is clearly marked).
+is real and tested. Decode is real for the formats expressible with
+stdlib+numpy — PNG / BMP / PPM images and PCM WAV audio (see
+``functions/codecs.py``) — including true pixel resize + PNG re-encode and a
+64-bit perceptual aHash. Only entropy-coded formats (JPEG) and video container
+demux remain digest-stub FALLBACKS (no Pillow/libav in this container; each
+fallback is clearly marked and reported via the ``decoded`` flag).
 
 Why ``mapInPandas``: decode/resize/frame-sample are per-row CPU-bound transforms
 over large binary cells. ``mapInPandas`` streams Arrow batches through Python
@@ -25,12 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from ..functions import codecs
 
 MEDIA_SCHEMA = StructType(
     [
@@ -51,21 +58,66 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("format", StringType(), True),
         StructField("size_bytes", LongType(), True),
         StructField("content_sha256", StringType(), True),
-        StructField("feature", StringType(), True),  # placeholder embedding digest
+        StructField("feature", StringType(), True),  # aHash hex (decoded) / digest tag
+        StructField("decoded", BooleanType(), True),  # real decode vs digest fallback
+        StructField("px_width", IntegerType(), True),
+        StructField("px_height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("ahash64", LongType(), True),  # perceptual near-dup LSH key
+        StructField("mean_luma", DoubleType(), True),  # 0-255 average luminance
     ]
 )
 
+_NULL_IMAGE_FEATURES = {
+    "content_sha256": None,
+    "feature": None,
+    "decoded": None,
+    "px_width": None,
+    "px_height": None,
+    "channels": None,
+    "ahash64": None,
+    "mean_luma": None,
+}
 
-def _decode_image_stub(content: bytes | None) -> dict:
-    """STUB — production: ``PIL.Image.open(io.BytesIO(content))``.
 
-    Deterministic fake: derives pseudo-features from a content digest so tests
-    are stable and the Arrow plumbing is exercised end-to-end.
+def _image_features(content: bytes | None) -> dict:
+    """Real decode (PNG/BMP/PPM via :mod:`..functions.codecs`) + aHash.
+
+    FALLBACK: entropy-coded formats (JPEG/WebP — need external libs this
+    container lacks) get digest-only pseudo-features, flagged ``decoded=False``.
     """
     if content is None:
-        return {"content_sha256": None, "feature": None}
+        return dict(_NULL_IMAGE_FEATURES)
     digest = hashlib.sha256(content).hexdigest()
-    return {"content_sha256": digest, "feature": f"feat_{digest[:16]}"}
+    try:
+        pixels = codecs.decode_image(content)
+    except codecs.UnsupportedMediaFormat:
+        return {
+            **_NULL_IMAGE_FEATURES,
+            "content_sha256": digest,
+            "feature": f"feat_{digest[:16]}",
+            "decoded": False,
+        }
+    ahash = codecs.average_hash(pixels)
+    h, w = pixels.shape[:2]
+    if pixels.ndim == 3 and pixels.shape[2] >= 3:
+        luma = (
+            77 * pixels[:, :, 0].astype("int64")
+            + 150 * pixels[:, :, 1].astype("int64")
+            + 29 * pixels[:, :, 2].astype("int64")
+        ) / 256.0
+    else:
+        luma = pixels.reshape(h, w, -1)[:, :, 0].astype("float64")
+    return {
+        "content_sha256": digest,
+        "feature": f"ahash_{ahash & 0xFFFFFFFFFFFFFFFF:016x}",
+        "decoded": True,
+        "px_width": w,
+        "px_height": h,
+        "channels": pixels.shape[2] if pixels.ndim == 3 else 1,
+        "ahash64": ahash,
+        "mean_luma": float(luma.mean()),
+    }
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -73,21 +125,24 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     The generator signature is the real contract: it must iterate input batches
     lazily and yield output batches — that is what keeps memory bounded when
-    cells are multi-megabyte images.
+    cells are multi-megabyte images. ``ahash64`` is a perceptual fingerprint
+    suitable as a near-duplicate blocking key (group or LSH-band on it exactly
+    like ``simhash_dedup`` does for text).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["content"].map(_decode_image_stub)
-            yield pd.DataFrame(
+            decoded = pdf["content"].map(_image_features)
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "format": pdf["format"],
                     "size_bytes": pdf["size_bytes"],
-                    "content_sha256": decoded.map(lambda d: d["content_sha256"]),
-                    "feature": decoded.map(lambda d: d["feature"]),
                 }
             )
+            for field in _NULL_IMAGE_FEATURES:
+                out[field] = decoded.map(lambda d, f=field: d[f])
+            yield out
 
     return media.filter(F.col("modality") == "image").mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
@@ -100,17 +155,18 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     normalization pass. Partitioning is preserved (no shuffle); memory stays
     bounded by the Arrow batch size.
 
-    The resample inner loop is the STUB (production:
-    ``PIL.Image.resize`` + re-encode); the fake is deterministic — content is
-    digest-tagged, dimensions scale so max(width, height) == max_side with
-    aspect preserved (never upscaled).
+    Decodable formats (PNG/BMP/PPM) are REALLY resized — decode, deterministic
+    nearest-neighbor downscale, re-encode as PNG — with width/height/format
+    taken from the actual pixel data. Undecodable payloads (JPEG — no external
+    libs here) fall back to a digest-tagged placeholder with metadata-scaled
+    dimensions, so the pipeline shape survives mixed corpora.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
 
-            def scale(w, h):
+            def meta_scale(w, h):
                 if pd.isna(w) or pd.isna(h):  # Arrow nulls surface as NaN here
                     return None, None
                 if max(w, h) <= max_side:
@@ -118,21 +174,104 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                 f = max_side / max(w, h)
                 return max(1, round(w * f)), max(1, round(h * f))
 
-            dims = [scale(w, h) for w, h in zip(pdf["width"], pdf["height"])]
-            # STUB — production: decode, resize, re-encode via Pillow.
-            pdf["content"] = [
-                None if c is None else b"resized:" + hashlib.sha256(c).digest()
-                for c in pdf["content"]
-            ]
-            pdf["width"] = pd.array([d[0] for d in dims], dtype="Int32")
-            pdf["height"] = pd.array([d[1] for d in dims], dtype="Int32")
+            contents, widths, heights, formats = [], [], [], []
+            for c, w, h, fmt in zip(
+                pdf["content"], pdf["width"], pdf["height"], pdf["format"]
+            ):
+                if c is None:
+                    contents.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    formats.append(fmt)
+                    continue
+                try:
+                    pixels = codecs.resize_image(codecs.decode_image(c), max_side)
+                except codecs.UnsupportedMediaFormat:
+                    # FALLBACK — entropy-coded formats need external codecs.
+                    nw, nh = meta_scale(w, h)
+                    contents.append(b"resized:" + hashlib.sha256(c).digest())
+                    widths.append(nw)
+                    heights.append(nh)
+                    formats.append(fmt)
+                else:
+                    contents.append(codecs.encode_png(pixels))
+                    heights.append(int(pixels.shape[0]))
+                    widths.append(int(pixels.shape[1]))
+                    formats.append("png")
+            pdf["content"] = contents
+            pdf["format"] = formats
+            pdf["width"] = pd.array(widths, dtype="Int32")
+            pdf["height"] = pd.array(heights, dtype="Int32")
             pdf["size_bytes"] = pd.array(
-                [None if c is None else len(c) for c in pdf["content"]], dtype="Int64"
+                [None if c is None else len(c) for c in contents], dtype="Int64"
             )
             yield pdf
 
     return media.filter(F.col("modality") == "image").mapInPandas(
         run, schema=MEDIA_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("size_bytes", LongType(), True),
+        StructField("decoded", BooleanType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("decoded_duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),  # loudness, [0, 1]
+        StructField("peak", DoubleType(), True),  # clip detector, [0, 1]
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode PCM WAV audio (stdlib ``wave``) and emit loudness/clip stats.
+
+    Real decode for RIFF PCM; compressed formats (mp3/ogg — need external libs)
+    get ``decoded=False`` with metadata passed through. ``rms`` near 0 flags
+    silent clips and ``peak`` at 1.0 flags clipping — the two standard audio
+    data-quality filters in a pre-training pipeline.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        feature_fields = [f.name for f in AUDIO_FEATURES_SCHEMA.fields[3:]]
+
+        def one(content):
+            if content is None:
+                return {f: None for f in feature_fields}
+            try:
+                d = codecs.decode_wav(bytes(content))
+            except codecs.UnsupportedMediaFormat:
+                return {**{f: None for f in feature_fields}, "decoded": False}
+            return {
+                "decoded": True,
+                "sample_rate": d["sample_rate"],
+                "channels": d["channels"],
+                "n_frames": d["n_frames"],
+                "decoded_duration_ms": d["duration_ms"],
+                "rms": d["rms"],
+                "peak": d["peak"],
+            }
+
+        for pdf in batches:
+            decoded = pdf["content"].map(one)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "size_bytes": pdf["size_bytes"],
+                }
+            )
+            for field in feature_fields:
+                out[field] = decoded.map(lambda d, f=field: d[f])
+            yield out
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -1,0 +1,158 @@
+"""Pure-Python media codecs: PNG/BMP/PPM/WAV decode, PNG encode, resize, aHash.
+
+No SparkSession needed — these run in milliseconds and pin the codec contracts
+that the multimodal mapInPandas operators rely on.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from observation_lakehouse_spark.functions import codecs
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_round_trip(channels):
+    arr = _rng().integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(arr))
+    assert out.shape == (13, 9, channels)
+    assert np.array_equal(out, arr)
+
+
+def _filter_scanlines(arr: np.ndarray, ftypes: list[int]) -> bytes:
+    """Forward-apply PNG filters (test-side reference) to produce raw IDAT input."""
+    h, w, c = arr.shape
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    prev = np.zeros(w * c, dtype=np.int32)
+    raw = bytearray()
+    for y in range(h):
+        line = flat[y]
+        ftype = ftypes[y % len(ftypes)]
+        raw.append(ftype)
+        for x in range(w * c):
+            a = int(line[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            raw.append((int(line[x]) - pred) & 0xFF)
+        prev = line
+    return bytes(raw)
+
+
+def test_png_decodes_all_filter_types():
+    arr = _rng(3).integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    raw = _filter_scanlines(arr, ftypes=[0, 1, 2, 3, 4])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 10, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), arr)
+
+
+def test_bmp_decode_24bit_bottom_up():
+    # 2x2: rows padded to 4 bytes (2*3=6 -> stride 8), bottom-up, BGR order
+    top = [(255, 0, 0), (0, 255, 0)]  # red, green (RGB)
+    bottom = [(0, 0, 255), (10, 20, 30)]
+    def row(px):
+        return b"".join(bytes([b, g, r]) for r, g, b in px) + b"\x00\x00"
+
+    pixel_data = row(bottom) + row(top)  # bottom-up storage
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    out = codecs.decode_bmp(header + pixel_data)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0] and out[0, 1].tolist() == [0, 255, 0]
+    assert out[1, 0].tolist() == [0, 0, 255] and out[1, 1].tolist() == [10, 20, 30]
+
+
+def test_ppm_decode_with_comment():
+    body = bytes(range(2 * 3 * 3))
+    data = b"P6 # comment\n# another\n3 2\n255\n" + body
+    out = codecs.decode_ppm(data)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out.ravel(), np.frombuffer(body, dtype=np.uint8))
+    gray = codecs.decode_ppm(b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255]))
+    assert gray.shape == (2, 2, 1) and gray[1, 1, 0] == 255
+
+
+def test_decode_image_sniffs_and_rejects():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert codecs.decode_image(codecs.encode_png(arr)).shape == (2, 2, 3)
+    with pytest.raises(codecs.UnsupportedMediaFormat):
+        codecs.decode_image(b"\xff\xd8\xff\xe0JFIFfake")  # JPEG magic
+
+
+def test_resize_deterministic_and_never_upscales():
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    small = codecs.resize_image(arr, 4)
+    assert small.shape == (4, 4, 3)
+    # pixel-center sampling: centers at (0.5+i)*2 -> rows 1,3,5,7
+    assert np.array_equal(small, arr[[1, 3, 5, 7]][:, [1, 3, 5, 7]])
+    assert codecs.resize_image(arr, 16) is arr  # no upscale
+    tall = codecs.resize_image(np.zeros((100, 10, 3), dtype=np.uint8), 50)
+    assert tall.shape == (50, 5, 3)  # aspect preserved
+
+
+def test_average_hash_stable_under_resize():
+    # top half dark, bottom half bright: aHash must survive downscale + re-encode
+    arr = np.zeros((64, 64, 3), dtype=np.uint8)
+    arr[32:] = 200
+    h1 = codecs.average_hash(arr)
+    h2 = codecs.average_hash(codecs.resize_image(arr, 16))
+    h3 = codecs.average_hash(codecs.decode_png(codecs.encode_png(arr)))
+    assert h1 == h2 == h3
+    assert h1 != codecs.average_hash(255 - arr)  # inverted image differs
+
+
+def test_wav_decode_stats():
+    buf = io.BytesIO()
+    rate = 8000
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        # 1-second full-scale square wave: rms == peak == 1.0 (within int16 scale)
+        half = 16384  # half-scale square -> rms = peak = 0.5
+        samples = np.tile(np.array([half, -half], dtype="<i2"), rate // 2)
+        wf.writeframes(samples.tobytes())
+    d = codecs.decode_wav(buf.getvalue())
+    assert d["sample_rate"] == rate and d["channels"] == 1
+    assert d["duration_ms"] == 1000 and d["n_frames"] == rate
+    assert d["rms"] == pytest.approx(0.5) and d["peak"] == pytest.approx(0.5)
+    with pytest.raises(codecs.UnsupportedMediaFormat):
+        codecs.decode_wav(b"not a wav at all")

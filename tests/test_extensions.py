@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.operators.dedup import (
@@ -165,6 +166,66 @@ def test_multimodal_resize(spark):
     assert out["m1"]["size_bytes"] == len(out["m1"]["content"])
     assert out["m3"]["content"] is None and out["m3"]["size_bytes"] is None
     assert out["m1"].asDict().keys() == dict(zip(MEDIA_SCHEMA.names, rows[0])).keys()
+
+
+def test_multimodal_real_decode(spark):
+    """PNG/WAV payloads flow through the real codecs; JPEG falls back."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from observation_lakehouse_spark.functions import codecs
+    from observation_lakehouse_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    px = np.zeros((64, 32, 3), dtype=np.uint8)
+    px[:32] = 250  # top bright, bottom dark
+    png = codecs.encode_png(px)
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(np.full(16000 * 2, 8192, dtype="<i2").tobytes())
+    wav = buf.getvalue()
+
+    rows = [
+        ("p1", "image", png, "png", 32, 64, None, len(png)),
+        ("j1", "image", b"\xff\xd8\xff\xe0JFIFfake", "jpeg", 640, 480, None, 12),
+        ("a1", "audio", wav, "wav", None, None, None, len(wav)),
+        ("a2", "audio", b"ID3mp3fake", "mp3", None, None, 2000, 10),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert feats["p1"]["decoded"] is True
+    assert (feats["p1"]["px_width"], feats["p1"]["px_height"]) == (32, 64)
+    assert feats["p1"]["channels"] == 3
+    assert feats["p1"]["ahash64"] == codecs.average_hash(px)
+    assert feats["p1"]["feature"].startswith("ahash_")
+    assert feats["p1"]["mean_luma"] == pytest.approx(125.0, abs=1.0)
+    assert feats["j1"]["decoded"] is False and feats["j1"]["ahash64"] is None
+    assert feats["j1"]["feature"].startswith("feat_")
+
+    resized = {r["media_id"]: r for r in resize_images(media, max_side=16).collect()}
+    out_px = codecs.decode_image(bytes(resized["p1"]["content"]))
+    assert (resized["p1"]["width"], resized["p1"]["height"]) == (8, 16)
+    assert out_px.shape == (16, 8, 3)
+    # perceptual fingerprint survives the real resize + re-encode
+    assert codecs.average_hash(out_px) == codecs.average_hash(px)
+    assert resized["j1"]["content"].startswith(b"resized:")  # fallback path intact
+
+    audio = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert audio["a1"]["decoded"] is True
+    assert audio["a1"]["sample_rate"] == 16000 and audio["a1"]["channels"] == 2
+    assert audio["a1"]["decoded_duration_ms"] == 1000
+    assert audio["a1"]["rms"] == pytest.approx(0.25, abs=1e-6)
+    assert audio["a1"]["peak"] == pytest.approx(0.25, abs=1e-6)
+    assert audio["a2"]["decoded"] is False and audio["a2"]["rms"] is None
 
 
 def test_cosine_topk_query_set_size_guard(spark):
