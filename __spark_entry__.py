@@ -631,9 +631,14 @@ def _ivf_centroids() -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
 
 
-# Queries probe their 2 nearest cells (corpus stays single-assigned): the
+# Queries probe their 4 nearest cells (corpus stays single-assigned): the
 # recall knob whose floor is locked by test_ann_recall / reported by bench.
-_IVF_NPROBE = 2
+# On these unstructured synthetic embeddings recall ≈ the probed corpus
+# fraction (measured 0.185/0.395/0.66/1.0 at nprobe 1/2/4/8 at sf0.1) — IVF's
+# adversarial case; clustered corpora (its design assumption) need far fewer
+# probes for the same recall. nprobe=4 buys recall ~0.66 for ~half-corpus
+# probing, the explicit quality/cost trade documented in ivf_assign.
+_IVF_NPROBE = 4
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,33 +748,328 @@ FROM documents
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard pairs blocked on (lang, source) — the verification-grade
-    dedup, oracle-checked end to end."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "blk_key", F.concat_ws("|", "lang", "source")
-    )
+    """Bigram-shingle Jaccard pairs blocked per language — the
+    verification-grade dedup, oracle-checked end to end. Bigrams (not bare
+    token sets): shared single tokens each emit a candidate row in the
+    set-similarity join, so the unigram intermediate on this template-heavy
+    corpus is ~10× the true pair set; bigrams are selective enough that the
+    join output ≈ the near-dup pairs. Blocking on lang alone (not source) —
+    the planted dups span sources."""
+    docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", block_col="blk_key",
-        shingle_size=1, threshold=0.5,
+        docs, text_col="text", id_col="doc_id", block_col="lang",
+        shingle_size=2, threshold=0.5,
     )
 
 
+# Exploded set-similarity form (same shape as the Spark plan): DuckDB's
+# all-pairs list_intersect over the big language blocks is ~20x slower than
+# the shingle equi-join + count at sf0.1.
 _ORACLE_NGRAM_JACCARD = """
-WITH base AS (
-    SELECT doc_id, lang || '|' || source AS blk,
-           list_distinct(list_transform(
+WITH tk AS (
+    SELECT doc_id, lang AS blk,
+           list_transform(
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
-               t -> lower(t))) AS sh
+               t -> lower(t)) AS toks
     FROM documents
-    WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) > 0
+), base AS (
+    SELECT doc_id, blk,
+           list_distinct(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM tk WHERE len(toks) > 0
+), ex AS (
+    SELECT doc_id, blk, unnest(sh) AS s FROM base
+), inter AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM ex l JOIN ex r ON l.blk = r.blk AND l.s = r.s AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, len(sh) AS n FROM base
 )
-SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard_sim
-FROM base l JOIN base r ON l.blk = r.blk AND l.doc_id < r.doc_id
-WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (a.n + b.n - n_inter), 6) AS jaccard_sim
+FROM inter JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (a.n + b.n - n_inter) >= 0.5
 ORDER BY id_a, id_b
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS (token-set Jaccard ≥ 0.9,
+    blocked on lang|source) → connected components → per-doc cluster id +
+    canonical keeper. The engine's one iterative operator (driver-coordinated
+    min-label propagation + pointer jumping, operators/graph.py); the oracle
+    resolves the same components with a recursive CTE. Trigram shingles,
+    UNBLOCKED: the planted duplicates span languages and sources, so any
+    metadata blocking loses most of the graph; trigrams are near-unique
+    (measured 1.3M-row join intermediate over 5000 sf0.1 docs, zero hot
+    shingles), so the unblocked set-similarity join stays candidate-bounded
+    — the blocking-free shape that survives scale for selective shingles."""
+    from observation_lakehouse_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", block_col=None,
+        shingle_size=3, threshold=0.5,
+    )
+    out = dedup_clusters(docs, pairs)
+    # The pair operator's persisted shingle base outlives the (eager)
+    # component rounds so a repeated run reuses it; propagate the cache
+    # handles to the returned plan for the caller's release_cached, the same
+    # contract as the pair queries themselves.
+    out._cached_deps = getattr(pairs, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+_ORACLE_DUP_CLUSTERS = """
+WITH RECURSIVE tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM tk WHERE len(toks) > 0
+), ex AS (
+    SELECT doc_id, unnest(sh) AS s FROM base
+), inter AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, len(sh) AS n FROM base
+), pairs AS (
+    SELECT id_a, id_b
+    FROM inter JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (a.n + b.n - n_inter) >= 0.5
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), reach(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.comp
+), comps AS (
+    SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+), assigned AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comps c USING (doc_id)
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (functions/sampling.py): downsample
+    the dominant language, keep the rare ones in full. The keep decision is a
+    content hash of the doc id — repartition-proof and engine-portable, unlike
+    seed-based df.sample(); the oracle reproduces the exact sample."""
+    from observation_lakehouse_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+    return stratified_hash_sample(docs, "doc_id", "lang", rates).select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+_ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < (CASE WHEN lang = 'en' THEN 300000
+              WHEN lang IN ('zh', 'es', 'de', 'fr') THEN 1000000
+              ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family beyond running totals: lag, delta, ntile
+    quartiles, percent_rank over per-customer order history — one window
+    spec, one shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("prev_price", F.lag("o_totalprice").over(w))
+        .withColumn(
+            "price_delta",
+            F.round(
+                F.col("o_totalprice")
+                - F.coalesce(F.col("prev_price"), F.col("o_totalprice")),
+                2,
+            ),
+        )
+        .withColumn("rank_in_cust", F.row_number().over(w).cast("int"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .orderBy("o_custkey", "rank_in_cust")
+    )
+
+
+_ORACLE_WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       ROUND(o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice), 2) AS price_delta,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rank_in_cust,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rank_in_cust
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p25/median/p75 + spread) of the line-item
+    price per return flag. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the (n-1)·p linear-interpolation definition, so the
+    6-dp values hash-match. At 100 TB the exact sort-based percentile is the
+    audit twin; `approx_percentile` (t-digest) is the streaming-scale default —
+    approximate results are engine-specific, hence not the oracle-checked path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # ONE percentile aggregate with an array of fractions: the exact
+            # percentile buffers the group's values once and reads three
+            # order statistics from the same sorted buffer — three separate
+            # calls each buffer + sort independently (measured 3×).
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("_p"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p25"),
+            F.round(F.col("_p")[1], 6).alias("median"),
+            F.round(F.col("_p")[2], 6).alias("p75"),
+            "min_price",
+            "max_price",
+            "n_items",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest admission (operators/dedup.py incremental_dedup):
+    docs with doc_id % 10 == 0 play the incoming batch, the rest the standing
+    corpus; admit batch rows whose content hash hits neither the corpus hash
+    index nor an earlier batch row."""
+    from observation_lakehouse_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(batch, corpus).select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+_ORACLE_INCREMENTAL_DEDUP = """
+WITH batch AS (
+    SELECT doc_id, lang, source, sha256(text) AS content_hash
+    FROM documents WHERE doc_id % 10 = 0
+), corpus AS (
+    SELECT DISTINCT sha256(text) AS content_hash
+    FROM documents WHERE doc_id % 10 <> 0
+), fresh AS (
+    SELECT b.* FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.content_hash = b.content_hash)
+)
+SELECT doc_id, lang, source
+FROM fresh
+QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality gate: score every doc (text_quality family),
+    drop the bottom 20% per language by percent_rank — the shape of a
+    Gopher/C4-style corpus filter where thresholds are per-language
+    distributional, not absolute."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    w = Window.partitionBy("lang").orderBy(F.asc("quality_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("q_rank") >= 0.2)
+        .select("doc_id", "lang", "quality_score", "q_rank")
+        .orderBy("doc_id")
+    )
+
+
+def _quality_filter_oracle() -> str:
+    return f"""
+WITH scored AS (
+{_ORACLE_TEXT_QUALITY}
+), l AS (SELECT doc_id, lang FROM documents)
+SELECT s.doc_id, l.lang, s.quality_score,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY l.lang ORDER BY s.quality_score ASC, s.doc_id ASC), 6) AS q_rank
+FROM scored s JOIN l ON l.doc_id = s.doc_id
+QUALIFY q_rank >= 0.2
+ORDER BY s.doc_id
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 vocabulary terms (operators/text.py top_terms):
+    explode lowercased tokens → hash aggregate → per-group top-k window.
+    The shuffle carries (lang, term, partial_count) — vocabulary-sized."""
+    from observation_lakehouse_spark.operators.text import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, text_col="text", group_col="lang", k=10).withColumnRenamed(
+        "grp", "lang"
+    )
+
+
+_ORACLE_TOP_TERMS = """
+WITH toks AS (
+    SELECT lang,
+           unnest(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t))) AS term
+    FROM documents
+), counts AS (
+    SELECT lang, term, COUNT(*) AS term_count
+    FROM toks GROUP BY lang, term
+)
+SELECT lang, term, term_count,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY term_count DESC, term ASC) AS INTEGER) AS term_rank
+FROM counts
+QUALIFY term_rank <= 10
+ORDER BY lang, term_rank
 """
 
 
@@ -913,7 +1213,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from observation_lakehouse_spark.operators.embedding_dedup import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.4, hyperplanes=None)
+    # n_blocks=8 → 36 block-pair tasks: at local/sf scale the per-task floor
+    # dominates, so fewer, denser matmul tasks win; results are
+    # block-count-invariant (every pair is scored exactly once either way).
+    return embedding_near_dup(emb, threshold=0.4, hyperplanes=None, n_blocks=8)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,6 +1570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "window_analytics": q_window_analytics,
+        "percentiles": q_percentiles,
+        "top_terms": q_top_terms,
+        "incremental_dedup": q_incremental_dedup,
+        "quality_filter": q_quality_filter,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1307,6 +1617,13 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ORACLE_ASOF,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "dup_clusters": _ORACLE_DUP_CLUSTERS,
+        "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+        "window_analytics": _ORACLE_WINDOW_ANALYTICS,
+        "percentiles": _ORACLE_PERCENTILES,
+        "top_terms": _ORACLE_TOP_TERMS,
+        "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
+        "quality_filter": _quality_filter_oracle(),
         "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _emb_lsh_oracle(),
         "ann_cosine_topk": _ORACLE_ANN,

@@ -47,6 +47,10 @@ HEADLINE = [
     "cube_status",
     "set_ops",
     "asof_join",
+    "window_analytics",
+    "percentiles",
+    "stratified_sample",
+    "top_terms",
     "ann_ivf_topk",
     "dedup_exact",
     "ngram_jaccard",
@@ -61,6 +65,9 @@ HEADLINE = [
     "token_stats",
     "language_id",
     "doc_fingerprints",
+    "incremental_dedup",
+    "quality_filter",
+    "dup_clusters",
 ]
 
 

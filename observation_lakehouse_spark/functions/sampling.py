@@ -1,0 +1,63 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — a repartition,
+AQE re-plan, or appended file silently changes which rows it keeps. Pipeline
+sampling must be a pure function of the DATA, so these operators key the
+decision on a cross-engine content hash (the same md5-prefix family as the
+dedup sketches, functions.text.tok_hash60): a row is kept iff
+``hash(key) mod D < fraction·D``. Same rows in → same sample out, on any
+cluster layout, in any engine (the SQL oracle reproduces the exact sample).
+
+Scale: the predicate is a scan-level filter (pure codegen, no shuffle, no
+state); stratified rates broadcast as a literal CASE over the stratum column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.text import tok_hash60
+
+# Denominator for the keep decision: 1e6 gives ppm-resolution fractions while
+# hash(key) mod D stays uniform (hash is 60-bit).
+_D = 1_000_000
+
+
+def hash_bucket(key: Column, modulus: int = _D) -> Column:
+    """Uniform bucket in [0, modulus) from a content hash of ``key``.
+
+    DuckDB twin: ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT %
+    modulus``.
+    """
+    return F.pmod(tok_hash60(key.cast("string")), F.lit(modulus).cast("long"))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff hash(key) lands under
+    ``fraction`` of the bucket space. Repartition-proof and engine-portable."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(F.col(key_col)) < int(fraction * _D))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    languages, keep all rare ones). ``rates`` maps stratum value → fraction;
+    strata not listed are DROPPED (rate 0), so the keep-set is explicit.
+
+    The rate table folds into the plan as one literal CASE expression —
+    at 100 TB this is still a scan-level filter with zero joins.
+    """
+    for stratum, fr in rates.items():
+        if not 0.0 <= fr <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {fr}")
+    threshold = F.lit(0).cast("long")
+    for stratum, fr in rates.items():
+        threshold = (
+            F.when(F.col(stratum_col) == stratum, F.lit(int(fr * _D)).cast("long"))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket(F.col(key_col)) < threshold)

@@ -131,7 +131,7 @@ def embedding_near_dup(
             hyperplane_signature,
         )
 
-        blk = hyperplane_signature(F.col(vec_col), hyperplanes)
+        blk = hyperplane_signature(vec_col, hyperplanes)
         # Bucket pairs = (b, b) plus (b, b^bit) — Hamming-1 multi-probe.
         buckets = emb.select(blk.alias("_b")).distinct()
         probes = buckets.select(

@@ -158,12 +158,29 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+def hyperplane_signature(vec: str | Column, hyperplanes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane (dot(v, h) >= 0).
 
     ``hyperplanes`` is a small literal matrix (seeded offline) — it folds into
-    the plan as constants, so the signature is pure codegen.
+    the plan as constants, so the signature is pure codegen. Pass ``vec`` as a
+    column NAME where possible: the H×d literal fan is then generated as ONE
+    SQL string (a single parse round trip) instead of H·d ``F.lit`` Py4J calls
+    (~0.7 s of driver time per call at H=16, d=64, measured). The arithmetic
+    (sequential zip_with/aggregate dot fold) is identical either way, so bucket
+    ids — and the SQL oracles derived from the same literals — are unchanged.
     """
+    if isinstance(vec, str):
+        terms = []
+        for i, h in enumerate(hyperplanes):
+            arr = "array(" + ", ".join(repr(float(x)) + "D" for x in h) + ")"
+            dot = (
+                f"aggregate(zip_with(transform({vec}, x -> CAST(x AS DOUBLE)), {arr}, "
+                "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            power = 1 << i if i < 63 else -(1 << 63)
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {power}L ELSE 0L END)")
+        # Disjoint bit powers: arithmetic sum == the bitwise-XOR fold below.
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     sig = F.lit(0).cast("long")
     for i, h in enumerate(hyperplanes):
         arr = F.array(*[F.lit(float(x)) for x in h])
@@ -211,12 +228,12 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        hyperplane_signature(F.col(vec_col), hyperplanes).alias("bucket"),
+        hyperplane_signature(vec_col, hyperplanes).alias("bucket"),
     )
     q_sig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(F.col(vec_col), hyperplanes).alias("bucket"),
+        hyperplane_signature(vec_col, hyperplanes).alias("bucket"),
     )
     if probe_radius > 0:
         probes = F.array(

@@ -17,7 +17,7 @@ corpus is 100 TB and these run on EVERY document as a pre-training filter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.functions.text import (
@@ -168,4 +168,34 @@ def document_fingerprints(
         F.col(id_col),
         rolling_fingerprint(toks).alias("rolling_fp"),
         F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k terms by frequency, optionally per group (vocabulary stats).
+
+    Returns (group, term, term_count, term_rank ≤ k), ranked by count desc
+    with a total tie-break on the term itself. Shape: explode lowercased
+    tokens → hash aggregate on (group, term) → per-group top-k window. At
+    100 TB the aggregate does map-side partial combine, so the shuffle
+    carries (group, term, partial_count) — vocabulary-sized, not corpus-sized;
+    the window then ranks only distinct terms. Heavy-hitter groups are the
+    skew case; cap or pre-filter stopwords upstream if one group dominates.
+    """
+    grp = F.col(group_col) if group_col else F.lit("all")
+    exploded = df.select(
+        grp.alias("grp"),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+    )
+    counts = exploded.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("term_count"))
+    w = Window.partitionBy("grp").orderBy(F.desc("term_count"), F.asc("term"))
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .orderBy("grp", "term_rank")
     )

@@ -12,11 +12,11 @@ Floors are set from measured behavior on the synthetic testdata with margin:
   Theory: per-plane sign-agreement p ≈ 1 − θ/π ≈ 0.64 for these near-random
   embeddings (top-10 cosine ≈ 0.35–0.5 → θ ≈ 65°), so
   recall ≈ Σ_{i≤2} C(4,i)·p^(4−i)·(1−p)^i ≈ 0.86.  Floor: 0.80.
-- IVF-flat, 8 cells, nprobe 2: measured ~0.38–0.40. Unstructured embeddings
-  are IVF's adversarial case — the neighbor's cell is nearly independent of
-  the query's, so recall ≈ the probed corpus fraction (~2.8/8 including the
-  correlated own-cell boost). Floor: 0.30. Clustered corpora (IVF's design
-  assumption) sit far above this floor.
+- IVF-flat, 8 cells, nprobe 4: measured ~0.56 at sf0.01, ~0.66 at sf0.1.
+  Unstructured embeddings are IVF's adversarial case — the neighbor's cell is
+  nearly independent of the query's, so recall ≈ the probed corpus fraction
+  (~4.5/8 including the correlated own-cell boost). Floor: 0.45. Clustered
+  corpora (IVF's design assumption) sit far above this floor.
 """
 
 from __future__ import annotations
@@ -52,4 +52,4 @@ def test_lsh_recall_floor(spark, exact_pairs):
 def test_ivf_recall_floor(spark, exact_pairs):
     approx = _pairs(entrymod.q_ann_ivf_topk(spark, SF_DIR))
     recall = len(exact_pairs & approx) / len(exact_pairs)
-    assert recall >= 0.30, f"IVF nprobe=2 recall@10 regressed: {recall:.3f} < 0.30"
+    assert recall >= 0.45, f"IVF nprobe=4 recall@10 regressed: {recall:.3f} < 0.45"

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.operators.dedup import (
     exact_dedup,
+    incremental_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
@@ -46,6 +47,19 @@ def test_exact_dedup(spark):
     assert out[4]["is_duplicate"] and out[4]["dup_rank"] == 2
     assert out[1]["content_hash"] == out[4]["content_hash"]
     assert not out[2]["is_duplicate"] and not out[3]["is_duplicate"]
+
+
+def test_incremental_dedup_admission(spark):
+    corpus = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        # 10 dups corpus doc 1; 11/13 duplicate each other; 12 is genuinely new
+        [(10, BASE), (11, NEAR), (12, "fresh content here"), (13, NEAR)],
+        "doc_id long, text string",
+    )
+    admitted = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
+    )
+    assert admitted == [11, 12]
 
 
 def test_minhash_lsh_finds_planted_near_dup(spark):

@@ -1,0 +1,52 @@
+"""Connected components + duplicate-cluster resolution (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _comps(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds) + pair 10-11
+    got = _comps(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_edge_direction_irrelevant(spark):
+    # labels must flow against edge direction too (symmetrized internally)
+    assert _comps(spark, [(5, 1), (2, 5)]) == {(1, 1), (2, 1), (5, 1)}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_clusters_includes_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0,
+    }
+    assert [d for d, r in rows.items() if r["is_canonical"]] == [0, 1, 2, 4]
+    assert rows[5]["cluster_size"] == 3 and rows[1]["cluster_size"] == 1
