@@ -748,41 +748,42 @@ FROM documents
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-shingle Jaccard pairs blocked per language — the
-    verification-grade dedup, oracle-checked end to end. Bigrams (not bare
-    token sets): shared single tokens each emit a candidate row in the
-    set-similarity join, so the unigram intermediate on this template-heavy
-    corpus is ~10× the true pair set; bigrams are selective enough that the
-    join output ≈ the near-dup pairs. Blocking on lang alone (not source) —
-    the planted dups span sources."""
+    """Trigram-shingle Jaccard pairs, UNBLOCKED — the verification-grade
+    dedup, oracle-checked end to end. Trigrams because selectivity IS the
+    blocking here: the planted duplicates span languages and sources (so
+    metadata blocks lose most true pairs), while near-unique trigram keys
+    keep the set-similarity join intermediate candidate-bounded (1.3M rows
+    over 5000 sf0.1 docs vs 9.4M for lang-blocked bigrams, ~2.6M pairs of
+    which only 79 were real)."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", block_col="lang",
-        shingle_size=2, threshold=0.5,
+        docs, text_col="text", id_col="doc_id", block_col=None,
+        shingle_size=3, threshold=0.5,
     )
 
 
 # Exploded set-similarity form (same shape as the Spark plan): DuckDB's
-# all-pairs list_intersect over the big language blocks is ~20x slower than
-# the shingle equi-join + count at sf0.1.
+# all-pairs list_intersect over the corpus is ~20x slower than the shingle
+# equi-join + count at sf0.1.
 _ORACLE_NGRAM_JACCARD = """
 WITH tk AS (
-    SELECT doc_id, lang AS blk,
+    SELECT doc_id,
            list_transform(
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
                t -> lower(t)) AS toks
     FROM documents
 ), base AS (
-    SELECT doc_id, blk,
-           list_distinct(CASE WHEN len(toks) >= 2
-               THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                ELSE [array_to_string(toks, ' ')] END) AS sh
     FROM tk WHERE len(toks) > 0
 ), ex AS (
-    SELECT doc_id, blk, unnest(sh) AS s FROM base
+    SELECT doc_id, unnest(sh) AS s FROM base
 ), inter AS (
     SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
-    FROM ex l JOIN ex r ON l.blk = r.blk AND l.s = r.s AND l.doc_id < r.doc_id
+    FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
     GROUP BY 1, 2
 ), sizes AS (
     SELECT doc_id, len(sh) AS n FROM base
@@ -809,16 +810,22 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from observation_lakehouse_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    pair_plan = ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", block_col=None,
         shingle_size=3, threshold=0.5,
     )
+    # Persist the pair table itself: it is the expensive derived artifact the
+    # iterative resolution consumes repeatedly (each component round scans the
+    # edges) — in production this is the materialized candidate-pairs table
+    # the cluster-resolution job reads, not a plan re-derived per round.
+    pairs = pair_plan.select("id_a", "id_b").persist()
     out = dedup_clusters(docs, pairs)
-    # The pair operator's persisted shingle base outlives the (eager)
-    # component rounds so a repeated run reuses it; propagate the cache
-    # handles to the returned plan for the caller's release_cached, the same
-    # contract as the pair queries themselves.
-    out._cached_deps = getattr(pairs, "_cached_deps", ())  # noqa: SLF001
+    # Cache handles propagate to the returned plan for the caller's
+    # release_cached, the same contract as the pair queries themselves.
+    out._cached_deps = (  # noqa: SLF001
+        pairs,
+        *getattr(pair_plan, "_cached_deps", ()),
+    )
     return out
 
 
@@ -940,27 +947,43 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp values hash-match. At 100 TB the exact sort-based percentile is the
     audit twin; `approx_percentile` (t-digest) is the streaming-scale default —
     approximate results are engine-specific, hence not the oracle-checked path."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            # ONE percentile aggregate with an array of fractions: the exact
-            # percentile buffers the group's values once and reads three
-            # order statistics from the same sorted buffer — three separate
-            # calls each buffer + sort independently (measured 3×).
-            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("_p"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            F.count(F.lit(1)).alias("n_items"),
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # Sort-based order statistics instead of the `percentile` aggregate: the
+    # exact aggregate buffers every group value in an ObjectHashAggregate
+    # (GC-heavy, off-codegen; measured 1.5–3.8 s at sf0.1 across runs). A
+    # row_number window + conditional MAX picks the two neighbor rows per
+    # fraction out of the same sort, all whole-stage codegen (~0.6 s, stable).
+    # Interpolation uses quantile_cont's exact form
+    # (crn−rn)·v_lo + (rn−frn)·v_hi so the doubles agree with the oracle.
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    counts = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    ranked = (
+        li.withColumn("rn", F.row_number().over(w) - 1)  # 0-based
+        .join(F.broadcast(counts), "l_returnflag")
+    )
+
+    def pick(p: float) -> F.Column:
+        k = (F.col("n") - 1) * F.lit(p)
+        vlo = F.max(F.when(F.col("rn") == F.floor(k), F.col("l_extendedprice")))
+        vhi = F.max(F.when(F.col("rn") == F.ceil(k), F.col("l_extendedprice")))
+        kk = (F.first("n") - 1) * F.lit(p)
+        return F.when(F.ceil(kk) == F.floor(kk), vlo).otherwise(
+            (F.ceil(kk) - kk) * vlo + (kk - F.floor(kk)) * vhi
         )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_p")[0], 6).alias("p25"),
-            F.round(F.col("_p")[1], 6).alias("median"),
-            F.round(F.col("_p")[2], 6).alias("p75"),
-            "min_price",
-            "max_price",
-            "n_items",
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.round(pick(0.25), 6).alias("p25"),
+            F.round(pick(0.5), 6).alias("median"),
+            F.round(pick(0.75), 6).alias("p75"),
+            F.first("min_price").alias("min_price"),
+            F.first("max_price").alias("max_price"),
+            F.first("n").alias("n_items"),
         )
         .orderBy("l_returnflag")
     )
@@ -977,6 +1000,39 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
+"""
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows over the events stream's batch twin —
+    F.window (the same operator the streaming path uses with a watermark)
+    grouped with per-type decimal-exact sums. events.ts is TIMESTAMP(NANOS),
+    read as nanos-since-epoch longs (see _t); the window column is rebuilt at
+    microsecond precision via integer division (a double division would lose
+    precision above 2^53 ns). Hour windows align to the epoch hour in both
+    engines, so window_start == date_trunc('hour')."""
+    ev = _t(spark, sf_dir, "events")
+    tsc = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.withColumn("tw", F.window(tsc, "1 hour"))
+        .groupBy(F.col("tw.start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_ORACLE_EVENT_WINDOWS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
 """
 
 
@@ -1577,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "incremental_dedup": q_incremental_dedup,
         "quality_filter": q_quality_filter,
+        "event_windows": q_event_windows,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1624,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _ORACLE_TOP_TERMS,
         "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
         "quality_filter": _quality_filter_oracle(),
+        "event_windows": _ORACLE_EVENT_WINDOWS,
         "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _emb_lsh_oracle(),
         "ann_cosine_topk": _ORACLE_ANN,

@@ -47,6 +47,7 @@ HEADLINE = [
     "cube_status",
     "set_ops",
     "asof_join",
+    "event_windows",
     "window_analytics",
     "percentiles",
     "stratified_sample",

@@ -32,15 +32,26 @@ def token_pieces(text: str | Column) -> Column:
 def word_shingles(text: str | Column, n: int = 3) -> Column:
     """Distinct n-token shingles (space-joined), lowercase.
 
-    ``transform`` over an index ``sequence`` builds the sliding window without
-    leaving codegen; ``array_distinct`` because shingle SETS drive Jaccard.
+    Built as a chain of ``zip_with`` concats over shifted copies of the token
+    array (the same shape as :func:`hashed_word_shingles`), NOT as a
+    ``transform`` over an index sequence with a per-position ``slice``: a
+    lambda that references the token subexpression re-evaluates the full
+    tokenization per element (interpreted HOFs do no common-subexpression
+    elimination), which is O(len²) per document — measured 11 s vs 0.6 s to
+    shingle 5000 sf0.1 docs. The zip_with chain references tokens ~n+1 times
+    total; NULL padding from the shorter shifted side poisons (and later
+    drops) the incomplete tail windows. ``array_distinct`` because shingle
+    SETS drive Jaccard.
     """
     toks = F.transform(tokens(text), lambda t: F.lower(t))
-    if n == 1:  # fast path: no windowing, no per-position slice/join
+    if n == 1:  # fast path: no windowing at all
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    windows = F.filter(acc, lambda x: x.isNotNull())
+    return F.when(F.size(toks) >= n, F.array_distinct(windows)).otherwise(
         F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
             F.array().cast("array<string>")
         )
@@ -48,13 +59,23 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
 
 
 def char_shingles(text: str | Column, n: int = 5) -> Column:
-    """Distinct character n-grams of the lowercased text."""
+    """Distinct character n-grams of the lowercased text.
+
+    Same zip_with-chain shape as :func:`word_shingles` (a per-index
+    ``substring`` lambda would re-lowercase the whole text per window —
+    O(len²) per document).
+    """
     c = F.lower(F.col(text) if isinstance(text, str) else text)
     length = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
-    return F.when(
-        length >= n, F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
-    ).otherwise(F.when(length > 0, F.array(c)).otherwise(F.array().cast("array<string>")))
+    chars = F.split(c, "")
+    acc = chars
+    for k in range(1, n):
+        shifted = F.slice(chars, k + 1, F.greatest(F.size(chars) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, b))
+    windows = F.filter(acc, lambda x: x.isNotNull())
+    return F.when(length >= n, F.array_distinct(windows)).otherwise(
+        F.when(length > 0, F.array(c)).otherwise(F.array().cast("array<string>"))
+    )
 
 
 _MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1

@@ -139,7 +139,14 @@ class ObservationLakehouse:
             self._atomic(name).append(df, idempotency_key=idempotency_key)
             return
         target = self.table(name)
-        aligned = df.select([df[c] for c in target.columns])
+        # Align by NAME and cast to the table's type (S7 schema-cast on
+        # write): insertInto binds positionally with no implicit cast, so a
+        # reordered or widened input (int ids from a JSON source, say) would
+        # otherwise corrupt or reject the write. Casts that are already
+        # no-ops are optimized away by Catalyst.
+        aligned = df.select(
+            [df[f.name].cast(f.dataType).alias(f.name) for f in target.schema.fields]
+        )
         aligned.write.insertInto(f"`{self.database}`.`{name}`", overwrite=False)
         # A relation read before this append caches its file index; inserts into
         # partitioned parquet tables do not reliably invalidate it, so later

@@ -157,14 +157,15 @@ def minhash_lsh_dedup(
     # consumer. At production scale this boundary is a signatures table.
     # Shingle strings are never materialized: tokens are hashed once and
     # windows combine arithmetically (hashed_word_shingles).
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            hashed_word_shingles(text_col, shingle_size).alias("sh_hashes"),
-        )
-        .filter(F.size("sh_hashes") > 0)
-        .persist()
-    )
+    # The size filter sits ABOVE the persist: below it, the filter's
+    # size(<shingle expr>) predicate is part of the cached plan and the
+    # materialization evaluates the whole shingle expression twice per row
+    # (once for the filter, once for the projection).
+    cached = df.select(
+        F.col(id_col).alias("doc_id"),
+        hashed_word_shingles(text_col, shingle_size).alias("sh_hashes"),
+    ).persist()
+    base = cached.filter(F.size("sh_hashes") > 0)
 
     # Signature via explode + num_hashes MIN aggregates: hash aggregation is
     # whole-stage-codegen with map-side partial combine, an order of magnitude
@@ -224,7 +225,7 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
-    return _with_cached_deps(verified.orderBy("id_a", "id_b"), base, sigs)
+    return _with_cached_deps(verified.orderBy("id_a", "id_b"), cached, sigs)
 
 
 def simhash_fingerprints(
@@ -366,16 +367,15 @@ def ngram_jaccard_pairs(
     stopword shingles; AQE skew-join mitigates).
     """
     # persist(): the shingle expression feeds sizes + both join sides (4
-    # consumers) — materialize once.
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-            word_shingles(text_col, shingle_size).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    # consumers) — materialize once. The size filter sits ABOVE the persist
+    # (below it, the cached plan evaluates the shingle expression twice per
+    # row during materialization: once in the filter, once in the project).
+    cached = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        word_shingles(text_col, shingle_size).alias("sh"),
+    ).persist()
+    base = cached.filter(F.size("sh") > 0)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
     tok = base.select("doc_id", "blk", F.explode("sh").alias("shingle"))
 
@@ -402,4 +402,4 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
         .orderBy("id_a", "id_b")
     )
-    return _with_cached_deps(out, base)
+    return _with_cached_deps(out, cached)

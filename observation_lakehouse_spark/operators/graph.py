@@ -83,11 +83,12 @@ def connected_components(
     # small side of a broadcast at scale, so pin shuffle-hash joins. (Locally
     # this also halves the per-round job count: no broadcast-exchange jobs.)
     try:
-        sym = (
-            e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
-            .persist()
-        )
+        # No distinct(): duplicate edges are harmless under the MIN
+        # aggregation (idempotent), and deduplicating would cost a full
+        # shuffle of the edge set before the loop even starts.
+        sym = e0.unionByName(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).persist()
         labels = (
             sym.select(F.col("a").alias("node"))
             .distinct()

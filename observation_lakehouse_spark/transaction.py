@@ -119,9 +119,13 @@ class AtomicParquetTable:
             if idempotency_key in head["commits"]:
                 return head["commits"][idempotency_key]
 
-        # 1. Stage with a normal distributed write job.
+        # 1. Stage with a normal distributed write job (aligned by name AND
+        # cast to the table type — S7 schema-cast on write, so a widened or
+        # reordered input can't change the on-disk parquet types).
         staging = self.location / "_staging" / uuid.uuid4().hex
-        writer = df.select([df[f.name] for f in self.schema.fields]).write.mode("overwrite")
+        writer = df.select(
+            [df[f.name].cast(f.dataType).alias(f.name) for f in self.schema.fields]
+        ).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(str(staging))

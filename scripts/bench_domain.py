@@ -202,6 +202,18 @@ def main() -> None:
             df._jdf.queryExecution().executedPlan()
             samples.append((time.perf_counter() - t0) * 1000)
         plan_ms[name] = round(statistics.median(samples), 1)
+    # End-to-end floor: the SAME query on a problem id that partition-prunes
+    # to ZERO rows — planning + scheduling + empty-scan jobs + Arrow fetch,
+    # no data compute at all. measured ≈ empty_problem ⇒ the per-problem gap
+    # vs DuckDB is session overhead, not the data path.
+    empty_ms: dict[str, float] = {}
+    for name, fam in families.items():
+        samples = []
+        for _ in range(n_samples):
+            t0 = time.perf_counter()
+            fam("p_none").toPandas()
+            samples.append((time.perf_counter() - t0) * 1000)
+        empty_ms[name] = round(statistics.median(samples), 1)
 
     out = {
         "metric": "per_problem_latency_ms",
@@ -219,6 +231,7 @@ def main() -> None:
         "floor_ms": {
             "trivial_job_p50": round(statistics.median(floor), 1),
             "catalyst_planning_p50": plan_ms,
+            "empty_problem_p50": empty_ms,
         },
         "reference_baseline_ms": {
             "srm_output_view": 53.2,

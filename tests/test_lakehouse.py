@@ -45,6 +45,31 @@ def test_append_is_additive(lakehouse, observations):
     assert lakehouse.load_observations_table().count() == before + 10
 
 
+def test_append_casts_to_table_schema(spark, observations):
+    """S7 schema-cast on write: a reordered input with narrower types (int
+    where the table holds long/double) must land with the TABLE's types.
+    Own database: the shared module fixture's counts are asserted elsewhere."""
+    lh = ObservationLakehouse(spark, database="olake_cast_test")
+    lh.create_observations_table()
+    target_fields = lh.load_observations_table().schema.fields
+    one = observations.limit(1)
+    widened = one.select(
+        # reversed column order + every numeric column narrowed where possible
+        *[
+            one[f.name].cast("int").alias(f.name)
+            if f.dataType.simpleString() in ("bigint", "double")
+            else one[f.name]
+            for f in reversed(target_fields)
+        ]
+    )
+    lh.append_observations(widened)
+    after = lh.load_observations_table()
+    assert after.count() == 1
+    got = {f.name: f.dataType.simpleString() for f in after.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in target_fields}
+    assert got == want
+
+
 def test_schema_evolution(lakehouse):
     lakehouse.evolve_observations_schema("extra_metric", "double")
     cols = lakehouse.load_observations_table().columns
