@@ -215,6 +215,40 @@ def main() -> None:
             samples.append((time.perf_counter() - t0) * 1000)
         empty_ms[name] = round(statistics.median(samples), 1)
 
+    # The Spark-first serving shape: don't loop problems through interactive
+    # queries (DuckDB's shape, where Spark pays a per-query planner+scheduler
+    # floor) — compute EVERY problem in ONE partitioned job and serve results.
+    # Amortized per-problem cost is the number that scales to 100 TB: the
+    # same plan over 1000× the problems is still one job.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    batch_ms: dict[str, float] = {}
+    from observation_lakehouse_spark.operators import srm_output_map  # noqa: F401
+
+    def batch_srm():
+        per_cell = obs.groupBy(
+            "problem_id", "test_id", "step_id", "implementation_id"
+        ).agg(F.first("output").alias("output"))
+        return per_cell.groupBy("problem_id", "test_id", "step_id").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("implementation_id", "output")))
+            ).alias("outputs")
+        )
+
+    batch_families = {
+        "srm_output_view": batch_srm,
+        "behavioral_clustering": lambda: behavioral_clustering(
+            obs, data_set_id="DSA"
+        ),
+        "three_way_join": lambda: three_way_join(obs, code, tst, data_set_id="DSA"),
+    }
+    for name, fam in batch_families.items():
+        t0 = time.perf_counter()
+        fam().write.mode("overwrite").format("noop").save()
+        batch_ms[name] = round(
+            (time.perf_counter() - t0) * 1000 / n_problems, 2
+        )
+
     out = {
         "metric": "per_problem_latency_ms",
         "n_problems": n_problems,
@@ -233,6 +267,7 @@ def main() -> None:
             "catalyst_planning_p50": plan_ms,
             "empty_problem_p50": empty_ms,
         },
+        "batch_serving_amortized_ms_per_problem": batch_ms,
         "reference_baseline_ms": {
             "srm_output_view": 53.2,
             "behavioral_clustering": 27.9,

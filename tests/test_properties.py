@@ -105,3 +105,49 @@ def test_fingerprint_equality_iff_trace_equality(spark_global, outputs):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark_global, edges):
+    """The distributed pointer-jumping loop must agree with a sequential
+    union-find on ANY random edge list (self-loops and duplicates included)."""
+    from observation_lakehouse_spark.operators.graph import connected_components
+
+    spark = spark_global
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        comp_min.setdefault(find(n), min(find(n), n))
+        comp_min[find(n)] = min(comp_min[find(n)], n)
+    expected = {(n, comp_min[find(n)]) for n in parent}
+    assert got == expected
