@@ -1003,6 +1003,101 @@ ORDER BY l_returnflag
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation machinery (functions/skew.py salted_agg) on the
+    oracle-checked surface: two-phase salted aggregation per event_type
+    (hot-key aggregation skew is the classic 100 TB failure; the salt spreads
+    one hot key over N reducers, phase 2 merges partial buffers). The oracle
+    is the UNSALTED equivalent — salting must be invisible in the result."""
+    from observation_lakehouse_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        exprs={
+            "n_events": ("count", None),
+            "total_value": ("sum", "value_dec"),
+            "max_value": ("max", "value"),
+            "distinct_users": ("collect_set", "user_id"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+        "max_value",
+        F.size("distinct_users").cast("long").alias("n_distinct_users"),
+    ).orderBy("event_type")
+
+
+_ORACLE_SALTED_AGG = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value,
+       MAX(value) AS max_value,
+       COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.py chunk_documents): 48-token
+    windows at stride 32 (overlapping). Embarrassingly parallel — tokenize
+    once per doc below the Generate, slice the carried array per chunk; no
+    shuffle at any corpus size."""
+    from observation_lakehouse_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=48, stride=32)
+    return out.withColumn("n_chunk_tokens", F.col("n_chunk_tokens").cast("long"))
+
+
+_ORACLE_CHUNK_DOCUMENTS = """
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+), st AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start
+    FROM tk WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // 32 AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 48), ' ') AS chunk_text,
+       len(list_slice(toks, start + 1, start + 48)) AS n_chunk_tokens
+FROM st
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization pass (operators/text.py clean_text): control-char
+    strip + whitespace collapse + trim, pure scan-speed column algebra."""
+    from observation_lakehouse_spark.operators.text import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return clean_text(docs).select("doc_id", "clean_text", "n_chars_clean").orderBy(
+        "doc_id"
+    )
+
+
+_ORACLE_CLEAN_TEXT = """
+SELECT doc_id,
+       TRIM(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                           '\\s{2,}', ' ', 'g')) AS clean_text,
+       length(TRIM(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                                  '\\s{2,}', ' ', 'g'))) AS n_chars_clean
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the events stream's batch twin —
     F.window (the same operator the streaming path uses with a watermark)
@@ -1634,6 +1729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "quality_filter": q_quality_filter,
         "event_windows": q_event_windows,
+        "chunk_documents": q_chunk_documents,
+        "clean_text": q_clean_text,
+        "salted_agg": q_salted_agg,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1682,6 +1780,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
         "quality_filter": _quality_filter_oracle(),
         "event_windows": _ORACLE_EVENT_WINDOWS,
+        "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+        "clean_text": _ORACLE_CLEAN_TEXT,
+        "salted_agg": _ORACLE_SALTED_AGG,
         "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _emb_lsh_oracle(),
         "ann_cosine_topk": _ORACLE_ANN,

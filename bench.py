@@ -47,6 +47,7 @@ HEADLINE = [
     "cube_status",
     "set_ops",
     "asof_join",
+    "salted_agg",
     "event_windows",
     "window_analytics",
     "percentiles",
@@ -66,6 +67,8 @@ HEADLINE = [
     "token_stats",
     "language_id",
     "doc_fingerprints",
+    "clean_text",
+    "chunk_documents",
     "incremental_dedup",
     "quality_filter",
     "dup_clusters",

@@ -171,6 +171,64 @@ def document_fingerprints(
     )
 
 
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization pass every corpus gets before dedup/tokenization:
+    strip control characters, collapse whitespace runs to single spaces,
+    trim. Adds ``clean_text`` + ``n_chars_clean``. Pure regexp column
+    algebra — scan-speed, no shuffle, reproducible in any engine."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), r"[\x00-\x1F\x7F]", " "),
+            r"\s{2,}",
+            " ",
+        )
+    )
+    return df.withColumn("clean_text", cleaned).withColumn(
+        "n_chars_clean", F.length("clean_text")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size token windows (context-window prep).
+
+    Returns (doc_id, chunk_id, chunk_text, n_chunk_tokens): chunk k covers
+    tokens [k·stride, k·stride + chunk_tokens); ``stride`` defaults to
+    ``chunk_tokens`` (non-overlapping) — pass less for overlapping windows.
+    Token-less docs yield no chunks.
+
+    Shape: tokenize once per document in a projection BELOW the Generate,
+    explode the chunk starts, then slice the carried token-array VALUE per
+    chunk row — O(chunk) per chunk, not a lambda re-tokenizing per element
+    (see word_shingles on the HOF re-evaluation trap). Chunking is
+    embarrassingly parallel: no shuffle at any size.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    with_toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    exploded = with_toks.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+        ).alias("chunk_id", "start"),
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -49,6 +49,24 @@ def test_exact_dedup(spark):
     assert not out[2]["is_duplicate"] and not out[3]["is_duplicate"]
 
 
+def test_chunk_documents_overlap(spark):
+    from observation_lakehouse_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"]) for r in rows}
+    assert got == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("c d e f", 4),
+        (1, 2): ("e f g", 3),
+        (1, 3): ("g", 1),
+        (2, 0): ("x y", 2),
+    }  # docs 3/4 (whitespace/null) yield no chunks
+
+
 def test_incremental_dedup_admission(spark):
     corpus = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
     batch = spark.createDataFrame(
