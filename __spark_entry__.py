@@ -49,12 +49,83 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-        # long (nanos since epoch) — order-equivalent to the timestamp, which is
-        # all the queries below use ts for.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+# The physical unit of events.ts has changed across testdata generations
+# (TIMESTAMP(NANOS) in earlier drops, TIMESTAMP(MICROS, NTZ) now). Normalize to
+# epoch-MICROSECOND longs in every session — including the driver's, which has
+# none of our session confs — by probing the parquet footer for the real unit
+# and forcing a raw-int64 read of the physical column (no legacy conf needed;
+# `spark.sql.legacy.parquet.nanosAsLong` is ignored at runtime in Spark 4.1).
+_TS_UNIT_TO_US = {"ns": ("DIV", 1000), "us": (None, 1), "ms": ("MUL", 1000), "s": ("MUL", 1_000_000)}
+
+_ARROW_TO_SPARK = {
+    "int64": "bigint",
+    "int32": "int",
+    "string": "string",
+    "large_string": "string",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _events_footer(path: str):
+    """(arrow_schema, ts_unit) from the parquet footer, or (None, None)."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        sch = pq.ParquetFile(f).schema_arrow
+        ts_type = sch.field("ts").type
+        unit = getattr(ts_type, "unit", None)
+        return sch, unit
+    except Exception:
+        return None, None
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    sch, unit = _events_footer(path)
+    fields = []
+    if sch is not None and unit in _TS_UNIT_TO_US:
+        for name in sch.names:
+            if name == "ts":
+                fields.append("ts BIGINT")  # raw physical int64, any unit
+            else:
+                spark_t = _ARROW_TO_SPARK.get(str(sch.field(name).type))
+                if spark_t is None:
+                    fields = None
+                    break
+                fields.append(f"`{name}` {spark_t}")
+    else:
+        fields = None
+    if fields is not None:
+        df = spark.read.schema(", ".join(fields)).parquet(path)
+        op, k = _TS_UNIT_TO_US[unit]
+        if op == "DIV":
+            df = df.withColumn("ts", F.expr(f"ts DIV {k}"))
+        elif op == "MUL":
+            df = df.withColumn("ts", F.col("ts") * F.lit(k))
+        return df
+    # Fallback: plain read, then cast whatever ts type we got to micro-longs.
+    df = spark.read.parquet(path)
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":  # nanos-as-long session
+        df = df.withColumn("ts", F.expr("ts DIV 1000"))
+    elif t in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    return df
 
 
 def _dec(col: str, scale: int = 2) -> F.Column:
@@ -404,12 +475,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of streaming.stateful.sessionize):
     one shuffle, fused windows, decimal-exact session value. Timestamps are
-    compared and emitted as epoch MICROS (`ts DIV 1000` on the nanos long) so
-    both engines truncate identically."""
+    compared and emitted as epoch MICROS (_t normalizes events.ts to
+    micro-longs) so both engines truncate identically."""
     from observation_lakehouse_spark.operators.sessionization import sessionize_batch
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id", "value"
+        "user_id", F.col("ts").alias("ts_us"), "event_id", "value"
     )
     return (
         sessionize_batch(ev, gap=6 * 3600 * 1_000_000)
@@ -1101,13 +1172,12 @@ ORDER BY doc_id
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows over the events stream's batch twin —
     F.window (the same operator the streaming path uses with a watermark)
-    grouped with per-type decimal-exact sums. events.ts is TIMESTAMP(NANOS),
-    read as nanos-since-epoch longs (see _t); the window column is rebuilt at
-    microsecond precision via integer division (a double division would lose
-    precision above 2^53 ns). Hour windows align to the epoch hour in both
-    engines, so window_start == date_trunc('hour')."""
+    grouped with per-type decimal-exact sums. events.ts arrives as
+    epoch-microsecond longs (see _t, unit-normalized from the parquet footer);
+    the window column is rebuilt at microsecond precision. Hour windows align
+    to the epoch hour in both engines, so window_start == date_trunc('hour')."""
     ev = _t(spark, sf_dir, "events")
-    tsc = F.timestamp_micros(F.expr("ts div 1000"))
+    tsc = F.timestamp_micros(F.col("ts"))
     return (
         ev.withColumn("tw", F.window(tsc, "1 hour"))
         .groupBy(F.col("tw.start").alias("window_start"), "event_type")

@@ -21,7 +21,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from observation_lakehouse_spark.operators.dedup import release_cached  # noqa: E402
-from observation_lakehouse_spark.session import get_spark  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -83,7 +82,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("correctness-check")
+    # Bare session ON PURPOSE: the driver's harness builds a default
+    # SparkSession with none of session.py's confs, so this mirror must too —
+    # any query that only works under our tuned session is a latent driver
+    # failure (this is exactly how the round-2 TIMESTAMP(NANOS→MICROS) break
+    # slipped through).
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("correctness-check")
+        .master(f"local[{cpus}]")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
