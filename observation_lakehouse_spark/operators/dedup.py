@@ -377,7 +377,15 @@ def ngram_jaccard_pairs(
     ).persist()
     base = cached.filter(F.size("sh") > 0)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    tok = base.select("doc_id", "blk", F.explode("sh").alias("shingle"))
+    # Join on the shingle's 64-bit hash, not the string: the self-join
+    # shuffles fixed 8-byte keys instead of arbitrary-length text, and the
+    # hash is computed once per exploded row before the exchange. Collisions
+    # would need two DISTINCT shingles with equal xxhash64 co-occurring in two
+    # docs — ~(distinct_shingles)²/2⁶⁴, vanishing even at 100 TB corpus scale
+    # (and only ever inflates one pair's intersection by 1).
+    tok = base.select(
+        "doc_id", "blk", F.explode("sh").alias("_s")
+    ).select("doc_id", "blk", F.xxhash64("_s").alias("shingle"))
 
     l, r = tok.alias("l"), tok.alias("r")
     inter = (

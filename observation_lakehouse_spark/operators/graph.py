@@ -40,6 +40,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Resolve (node, component) from an undirected edge list.
 
@@ -48,8 +49,23 @@ def connected_components(
     edge are returned; callers join back to their node table for singletons
     (see :func:`dedup_clusters`).
 
-    Raises if the graph has not converged after ``max_iter`` rounds (diameter
-    > max_iter), rather than returning silently-wrong partial labels.
+    Two physical strategies behind one contract:
+
+    - ``n_edges <= driver_threshold``: collect the (long, long) edge list and
+      run sequential union-find on the driver (min-id roots, path halving).
+      A 4M-edge list is ~64 MB on the driver — trivially affordable — and it
+      replaces ~6 distributed label rounds (each several shuffles + a
+      convergence count, ~0.5 s of pure scheduler latency per round even on
+      empty-ish data) with microseconds of Python. Candidate-pair graphs are
+      SPARSE relative to the corpus (pairs survive a ≥threshold similarity
+      verification), so even 100 TB corpora commonly land under this bound.
+    - above the threshold: distributed min-label propagation with pointer
+      jumping, O(log diameter) rounds — the path that holds when the pair
+      graph itself is beyond driver memory.
+
+    Raises if the distributed loop has not converged after ``max_iter``
+    rounds (diameter > max_iter), rather than returning silently-wrong
+    partial labels.
     """
     # persist + materialize the projected edge list: the symmetrizing union
     # below references the caller's (possibly expensive) pair plan twice, and
@@ -58,6 +74,35 @@ def connected_components(
     # iteration below is re-scoped.
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     n_edges = e0.count()
+
+    if n_edges <= driver_threshold:
+        try:
+            spark = edges.sparkSession
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in e0.collect():
+                a, b = row["a"], row["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-id root: the component label IS the minimum node id
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            rows = [(n, find(n)) for n in parent]
+            return spark.createDataFrame(rows, "node long, component long")
+        finally:
+            e0.unpersist()
 
     # Iteration tuning, scoped to this loop and restored on exit:
     # - AQE off: adaptive execution materializes every exchange as its own

@@ -11,34 +11,39 @@ from observation_lakehouse_spark.operators.graph import (
 )
 
 
-def _comps(spark, edges):
+def _comps(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     return {
         (r["node"], r["component"])
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
-def test_two_components_and_chain(spark):
+# driver_threshold=0 forces the distributed pointer-jumping loop; the default
+# takes the driver-side union-find path. Both must satisfy the same contract.
+@pytest.mark.parametrize("kw", [{}, {"driver_threshold": 0}])
+def test_two_components_and_chain(spark, kw):
     # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds) + pair 10-11
-    got = _comps(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = _comps(spark, [(1, 2), (2, 3), (3, 4), (10, 11)], **kw)
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
-def test_edge_direction_irrelevant(spark):
+@pytest.mark.parametrize("kw", [{}, {"driver_threshold": 0}])
+def test_edge_direction_irrelevant(spark, kw):
     # labels must flow against edge direction too (symmetrized internally)
-    assert _comps(spark, [(5, 1), (2, 5)]) == {(1, 1), (2, 1), (5, 1)}
+    assert _comps(spark, [(5, 1), (2, 5)], **kw) == {(1, 1), (2, 1), (5, 1)}
 
 
-def test_empty_edges(spark):
+@pytest.mark.parametrize("kw", [{}, {"driver_threshold": 0}])
+def test_empty_edges(spark, kw):
     df = spark.createDataFrame([], "id_a long, id_b long")
-    assert connected_components(df).count() == 0
+    assert connected_components(df, **kw).count() == 0
 
 
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_threshold=0)
 
 
 def test_dedup_clusters_includes_singletons(spark):

@@ -126,9 +126,12 @@ def test_connected_components_matches_union_find(spark_global, edges):
 
     spark = spark_global
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # driver_threshold=0 forces the distributed loop — the reference
+    # union-find below is effectively the driver-side path, so this pins the
+    # two physical strategies to each other on random graphs.
     got = {
         (r["node"], r["component"])
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_threshold=0).collect()
     }
 
     parent: dict[int, int] = {}
