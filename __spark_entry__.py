@@ -1755,6 +1755,273 @@ FROM hh
 
 
 # ---------------------------------------------------------------------------
+# Event-behavior analytics (operators/behavior.py) + pipeline hygiene ops
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel signup → click → purchase: one user-keyed
+    aggregate of sorted per-stage timestamp arrays, chain resolution in
+    array algebra (operators/behavior.py:funnel). No per-stage passes."""
+    from observation_lakehouse_spark.operators.behavior import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, stages=["signup", "click", "purchase"])
+
+
+_ORACLE_FUNNEL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s0 AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS r0
+    FROM e GROUP BY user_id
+), s1 AS (
+    SELECT e.user_id,
+           ANY_VALUE(r0) AS r0,
+           MIN(CASE WHEN event_type = 'click' AND ts_us >= r0 THEN ts_us END) AS r1
+    FROM e JOIN s0 USING (user_id) GROUP BY e.user_id
+), s2 AS (
+    SELECT e.user_id,
+           ANY_VALUE(r0) AS r0, ANY_VALUE(r1) AS r1,
+           MIN(CASE WHEN event_type = 'purchase' AND ts_us >= r1 THEN ts_us END) AS r2
+    FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+), d AS (
+    SELECT user_id,
+           CAST(r0 IS NOT NULL AS INT) + CAST(r1 IS NOT NULL AS INT)
+           + CAST(r2 IS NOT NULL AS INT) AS depth
+    FROM s2
+)
+SELECT stage_no, stage,
+       (SELECT COUNT(*) FROM d WHERE depth >= stage_no) AS n_users
+FROM (VALUES (1, 'signup'), (2, 'click'), (3, 'purchase')) AS stages(stage_no, stage)
+ORDER BY stage_no
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix on epoch-day integer arithmetic
+    (operators/behavior.py:cohort_retention)."""
+    from observation_lakehouse_spark.operators.behavior import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, max_weeks=4)
+
+
+_ORACLE_COHORT = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+    SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id
+)
+SELECT first_day // 7 AS cohort_week,
+       (day - first_day) // 7 AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN f USING (user_id)
+WHERE (day - first_day) // 7 <= 4
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style GROUPING SETS rollup — (day,hour,type), (day,type),
+    (type) in ONE Expand + hash aggregate (operators/behavior.py)."""
+    from observation_lakehouse_spark.operators.behavior import multires_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return multires_rollup(ev)
+
+
+_ORACLE_MULTIRES = """
+WITH e AS (
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+           event_type, value
+    FROM events
+)
+SELECT day, hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+       CASE WHEN hour IS NOT NULL THEN 'hour'
+            WHEN day IS NOT NULL THEN 'day'
+            ELSE 'all' END AS grain
+FROM e
+GROUP BY GROUPING SETS ((day, hour, event_type), (day, event_type), (event_type))
+ORDER BY grain, day NULLS FIRST, hour NULLS FIRST, event_type
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:decontaminate): docs with
+    doc_id % 20 == 7 play the held-out eval suite, the rest the training
+    corpus; flag training docs sharing ≥3 distinct 5-gram shingles."""
+    from observation_lakehouse_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 7)
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    return decontaminate(train, bench, ngram=5, min_hits=3)
+
+
+_ORACLE_DECONTAMINATE = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE [array_to_string(toks, ' ')] END)) AS g
+    FROM tk WHERE len(toks) > 0
+), t AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 7),
+   b AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 = 7)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.g) AS n_shared_ngrams,
+       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs,
+       COUNT(DISTINCT t.g) >= 3 AS contaminated
+FROM t JOIN b ON t.g = b.g
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py:redact_pii) over a deterministically
+    augmented text column — the synthetic corpus contains no PII, so both
+    engines append the same doc_id-derived email / phone / IP first, making
+    the regex semantics themselves oracle-checked (not just no-ops)."""
+    from observation_lakehouse_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +14155550"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted_text"
+    ).orderBy("doc_id")
+
+
+_ORACLE_PII = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or +14155550'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS n_phone,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted_text
+FROM aug
+ORDER BY doc_id
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py:repetition_score):
+    distinct-token ratio (row-local array algebra) + top-bigram fraction
+    (explode → hash aggregate → per-doc MAX, all codegen)."""
+    from observation_lakehouse_spark.operators.text import repetition_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_score(docs).orderBy("doc_id")
+
+
+_ORACLE_REPETITION = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                ELSE 0.0 END AS distinct_token_ratio,
+           toks
+    FROM tk
+), bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+    FROM tk WHERE len(toks) >= 2
+), cnt AS (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+    SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams FROM cnt GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.distinct_token_ratio,
+       CASE WHEN n_bigrams > 0
+            THEN ROUND(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (operators/text.py:tfidf_terms); the score
+    is rounded BEFORE ranking so engine ln() ulp differences can't flip
+    rank order."""
+    from observation_lakehouse_spark.operators.text import tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_terms(docs, k=3)
+
+
+_ORACLE_TFIDF = """
+WITH tk AS (
+    SELECT doc_id, unnest(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t))) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS term_rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, term_rank
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -1813,6 +2080,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "language_id": q_language_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "multires_rollup": q_multires_rollup,
+        "decontaminate": q_decontaminate,
+        "pii_redaction": q_pii_redaction,
+        "repetition": q_repetition,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -1865,4 +2139,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
         "doc_fingerprints": _ORACLE_DOC_FP,
+        "funnel": _ORACLE_FUNNEL,
+        "cohort_retention": _ORACLE_COHORT,
+        "multires_rollup": _ORACLE_MULTIRES,
+        "decontaminate": _ORACLE_DECONTAMINATE,
+        "pii_redaction": _ORACLE_PII,
+        "repetition": _ORACLE_REPETITION,
+        "tfidf_terms": _ORACLE_TFIDF,
     }

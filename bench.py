@@ -71,6 +71,13 @@ HEADLINE = [
     "chunk_documents",
     "incremental_dedup",
     "quality_filter",
+    "funnel",
+    "cohort_retention",
+    "multires_rollup",
+    "pii_redaction",
+    "repetition",
+    "tfidf_terms",
+    "decontaminate",
     "dup_clusters",
 ]
 

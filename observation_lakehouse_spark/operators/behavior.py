@@ -1,0 +1,176 @@
+"""Event-behavior analytics: funnels, cohort retention, multi-resolution
+rollups.
+
+The reference's workload is observation-table OLAP (reference
+olake/benchmark_srm_output_view.py, benchmark_stats.ipynb); these operators
+cover the adjacent event-stream analytics a lakehouse serving a product team
+needs on the same data — all declarative DataFrame plans, all
+SQL-oracle-checkable.
+
+Timestamps arrive as epoch-MICROSECOND longs (the `__spark_entry__._t`
+events contract); all bucketing is integer `DIV` arithmetic on those longs so
+the semantics are engine- and timezone-independent (a double division cast
+back to long can land one bucket off at exact boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US_PER_DAY = 86_400_000_000
+US_PER_HOUR = 3_600_000_000
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict ordered funnel: how many users reach each stage IN ORDER.
+
+    A user reaches stage i when they have a stage-i event at-or-after the
+    moment they reached stage i-1 (equal timestamps count as progression).
+    Returns one row per stage: (stage_no, stage, n_users).
+
+    Shape: ONE user-keyed hash aggregate collects the sorted per-stage
+    timestamp arrays (map-side combined; the shuffled row is bounded by that
+    user's own event count — the natural funnel invariant, since a funnel is
+    per-user state), then the reach chain resolves with array algebra on the
+    single per-user row and a tiny count aggregate finishes. No joins over
+    the event table, no windows, no per-stage passes: one scan + one
+    user-keyed shuffle regardless of funnel length. The global stage-i MIN
+    alone would NOT be enough — a user's earliest stage-i event may precede
+    their stage-(i-1) reach while a later one still qualifies — which is why
+    the sorted array, not just a conditional MIN, is aggregated.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"_ts{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    chain = per_user.withColumn("_r0", F.get(F.col("_ts0"), 0))
+    for i in range(1, len(stages)):
+        prev = F.col(f"_r{i - 1}")
+        qualifying = F.filter(F.col(f"_ts{i}"), lambda t: (t >= prev) & prev.isNotNull())
+        chain = chain.withColumn(f"_r{i}", F.get(qualifying, 0))
+    # reaches are prefix-closed (a null _r{i-1} nulls every later _r), so the
+    # funnel depth is simply the non-null count.
+    depth = sum(
+        F.when(F.col(f"_r{i}").isNotNull(), 1).otherwise(0) for i in range(len(stages))
+    )
+    depths = (
+        chain.select(depth.alias("depth")).groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("stage_no"), F.lit(s).alias("stage"))
+            for i, s in enumerate(stages)
+        ]
+    )
+    stages_df = (
+        events.sparkSession.range(1)
+        .select(F.explode(stage_rows).alias("s"))
+        .select("s.stage_no", "s.stage")
+    )
+    return (
+        stages_df.join(depths, depths["depth"] >= stages_df["stage_no"], "left")
+        .groupBy("stage_no", "stage")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
+        .orderBy("stage_no")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 4,
+) -> DataFrame:
+    """Weekly cohort retention on epoch-day arithmetic.
+
+    cohort_week = the user's first event day DIV 7 (epoch weeks);
+    week_offset = (event day − first day) DIV 7. Returns (cohort_week,
+    week_offset ≤ max_weeks, n_users) with distinct users per cell.
+
+    Shape: one user-keyed aggregate for the first-day anchor, a join back on
+    user (both sides user-keyed — AQE co-partitions, and at dimension scale
+    the anchor side broadcasts), then a (cohort, offset) COUNT DISTINCT over
+    user ids — the standard retention-matrix shape, cells are small.
+    """
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"{ts_col} DIV {US_PER_DAY}").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.expr("first_day DIV 7").alias("cohort_week"),
+            F.expr("(day - first_day) DIV 7").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def multires_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup in ONE pass.
+
+    GROUPING SETS ((day, hour, type), (day, type), (type)) — the continuous
+    aggregate a time-series store maintains at several granularities, here
+    computed in a single shuffle instead of one job per resolution. Spark
+    plans grouping sets as one Expand + one hash aggregate: the map side
+    emits one row per set per input row WITH partial combine, so the shuffle
+    carries rollup-cardinality partials, not 3× the input.
+
+    Buckets are integer epoch arithmetic (day index, hour-of-day) on the
+    micro-long timestamp. ``grain`` labels the resolution; NULL bucket
+    columns mark the coarser sets (the same convention DuckDB's GROUPING
+    SETS emits, which keeps the oracle exact).
+    """
+    base = events.select(
+        F.expr(f"{ts_col} DIV {US_PER_DAY}").alias("day"),
+        F.expr(f"({ts_col} % {US_PER_DAY}) DIV {US_PER_HOUR}").alias("hour"),
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    )
+    return (
+        base.groupingSets(
+            [["day", "hour", "event_type"], ["day", "event_type"], ["event_type"]],
+            "day",
+            "hour",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("_v").cast("double"), 6).alias("sum_value"),
+        )
+        .withColumn(
+            "grain",
+            F.when(F.col("hour").isNotNull(), "hour")
+            .when(F.col("day").isNotNull(), "day")
+            .otherwise("all"),
+        )
+        .orderBy(
+            "grain",
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+            "event_type",
+        )
+    )

@@ -411,3 +411,47 @@ def ngram_jaccard_pairs(
         .orderBy("id_a", "id_b")
     )
     return _with_cached_deps(out, cached)
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing n-grams with an
+    eval/benchmark set (the pre-training hygiene step that keeps test data out
+    of the training corpus).
+
+    Returns one row per training doc that shares ≥1 distinct ``ngram``-token
+    shingle with any benchmark doc: (doc_id, n_shared_ngrams — distinct grams
+    hit, n_benchmark_docs — distinct benchmark docs hit, contaminated =
+    n_shared_ngrams ≥ min_hits).
+
+    Shape: both sides explode DISTINCT shingles and join on the shingle's
+    xxhash64 — the join shuffles (8-byte gram hash, doc id) pairs, never text.
+    The benchmark side is typically tiny relative to the corpus (eval suites
+    are MBs, corpora are TBs); Catalyst/AQE broadcasts it, making the whole
+    pass a map-side join over the corpus scan. Gram-hash collisions inflate
+    one count by 1 with probability ~(distinct grams)²/2⁶⁴ — negligible at
+    any realistic scale.
+    """
+    def grams(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(word_shingles(text_col, ngram)).alias("_g"),
+        ).select(f"{side}_id", F.xxhash64("_g").alias("gram"))
+
+    t, b = grams(train, "train"), grams(benchmark, "bench")
+    return (
+        t.join(b, "gram")
+        .groupBy(F.col("train_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .withColumn("contaminated", F.col("n_shared_ngrams") >= min_hits)
+        .orderBy("doc_id")
+    )

@@ -257,3 +257,135 @@ def top_terms(
         .filter(F.col("term_rank") <= k)
         .orderBy("grp", "term_rank")
     )
+
+
+# PII patterns, applied in a FIXED order (email → ipv4 → intl phone) because
+# replacements interact (a redacted email no longer contains digits). Written
+# to the common subset of Java regex (Spark) and RE2 (DuckDB, re2-python):
+# no lookarounds, no backreferences, and no patterns whose match length
+# depends on leftmost-first (Java) vs leftmost-longest (RE2) semantics.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / international phone numbers from a text column.
+
+    Adds ``redacted_text`` plus one ``n_<kind>`` count per pattern (taken
+    BEFORE redaction, on the original text). Pure ``regexp_replace`` /
+    ``regexp_count`` column algebra — whole-stage codegen, scan-speed, the
+    shape a 100 TB pre-training scrub pass needs (no shuffle at all: this is
+    a map-only stage that pushes straight down onto the parquet scan).
+    """
+    c = F.col(text_col)
+    out = df
+    for kind, pat, _token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    redacted = c
+    for _kind, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted_text", redacted)
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document: ``n_tokens``, ``distinct_token_ratio`` (|set(tokens)| /
+    |tokens|) and ``top_bigram_frac`` (occurrences of the most frequent
+    bigram / total bigrams) — the two cheapest repetition filters used to
+    drop loop-generated / boilerplate text before training.
+
+    Shape: the distinct ratio is pure array algebra on the row; the bigram
+    mode is explode → (doc, bigram) hash aggregate → per-doc MAX — the
+    explode+aggregate pattern (all codegen) instead of a per-row
+    higher-order-function histogram, which would run interpreted. The
+    shuffle carries (doc_id, bigram_hash, count) — bounded by the corpus
+    token count, partial-combined map-side.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    base = base.withColumn(
+        "distinct_token_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.size(F.array_distinct("_toks")).cast("double") / F.col("n_tokens"), 6),
+        ).otherwise(0.0),
+    )
+    # bigrams of the lowercased token array: zip_with over the shifted copy
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(F.col("n_tokens") - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(F.col("n_tokens") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    top = (
+        ex.groupBy("doc_id", F.xxhash64("bg").alias("bgh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        base.select("doc_id", "n_tokens", "distinct_token_ratio")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_token_ratio",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6),
+            )
+            .otherwise(0.0)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def tfidf_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count in the doc; idf = ln(N / df) over raw document frequency;
+    score rounded to 6dp BEFORE ranking so both engines rank identical
+    values (ln() implementations may differ in the last ulp — ranking the
+    unrounded score would make ties engine-dependent). Ties break on the term.
+
+    Shape: one explode + (doc, term) hash aggregate (map-side combined), a
+    term-level aggregate for df (vocabulary-sized), a single-row N joined in
+    as a broadcast, then a per-doc top-k window over vocabulary-sized data.
+    No step shuffles raw text.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    )

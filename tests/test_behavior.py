@@ -1,0 +1,103 @@
+"""Funnel / cohort retention / multi-resolution rollup (operators/behavior.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from observation_lakehouse_spark.operators.behavior import (
+    US_PER_DAY,
+    US_PER_HOUR,
+    cohort_retention,
+    funnel,
+    multires_rollup,
+)
+
+STAGES = ["signup", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts long, event_type string, value double")
+
+
+def _funnel_counts(spark, rows):
+    out = funnel(_ev(spark, rows), STAGES)
+    return {r["stage"]: r["n_users"] for r in out.collect()}
+
+
+def test_funnel_full_conversion(spark):
+    rows = [(1, 10, "signup", 0.0), (1, 20, "click", 0.0), (1, 30, "purchase", 0.0)]
+    assert _funnel_counts(spark, rows) == {"signup": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_order_matters(spark):
+    # purchase BEFORE the click → user reaches click but not purchase
+    rows = [(1, 10, "signup", 0.0), (1, 30, "click", 0.0), (1, 20, "purchase", 0.0)]
+    assert _funnel_counts(spark, rows) == {"signup": 1, "click": 1, "purchase": 0}
+
+
+def test_funnel_global_min_is_not_enough(spark):
+    # The user's EARLIEST click precedes signup, but a later click still
+    # qualifies — the case a per-stage global MIN chain gets wrong.
+    rows = [
+        (1, 5, "click", 0.0),
+        (1, 10, "signup", 0.0),
+        (1, 20, "click", 0.0),
+        (1, 30, "purchase", 0.0),
+    ]
+    assert _funnel_counts(spark, rows) == {"signup": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_equal_timestamps_progress(spark):
+    rows = [(1, 10, "signup", 0.0), (1, 10, "click", 0.0), (1, 10, "purchase", 0.0)]
+    assert _funnel_counts(spark, rows) == {"signup": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_counts_are_cumulative_depths(spark):
+    rows = [
+        (1, 10, "signup", 0.0),  # depth 1
+        (2, 10, "signup", 0.0), (2, 20, "click", 0.0),  # depth 2
+        (3, 10, "click", 0.0),  # never signed up → depth 0
+    ]
+    assert _funnel_counts(spark, rows) == {"signup": 2, "click": 1, "purchase": 0}
+
+
+def test_funnel_needs_two_stages(spark):
+    with pytest.raises(ValueError):
+        funnel(_ev(spark, []), ["signup"])
+
+
+def test_cohort_retention_offsets(spark):
+    d = US_PER_DAY
+    rows = [
+        (1, 0 * d, "view", 0.0),          # cohort week 0, offset 0
+        (1, 8 * d, "view", 0.0),          # offset 1
+        (2, 1 * d, "view", 0.0),          # same epoch-week cohort, offset 0
+        (3, 40 * d, "view", 0.0),         # cohort week 5, offset 0
+        (3, 100 * d, "view", 0.0),        # offset 8 > max_weeks → dropped
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(_ev(spark, rows), max_weeks=4).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (5, 0): 1}
+
+
+def test_multires_rollup_grains_and_sums(spark):
+    h = US_PER_HOUR
+    rows = [
+        (1, 0 * h, "click", 1.0),
+        (1, 0 * h + 5, "click", 2.0),
+        (1, 1 * h, "click", 4.0),
+        (1, 25 * h, "view", 8.0),  # next day
+    ]
+    out = multires_rollup(_ev(spark, rows)).collect()
+    cells = {(r["grain"], r["day"], r["hour"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in out}
+    assert cells[("hour", 0, 0, "click")] == (2, 3.0)
+    assert cells[("hour", 0, 1, "click")] == (1, 4.0)
+    assert cells[("hour", 1, 1, "view")] == (1, 8.0)
+    assert cells[("day", 0, None, "click")] == (3, 7.0)
+    assert cells[("day", 1, None, "view")] == (1, 8.0)
+    assert cells[("all", None, None, "click")] == (3, 7.0)
+    assert cells[("all", None, None, "view")] == (1, 8.0)
+    # one Expand + one aggregate: exactly 3 grains, no duplicate cells
+    assert len(out) == len(cells) == 7
