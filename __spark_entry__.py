@@ -2021,6 +2021,114 @@ ORDER BY doc_id, term_rank
 """
 
 
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (operators/cdc.py:latest_per_key): newest event per
+    (user_id, event_type) — the QUALIFY ROW_NUMBER()=1 arg-max idiom that
+    turns an append log into current state. One key-partitioned window."""
+    from observation_lakehouse_spark.operators.cdc import latest_per_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    return latest_per_key(
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    ).orderBy("user_id", "event_type")
+
+
+_ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_type, ts_us AS ts, event_id, value FROM (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (operators/cdc.py:apply_changes): a synthetic change
+    batch carries a stale version, a newer upsert, and tombstones; the batch
+    is compacted per key, deletes drop, upserts replace, untouched base rows
+    pass through an anti-join (change side broadcastable at scale)."""
+    from observation_lakehouse_spark.operators.cdc import apply_changes
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    stale = base.filter(k % 20 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+        F.lit(0).alias("_seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    upsert = base.filter(k % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit(1).alias("_seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    dels = base.filter(k % 100 == 7).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).alias("_seq"),
+        F.lit(True).alias("_deleted"),
+    )
+    changes = stale.unionByName(upsert).unionByName(dels)
+    merged = apply_changes(
+        base, changes, keys=["o_orderkey"], order_by=["_seq"], delete_col="_deleted"
+    )
+    return merged.orderBy("o_orderkey")
+
+
+_ORACLE_CDC_UPSERT = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+changes AS (
+    SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice, 0 AS seq, FALSE AS del
+    FROM base WHERE o_orderkey % 20 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1000.0, 1, FALSE FROM base WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 1, TRUE FROM base WHERE o_orderkey % 100 = 7
+), compacted AS (
+    SELECT o_orderkey, o_totalprice, del FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+)
+SELECT b.o_orderkey, b.o_totalprice
+FROM base b LEFT JOIN compacted c USING (o_orderkey) WHERE c.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM compacted WHERE NOT del
+ORDER BY o_orderkey
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1's inverse (§2.5): melt wide columns to (metric, value) rows with the
+    built-in unpivot — the Expand-based plan, no join, no shuffle."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("p_partkey", "metric")
+
+
+_ORACLE_UNPIVOT = """
+SELECT p_partkey, metric, value FROM (
+    SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(p_size AS DOUBLE) AS p_size
+    FROM part
+) UNPIVOT (value FOR metric IN (p_retailprice, p_size))
+ORDER BY p_partkey, metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2087,6 +2195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "repetition": q_repetition,
         "tfidf_terms": q_tfidf_terms,
+        "latest_per_key": q_latest_per_key,
+        "cdc_upsert": q_cdc_upsert,
+        "unpivot": q_unpivot,
     }
 
 
@@ -2146,4 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _ORACLE_PII,
         "repetition": _ORACLE_REPETITION,
         "tfidf_terms": _ORACLE_TFIDF,
+        "latest_per_key": _ORACLE_LATEST_PER_KEY,
+        "cdc_upsert": _ORACLE_CDC_UPSERT,
+        "unpivot": _ORACLE_UNPIVOT,
     }

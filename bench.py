@@ -74,6 +74,9 @@ HEADLINE = [
     "funnel",
     "cohort_retention",
     "multires_rollup",
+    "latest_per_key",
+    "cdc_upsert",
+    "unpivot",
     "pii_redaction",
     "repetition",
     "tfidf_terms",

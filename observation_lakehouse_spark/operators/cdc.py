@@ -1,0 +1,76 @@
+"""Change-data-capture operators: log compaction and MERGE-style upsert.
+
+The reference's store is append-only with snapshot commits (reference
+olake/ingest/arena.py:138-146); a lakehouse serving mutable upstream systems
+also needs the two standard CDC reductions, both pure DataFrame plans:
+
+- :func:`latest_per_key` — compact a change log to the newest row per key
+  (the QUALIFY ROW_NUMBER() = 1 idiom): one window over the key, shuffle
+  carries (key, ordering) — the arg-max pattern that turns an append log
+  into a current-state table.
+- :func:`apply_changes` — MERGE INTO semantics without a table format:
+  upserts overwrite matched keys, optional tombstones delete, unmatched base
+  rows pass through. Implemented as compact(changes) + anti-join + union —
+  two key-partitioned shuffles, no full outer join (an outer join would
+  force both sides wide; the anti-join only moves keys).
+
+At 100 TB the change batch is orders of magnitude smaller than the base:
+Catalyst broadcasts the compacted change side of the anti-join automatically
+(or AQE converts it at runtime), so the base table is read once, map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Newest row per key: ROW_NUMBER() = 1 over ``order_by`` DESC.
+
+    ``order_by`` must be a total order within a key (append a unique
+    column — e.g. an event/sequence id — to break timestamp ties
+    deterministically); the result keeps the input schema.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE the newest change per key into ``base``.
+
+    - matched + newest change is a delete (``delete_col`` true) → row removed
+    - matched + upsert → change row replaces the base row
+    - unmatched change → inserted; unmatched base → unchanged
+
+    ``changes`` must share ``base``'s schema plus the optional boolean
+    ``delete_col``. The change log is compacted per key FIRST (so one batch
+    may carry several versions of a key, like a Debezium topic), then the
+    base anti-joins the touched keys and the surviving upserts union in.
+    """
+    compacted = latest_per_key(changes, keys, order_by)
+    survivors = (
+        compacted.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        if delete_col is not None
+        else compacted
+    )
+    # project back to the base schema: the change log's bookkeeping columns
+    # (sequence numbers, tombstone flags) don't belong in the merged table
+    upserts = survivors.select(*base.columns)
+    touched = compacted.select(*keys)
+    untouched = base.join(touched, keys, "left_anti")
+    return untouched.unionByName(upserts)

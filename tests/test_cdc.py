@@ -1,0 +1,62 @@
+"""CDC log compaction + MERGE-style upsert (operators/cdc.py)."""
+
+from __future__ import annotations
+
+from observation_lakehouse_spark.operators.cdc import apply_changes, latest_per_key
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "k long, seq long, v string")
+
+
+def test_latest_per_key_picks_newest(spark):
+    log = _log(spark, [(1, 1, "old"), (1, 2, "new"), (2, 5, "only")])
+    got = {r["k"]: (r["seq"], r["v"]) for r in latest_per_key(log, ["k"], ["seq"]).collect()}
+    assert got == {1: (2, "new"), 2: (5, "only")}
+
+
+def test_latest_per_key_tie_break_is_total(spark):
+    # same seq: the later order_by column decides deterministically
+    log = spark.createDataFrame(
+        [(1, 1, 10, "a"), (1, 1, 20, "b")], "k long, seq long, sub long, v string"
+    )
+    got = latest_per_key(log, ["k"], ["seq", "sub"]).collect()
+    assert len(got) == 1 and got[0]["v"] == "b"
+
+
+def test_apply_changes_upsert_delete_insert_passthrough(spark):
+    base = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k long, v string")
+    changes = spark.createDataFrame(
+        [
+            (1, "ONE", 1, False),   # upsert existing
+            (3, "x", 1, True),      # delete existing
+            (4, "four", 1, False),  # insert new key
+        ],
+        "k long, v string, seq long, deleted boolean",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(base, changes, ["k"], ["seq"], delete_col="deleted").collect()
+    }
+    assert got == {1: "ONE", 2: "two", 4: "four"}
+
+
+def test_apply_changes_compacts_batch_first(spark):
+    # several versions of one key in a single batch: only the newest applies,
+    # including a delete later resurrected by a newer upsert
+    base = spark.createDataFrame([(1, "one")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "stale", 1, False), (1, "gone", 2, True), (1, "back", 3, False)],
+        "k long, v string, seq long, deleted boolean",
+    )
+    got = apply_changes(base, changes, ["k"], ["seq"], delete_col="deleted").collect()
+    assert len(got) == 1 and got[0]["v"] == "back"
+
+
+def test_apply_changes_without_deletes(spark):
+    base = spark.createDataFrame([(1, "one")], "k long, v string")
+    changes = spark.createDataFrame([(2, "two", 1)], "k long, v string, seq long")
+    got = {
+        r["k"]: r["v"] for r in apply_changes(base, changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: "one", 2: "two"}
