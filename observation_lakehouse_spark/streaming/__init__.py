@@ -2,6 +2,7 @@
 batch-append only, its CI-driven "continual" ingestion is declared future work
 at reference README.md:163)."""
 
+from observation_lakehouse_spark.streaming.dedup import dedup_stream
 from observation_lakehouse_spark.streaming.ingest import (
     stream_observations_from_cells,
     streaming_observation_counts,
@@ -10,6 +11,7 @@ from observation_lakehouse_spark.streaming.joins import stream_stream_interval_j
 from observation_lakehouse_spark.streaming.stateful import sessionize
 
 __all__ = [
+    "dedup_stream",
     "sessionize",
     "stream_observations_from_cells",
     "stream_stream_interval_join",

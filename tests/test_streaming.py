@@ -112,3 +112,43 @@ def test_stream_replay_after_sink_commit_gap_is_exactly_once(
     # replayed batch recognized by its key → no duplicates, no new version
     assert lh.load_observations_table().count() == 16
     assert set(lh._atomic("observations").committed_keys()) == keys_after_run1
+
+
+def test_dedup_stream_drops_intra_stream_duplicates(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark on the content digest: duplicates inside
+    the horizon are admitted once, first arrival wins."""
+    import datetime as dt
+
+    from observation_lakehouse_spark.streaming.dedup import dedup_stream
+
+    landing = tmp_path_factory.mktemp("doc-landing")
+    out = tmp_path_factory.mktemp("doc-out")
+    ckpt = tmp_path_factory.mktemp("doc-ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "same text", t0),
+        (2, "same text", t0 + dt.timedelta(seconds=30)),   # dup within horizon
+        (3, "other text", t0 + dt.timedelta(seconds=60)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, event_time timestamp"
+    ).write.mode("overwrite").parquet(str(landing))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, event_time timestamp"
+    ).parquet(str(landing))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert {r["doc_id"] for r in got.collect()} <= {1, 2, 3}
+    assert got.filter("text = 'same text'").count() == 1
+    # schema carries the digest for the downstream corpus anti-join
+    assert "content_hash" in got.columns
