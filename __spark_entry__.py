@@ -2129,6 +2129,131 @@ ORDER BY p_partkey, metric
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/joins.py:range_join — bucketed
+    equi-join, NOT a nested-loop cross product): events against fixed 2-day
+    windows anchored every third day, aggregated per window. Oracle: DuckDB's
+    native inequality join."""
+    from observation_lakehouse_spark.operators.behavior import US_PER_DAY
+    from observation_lakehouse_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(F.expr(f"ts DIV {US_PER_DAY}").alias("day"))
+        .distinct()
+        .filter(F.col("day") % 3 == 0)
+    )
+    intervals = days.select(
+        "day",
+        (F.col("day") * US_PER_DAY).alias("w_start"),
+        ((F.col("day") + 2) * US_PER_DAY - 1).alias("w_end"),
+    )
+    joined = range_join(
+        ev, intervals, point_col="ts", start_col="w_start", end_col="w_end",
+        bucket_width=US_PER_DAY,
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_RANGE_JOIN = """
+WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+days AS (
+    SELECT DISTINCT ts_us // 86400000000 AS day FROM e
+    WHERE (ts_us // 86400000000) % 3 = 0
+), iv AS (
+    SELECT day, day * 86400000000 AS w_start,
+           (day + 2) * 86400000000 - 1 AS w_end
+    FROM days
+)
+SELECT day, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM iv JOIN e ON e.ts_us BETWEEN iv.w_start AND iv.w_end
+GROUP BY day ORDER BY day
+"""
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the numeric orders columns in ONE scan: a
+    single 12-aggregate pass, then the wide row explodes to one row per
+    column (profile-shaped output without per-column jobs)."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+_ORACLE_DATA_PROFILE = """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_nonnull,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       MIN(CAST(o_orderkey AS DOUBLE)) AS min_value, MAX(CAST(o_orderkey AS DOUBLE)) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE)) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+       MIN(CAST(o_totalprice AS DOUBLE)), MAX(CAST(o_totalprice AS DOUBLE)) FROM orders
+ORDER BY column_name
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (profiling / skew detection): one hash
+    aggregate on the bucket index — scan-speed, shuffle carries one row per
+    bucket."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 20000.0).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2198,6 +2323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key": q_latest_per_key,
         "cdc_upsert": q_cdc_upsert,
         "unpivot": q_unpivot,
+        "range_join": q_range_join,
+        "data_profile": q_data_profile,
+        "histogram": q_histogram,
     }
 
 
@@ -2260,4 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_per_key": _ORACLE_LATEST_PER_KEY,
         "cdc_upsert": _ORACLE_CDC_UPSERT,
         "unpivot": _ORACLE_UNPIVOT,
+        "range_join": _ORACLE_RANGE_JOIN,
+        "data_profile": _ORACLE_DATA_PROFILE,
+        "histogram": _ORACLE_HISTOGRAM,
     }

@@ -77,6 +77,9 @@ HEADLINE = [
     "latest_per_key",
     "cdc_upsert",
     "unpivot",
+    "range_join",
+    "data_profile",
+    "histogram",
     "pii_redaction",
     "repetition",
     "tfidf_terms",
