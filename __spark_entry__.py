@@ -2254,6 +2254,100 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences: one
+    window (lag over the user's time order — the sessionization shuffle,
+    reused shape) + one pair-keyed hash aggregate. Probabilities are exact
+    count ratios rounded at 6dp; |event_type|² is tiny, so the second
+    aggregate's shuffle is a constant."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w_from), 6),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_ORACLE_TRANSITIONS = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+), c AS (
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c ORDER BY from_type, to_type
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging per event_type with EXACT-decimal moments:
+    mean and variance derive from DECIMAL sum / sum-of-squares (associative,
+    order-independent — a native stddev aggregate's float accumulation order
+    differs between engines), so both engines compute bit-identical
+    thresholds. Two-phase: tiny per-type moment aggregate, broadcast back,
+    scan-side filter — the shape that profiles 100 TB in one pass + one
+    broadcast."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v = F.col("value").cast("decimal(28,10)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd_v"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("value") - F.col("mean_v")) / F.col("sd_v"))
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+_ORACLE_ANOMALY = """
+WITH s AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+           SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS s2
+    FROM events GROUP BY event_type
+), m AS (
+    SELECT event_type,
+           CAST(s1 AS DOUBLE) / n AS mean_v,
+           SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                / (n - 1)) AS sd_v
+    FROM s
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mean_v) / sd_v, 4) AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE ABS((value - mean_v) / sd_v) > 3.0
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2326,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "data_profile": q_data_profile,
         "histogram": q_histogram,
+        "transition_matrix": q_transition_matrix,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -2391,4 +2487,6 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _ORACLE_RANGE_JOIN,
         "data_profile": _ORACLE_DATA_PROFILE,
         "histogram": _ORACLE_HISTOGRAM,
+        "transition_matrix": _ORACLE_TRANSITIONS,
+        "anomaly_zscore": _ORACLE_ANOMALY,
     }

@@ -80,6 +80,8 @@ HEADLINE = [
     "range_join",
     "data_profile",
     "histogram",
+    "transition_matrix",
+    "anomaly_zscore",
     "pii_redaction",
     "repetition",
     "tfidf_terms",
