@@ -2348,6 +2348,34 @@ ORDER BY event_id
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted top-k sample (Efraimidis–Spirakis priorities
+    with hash-derived uniforms — functions/sampling.py:weighted_sample):
+    longer documents win proportionally more often, reproducibly across
+    engines and partitionings. Plan: scan-side projection + global top-k
+    (TakeOrderedAndProject), no payload shuffle."""
+    from observation_lakehouse_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, key_col="doc_id", weight_col="n_chars", k=100).select(
+        "doc_id", "lang", "n_chars", "priority"
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars, priority FROM (
+    SELECT doc_id, lang, n_chars,
+           ROUND(POW(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 + 1) / 1000001.0,
+               1.0 / n_chars), 9) AS priority
+    FROM documents WHERE n_chars > 0
+)
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2422,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "transition_matrix": q_transition_matrix,
         "anomaly_zscore": q_anomaly_zscore,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2489,4 +2518,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram": _ORACLE_HISTOGRAM,
         "transition_matrix": _ORACLE_TRANSITIONS,
         "anomaly_zscore": _ORACLE_ANOMALY,
+        "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
     }

@@ -82,6 +82,7 @@ HEADLINE = [
     "histogram",
     "transition_matrix",
     "anomaly_zscore",
+    "weighted_sample",
     "pii_redaction",
     "repetition",
     "tfidf_terms",

@@ -61,3 +61,40 @@ def stratified_hash_sample(
             .otherwise(threshold)
         )
     return df.filter(hash_bucket(F.col(key_col)) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted top-k sample (Efraimidis–Spirakis A-ES).
+
+    Each row gets priority ``u^(1/w)`` where ``u`` is a hash-derived uniform
+    in (0, 1) — a pure function of the row's key, so the sample is
+    repartition-proof and reproducible in any engine, exactly like
+    :func:`hash_sample`. The k rows with the highest priority form a weighted
+    sample without replacement (heavier rows win proportionally more often).
+    Rows with non-positive weight are excluded.
+
+    The priority is ROUNDED to 9dp before ranking (with the key as total
+    tie-break) so engines whose pow() differs in the last ulp rank
+    identically. Shape: scan-level projection + one TakeOrderedAndProject —
+    no shuffle of payloads, the global top-k is merged from per-partition
+    heaps (the same plan a LIMIT-after-ORDER BY gets).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # u in (0,1): (bucket + 1) / (D + 1) avoids both endpoints (u=0 would
+    # zero every priority; u=1 would make weight irrelevant).
+    u = (hash_bucket(F.col(key_col)) + 1).cast("double") / F.lit(float(_D + 1))
+    prio = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", prio)
+        .orderBy(F.desc("priority"), F.col(key_col))
+        .limit(k)
+    )

@@ -49,3 +49,36 @@ def test_stratified_rates_and_unlisted_drop(docs):
     ).groupBy("lang").count().collect()
     counts = {r["lang"]: r["count"] for r in mixed}
     assert counts["en"] == 500 and 75 < counts["fr"] < 225
+
+
+def test_weighted_sample_repartition_invariant(docs):
+    from observation_lakehouse_spark.functions.sampling import weighted_sample
+
+    dw = docs.withColumn("w", (F.col("doc_id") % 7) + 1)
+    a = [r["doc_id"] for r in weighted_sample(dw, "doc_id", "w", 50).collect()]
+    b = [
+        r["doc_id"]
+        for r in weighted_sample(dw.repartition(13, "lang"), "doc_id", "w", 50).collect()
+    ]
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.functions.sampling import weighted_sample
+
+    # 100 heavy rows (w=1000) + 900 light rows (w=1): a 100-row sample should
+    # be dominated by heavy rows (A-ES: P(keep) scales with weight).
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = weighted_sample(df, "doc_id", "w", 100).filter(F.col("doc_id") < 100).count()
+    assert kept > 60
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from observation_lakehouse_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], "doc_id long, w long")
+    got = weighted_sample(df, "doc_id", "w", 10).collect()
+    assert [r["doc_id"] for r in got] == [3]
