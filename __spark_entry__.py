@@ -2376,6 +2376,78 @@ LIMIT 100
 """
 
 
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: per-doc unigram cross-entropy under
+    the corpus's own unigram model (the classic LM-based pre-training filter,
+    here with the corpus as its own reference model so no external LM is
+    needed). Per-term ln p(term) is rounded to integer MICRO-NATS once per
+    term, so the per-doc sum is exact long arithmetic — a raw double SUM's
+    accumulation order differs between engines. Shape: one explode + (doc,
+    term) aggregate, a vocabulary-sized term-prob table broadcast back, one
+    per-doc aggregate. Lower xent = more typical text."""
+    from observation_lakehouse_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    n_tok = corpus.agg(F.sum("ctf").alias("n_total"))
+    lnp = (
+        corpus.crossJoin(F.broadcast(n_tok))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("ctf").cast("double") / F.col("n_total").cast("double"))
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(lnp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.col("lnp_micro")).cast("double")
+                / F.sum("tf")
+                / 1_000_000.0,
+                6,
+            ).alias("xent_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_UNIGRAM_XENT = """
+WITH tk AS (
+    SELECT doc_id, unnest(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t))) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+), corpus AS (
+    SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1
+), n AS (
+    SELECT SUM(ctf) AS n_total FROM corpus
+), lnp AS (
+    SELECT term,
+           CAST(ROUND(ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS lnp_micro
+    FROM corpus CROSS JOIN n
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(-CAST(SUM(tf * lnp_micro) AS DOUBLE) / SUM(tf) / 1000000.0, 6) AS xent_nats
+FROM tf JOIN lnp USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2451,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "anomaly_zscore": q_anomaly_zscore,
         "weighted_sample": q_weighted_sample,
+        "unigram_xent": q_unigram_xent,
     }
 
 
@@ -2519,4 +2592,5 @@ def oracle_sql() -> dict[str, str]:
         "transition_matrix": _ORACLE_TRANSITIONS,
         "anomaly_zscore": _ORACLE_ANOMALY,
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+        "unigram_xent": _ORACLE_UNIGRAM_XENT,
     }

@@ -83,6 +83,7 @@ HEADLINE = [
     "transition_matrix",
     "anomaly_zscore",
     "weighted_sample",
+    "unigram_xent",
     "pii_redaction",
     "repetition",
     "tfidf_terms",
