@@ -61,3 +61,32 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def to_pandas(df: DataFrame) -> pd.DataFrame:
     """Arrow-backed pandas interchange (S10) — session conf enables Arrow."""
     return df.toPandas()
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (interchange with Hive-ecosystem consumers; columnar like
+    Parquet, same predicate-pushdown/column-pruning behavior in Spark's
+    native vectorized ORC reader)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — vectorized, filter-pushdown-capable (pair of
+    :func:`write_orc`)."""
+    return spark.read.orc(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the interchange format most
+    annotation/labeling tools and LLM data tooling consume)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass ``schema`` in production: schema inference
+    reads the data twice and infers loosely (everything nullable, ints that
+    look like longs) — at 100 TB the extra pass is a full scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
