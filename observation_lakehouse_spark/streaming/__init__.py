@@ -7,13 +7,17 @@ from observation_lakehouse_spark.streaming.ingest import (
     stream_observations_from_cells,
     streaming_observation_counts,
 )
-from observation_lakehouse_spark.streaming.joins import stream_stream_interval_join
+from observation_lakehouse_spark.streaming.joins import (
+    stream_static_enrich,
+    stream_stream_interval_join,
+)
 from observation_lakehouse_spark.streaming.stateful import sessionize
 
 __all__ = [
     "dedup_stream",
     "sessionize",
     "stream_observations_from_cells",
+    "stream_static_enrich",
     "stream_stream_interval_join",
     "streaming_observation_counts",
 ]

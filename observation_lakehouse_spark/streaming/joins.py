@@ -43,3 +43,31 @@ def stream_stream_interval_join(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner").drop(rk)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static (batch) dimension table.
+
+    Stream-static joins are stateless in Structured Streaming: each
+    micro-batch joins against the CURRENT dimension snapshot, no watermark
+    and no join state — the dimension is re-resolved per batch, so a table
+    that is atomically replaced (e.g. an AtomicParquetTable snapshot path)
+    picks up updates between batches. At scale the dimension side is the
+    broadcast side; the stream never shuffles for the join.
+
+    Only stream-side-preserving joins are allowed by Spark here (inner /
+    left_outer / left_semi with the stream on the left); ``how`` is
+    validated so misuse fails at build time, not mid-query.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"stream-static join must preserve the stream side: how={how!r} "
+            f"not in {sorted(allowed)}"
+        )
+    return stream.join(F.broadcast(dim), key, how)

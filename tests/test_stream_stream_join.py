@@ -60,3 +60,46 @@ def test_streaming_run(spark, tmp_path):
         for x in spark.sql("SELECT * FROM ssj").collect()
     }
     assert got == _expected()
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stateless stream-static join: every micro-batch row is enriched from
+    the broadcast dimension snapshot, unmatched keys NULL-fill on left."""
+    import datetime as dt
+
+    from observation_lakehouse_spark.streaming.joins import stream_static_enrich
+
+    landing = tmp_path / "enrich-landing"
+    out = tmp_path / "enrich-out"
+    ckpt = tmp_path / "enrich-ckpt"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, 10, t0), (2, 20, t0), (3, 99, t0)],
+        "event_id long, user_id long, event_time timestamp",
+    ).write.parquet(str(landing))
+    dim = spark.createDataFrame([(10, "gold"), (20, "basic")], "user_id long, tier string")
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_time timestamp"
+    ).parquet(str(landing))
+    q = (
+        stream_static_enrich(stream, dim, key="user_id")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["tier"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1: "gold", 2: "basic", 3: None}
+
+
+def test_stream_static_enrich_rejects_stream_dropping_joins(spark):
+    from observation_lakehouse_spark.streaming.joins import stream_static_enrich
+
+    import pytest as _pytest
+
+    dim = spark.createDataFrame([(1, "x")], "user_id long, v string")
+    with _pytest.raises(ValueError, match="preserve the stream side"):
+        stream_static_enrich(dim, dim, key="user_id", how="right")
