@@ -146,7 +146,14 @@ class AtomicParquetTable:
         # 3. Commit: optimistic create-if-absent of the next manifest version.
         return self._commit(new_files, idempotency_key)
 
-    def _commit(self, new_files: list[str], idempotency_key: str | None) -> int:
+    def _commit(
+        self,
+        new_files: list[str],
+        idempotency_key: str | None,
+        replace_files: list[str] | None = None,
+    ) -> int:
+        import time
+
         for _ in range(self.max_commit_retries):
             head_v = self.latest_version()
             head = self._manifest(head_v)
@@ -156,10 +163,13 @@ class AtomicParquetTable:
             manifest = {
                 "version": next_v,
                 "parent": head_v,
-                "files": head["files"] + new_files,
+                "files": (
+                    replace_files if replace_files is not None else head["files"] + new_files
+                ),
                 "commits": {**head["commits"], **(
                     {idempotency_key: next_v} if idempotency_key is not None else {}
                 )},
+                "committed_at": time.time(),
             }
             target = self.manifest_dir / f"v{next_v}.json"
             tmp = self.manifest_dir / f".{uuid.uuid4().hex}.tmp"
@@ -214,15 +224,84 @@ class AtomicParquetTable:
         """Idempotency keys recorded so far → committing version."""
         return dict(self._manifest(self.latest_version())["commits"])
 
-    def vacuum(self) -> list[str]:
-        """Delete orphan data files no snapshot references (crash leftovers).
+    # -- snapshot management (the Iceberg maintenance surface) ----------------
 
-        Run only while no writer is active: an in-flight append has moved its
-        files into ``data/`` but not yet committed the manifest that references
-        them, and vacuuming that window would delete files the imminent commit
-        expects (the same rule Iceberg's remove-orphan-files maintenance has).
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version, parent, file/commit deltas.
+
+        Derived by diffing each manifest against its parent (manifests store
+        cumulative state), so the log shows what each commit ADDED — and a
+        rollback shows as a negative file delta."""
+        out = []
+        for v in self._versions():
+            m = self._manifest(v)
+            parent_v = m.get("parent", v - 1)
+            try:
+                parent = self._manifest(parent_v)
+            except FileNotFoundError:  # parent expired — deltas unknown
+                parent = None
+            out.append(
+                {
+                    "version": v,
+                    "parent": parent_v,
+                    "n_files": len(m["files"]),
+                    "files_delta": (
+                        len(m["files"]) - len(parent["files"]) if parent is not None else None
+                    ),
+                    "new_keys": (
+                        sorted(set(m["commits"]) - set(parent["commits"]))
+                        if parent is not None
+                        else []
+                    ),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return out
+
+    def rollback(self, version: int) -> int:
+        """Restore the table to ``version``'s state as a NEW commit.
+
+        Like Iceberg's rollback: nothing is deleted — a fresh snapshot whose
+        file list equals the target version's is committed on top, so the
+        rolled-back-over versions stay time-travelable (until
+        :meth:`expire_snapshots`) and concurrent committers still serialize
+        through the same optimistic loop.
         """
-        referenced = set(self._manifest(self.latest_version())["files"])
+        if version not in (0, *self._versions()):
+            raise ValueError(f"no snapshot v{version} to roll back to")
+        target_files = self._manifest(version)["files"]
+        return self._commit([], None, replace_files=list(target_files))
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop manifest history older than the newest ``keep_last`` versions.
+
+        Time travel to expired versions stops working; data files they alone
+        referenced become orphans that the next :meth:`vacuum` reclaims. The
+        head manifest is never expired.
+        """
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        vs = self._versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            (self.manifest_dir / f"v{v}.json").unlink()
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete orphan data files no RETAINED snapshot references (crash
+        leftovers, or files only expired/rolled-back snapshots used).
+
+        References are unioned across every retained manifest — after a
+        rollback, files added by rolled-back-over commits are still held by
+        their own manifests until those expire. Run only while no writer is
+        active: an in-flight append has moved its files into ``data/`` but not
+        yet committed the manifest that references them, and vacuuming that
+        window would delete files the imminent commit expects (the same rule
+        Iceberg's remove-orphan-files maintenance has).
+        """
+        referenced: set[str] = set()
+        for v in self._versions():
+            referenced.update(self._manifest(v)["files"])
         removed: list[str] = []
         for f in self.data_dir.rglob("*.parquet"):
             rel = str(f.relative_to(self.data_dir))

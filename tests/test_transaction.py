@@ -117,3 +117,69 @@ def test_additive_schema_evolution(spark, table):
     # a rediscovered handle sees the evolved schema from _schema.json
     again = AtomicParquetTable(spark, str(table.location))
     assert "notes" in [f.name for f in again.schema.fields]
+
+
+def _mk(spark, tmp_path, name):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return AtomicParquetTable(
+        spark, str(tmp_path / name), schema=_parse_datatype_string(SCHEMA)
+    )
+
+
+def test_rollback_restores_state_as_new_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rb")
+    t.append(_batch(spark, "dsA", 0, 3))
+    v2 = t.append(_batch(spark, "dsB", 100, 2))
+    v3 = t.rollback(1)
+    assert v3 == v2 + 1
+    assert t.read().count() == 3
+    # the rolled-back-over snapshot stays time-travelable
+    assert t.read(version=v2).count() == 5
+    # a new table handle sees the rolled-back head too
+    t2 = AtomicParquetTable(spark, str(tmp_path / "rb"))
+    assert t2.read().count() == 3
+
+
+def test_rollback_to_missing_version_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rb2")
+    t.append(_batch(spark, "dsA", 0, 1))
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.rollback(99)
+
+
+def test_history_shows_deltas_and_rollback(spark, tmp_path):
+    t = _mk(spark, tmp_path, "hist")
+    t.append(_batch(spark, "dsA", 0, 3), idempotency_key="batch-1")
+    t.append(_batch(spark, "dsB", 100, 2))
+    t.rollback(1)
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[0]["new_keys"] == ["batch-1"]
+    assert h[0]["files_delta"] > 0 and h[1]["files_delta"] > 0
+    assert h[2]["files_delta"] < 0  # rollback removes files from the view
+    assert all(e["committed_at"] is not None for e in h)
+
+
+def test_expire_snapshots_and_vacuum_respect_retained(spark, tmp_path):
+    t = _mk(spark, tmp_path, "exp")
+    t.append(_batch(spark, "dsA", 0, 3))
+    v2 = t.append(_batch(spark, "dsB", 100, 2))
+    t.rollback(1)  # v3: head no longer references v2's files
+    # all manifests retained -> v2's files are NOT orphans yet
+    assert t.vacuum() == []
+    assert t.read(version=v2).count() == 5
+    # expire everything but the head -> v2's files become orphans
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    removed = t.vacuum()
+    assert len(removed) > 0
+    assert t.read().count() == 3
+    with pytest.raises(FileNotFoundError):
+        t.read(version=v2)
+
+
+def test_expire_keep_last_validates(spark, tmp_path):
+    t = _mk(spark, tmp_path, "exp2")
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
