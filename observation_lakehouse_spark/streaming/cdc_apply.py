@@ -1,0 +1,73 @@
+"""Streaming CDC apply: a change stream continuously MERGEs into a snapshot
+table — the integration of the three pieces a mutable-upstream lakehouse
+needs: :mod:`operators.cdc` (MERGE semantics), :class:`transaction.
+AtomicParquetTable` (atomic snapshot commits + idempotent retries), and
+Structured Streaming's ``foreachBatch``.
+
+Semantics per micro-batch:
+
+1. Compact the batch's changes per key (newest wins — one batch may carry a
+   key's whole Debezium-style history, including delete-then-resurrect).
+2. MERGE into the table's CURRENT snapshot (upserts replace, tombstones
+   delete, untouched rows carry over) via
+   :func:`~observation_lakehouse_spark.operators.cdc.apply_changes`.
+3. Commit the merged state as the table's next snapshot with an idempotency
+   key derived from (checkpoint, batch_id): a replayed batch after a crash
+   between commit and checkpoint is recognized and skipped — exactly-once.
+
+The merged state is committed as a FULL-replacement snapshot (files list =
+this batch's output), which keeps history time-travelable per batch. This is
+the copy-on-write MERGE strategy: right for dimension-sized tables and
+moderate change rates (every batch rewrites the table). A merge-on-read
+strategy (commit deltas, merge at query time) is the complement for
+fact-sized tables — compose :func:`operators.cdc.latest_per_key` over an
+append-only change table for that shape.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from observation_lakehouse_spark.operators.cdc import apply_changes
+from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+
+def stream_cdc_apply(
+    table: AtomicParquetTable,
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    delete_col: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously apply a change stream to ``table``; returns the query.
+
+    ``changes`` must be a streaming DataFrame carrying the table's columns
+    plus ``order_by`` (and optionally ``delete_col``). Each micro-batch
+    replaces the table's snapshot with the merged state under an idempotent
+    commit — see module doc for the exactly-once argument.
+    """
+    ckpt = checkpoint or f"/tmp/cdc_apply_ckpt_{uuid.uuid4().hex}"
+    ckpt_id = uuid.uuid5(uuid.NAMESPACE_URL, ckpt).hex
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"cdc:{ckpt_id}:{batch_id}"
+        if key in table.committed_keys():
+            return  # replay after crash-between-commit-and-checkpoint
+        base = table.read()
+        merged = apply_changes(base, batch_df, keys, order_by, delete_col=delete_col)
+        # Full-replacement snapshot: stage the merged state, then commit its
+        # files as the table's entire file list in one idempotent manifest.
+        staged = table.stage(merged)
+        table.commit_replace(staged, idempotency_key=key)
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", ckpt
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

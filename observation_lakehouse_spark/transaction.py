@@ -119,9 +119,23 @@ class AtomicParquetTable:
             if idempotency_key in head["commits"]:
                 return head["commits"][idempotency_key]
 
-        # 1. Stage with a normal distributed write job (aligned by name AND
-        # cast to the table type — S7 schema-cast on write, so a widened or
-        # reordered input can't change the on-disk parquet types).
+        # Stage + move, then commit: optimistic create-if-absent of the next
+        # manifest version.
+        return self._commit(self.stage(df), idempotency_key)
+
+    def stage(self, df: DataFrame) -> list[str]:
+        """Write a batch into ``data/`` WITHOUT committing it; returns the
+        (manifest-relative) file list for a later :meth:`_commit` /
+        :meth:`commit_replace`.
+
+        1. Stage with a normal distributed write job (aligned by name AND
+           cast to the table type — S7 schema-cast on write, so a widened or
+           reordered input can't change the on-disk parquet types).
+        2. Move data files under data/. Renames are per-file atomic; the
+           files stay INVISIBLE to readers until a manifest lists them, so a
+           crash here leaks orphan bytes (vacuum reclaims) but never a
+           partial table state.
+        """
         staging = self.location / "_staging" / uuid.uuid4().hex
         writer = df.select(
             [df[f.name].cast(f.dataType).alias(f.name) for f in self.schema.fields]
@@ -130,7 +144,6 @@ class AtomicParquetTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(str(staging))
 
-        # 2. Move data files under data/ (invisible until a manifest lists them).
         prefix = uuid.uuid4().hex[:12]
         new_files: list[str] = []
         for src in sorted(staging.rglob("*.parquet")):
@@ -142,9 +155,13 @@ class AtomicParquetTable:
             src.rename(dst)
             new_files.append(str(dst.relative_to(self.data_dir)))
         shutil.rmtree(staging, ignore_errors=True)
+        return new_files
 
-        # 3. Commit: optimistic create-if-absent of the next manifest version.
-        return self._commit(new_files, idempotency_key)
+    def commit_replace(self, files: list[str], idempotency_key: str | None = None) -> int:
+        """Commit ``files`` (from :meth:`stage`) as the table's ENTIRE file
+        list — a full-replacement snapshot (copy-on-write MERGE / overwrite).
+        Prior snapshots keep their own file lists and stay time-travelable."""
+        return self._commit([], idempotency_key, replace_files=list(files))
 
     def _commit(
         self,

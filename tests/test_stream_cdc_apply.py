@@ -1,0 +1,51 @@
+"""Streaming CDC apply into AtomicParquetTable (streaming/cdc_apply.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import _parse_datatype_string
+
+from observation_lakehouse_spark.streaming.cdc_apply import stream_cdc_apply
+from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+SCHEMA = "k long, v string"
+CHANGE_SCHEMA = "k long, v string, seq long, deleted boolean"
+
+
+def _run(spark, table, landing, ckpt):
+    stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(str(landing))
+    q = stream_cdc_apply(
+        table, stream, keys=["k"], order_by=["seq"], delete_col="deleted",
+        checkpoint=str(ckpt), available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_cdc_apply_merges_batches(spark, tmp_path):
+    table = AtomicParquetTable(
+        spark, str(tmp_path / "t"), schema=_parse_datatype_string(SCHEMA)
+    )
+    table.append(spark.createDataFrame([(1, "one"), (2, "two")], SCHEMA))
+    landing = tmp_path / "landing"
+    spark.createDataFrame(
+        [
+            (1, "ONE", 1, False),    # upsert
+            (2, "gone", 1, True),    # delete
+            (3, "three", 1, False),  # insert
+            (3, "THREE", 2, False),  # newer version in the same batch
+        ],
+        CHANGE_SCHEMA,
+    ).write.parquet(str(landing))
+
+    _run(spark, table, landing, tmp_path / "ckpt")
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "ONE", 3: "THREE"}
+
+    # exactly-once: re-running the stream over the same checkpoint changes
+    # nothing (no new snapshot commits either)
+    v_before = table.latest_version()
+    _run(spark, table, landing, tmp_path / "ckpt")
+    assert table.latest_version() == v_before
+    assert {r["k"]: r["v"] for r in table.read().collect()} == {1: "ONE", 3: "THREE"}
+
+    # the pre-merge snapshot stays time-travelable (copy-on-write MERGE)
+    assert {r["k"] for r in table.read(version=1).collect()} == {1, 2}
