@@ -112,6 +112,21 @@ class ObservationLakehouse:
             return self._atomic(name).read()
         return self.spark.table(f"`{self.database}`.`{name}`")
 
+    def snapshot_table(self, name: str):
+        """The underlying :class:`~observation_lakehouse_spark.transaction.
+        AtomicParquetTable` — the handle for snapshot management (``history``,
+        ``rollback``, ``expire_snapshots``, ``vacuum``, ``read(version=…)``).
+        Atomic format only; catalog-parquet tables have no snapshot log."""
+        if self.table_format != "atomic":
+            raise ValueError(
+                f"snapshot_table needs table_format='atomic' (got {self.table_format!r})"
+            )
+        return self._atomic(name)
+
+    def table_at(self, name: str, version: int) -> DataFrame:
+        """Time-travel read of snapshot ``version`` (atomic format only)."""
+        return self.snapshot_table(name).read(version=version)
+
     def load_observations_table(self) -> DataFrame:
         return self.table("observations")
 

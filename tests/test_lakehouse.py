@@ -99,3 +99,32 @@ def test_three_way_join_broadcasts_dims(observations, code_implementations, test
 
     joined = three_way_join(observations, code_implementations, tests_table)
     assert_broadcast_join(joined, count=2)
+
+
+def test_snapshot_table_surface(spark, tmp_path):
+    """Lakehouse facade exposes the snapshot-management handle for atomic
+    tables and rejects it for catalog formats."""
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.lakehouse import ObservationLakehouse
+    from tests.conftest import FIXED_TS, observation_rows
+
+    lh = ObservationLakehouse(
+        spark, database="olake_snap", table_format="atomic", location=str(tmp_path)
+    )
+    lh.create_observations_table()
+    from observation_lakehouse_spark.schemas import OBSERVATIONS_SCHEMA
+
+    df = spark.createDataFrame(observation_rows(), OBSERVATIONS_SCHEMA)
+    lh.append_observations(df)
+    lh.append_observations(df.limit(5))
+    t = lh.snapshot_table("observations")
+    assert [e["version"] for e in t.history()] == [1, 2]
+    assert lh.table_at("observations", 1).count() == df.count()
+    assert lh.table("observations").count() == df.count() + 5
+    t.rollback(1)
+    assert lh.table("observations").count() == df.count()
+
+    lh_parquet = ObservationLakehouse(spark, database="olake_snap_pq")
+    with _pytest.raises(ValueError, match="atomic"):
+        lh_parquet.snapshot_table("observations")
