@@ -143,6 +143,22 @@ def main() -> None:
     lsh_recall = len(exact & pairs(entrymod.q_ann_lsh_topk(spark, sf_dir))) / len(exact)
     ivf_recall = len(exact & pairs(entrymod.q_ann_ivf_topk(spark, sf_dir))) / len(exact)
 
+    # Sketch accuracy: the approximate aggregates' error vs their exact twins
+    # (HyperLogLog++ count-distinct, t-digest/quantile-summary percentile) —
+    # the streaming-scale defaults whose quality a user needs before trading
+    # the exact sort/distinct away.
+    from pyspark.sql import functions as F
+
+    li = entrymod._t(spark, sf_dir, "lineitem")
+    acc = li.agg(
+        F.countDistinct("l_extendedprice").alias("nd"),
+        F.approx_count_distinct("l_extendedprice").alias("nd_hll"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+    ).collect()[0]
+    hll_rel_err = abs(acc["nd_hll"] - acc["nd"]) / acc["nd"]
+    p50_rel_err = abs(acc["p50_approx"] - acc["p50"]) / acc["p50"]
+
     # Ingestion throughput (reference headline: ~155k records/s, BASELINE.md):
     # reshape-shaped write of the largest table into the identity-partitioned
     # layout the engine uses, records/sec wall-clock.
@@ -174,6 +190,8 @@ def main() -> None:
                 # clustered corpora (IVF's design assumption) the same nprobe
                 # yields far higher recall.
                 "ann_ivf_probed_cells": f"{entrymod._IVF_NPROBE}/8",
+                "hll_count_distinct_rel_err": round(hll_rel_err, 4),
+                "approx_p50_rel_err": round(p50_rel_err, 6),
                 "startup_sec": round(startup, 2),
                 "ingest_records_per_sec": int(n_records / ingest_sec),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
