@@ -15,14 +15,28 @@ One module per family from SURVEY.md §2:
 - :mod:`text` — text-analysis operators: language ID, quality scoring, token
   counting, document fingerprinting (extension).
 - :mod:`multimodal` — binary-column plumbing for image/audio/video payloads
-  (extension; codec stubs clearly marked).
+  (extension; pure-Python codecs where feasible, fallbacks clearly marked).
+- :mod:`behavior` — funnel analysis, cohort retention, multi-resolution time
+  rollups over event streams (extension).
+- :mod:`cdc` — change-data-capture log compaction and MERGE-style upsert
+  (extension).
+- :mod:`graph` — connected components and duplicate-cluster resolution.
+- :mod:`sessionization`, :mod:`embedding_dedup` — gap sessionization and
+  embedding-cosine near-dup.
 """
 
+from observation_lakehouse_spark.operators.behavior import (
+    cohort_retention,
+    funnel,
+    multires_rollup,
+)
+from observation_lakehouse_spark.operators.cdc import apply_changes, latest_per_key
 from observation_lakehouse_spark.operators.clustering import (
     behavioral_clustering,
     consensus_oracle,
 )
 from observation_lakehouse_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -44,6 +58,9 @@ from observation_lakehouse_spark.operators.text import (
     document_fingerprints,
     language_id,
     quality_score,
+    redact_pii,
+    repetition_score,
+    tfidf_terms,
     token_stats,
 )
 
@@ -68,4 +85,13 @@ __all__ = [
     "quality_score",
     "token_stats",
     "document_fingerprints",
+    "funnel",
+    "cohort_retention",
+    "multires_rollup",
+    "latest_per_key",
+    "apply_changes",
+    "decontaminate",
+    "redact_pii",
+    "repetition_score",
+    "tfidf_terms",
 ]
