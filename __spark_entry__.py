@@ -2448,6 +2448,55 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the same gap semantics the
+    custom sessionize_batch implements with windows — double coverage): one
+    aggregate, merged-session state handled by the engine. The oracle is the
+    independent LAG/SUM gap construction, so the built-in operator is checked
+    against first-principles SQL, not against itself."""
+    ev = _t(spark, sf_dir, "events")
+    tsc = F.timestamp_micros(F.col("ts"))
+    return (
+        ev.groupBy("user_id", F.session_window(tsc, "6 hours").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+_ORACLE_SESSION_WINDOW = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), flagged AS (
+    SELECT user_id, event_id, ts_us, value,
+           CASE WHEN ts_us - LAG(ts_us) OVER w >= 21600000000 THEN 1 ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+    SELECT user_id, ts_us, value,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 21600000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_start_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2524,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "weighted_sample": q_weighted_sample,
         "unigram_xent": q_unigram_xent,
+        "session_window": q_session_window,
     }
 
 
@@ -2593,4 +2643,5 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_zscore": _ORACLE_ANOMALY,
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "unigram_xent": _ORACLE_UNIGRAM_XENT,
+        "session_window": _ORACLE_SESSION_WINDOW,
     }

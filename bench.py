@@ -41,6 +41,7 @@ HEADLINE = [
     "json_extract",
     "window_running_total",
     "sessionization",
+    "session_window",
     "semi_anti_join",
     "rollup_status",
     "summary_stats",
