@@ -21,7 +21,7 @@ Catalyst broadcasts the compacted change side of the anti-join automatically
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
