@@ -2497,6 +2497,62 @@ ORDER BY user_id, session_start_us
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (customer-orders-lineitem-supplier-nation-
+    region) with the local-supplier constraint, per-nation revenue. The plan
+    showcase for Catalyst join reordering: region/nation/supplier/customer
+    broadcast as dimension legs, lineitem-orders shuffle on the fact keys,
+    revenue in exact decimal. Declared as naive chained joins — the optimizer
+    owns the order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_ORACLE_REGIONAL_REVENUE = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1996
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2574,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "unigram_xent": q_unigram_xent,
         "session_window": q_session_window,
+        "regional_revenue": q_regional_revenue,
     }
 
 
@@ -2644,4 +2701,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "unigram_xent": _ORACLE_UNIGRAM_XENT,
         "session_window": _ORACLE_SESSION_WINDOW,
+        "regional_revenue": _ORACLE_REGIONAL_REVENUE,
     }

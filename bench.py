@@ -32,6 +32,7 @@ HEADLINE = [
     "behavioral_clusters",
     "consensus_cluster",
     "three_way_join",
+    "regional_revenue",
     "per_nation_stats",
     "global_stats",
     "distinct_status",
