@@ -7,9 +7,11 @@ uncompressed), PPM/PGM (binary P6/P5, maxval ≤ 255), and WAV (RIFF PCM via the
 stdlib ``wave`` module). Plus a PNG *encoder* (filter 0) so image transforms can
 re-encode losslessly, and a deterministic area-style resizer.
 
-Formats that require an entropy-coding library we cannot ship (JPEG, video
-containers) raise :class:`UnsupportedMediaFormat`; callers fall back to the
-clearly-marked digest stubs in ``operators/multimodal.py``.
+Baseline JPEG (Huffman + 8×8 DCT, 4:4:4/4:2:2/4:2:0, restart intervals)
+decodes natively too — see :mod:`.jpeg`, cross-checked against JVM ImageIO.
+Progressive JPEG and video containers raise :class:`UnsupportedMediaFormat`;
+callers fall back to the clearly-marked digest stubs in
+``operators/multimodal.py``.
 
 These are deliberately simple reference implementations: the per-image work
 happens inside Arrow-batched ``mapInPandas`` workers (see multimodal.py), so
@@ -214,7 +216,8 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff magic bytes and decode PNG/BMP/PPM; raise for anything else."""
+    """Sniff magic bytes and decode PNG/BMP/PPM/baseline JPEG; raise for
+    anything else (progressive JPEG, video containers)."""
     if data is None:
         raise UnsupportedMediaFormat("null payload")
     if data[:8] == _PNG_SIG:
@@ -223,7 +226,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
-    raise UnsupportedMediaFormat("unrecognized image magic (JPEG et al. need external libs)")
+    if data[:2] == b"\xff\xd8":
+        from observation_lakehouse_spark.functions.jpeg import decode_jpeg_baseline
+
+        try:
+            return decode_jpeg_baseline(data)
+        except ValueError as ex:  # progressive/arithmetic processes
+            raise UnsupportedMediaFormat(str(ex)) from ex
+    raise UnsupportedMediaFormat("unrecognized image magic")
 
 
 def resize_image(pixels: np.ndarray, max_side: int) -> np.ndarray:

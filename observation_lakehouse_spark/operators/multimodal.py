@@ -6,7 +6,9 @@ Spark-side plumbing (schemas, batch iteration, partition sizing, UDF signatures)
 is real and tested. Decode is real for the formats expressible with
 stdlib+numpy — PNG / BMP / PPM images and PCM WAV audio (see
 ``functions/codecs.py``) — including true pixel resize + PNG re-encode and a
-64-bit perceptual aHash. Only entropy-coded formats (JPEG) and video container
+64-bit perceptual aHash, baseline JPEG (functions/jpeg.py — pure-Python
+Huffman+DCT, cross-checked against JVM ImageIO). Only progressive JPEG and
+video container
 demux remain digest-stub FALLBACKS (no Pillow/libav in this container; each
 fallback is clearly marked and reported via the ``decoded`` flag).
 
@@ -83,7 +85,7 @@ _NULL_IMAGE_FEATURES = {
 def _image_features(content: bytes | None) -> dict:
     """Real decode (PNG/BMP/PPM via :mod:`..functions.codecs`) + aHash.
 
-    FALLBACK: entropy-coded formats (JPEG/WebP — need external libs this
+    FALLBACK: still-undecodable formats (progressive JPEG/WebP — need external libs this
     container lacks) get digest-only pseudo-features, flagged ``decoded=False``.
     """
     if content is None:
@@ -157,7 +159,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     Decodable formats (PNG/BMP/PPM) are REALLY resized — decode, deterministic
     nearest-neighbor downscale, re-encode as PNG — with width/height/format
-    taken from the actual pixel data. Undecodable payloads (JPEG — no external
+    taken from the actual pixel data. Undecodable payloads (progressive JPEG — no external
     libs here) fall back to a digest-tagged placeholder with metadata-scaled
     dimensions, so the pipeline shape survives mixed corpora.
     """
