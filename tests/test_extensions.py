@@ -269,3 +269,30 @@ def test_cosine_topk_query_set_size_guard(spark):
         cosine_topk(df, df, k=2, max_queries=5)
     # at the limit it still works
     assert cosine_topk(df, df.limit(5), k=2, max_queries=5).count() == 10
+
+
+def test_multimodal_decodes_real_jpeg_payloads(spark):
+    """A real baseline-JPEG payload flows through the Spark feature path with
+    decoded=True and pixel-derived features (not the digest fallback)."""
+    import numpy as np
+
+    from observation_lakehouse_spark.functions.jpeg import encode_jpeg_baseline
+    from observation_lakehouse_spark.operators.multimodal import extract_image_features
+
+    px = np.zeros((48, 32, 3), dtype=np.uint8)
+    px[:24] = 240
+    jpg = encode_jpeg_baseline(px)
+    kitten = open(
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg", "rb"
+    ).read()
+    rows = [
+        ("j_ours", "image", jpg, "jpeg", 32, 48, None, len(jpg)),
+        ("j_libjpeg", "image", kitten, "jpeg", 199, 313, None, len(kitten)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert feats["j_ours"]["decoded"] is True
+    assert (feats["j_ours"]["px_width"], feats["j_ours"]["px_height"]) == (32, 48)
+    assert feats["j_ours"]["mean_luma"] == pytest.approx(120.0, abs=3.0)
+    assert feats["j_libjpeg"]["decoded"] is True
+    assert (feats["j_libjpeg"]["px_width"], feats["j_libjpeg"]["px_height"]) == (199, 313)
