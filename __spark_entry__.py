@@ -2553,6 +2553,40 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment-and-replicate skew join (functions/skew.py:salted_join): the
+    big side salts on a content-stable hash, the dimension replicates
+    salt-ways, the hot key spreads across reducers. The oracle is the PLAIN
+    join — salting must be invisible in the result."""
+    from observation_lakehouse_spark.functions.skew import salted_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        salted_join(cust, nation, on=["nationkey"], salt=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT n_name, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2631,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_xent": q_unigram_xent,
         "session_window": q_session_window,
         "regional_revenue": q_regional_revenue,
+        "salted_join": q_salted_join,
     }
 
 
@@ -2702,4 +2737,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_xent": _ORACLE_UNIGRAM_XENT,
         "session_window": _ORACLE_SESSION_WINDOW,
         "regional_revenue": _ORACLE_REGIONAL_REVENUE,
+        "salted_join": _ORACLE_SALTED_JOIN,
     }

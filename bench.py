@@ -50,6 +50,7 @@ HEADLINE = [
     "set_ops",
     "asof_join",
     "salted_agg",
+    "salted_join",
     "event_windows",
     "window_analytics",
     "percentiles",

@@ -73,3 +73,42 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[_PHASE2[agg](name).alias(name) for name, (agg, _) in exprs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side, replicate the SMALL side.
+
+    A hot join key funnels its rows through one reducer in a plain shuffle
+    join; here each big-side row gets a content-stable salt in [0, salt) and
+    the small side is exploded ``salt``× (one copy per salt value), so the
+    hot key's rows spread across ``salt`` reducers while every big row still
+    meets every matching small row exactly once. Classic replicate-fragment
+    (fragment-and-replicate) join; AQE's skew splitting is the automatic
+    alternative, this is the explicit tool when AQE's thresholds don't
+    trigger (e.g. one mega-key inside an otherwise balanced stage).
+
+    Small-side cost is ``salt``× its size — use for genuinely asymmetric
+    joins. ``how`` supports the big-side-preserving joins (inner/left): the
+    salt never invents or drops matches because every (big row, small row)
+    key pair co-locates under exactly one salt value.
+
+    The salt is a hash of the join key plus a big-side-row disambiguator
+    derived from all big columns — NOT a random number, so results are
+    reproducible across retries and repartitionings.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    b = big.withColumn("_salt", salt_col)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return b.join(s, [*on, "_salt"], how).drop("_salt")

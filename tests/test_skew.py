@@ -108,3 +108,47 @@ def test_default_salt_is_content_stable_under_repartition(spark):
     assert base == run(df.repartition(13))
     assert base == run(df.repartition(1))
     assert base == run(df.orderBy(F.desc("x")))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from observation_lakehouse_spark.functions.skew import salted_join
+
+    # hot key 1 dominates the big side
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000), (9, 1)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "warm"), (3, "cold")], "k long, label string")
+    got = salted_join(big, small, on=["k"], salt=4).orderBy("k", "payload")
+    want = big.join(small, "k").orderBy("k", "payload")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # left join keeps unmatched big rows
+    left = salted_join(big, small, on=["k"], salt=4, how="left")
+    assert left.filter("k = 9 AND label IS NULL").count() == 1
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame([(1, i) for i in range(1000)], "k long, payload long")
+    small = spark.createDataFrame([(1, "x")], "k long, label string")
+    # distinct salt values actually used by the hot key > 1 → rows spread
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    assert salted.select("_salt").distinct().count() > 4
+    assert salted_join(big, small, on=["k"], salt=8).count() == 1000
+
+
+def test_salted_join_validates_args(spark):
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.functions.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on=["k"], how="full")
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(df, df, on=["k"], salt=1)
