@@ -2587,6 +2587,103 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (add-one smoothed conditional
+    p(w2|w1) = (c(w1w2)+1)/(c(w1)+V) under the corpus's own counts) — the
+    sequel to unigram_xent with real context sensitivity. Same determinism
+    discipline: per-bigram ln p rounds to integer micro-nats once, doc sums
+    are exact long arithmetic. Shape: one bigram explode + (doc, bigram)
+    aggregate, corpus bigram/unigram count tables joined vocabulary-side,
+    broadcast V, one per-doc aggregate."""
+    from observation_lakehouse_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg", F.split("bg", " ").getItem(0).alias("w1")
+    )
+    tf = ex.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("tf"))
+    cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    uni = docs.select(F.explode(toks).alias("w1"))
+    cw1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = uni.agg(F.countDistinct("w1").alias("v"))
+    lnp = (
+        cbg.join(tf.select("bg", "w1").distinct(), "bg")
+        .join(cw1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_w1") + F.col("v")).cast("double")
+                )
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        tf.join(lnp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf") * F.col("lnp_micro")).cast("double")
+                / F.sum("tf")
+                / 1_000_000.0,
+                6,
+            ).alias("xent_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_BIGRAM_XENT = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+    FROM tk WHERE len(toks) >= 2
+), tf AS (
+    SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1, COUNT(*) AS tf
+    FROM bg GROUP BY 1, 2, 3
+), cbg AS (
+    SELECT bg, SUM(tf) AS c_bg FROM tf GROUP BY 1
+), uni AS (
+    SELECT unnest(toks) AS w1 FROM tk
+), cw1 AS (
+    SELECT w1, COUNT(*) AS c_w1 FROM uni GROUP BY 1
+), vocab AS (
+    SELECT COUNT(DISTINCT w1) AS v FROM uni
+), lnp AS (
+    SELECT b.bg,
+           CAST(ROUND(ln(CAST(c_bg + 1 AS DOUBLE) / CAST(c_w1 + v AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lnp_micro
+    FROM cbg b
+    JOIN (SELECT DISTINCT bg, w1 FROM tf) d ON b.bg = d.bg
+    JOIN cw1 USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(tf * lnp_micro) AS DOUBLE) / SUM(tf) / 1000000.0, 6) AS xent_nats
+FROM tf JOIN lnp USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2666,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "regional_revenue": q_regional_revenue,
         "salted_join": q_salted_join,
+        "bigram_xent": q_bigram_xent,
     }
 
 
@@ -2738,4 +2836,5 @@ def oracle_sql() -> dict[str, str]:
         "session_window": _ORACLE_SESSION_WINDOW,
         "regional_revenue": _ORACLE_REGIONAL_REVENUE,
         "salted_join": _ORACLE_SALTED_JOIN,
+        "bigram_xent": _ORACLE_BIGRAM_XENT,
     }

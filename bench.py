@@ -87,6 +87,7 @@ HEADLINE = [
     "anomaly_zscore",
     "weighted_sample",
     "unigram_xent",
+    "bigram_xent",
     "pii_redaction",
     "repetition",
     "tfidf_terms",
