@@ -2684,6 +2684,51 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate over the embedding column: per-label centroid, one
+    (label, dimension) hash aggregate via posexplode — the shuffle carries
+    (label, pos, decimal partial), labels×dims rows, never whole vectors.
+    Float lanes cast exactly to double, then to DECIMAL for an
+    order-independent sum (a raw double SUM's accumulation order differs
+    between engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.col("val").cast("double").cast("decimal(28,10)").alias("v"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round((F.sum("v") / F.count(F.lit(1))).cast("double"), 6).alias(
+                "centroid_val"
+            ),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_ORACLE_EMB_CENTROIDS = """
+WITH ex0 AS (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                                 i -> struct_pack(pos := i - 1, val := embedding[i]))) AS u
+    FROM embeddings
+), ex AS (
+    SELECT label, u.pos AS pos,
+           CAST(CAST(u.val AS DOUBLE) AS DECIMAL(28,10)) AS v
+    FROM ex0
+)
+SELECT label, pos, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(v) / COUNT(*) AS DOUBLE), 6) AS centroid_val
+FROM ex GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2764,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -2837,4 +2883,5 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": _ORACLE_REGIONAL_REVENUE,
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
+        "embedding_centroids": _ORACLE_EMB_CENTROIDS,
     }

@@ -64,6 +64,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "ann_cosine_topk",
+    "embedding_centroids",
     "ann_lsh_topk",
     "srm_output_map",
     "text_quality",
