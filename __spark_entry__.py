@@ -118,14 +118,95 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         elif op == "MUL":
             df = df.withColumn("ts", F.col("ts") * F.lit(k))
         return df
-    # Fallback: plain read, then cast whatever ts type we got to micro-longs.
+    # Fallback: plain read, then normalize whatever ts type we got to
+    # micro-longs. A bigint here means the unit is NOT knowable from the Spark
+    # type alone (raw int64, or a nanos-as-long session): never guess —
+    # re-probe the footer through an independent library (duckdb), then
+    # classify by value magnitude (epoch s/ms/us/ns occupy disjoint decades),
+    # and refuse loudly if neither resolves. A silent wrong-unit divide would
+    # corrupt every downstream events query with no error.
     df = spark.read.parquet(path)
     t = dict(df.dtypes).get("ts")
-    if t == "bigint":  # nanos-as-long session
-        df = df.withColumn("ts", F.expr("ts DIV 1000"))
-    elif t in ("timestamp", "timestamp_ntz"):
-        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    if t in ("timestamp", "timestamp_ntz"):
+        return df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    if t == "bigint":
+        unit = _ts_unit_via_duckdb(path) or _ts_unit_by_magnitude(path)
+        if unit not in _TS_UNIT_TO_US:
+            raise RuntimeError(
+                f"events.ts at {path} is raw int64 and its time unit could not "
+                "be determined from the parquet footer or value magnitude — "
+                "refusing to guess (a wrong divide silently corrupts every "
+                "events query)."
+            )
+        op, k = _TS_UNIT_TO_US[unit]
+        if op == "DIV":
+            df = df.withColumn("ts", F.expr(f"ts DIV {k}"))
+        elif op == "MUL":
+            df = df.withColumn("ts", F.col("ts") * F.lit(k))
     return df
+
+
+def _ts_unit_via_duckdb(path: str) -> str | None:
+    """Second-opinion footer probe (independent of pyarrow): parquet logical
+    type of the ts column via duckdb's parquet_schema, mapped to a unit key."""
+    try:
+        import glob
+        import os
+
+        import duckdb
+
+        f = path
+        if os.path.isdir(path):
+            f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        rows = duckdb.sql(
+            "SELECT CAST(logical_type AS VARCHAR), converted_type "
+            f"FROM parquet_schema('{f}') WHERE name = 'ts'"
+        ).fetchall()
+        if not rows:
+            return None
+        # logical_type prints every unit slot with exactly one non-null, e.g.
+        # "TimestampType(..., unit=TimeUnit(MILLIS=<null>, MICROS=MicroSeconds(), NANOS=<null>))"
+        logical = (rows[0][0] or "").upper()
+        for token, unit in (
+            ("NANOS=NANOSECONDS", "ns"),
+            ("MICROS=MICROSECONDS", "us"),
+            ("MILLIS=MILLISECONDS", "ms"),
+        ):
+            if token in logical:
+                return unit
+        converted = (rows[0][1] or "").upper()
+        for token, unit in (
+            ("TIMESTAMP_MICROS", "us"), ("TIMESTAMP_MILLIS", "ms"),
+        ):
+            if token in converted:
+                return unit
+        return None
+    except Exception:
+        return None
+
+
+def _ts_unit_by_magnitude(path: str) -> str | None:
+    """Classify a raw int64 epoch by magnitude. For any date between 1973 and
+    ~5100 the four units occupy disjoint decades: s < 1e11 ≤ ms < 1e14 ≤ us
+    < 1e17 ≤ ns. Only consulted when both footer probes failed."""
+    try:
+        import glob
+        import os
+
+        import duckdb
+
+        f = path
+        if os.path.isdir(path):
+            f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        lo, hi = duckdb.sql(f"SELECT MIN(ts), MAX(ts) FROM read_parquet('{f}')").fetchone()
+        if lo is None or lo <= 0:
+            return None
+        for bound, unit in ((1e11, "s"), (1e14, "ms"), (1e17, "us")):
+            if hi < bound:
+                return unit if lo >= bound / 1000 or unit == "s" else None
+        return "ns" if lo >= 1e17 else None
+    except Exception:
+        return None
 
 
 def _dec(col: str, scale: int = 2) -> F.Column:
@@ -819,13 +900,15 @@ FROM documents
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-shingle Jaccard pairs, UNBLOCKED — the verification-grade
-    dedup, oracle-checked end to end. Trigrams because selectivity IS the
-    blocking here: the planted duplicates span languages and sources (so
-    metadata blocks lose most true pairs), while near-unique trigram keys
-    keep the set-similarity join intermediate candidate-bounded (1.3M rows
-    over 5000 sf0.1 docs vs 9.4M for lang-blocked bigrams, ~2.6M pairs of
-    which only 79 were real)."""
+    """Trigram-shingle Jaccard pairs via prefix-filtered set-similarity
+    join (AllPairs/PPJoin, Bayardo et al. WWW'07), oracle-checked end to
+    end. Unblocked on metadata because the planted duplicates span
+    languages and sources (metadata blocks lose most true pairs); skew
+    safety comes from the prefix filter instead — only each doc's rarest
+    (1-t) shingle fraction joins, so hot stopword shingles never become
+    join keys and the candidate bound holds on any corpus, not just this
+    synthetic one. Output is provably identical to the naive all-shingle
+    join (the oracle runs that naive shape)."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", block_col=None,
@@ -872,12 +955,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked on lang|source) → connected components → per-doc cluster id +
     canonical keeper. The engine's one iterative operator (driver-coordinated
     min-label propagation + pointer jumping, operators/graph.py); the oracle
-    resolves the same components with a recursive CTE. Trigram shingles,
-    UNBLOCKED: the planted duplicates span languages and sources, so any
-    metadata blocking loses most of the graph; trigrams are near-unique
-    (measured 1.3M-row join intermediate over 5000 sf0.1 docs, zero hot
-    shingles), so the unblocked set-similarity join stays candidate-bounded
-    — the blocking-free shape that survives scale for selective shingles."""
+    resolves the same components with a recursive CTE. The pair stage is the
+    prefix-filtered set-similarity join (see q_ngram_jaccard): no metadata
+    blocking (planted duplicates span languages and sources, so any metadata
+    block loses most of the graph), yet candidate generation is skew-safe on
+    ANY corpus — hot shingles sort out of every document's join prefix, so
+    the candidate bound no longer depends on shingle selectivity."""
     from observation_lakehouse_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
@@ -1927,17 +2010,25 @@ WITH aug AS (
                 || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
     FROM documents
 )
+, r1 AS (
+    SELECT doc_id, text,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+    FROM aug
+), r2 AS (
+    SELECT doc_id, text, t1,
+           regexp_replace(t1,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+    FROM r1
+)
+-- counts on the PROGRESSIVELY-redacted text, mirroring redact_pii: each
+-- n_<kind> equals the number of <KIND> tokens actually emitted
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
-       len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS n_phone,
-       regexp_replace(
-           regexp_replace(
-               regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-           '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted_text
-FROM aug
+       len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(t2, '\+[0-9]{7,15}')) AS n_phone,
+       regexp_replace(t2, '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted_text
+FROM r2
 ORDER BY doc_id
 """
 

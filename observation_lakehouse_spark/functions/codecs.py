@@ -316,3 +316,123 @@ def decode_wav(data: bytes) -> dict:
         "rms": rms,
         "peak": peak,
     }
+
+
+# --------------------------------------------------------------------------- AVI
+
+
+def _riff_chunks(data: bytes, off: int, end: int):
+    """Yield (fourcc, body_start, body_size) walking sibling RIFF chunks.
+
+    RIFF chunks are `fourcc u32le-size body [pad]` with bodies padded to even
+    offsets; a truncated trailing chunk is clamped rather than raising so a
+    cut-off file still yields its intact prefix.
+    """
+    while off + 8 <= end:
+        fourcc = data[off : off + 4]
+        size = int.from_bytes(data[off + 4 : off + 8], "little")
+        body_start = off + 8
+        body_size = min(size, end - body_start)
+        yield fourcc, body_start, body_size
+        off = body_start + size + (size & 1)
+
+
+def demux_avi_mjpeg(data: bytes) -> dict:
+    """Demux an AVI (RIFF) container into its MJPEG frame payloads.
+
+    Pure-Python RIFF chunk walk (the public AVI spec: `RIFF('AVI ' LIST(hdrl
+    avih ...) LIST(movi 00dc ...))`): reads the main header for frame timing
+    and dimensions, then collects the stream-0 compressed-video chunks
+    (`00dc`/`00db`). Each frame is a complete baseline JPEG (frames that do
+    not start with the JPEG SOI marker are rejected — MJPG variants that
+    strip Huffman tables need the out-of-band table injection this demuxer
+    does not implement).
+
+    Returns ``{"width", "height", "fps", "n_frames", "duration_ms",
+    "frames": [bytes, ...]}``. Raises :class:`UnsupportedMediaFormat` for
+    non-AVI containers (MP4/WebM/...) so callers fall back to digest
+    features, same contract as :func:`decode_image`.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise UnsupportedMediaFormat("not a RIFF/AVI container")
+    width = height = None
+    usec_per_frame = None
+    frames: list[bytes] = []
+
+    def walk_list(start: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame
+        for fourcc, body, size in _riff_chunks(data, start, end):
+            if fourcc == b"LIST":
+                walk_list(body + 4, body + size)  # skip the list-type fourcc
+            elif fourcc == b"avih" and size >= 40:
+                usec_per_frame = int.from_bytes(data[body : body + 4], "little")
+                width = int.from_bytes(data[body + 32 : body + 36], "little")
+                height = int.from_bytes(data[body + 36 : body + 40], "little")
+            elif fourcc in (b"00dc", b"00db") and size > 0:
+                frames.append(data[body : body + size])
+
+    walk_list(12, len(data))
+    if not frames:
+        raise UnsupportedMediaFormat("AVI contains no stream-0 video chunks")
+    bad = next((i for i, f in enumerate(frames) if f[:2] != b"\xff\xd8"), None)
+    if bad is not None:
+        raise UnsupportedMediaFormat(
+            f"AVI video chunk {bad} is not a JPEG frame (non-MJPEG codec?)"
+        )
+    fps = 1_000_000.0 / usec_per_frame if usec_per_frame else 25.0
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": len(frames),
+        "duration_ms": int(len(frames) * 1000.0 / fps),
+        "frames": frames,
+    }
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode RGB/gray frames as a standard MJPEG-in-AVI file (test fixture
+    generator and round-trip proof for :func:`demux_avi_mjpeg`).
+
+    Emits the canonical structure — avih main header, one 'vids'/'MJPG'
+    stream (strh + BITMAPINFOHEADER strf), and a movi list of per-frame
+    baseline JPEGs from :func:`..jpeg.encode_jpeg_baseline`.
+    """
+    from .jpeg import encode_jpeg_baseline
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_baseline(f) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    max_jpeg = max(len(j) for j in jpegs)
+    avih = b"".join([
+        u32(1_000_000 // fps), u32(max_jpeg * fps), u32(0), u32(0x10),  # HASINDEX-less, AVIF_WASCAPTUREFILE-ish flags
+        u32(len(jpegs)), u32(0), u32(1), u32(max_jpeg),
+        u32(w), u32(h), u32(0), u32(0), u32(0), u32(0),
+    ])
+    strh = b"".join([
+        b"vids", b"MJPG", u32(0), u32(0), u32(0),
+        u32(1), u32(fps), u32(0), u32(len(jpegs)), u32(max_jpeg),
+        u32(0xFFFFFFFF), u32(0),
+        (0).to_bytes(2, "little") * 2, w.to_bytes(2, "little"), h.to_bytes(2, "little"),
+    ])
+    strf = b"".join([
+        u32(40), u32(w), u32(h), (1).to_bytes(2, "little"), (24).to_bytes(2, "little"),
+        b"MJPG", u32(w * h * 3), u32(0), u32(0), u32(0), u32(0),
+    ])
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

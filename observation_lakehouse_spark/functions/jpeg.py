@@ -304,7 +304,16 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
             if self.nbits == 0:
-                return 0  # past end: spec says pad behaves as 1s; 0 is safe for EOB'd streams
+                # A conforming baseline stream carries every bit its Huffman
+                # codes need (byte-align padding is part of the data); running
+                # dry mid-MCU means truncation/corruption. Raising (instead of
+                # returning 0) lets decode_image convert this to
+                # UnsupportedMediaFormat → digest fallback with decoded=False,
+                # rather than emitting deterministic garbage pixels flagged
+                # decoded=True.
+                raise ValueError(
+                    "JPEG entropy stream exhausted mid-scan (truncated or corrupt)"
+                )
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 

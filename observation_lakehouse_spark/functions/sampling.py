@@ -86,6 +86,13 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "priority" in df.columns:
+        # `priority` is part of the OUTPUT contract; silently overwriting an
+        # input column of that name would destroy user data.
+        raise ValueError(
+            "input already has a 'priority' column — rename it before "
+            "weighted_sample (the sample priority is emitted under that name)"
+        )
     # u in (0,1): (bucket + 1) / (D + 1) avoids both endpoints (u=0 would
     # zero every priority; u=1 would make weight irrelevant).
     u = (hash_bucket(F.col(key_col)) + 1).cast("double") / F.lit(float(_D + 1))

@@ -106,9 +106,16 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt < 2:
         raise ValueError(f"salt must be >= 2, got {salt}")
+    # Collision-safe helper column: an input that already carries `_salt`
+    # must keep it (overwriting would change salt semantics AND drop the
+    # user's column from the output schema).
+    taken = set(big.columns) | set(small.columns)
+    sc = "_salt"
+    while sc in taken:
+        sc += "_"
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
-    b = big.withColumn("_salt", salt_col)
+    b = big.withColumn(sc, salt_col)
     s = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        sc, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    return b.join(s, [*on, "_salt"], how).drop("_salt")
+    return b.join(s, [*on, sc], how).drop(sc)

@@ -37,10 +37,13 @@ def latest_per_key(
     deterministically); the result keeps the input schema.
     """
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    rn = "_rn"
+    while rn in df.columns:  # keep a user `_rn` column intact
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 

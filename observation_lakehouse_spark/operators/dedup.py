@@ -352,21 +352,35 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over blocked pairs (verification-grade dedup).
+    """Exact n-gram Jaccard via prefix-filtered set-similarity join.
 
-    Set-similarity-join shape: explode shingles → equi-join on (block, shingle)
-    → count intersections per pair → |A∩B| / (|A|+|B|-|A∩B|). This turns the
-    per-pair array intersection (O(pairs × shingles), interpreted) into one
-    shuffle-hash join + hash aggregate, all codegen — the plan that survives a
-    100× scale-up. Pairs with zero intersection never materialize, which is
-    correct for any ``threshold > 0``.
+    Candidate generation is the AllPairs/PPJoin prefix filter (Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): order
+    every document's shingles by ascending global document frequency (ties
+    by hash — any consistent total order works), and self-join only on each
+    document's *prefix*, its ``n - ⌈t·n⌉ + 1`` rarest shingles. Two sets
+    with Jaccard ≥ t must share ≥ ⌈t·n⌉ elements, so their prefixes under a
+    common order provably intersect — candidate recall is 100% and the
+    result is bit-identical to the naive all-shingle join. Candidates are
+    then verified EXACTLY: the full hashed shingle sets of each candidate
+    pair meet in one codegen ``array_intersect``.
 
-    ``block_col`` bounds the candidate space to within-block pairs (language,
-    source, an LSH bucket). With ``block_col=None`` all docs share one block —
-    the join key degenerates to the shingle itself (a frequency-skew risk on
-    stopword shingles; AQE skew-join mitigates).
+    Why this survives 100 TB where the all-shingle join does not: on
+    natural language the join-key frequency of a stopword shingle ("one of
+    the") is quadratically hot — the unblocked join materializes df² pairs
+    per key. Under the prefix filter a shingle is a join key only where it
+    falls in a document's rarest-(1-t) fraction, so globally hot shingles
+    sort to the suffix of almost every document and vanish from the join;
+    key frequency tracks the *rare* end of the df distribution regardless
+    of corpus skew. The df ranking itself is a hash aggregate (map-side
+    partial combine absorbs hot keys) and a 1-row-per-key equi-join —
+    neither is pair-quadratic.
+
+    ``block_col`` additionally bounds candidates to within-block pairs
+    (language, source, an LSH bucket); frequencies are computed per block
+    so the order stays consistent within every joinable scope.
     """
-    # persist(): the shingle expression feeds sizes + both join sides (4
+    # persist(): the shingle expression feeds sizes + tokens (multiple
     # consumers) — materialize once. The size filter sits ABOVE the persist
     # (below it, the cached plan evaluates the shingle expression twice per
     # row during materialization: once in the filter, once in the project).
@@ -376,31 +390,71 @@ def ngram_jaccard_pairs(
         word_shingles(text_col, shingle_size).alias("sh"),
     ).persist()
     base = cached.filter(F.size("sh") > 0)
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    # Join on the shingle's 64-bit hash, not the string: the self-join
-    # shuffles fixed 8-byte keys instead of arbitrary-length text, and the
-    # hash is computed once per exploded row before the exchange. Collisions
-    # would need two DISTINCT shingles with equal xxhash64 co-occurring in two
-    # docs — ~(distinct_shingles)²/2⁶⁴, vanishing even at 100 TB corpus scale
-    # (and only ever inflates one pair's intersection by 1).
-    tok = base.select(
-        "doc_id", "blk", F.explode("sh").alias("_s")
-    ).select("doc_id", "blk", F.xxhash64("_s").alias("shingle"))
-
-    l, r = tok.alias("l"), tok.alias("r")
-    inter = (
+    # Work on the shingle's 64-bit hash, not the string: every downstream
+    # shuffle moves fixed 8-byte keys instead of arbitrary-length text.
+    # Collisions would need two DISTINCT shingles with equal xxhash64
+    # co-occurring in two docs — ~(distinct_shingles)²/2⁶⁴, vanishing even
+    # at 100 TB corpus scale (and only ever inflates one intersection by 1).
+    tok = (
+        base.select(
+            "doc_id", "blk", F.size("sh").alias("n_sh"), F.explode("sh").alias("_s")
+        )
+        .select("doc_id", "blk", "n_sh", F.xxhash64("_s").alias("shingle"))
+        .persist()
+    )
+    dfreq = tok.groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # tok carries exactly n_sh rows per doc (shingles are distinct), so the
+    # prefix bound needs no per-doc count window — one row_number pass.
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    pref = (
+        tok.join(dfreq, ["blk", "shingle"])
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(
+            F.col("_rk")
+            <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + F.lit(1)
+        )
+        .select("doc_id", "blk", "n_sh", "shingle")
+    )
+    # Candidate join adds the standard length filter: Jaccard >= t forces
+    # t*n_a <= n_b <= n_a/t, pruning size-mismatched pairs inside the join.
+    l, r = pref.alias("l"), pref.alias("r")
+    cand = (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
             & (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("r.n_sh") * float(threshold) <= F.col("l.n_sh"))
+            & (F.col("l.n_sh") * float(threshold) <= F.col("r.n_sh")),
         )
-        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # Exact verification: full hashed shingle sets per candidate pair.
+    # n_sh comes from the STRING-distinct array (oracle parity); the
+    # intersection count comes from array_intersect over the hash sets —
+    # identical to the old exploded-join count modulo the same 2⁻⁶⁴ class.
+    arrs = tok.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("hs"), F.first("n_sh").alias("n_sh")
     )
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard_sim",
             F.col("n_inter").cast("double")
@@ -410,7 +464,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
         .orderBy("id_a", "id_b")
     )
-    return _with_cached_deps(out, cached)
+    return _with_cached_deps(out, cached, tok)
 
 
 def decontaminate(

@@ -7,10 +7,11 @@ is real and tested. Decode is real for the formats expressible with
 stdlib+numpy — PNG / BMP / PPM images and PCM WAV audio (see
 ``functions/codecs.py``) — including true pixel resize + PNG re-encode and a
 64-bit perceptual aHash, baseline JPEG (functions/jpeg.py — pure-Python
-Huffman+DCT, cross-checked against JVM ImageIO). Only progressive JPEG and
-video container
-demux remain digest-stub FALLBACKS (no Pillow/libav in this container; each
-fallback is clearly marked and reported via the ``decoded`` flag).
+Huffman+DCT, cross-checked against JVM ImageIO), and MJPEG-in-AVI video (RIFF
+chunk-walk demux in codecs.py feeding the JPEG decoder, per-frame sampling).
+Only progressive JPEG and non-AVI video containers (MP4/WebM — need libav,
+absent here) remain digest FALLBACKS, each clearly marked and reported via
+the ``decoded`` flag.
 
 Why ``mapInPandas``: decode/resize/frame-sample are per-row CPU-bound transforms
 over large binary cells. ``mapInPandas`` streams Arrow batches through Python
@@ -291,33 +292,115 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_key", StringType(), True),
+        StructField("decoded", BooleanType(), True),  # real frame vs digest fallback
+        StructField("px_width", IntegerType(), True),
+        StructField("px_height", IntegerType(), True),
+        StructField("ahash64", LongType(), True),  # perceptual key per sampled frame
+        StructField("mean_luma", DoubleType(), True),
+    ]
+)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame timestamp.
+    """Sample + decode one frame per ``every_ms`` of video, per media row.
 
-    The timestamp grid is computed relationally (``sequence``); the actual frame
-    decode is the stub (production: av/ffmpeg in ``mapInPandas`` keyed by the
-    (media_id, frame_ts) grid this produces).
+    REAL demux for MJPEG-in-AVI: :func:`..functions.codecs.demux_avi_mjpeg`
+    walks the RIFF container once per payload and the sampled frames decode
+    through the pure-Python baseline JPEG decoder (``functions/jpeg.py``) —
+    each sampled row carries the frame's perceptual aHash, dimensions, and
+    mean luminance with ``decoded=True``. Containers this engine cannot demux
+    (MP4/WebM — need libav, absent here) FALL BACK to the metadata timestamp
+    grid with digest frame keys, flagged ``decoded=False`` per row.
+
+    Scale shape: ``mapInPandas`` over the MEDIA rows (not an exploded frame
+    grid), so each multi-MB payload crosses Arrow exactly once and is demuxed
+    exactly once; the per-frame fan-out happens inside the Python worker.
+    Partitioning is preserved (no shuffle), memory is bounded by the Arrow
+    batch size — set ``spark.sql.execution.arrow.maxRecordsPerBatch`` low
+    (e.g. 64) for multi-MB cells.
     """
-    frames = media.filter(
-        (F.col("modality") == "video") & F.col("duration_ms").isNotNull()
-    ).select(
-        "media_id",
-        "format",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
-        ).alias("frame_ts_ms"),
+    vids = media.filter(F.col("modality") == "video").select(
+        "media_id", "format", "content", "duration_ms"
     )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
         for pdf in batches:
-            # STUB — production: seek+decode the frame at frame_ts_ms via PyAV.
-            pdf = pdf.copy()
-            pdf["frame_key"] = [
-                f"{m}@{t}" for m, t in zip(pdf["media_id"], pdf["frame_ts_ms"])
-            ]
-            yield pdf
+            rows: list[tuple] = []
+            for media_id, fmt, content, duration in zip(
+                pdf["media_id"], pdf["format"], pdf["content"], pdf["duration_ms"]
+            ):
+                rows.extend(_video_frame_rows(media_id, fmt, content, duration, every_ms))
+            yield pd.DataFrame(rows, columns=cols)
 
-    out_schema = StructType(
-        frames.schema.fields + [StructField("frame_key", StringType(), True)]
-    )
-    return frames.mapInPandas(decode, schema=out_schema)
+    return vids.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def _video_frame_rows(
+    media_id: str,
+    fmt: str | None,
+    content: bytes | None,
+    duration_ms,
+    every_ms: int,
+) -> list[tuple]:
+    """Rows for one video: real demux+decode when possible, digest grid else."""
+    duration = int(duration_ms) if duration_ms is not None and not pd.isna(duration_ms) else None
+    try:
+        if content is None:
+            raise codecs.UnsupportedMediaFormat("no payload")
+        demux = codecs.demux_avi_mjpeg(bytes(content))
+    except codecs.UnsupportedMediaFormat:
+        if duration is None:
+            return []
+        return [
+            (media_id, fmt, ts, f"{media_id}@{ts}", False, None, None, None, None)
+            for ts in range(0, duration + 1, every_ms)
+        ]
+    frames = demux["frames"]
+    fps = demux["fps"]
+    dur = duration if duration is not None else demux["duration_ms"]
+    rows: list[tuple] = []
+    px = None
+    last_idx = -1
+    for ts in range(0, dur + 1, every_ms):
+        idx = min(int(ts / 1000.0 * fps), len(frames) - 1)
+        if idx != last_idx:  # adjacent grid points can hit the same frame
+            try:
+                px = codecs.decode_image(frames[idx])
+            except codecs.UnsupportedMediaFormat:
+                rows.append(
+                    (media_id, fmt, ts, f"{media_id}@{ts}", False, None, None, None, None)
+                )
+                last_idx = -1
+                continue
+            last_idx = idx
+        ahash = codecs.average_hash(px)
+        h, w = px.shape[:2]
+        if px.ndim == 3 and px.shape[2] >= 3:
+            luma = (
+                77 * px[:, :, 0].astype("int64")
+                + 150 * px[:, :, 1].astype("int64")
+                + 29 * px[:, :, 2].astype("int64")
+            ) / 256.0
+        else:
+            luma = px.reshape(h, w, -1)[:, :, 0].astype("float64")
+        rows.append(
+            (
+                media_id,
+                fmt,
+                ts,
+                f"{media_id}@{ts}",
+                True,
+                int(w),
+                int(h),
+                ahash,
+                float(luma.mean()),
+            )
+        )
+    return rows

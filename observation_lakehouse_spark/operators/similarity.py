@@ -329,3 +329,66 @@ def ivf_assign(
                 yield rep
 
     return corpus.mapInPandas(assign, out_schema)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF codebook (cosine geometry).
+
+    Init is a deterministic hash-sample — the ``k`` rows with the smallest
+    ``xxhash64(id)`` (repartition-proof, same sample in any engine; one
+    TakeOrderedAndProject, no shuffle of vectors). Each iteration:
+
+    1. assign every vector to its nearest current centroid
+       (:func:`ivf_assign` — broadcast K×d matrix, Arrow-batched matmul);
+    2. per-cell mean via ``posexplode`` → hash aggregate on (cell, dim) —
+       partials combine map-side, the shuffle carries K·d running sums,
+       never vectors;
+    3. collect the K×d sums (a few KB) to the driver, rebuild the matrix,
+       re-broadcast. Empty cells keep their previous centroid.
+
+    This is the standard train-on-a-sample-then-freeze IVF flow (FAISS
+    trains the codebook the same way): at 100 TB you train on a hash-sample
+    (compose with ``functions.sampling.hash_sample``) and persist the
+    literal centroid matrix next to the index — which is exactly what the
+    oracle-checked query does with the trained literals.
+
+    Returns plain Python floats so the codebook can be embedded as literals
+    (SQL oracle generation, JSON persistence).
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"corpus has only {len(seed_rows)} rows for k={k}")
+    C = np.array([list(r["_v"]) for r in seed_rows], dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, C.tolist(), id_col=id_col, vec_col=vec_col)
+        partials = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r["centroid_id"], r["dim"]] = r["s"]
+            counts[r["centroid_id"]] = r["n"]
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return [[float(x) for x in row] for row in C]

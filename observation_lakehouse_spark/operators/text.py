@@ -274,20 +274,22 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails / IPv4s / international phone numbers from a text column.
 
-    Adds ``redacted_text`` plus one ``n_<kind>`` count per pattern (taken
-    BEFORE redaction, on the original text). Pure ``regexp_replace`` /
+    Adds ``redacted_text`` plus one ``n_<kind>`` count per pattern. Each
+    count is taken on the PROGRESSIVELY-redacted text (count email → replace
+    → count ip on that → replace → …), so ``n_<kind>`` equals exactly the
+    number of ``<KIND>`` tokens emitted in ``redacted_text`` — a digit run
+    inside an email local-part ('a+1234567@x.com') is redacted as <EMAIL>
+    and is NOT also counted as a phone. Pure ``regexp_replace`` /
     ``regexp_count`` column algebra — whole-stage codegen, scan-speed, the
     shape a 100 TB pre-training scrub pass needs (no shuffle at all: this is
     a map-only stage that pushes straight down onto the parquet scan).
     """
-    c = F.col(text_col)
     out = df
-    for kind, pat, _token in PII_PATTERNS:
-        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
-    redacted = c
-    for _kind, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
-    return out.withColumn("redacted_text", redacted)
+    cur = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn("redacted_text", cur)
 
 
 def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -60,3 +60,15 @@ def test_apply_changes_without_deletes(spark):
         r["k"]: r["v"] for r in apply_changes(base, changes, ["k"], ["seq"]).collect()
     }
     assert got == {1: "one", 2: "two"}
+
+
+def test_latest_per_key_preserves_user_rn_column(spark):
+    """A user `_rn` column must survive compaction (ADVICE r03)."""
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 200), ("b", 1, 300)], "k string, seq long, _rn long"
+    )
+    got = latest_per_key(df, ["k"], ["seq"]).orderBy("k")
+    assert "_rn" in got.columns
+    assert [(r["k"], r["seq"], r["_rn"]) for r in got.collect()] == [
+        ("a", 2, 200), ("b", 1, 300),
+    ]

@@ -156,3 +156,32 @@ def test_wav_decode_stats():
     assert d["rms"] == pytest.approx(0.5) and d["peak"] == pytest.approx(0.5)
     with pytest.raises(codecs.UnsupportedMediaFormat):
         codecs.decode_wav(b"not a wav at all")
+
+
+def test_avi_mjpeg_demux_round_trip():
+    """encode_avi_mjpeg → demux_avi_mjpeg returns the container metadata and
+    per-frame JPEGs that decode back to the source frames."""
+    import numpy as np
+
+    from observation_lakehouse_spark.functions.codecs import (
+        UnsupportedMediaFormat,
+        decode_image,
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [np.full((16, 20, 3), 30 * i, dtype=np.uint8) for i in range(4)]
+    d = demux_avi_mjpeg(encode_avi_mjpeg(frames, fps=5))
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (20, 16, 5.0, 4)
+    assert d["duration_ms"] == 800
+    for i, payload in enumerate(d["frames"]):
+        px = decode_image(payload)
+        assert px.shape == (16, 20, 3)
+        assert abs(float(px.mean()) - 30 * i) < 3  # JPEG-lossy but close
+
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedMediaFormat):
+        demux_avi_mjpeg(b"\x00\x00\x00 ftypisomiso2avc1")  # MP4, not RIFF
+    with _pytest.raises(UnsupportedMediaFormat):
+        demux_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI video

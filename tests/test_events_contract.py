@@ -55,6 +55,44 @@ def test_read_events_normalizes_any_unit_to_micro_longs(spark, tmp_path, unit):
     ]
 
 
+def test_raw_int64_micros_resolved_without_guessing(spark, tmp_path):
+    """A drop that stores ts as raw int64 (no timestamp logical type) defeats
+    both footer probes; the magnitude classifier must still resolve micros —
+    the case where the old fallback silently divided by 1000."""
+    p = str(tmp_path / "events.parquet")
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(EXPECTED_US, pa.int64()),
+            "user_id": pa.array([10, 20], pa.int64()),
+        }
+    )
+    pq.write_table(table, p)
+    df = entrymod._read_events(spark, p)
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    assert got == {1: EXPECTED_US[0], 2: EXPECTED_US[1]}
+
+
+def test_raw_int64_unknown_unit_raises_not_guesses(spark, tmp_path):
+    """Unclassifiable raw int64 (zeros — no magnitude signal) must raise, not
+    silently pick a unit (ADVICE r03: a wrong divide corrupts every events
+    query with no error)."""
+    p = str(tmp_path / "events.parquet")
+    table = pa.table({"event_id": pa.array([1], pa.int64()),
+                      "ts": pa.array([0], pa.int64())})
+    pq.write_table(table, p)
+    with pytest.raises(RuntimeError, match="refusing to guess"):
+        entrymod._read_events(spark, p)
+
+
+def test_duckdb_footer_probe_agrees_with_pyarrow(tmp_path):
+    """The second-opinion probe must read the same unit pyarrow does on a
+    normal timestamp column (it is the fallback when pyarrow is broken)."""
+    p = str(tmp_path / "events.parquet")
+    _write_events(p, "us")
+    assert entrymod._ts_unit_via_duckdb(p) == "us"
+
+
 def test_t_event_queries_run_in_bare_session(spark, tmp_path):
     """Sessionization end-to-end through _t on a fresh micro-unit file — the
     exact path that failed in the round-2 driver run."""

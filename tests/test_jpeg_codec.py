@@ -70,3 +70,18 @@ def test_decode_image_sniffs_jpeg():
     assert decode_image(encode_jpeg_baseline(img)).shape == (16, 16, 3)
     with pytest.raises(UnsupportedMediaFormat):
         decode_image(b"\xff\xd8garbage")
+
+
+def test_truncated_scan_raises_not_garbage():
+    """A stream cut mid-scan must raise (→ UnsupportedMediaFormat → digest
+    fallback decoded=False), never decode to deterministic garbage flagged as
+    a real decode (ADVICE r03: _BitReader.read_bit returned 0 past EOF)."""
+    data = encode_jpeg_baseline(_gradient(40, 56))
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    # keep the headers and a sliver of entropy data, drop the rest (incl. EOI)
+    truncated = data[: sos + 40]
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(truncated)
+    with pytest.raises(UnsupportedMediaFormat):
+        decode_image(truncated)

@@ -25,6 +25,15 @@ def test_redact_pii_planted(spark):
     assert row["redacted_text"] == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
 
 
+def test_redact_pii_counts_match_emitted_tokens(spark):
+    """Digit runs inside an email local-part are consumed by the email
+    replacement and must NOT also count as a phone: every n_<kind> equals the
+    number of <KIND> tokens in redacted_text (ADVICE r03)."""
+    row = redact_pii(_docs(spark, ["reach a+1234567@x.com or +19998887777"])).collect()[0]
+    assert row["redacted_text"] == "reach <EMAIL> or <PHONE>"
+    assert (row["n_email"], row["n_ip"], row["n_phone"]) == (1, 0, 1)
+
+
 def test_redact_pii_clean_text_untouched(spark):
     row = redact_pii(_docs(spark, ["no pii here at all"])).collect()[0]
     assert (row["n_email"], row["n_ip"], row["n_phone"]) == (0, 0, 0)

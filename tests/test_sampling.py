@@ -82,3 +82,13 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], "doc_id long, w long")
     got = weighted_sample(df, "doc_id", "w", 10).collect()
     assert [r["doc_id"] for r in got] == [3]
+
+
+def test_weighted_sample_rejects_priority_collision(spark):
+    """`priority` is the output contract column; an input of that name must
+    raise instead of being silently destroyed (ADVICE r03)."""
+    from observation_lakehouse_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame([("a", 1.0, 9)], "id string, w double, priority long")
+    with pytest.raises(ValueError, match="priority"):
+        weighted_sample(df, "id", "w", 1)

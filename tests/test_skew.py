@@ -152,3 +152,18 @@ def test_salted_join_validates_args(spark):
         salted_join(df, df, on=["k"], how="full")
     with _pytest.raises(ValueError, match="salt"):
         salted_join(df, df, on=["k"], salt=1)
+
+
+def test_salted_join_preserves_user_salt_column(spark):
+    """An input that already carries `_salt` keeps it in the output with its
+    values intact (ADVICE r03: the helper column silently overwrote it)."""
+    from observation_lakehouse_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 10, 77), (1, 11, 88), (2, 20, 99)], "k long, payload long, _salt long"
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k long, label string")
+    got = salted_join(big, small, on=["k"], salt=4).orderBy("payload")
+    assert "_salt" in got.columns
+    assert [r["_salt"] for r in got.collect()] == [77, 88, 99]
+    assert got.count() == 3
