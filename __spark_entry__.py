@@ -777,19 +777,34 @@ ORDER BY side, nationkey
 
 
 def _ivf_centroids() -> list[list[float]]:
-    import random
-
-    rnd = random.Random(11)
-    return [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    """Trained IVF codebook: 3 Lloyd iterations of
+    operators.similarity.train_ivf_centroids over the sf0.01 embeddings
+    (deterministic hash-sample init), frozen as literals — the standard
+    train-on-a-sample-then-freeze IVF flow (FAISS does the same). Literal so
+    the DuckDB oracle regenerates the identical cell argmax in SQL; stale
+    centroids on a future testdata drop stay CORRECT (both engines share the
+    literals), they only cost recall."""
+    return [
+        [0.021449, 0.034611, 0.00175, 0.008169, -0.011529, 0.02124, 0.067642, 0.019, 0.007734, -0.060759, 0.074887, -0.010622, 0.002519, -0.015888, 0.011321, 0.037126, 0.054931, 0.039632, -0.033448, -0.032547, -0.018196, -0.020294, 0.01612, 0.00205, -0.021966, 0.024961, -0.026062, 0.016569, 0.038891, 0.016246, 0.06127, -0.017693, 0.008505, 0.013549, -0.024703, 0.011169, -0.041816, -0.024379, 0.011256, 0.020272, -0.010682, 0.000824, -0.038511, -0.046028, -0.026717, -0.001903, 0.023768, 0.028325, -0.007627, -0.007431, -0.040476, 0.021546, -0.04978, -0.027268, 0.029531, 0.001739, -0.033319, -0.022124, -0.0246, -0.076792, -0.020904, -0.04448, 0.009984, -0.050074],
+        [0.013311, -0.008209, -0.018764, 0.02613, 0.052872, 0.001396, -0.04999, -0.017402, -0.020311, -0.039002, 0.012266, -0.017116, -0.012375, 0.033435, 0.012551, -0.010072, 0.027462, 0.039319, 0.006123, -0.034174, 0.025728, 0.057593, 0.066312, -0.103279, -0.032767, -0.034791, 0.04371, 0.047553, -0.050136, -0.000266, 0.026826, -0.035402, -0.038, -0.0179, 0.021151, 0.021715, 0.062652, -0.001027, 0.028002, 0.06595, 0.013777, 0.029008, 0.031838, -0.030736, -0.019834, -0.024929, -0.026193, 0.019694, -0.015862, 0.031124, -0.013662, -0.02878, 0.016277, 0.023514, 0.011481, -0.001086, -0.012416, -0.024234, -0.001789, 0.031269, -0.035221, 0.035238, 0.044196, -0.017423],
+        [0.004914, -0.037194, 0.038254, 0.004683, -0.004032, -0.062829, -0.019064, 0.077712, -0.029401, 0.05964, -0.003433, 0.010811, 0.056184, 0.034176, 0.004502, 0.009718, -0.037973, -0.021024, -0.035364, 0.033314, -0.003402, -0.0257, 0.016447, 0.004509, 0.013165, 0.009085, -0.038777, 0.031896, -0.023413, 0.052296, 0.01948, -0.025196, 0.058071, 0.067925, 0.025878, 0.004433, -0.004484, 0.021309, -0.021108, 0.002629, -0.035669, -0.02315, -0.021282, 0.024616, -0.036428, -0.01069, -0.048889, 0.00303, 0.01101, -0.024273, 0.088679, 0.041339, 0.020807, 0.02006, 0.004046, -0.010261, -0.006549, -0.039129, -0.020613, 0.007912, 0.00105, -0.008157, -0.007922, -0.060297],
+        [-0.066907, -0.026883, 0.049557, 0.01143, -0.013907, 0.041272, -0.018242, 0.017181, -0.013814, 0.065873, -0.063945, 0.030828, 0.013431, -0.08174, 0.026337, 0.003864, 0.047874, -0.013839, 0.023951, 0.001825, -0.025893, -0.005136, -0.020426, -0.012965, 0.00123, 0.078111, 0.025243, -0.005074, 0.018991, -0.074482, -0.044689, 0.014649, 0.025562, -0.008255, -0.001518, 0.042378, -0.031731, -0.043263, -0.006238, -0.027944, 0.049689, -0.010449, 0.004043, 0.045733, -0.035159, -0.034726, 0.009266, 0.034059, -0.045782, -0.036964, -0.035659, 0.008432, 0.024689, 0.000692, 0.006199, 0.037355, 0.025485, 0.064516, -0.029432, -0.033137, -0.062953, 0.029958, -0.050427, 0.003251],
+        [0.028974, 0.005349, -0.037771, -0.013586, 0.013737, 0.019232, -0.060924, 0.014767, 0.032698, -0.011, -0.021002, 0.031943, -0.036179, 0.039571, 0.003329, -0.022849, -0.022812, -0.059462, 0.003114, -0.029709, -0.028282, 0.051133, -0.011742, 0.03578, 0.04638, 0.081927, 0.064122, -0.034451, 0.003638, -0.020776, -0.001466, 0.063298, -0.050279, -0.0205, -0.002118, -0.027999, -0.028969, 0.064542, -0.014308, -0.03039, -0.040421, -0.041733, -0.052776, 0.009908, -0.010123, 0.028673, 0.024565, -0.018227, -0.027639, -0.003958, 0.013062, 0.02215, -0.029627, 0.002603, -0.049243, 0.000235, 0.052114, 0.019672, 0.008542, 0.019159, 0.026706, -0.034476, -0.008621, -0.024866],
+        [0.012474, 0.013808, 0.023278, -0.018938, 0.037571, 0.00893, -0.00803, 0.002685, 0.010229, -0.046854, 0.032471, -0.039848, 0.020498, -0.016843, -0.027879, 0.015728, -0.054848, 0.051121, 0.039318, 0.050253, -0.001094, -0.026818, -0.026665, -0.009095, -0.074249, 0.062902, -0.007837, 0.002888, 0.028227, 0.056343, -0.063335, -0.039637, 0.01027, -0.02764, 0.004052, -0.038988, -0.026295, -0.026809, -0.017547, 0.033605, 0.027688, -0.064124, 0.032428, -0.016302, 0.032539, 0.036686, -0.014001, -0.003208, 0.025916, 0.023651, 0.024525, -0.064999, 0.008235, -0.02743, -0.015352, -0.047026, 0.042938, 0.019274, 0.063991, -0.006128, 0.046966, 0.014685, -0.054288, -0.00914],
+        [-0.006748, -0.04397, 0.002925, -0.030886, -0.032108, -0.018718, -0.002217, -0.056385, 0.001753, 0.008258, 0.010212, -0.010069, -0.058933, -0.003273, -0.04346, -0.01269, 0.051863, 0.004451, -0.005576, 0.041956, -0.007554, 0.038285, -0.024597, 0.061323, 0.013682, -0.046375, -0.032341, 0.011981, -0.032288, -0.031457, -0.018501, 0.023501, 0.026719, -0.071583, 0.027958, 0.017525, 0.014622, -0.01825, 0.011348, 0.000174, 0.004013, 0.035992, 0.049964, -0.015653, 0.024427, 0.04045, 0.040879, -0.016105, -0.024952, -0.026258, 0.014379, 0.015811, 0.088872, -0.061981, 0.019356, -0.018733, 0.004747, -0.022079, 0.036257, -0.030363, 0.004913, 0.049672, 0.021304, 0.024636],
+        [-0.000944, 0.033093, -0.032214, -0.031958, 0.041871, 0.079101, -0.058349, -0.009521, -0.004483, 0.011521, 0.006792, 0.029151, -0.022971, 0.006906, 0.008414, 0.027944, -0.02883, 0.019925, 0.015467, -0.022573, 0.032424, -0.052248, 0.009625, -0.051163, 0.032914, -0.083654, -0.038739, 0.009056, 0.014215, -0.015565, 0.053909, -0.030661, 0.021365, -0.01607, -0.014578, -0.019751, 0.016637, -0.002185, 0.006981, -0.0826, -0.002311, -0.01686, 0.016329, 0.023632, -0.010419, -0.000367, -0.001481, 0.001412, 0.05626, -0.039544, 0.000477, -0.049568, -0.010218, 0.031703, 0.038616, 0.012412, -0.03354, 0.000516, -0.0695, 0.013738, 0.037199, 0.013683, 0.035851, 0.055465],
+    ]
 
 
 # Queries probe their 4 nearest cells (corpus stays single-assigned): the
 # recall knob whose floor is locked by test_ann_recall / reported by bench.
-# On these unstructured synthetic embeddings recall ≈ the probed corpus
-# fraction (measured 0.185/0.395/0.66/1.0 at nprobe 1/2/4/8 at sf0.1) — IVF's
-# adversarial case; clustered corpora (its design assumption) need far fewer
-# probes for the same recall. nprobe=4 buys recall ~0.66 for ~half-corpus
-# probing, the explicit quality/cost trade documented in ivf_assign.
+# With the TRAINED codebook (_ivf_centroids docstring) recall@10 at nprobe=4
+# measures 0.74 at sf0.01 / 0.66 at sf0.1 — above the untrained
+# probed-fraction floor at sf0.01, at it at sf0.1 because these synthetic
+# embeddings are near-random (IVF's adversarial case: the neighbor's cell is
+# nearly independent of the query's). On a clustered corpus — IVF's design
+# assumption — the same trained pipeline reaches ~1.0 at nprobe=1
+# (tests/test_ann_recall.py::test_trained_centroids_on_clustered_corpus).
 _IVF_NPROBE = 4
 
 

@@ -148,6 +148,58 @@ def main() -> None:
     lsh_recall = len(exact & pairs(entrymod.q_ann_lsh_topk(spark, sf_dir))) / len(exact)
     ivf_recall = len(exact & pairs(entrymod.q_ann_ivf_topk(spark, sf_dir))) / len(exact)
 
+    # Trained-IVF recall on a CLUSTERED corpus (IVF's design assumption):
+    # plant 8 strong clusters on the same embeddings, train the codebook with
+    # Lloyd iterations, probe ONE cell. Shows what the trained pipeline buys
+    # when the data has structure (the uniform-random testdata above is the
+    # adversarial floor).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+        cosine_topk,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = entrymod._t(spark, sf_dir, "embeddings")
+    clustered = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + IF(i = CAST(vec_id % 8 AS INT), 4.0, 0.0) AS FLOAT))"
+        ).alias("embedding"),
+    ).persist()
+    trained = train_ivf_centroids(clustered, 8, n_iters=3)
+    corpus_a = ivf_assign(clustered, trained).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "centroid_id"
+    )
+    queries_a = ivf_assign(
+        clustered.filter(F.col("vec_id") % 100 == 0), trained, nprobe=1
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "centroid_id")
+    scored = (
+        corpus_a.join(F.broadcast(queries_a), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    approx_c = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("r", F.row_number().over(w)).filter("r <= 10").collect()
+    }
+    exact_c = pairs(
+        cosine_topk(
+            clustered,
+            clustered.filter(F.col("vec_id") % 100 == 0),
+            k=10, id_col="vec_id", vec_col="embedding",
+        )
+    )
+    ivf_trained_clustered_recall = len(exact_c & approx_c) / len(exact_c)
+    clustered.unpersist()
+
     # Sketch accuracy: the approximate aggregates' error vs their exact twins
     # (HyperLogLog++ count-distinct, t-digest/quantile-summary percentile) —
     # the streaming-scale defaults whose quality a user needs before trading
@@ -191,10 +243,13 @@ def main() -> None:
                 "ann_ivf_recall_at_10": round(ivf_recall, 4),
                 # The testdata embeddings are uniform random (verified: no
                 # within-label cosine structure), so IVF recall ~= the probed
-                # corpus fraction is the information-theoretic bound; on
-                # clustered corpora (IVF's design assumption) the same nprobe
-                # yields far higher recall.
+                # corpus fraction is the information-theoretic bound there;
+                # the clustered metric shows the same trained pipeline on
+                # structured data (IVF's design assumption), probing ONE cell.
                 "ann_ivf_probed_cells": f"{entrymod._IVF_NPROBE}/8",
+                "ann_ivf_trained_clustered_recall_at_10_nprobe1": round(
+                    ivf_trained_clustered_recall, 4
+                ),
                 "hll_count_distinct_rel_err": round(hll_rel_err, 4),
                 "approx_p50_rel_err": round(p50_rel_err, 6),
                 "startup_sec": round(startup, 2),

@@ -12,11 +12,13 @@ Floors are set from measured behavior on the synthetic testdata with margin:
   Theory: per-plane sign-agreement p ≈ 1 − θ/π ≈ 0.64 for these near-random
   embeddings (top-10 cosine ≈ 0.35–0.5 → θ ≈ 65°), so
   recall ≈ Σ_{i≤2} C(4,i)·p^(4−i)·(1−p)^i ≈ 0.86.  Floor: 0.80.
-- IVF-flat, 8 cells, nprobe 4: measured ~0.56 at sf0.01, ~0.66 at sf0.1.
-  Unstructured embeddings are IVF's adversarial case — the neighbor's cell is
-  nearly independent of the query's, so recall ≈ the probed corpus fraction
-  (~4.5/8 including the correlated own-cell boost). Floor: 0.45. Clustered
-  corpora (IVF's design assumption) sit far above this floor.
+- IVF-flat, 8 cells, nprobe 4, Lloyd-TRAINED codebook (frozen literals in
+  `_ivf_centroids`): measured ~0.74 at sf0.01, ~0.66 at sf0.1. Unstructured
+  embeddings are IVF's adversarial case — the neighbor's cell is nearly
+  independent of the query's, so recall ≈ the probed corpus fraction; training
+  buys balanced cells and the sf0.01 lift. Floor: 0.55. On a clustered corpus
+  (IVF's design assumption) the trained pipeline recovers the planted
+  partition outright — pinned by test_trained_centroids_on_clustered_corpus.
 """
 
 from __future__ import annotations
@@ -52,4 +54,43 @@ def test_lsh_recall_floor(spark, exact_pairs):
 def test_ivf_recall_floor(spark, exact_pairs):
     approx = _pairs(entrymod.q_ann_ivf_topk(spark, SF_DIR))
     recall = len(exact_pairs & approx) / len(exact_pairs)
-    assert recall >= 0.45, f"IVF nprobe=4 recall@10 regressed: {recall:.3f} < 0.45"
+    assert recall >= 0.55, f"IVF nprobe=4 recall@10 regressed: {recall:.3f} < 0.55"
+
+
+def test_trained_centroids_on_clustered_corpus(spark):
+    """Lloyd-trained codebook (similarity.train_ivf_centroids) on a corpus
+    that actually clusters: shift each embedding strongly toward one of 8
+    synthetic centers (vec_id % 8). Trained cells must align with the true
+    clusters so nprobe=1 recall@10 is near-perfect — far above the ~1/8
+    probed-fraction a random codebook gives at nprobe=1."""
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # deterministic strong cluster structure: v + 4 * e_{vec_id % 8}
+    clustered = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + IF(i = CAST(vec_id % 8 AS INT), 4.0, 0.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    C = train_ivf_centroids(clustered, 8, n_iters=3)
+    assigned = ivf_assign(clustered, C)
+    # training must discover the planted partition: every cell maps 1:1 to a
+    # dominant true cluster and assignment is (near-)pure
+    purity = (
+        assigned.groupBy((F.col("vec_id") % 8).alias("truth"), "centroid_id")
+        .count()
+        .groupBy("truth")
+        .agg(F.max("count").alias("top"), F.sum("count").alias("n"))
+        .agg(F.sum("top").alias("top"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    assert purity["top"] / purity["n"] >= 0.95, (
+        f"k-means failed to recover planted clusters: purity "
+        f"{purity['top'] / purity['n']:.3f}"
+    )
