@@ -152,3 +152,54 @@ def test_dedup_stream_drops_intra_stream_duplicates(spark, tmp_path_factory):
     assert got.filter("text = 'same text'").count() == 1
     # schema carries the digest for the downstream corpus anti-join
     assert "content_hash" in got.columns
+
+
+def test_dedup_stream_agrees_with_batch_incremental_dedup(spark, tmp_path_factory):
+    """Twin agreement (VERDICT r03 item 6): streaming dedup admission over two
+    micro-batches must admit exactly what the oracle-checked batch operator
+    (operators.dedup.incremental_dedup) admits for batch B against corpus A.
+    Batch boundaries are forced with maxFilesPerTrigger=1 (file A lands before
+    file B); each file is internally dup-free so the admitted doc_ids are
+    fully deterministic on both paths."""
+    import datetime as dt
+    import time as _time
+
+    from observation_lakehouse_spark.operators.dedup import incremental_dedup
+    from observation_lakehouse_spark.streaming.dedup import dedup_stream
+
+    landing = tmp_path_factory.mktemp("twin-landing")
+    out = tmp_path_factory.mktemp("twin-out")
+    ckpt = tmp_path_factory.mktemp("twin-ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, event_time timestamp"
+    a_rows = [(1, "alpha", t0), (2, "beta", t0), (3, "gamma", t0)]
+    b_rows = [
+        (11, "alpha", t0 + dt.timedelta(seconds=30)),  # dup of corpus
+        (12, "delta", t0 + dt.timedelta(seconds=40)),  # fresh → admitted
+        (13, "beta", t0 + dt.timedelta(seconds=50)),   # dup of corpus
+        (14, "epsilon", t0 + dt.timedelta(seconds=60)),
+    ]
+    a_df = spark.createDataFrame(a_rows, schema)
+    b_df = spark.createDataFrame(b_rows, schema)
+    a_df.coalesce(1).write.parquet(str(landing / "a"))
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    b_df.coalesce(1).write.parquet(str(landing / "b"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(landing) + "/*"
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    admitted_b = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} - {1, 2, 3}
+    expected_b = {r["doc_id"] for r in incremental_dedup(b_df, a_df).collect()}
+    assert admitted_b == expected_b == {12, 14}
+    # corpus batch itself is admitted in full (it was first)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2, 3, 12, 14}
