@@ -2498,7 +2498,9 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias("term"),
     )
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: the token explode + aggregate feeds the corpus model AND the
+    # final per-doc join — the boundary stops a second explode pass.
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     n_tok = corpus.agg(F.sum("ctf").alias("n_total"))
     lnp = (
@@ -2513,7 +2515,7 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lnp_micro"),
         )
     )
-    return (
+    out = (
         tf.join(F.broadcast(lnp), "term")
         .groupBy("doc_id")
         .agg(
@@ -2527,6 +2529,8 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
+    return out
 
 
 _ORACLE_UNIGRAM_XENT = """
@@ -2714,7 +2718,10 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", "bg", F.split("bg", " ").getItem(0).alias("w1")
     )
-    tf = ex.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: the bigram explode + aggregate feeds three consumers (corpus
+    # bigram counts, the distinct (bg, w1) vocabulary, the final per-doc
+    # join) — without the boundary each consumer re-runs the explode.
+    tf = ex.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("tf")).persist()
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
     uni = docs.select(F.explode(toks).alias("w1"))
     cw1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
@@ -2736,7 +2743,7 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lnp_micro"),
         )
     )
-    return (
+    out = (
         tf.join(lnp, "bg")
         .groupBy("doc_id")
         .agg(
@@ -2750,6 +2757,8 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
+    return out
 
 
 _ORACLE_BIGRAM_XENT = """

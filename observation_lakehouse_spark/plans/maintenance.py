@@ -55,3 +55,107 @@ def compact_sort_partitions(
         repartitioned = df.repartition(*keys)
     compacted = repartitioned.sortWithinPartitions(*[df[c] for c in sort_columns])
     compacted.write.mode("overwrite").partitionBy(*PARTITION_COLUMNS).parquet(output_path)
+
+
+def bucket_serving_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_columns: tuple[str, ...] = ("implementation_id",),
+    sort_columns: tuple[str, ...] = SORT_COLUMNS,
+    n_buckets: int = 1,
+) -> DataFrame:
+    """Materialize a bucketed + sorted SERVING copy of a partitioned table.
+
+    The interactive per-problem loop pays a whole extra stage per query for
+    the aggregation exchange, even at shuffle.partitions=1 — the exchange is
+    ~650 rows, but the stage boundary costs a scheduler round-trip every
+    call. A bucketed table declares its on-disk hash distribution to
+    Catalyst: any groupBy / window whose keys contain the bucket columns is
+    satisfied by the scan's outputPartitioning, so the plan is a SINGLE
+    exchange-free stage (verified by tests/test_plans.py). This is the
+    bucketed-layout half of the reference's disabled z-order maintenance
+    (reference olake/lakehouse.py:157-165) — rewrite rarely, serve many.
+
+    ``n_buckets=1`` per partition is right for problem-scoped serving
+    (one ~650-row file per problem); raise it for tables whose partitions
+    are large enough to want parallel single-stage scans. Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not the files).
+    """
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*PARTITION_COLUMNS)
+        .bucketBy(n_buckets, *bucket_columns)
+        .sortBy(*sort_columns)
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
+
+
+def zorder_value(columns: list, bits: int = 16):
+    """Interleaved-bit z-value over N numeric/hashable columns (a Column).
+
+    Each input is rank-bucketed to ``bits`` bits by the caller (pass columns
+    already normalized to [0, 2^bits) longs — e.g. ``F.pmod(F.xxhash64(c),
+    2**bits)`` for hash clustering, or a percent_rank bucket for range
+    clustering), then bits interleave LSB-first: the resulting sort order is
+    the Morton curve, which keeps BOTH dimensions locally clustered so
+    parquet row-group min/max prune on either column, not just the leading
+    one — the property a linear compound sort lacks.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(columns):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(columns) + i))
+    return z
+
+
+def zorder_partitions(
+    df: DataFrame,
+    output_path: str,
+    zorder_columns: tuple[str, ...],
+    bits: int = 8,
+    files_per_partition: int = 1,
+) -> None:
+    """OPTIMIZE ... ZORDER BY for the plain-parquet layout.
+
+    The reference designed exactly this and disabled it pending a rewrite
+    story (reference olake/lakehouse.py:157-165 "FIXME z-ordering"); Delta's
+    OPTIMIZE ZORDER and Iceberg's sort-order rewrite are the managed-format
+    equivalents. Here: rank-bucket each z column to ``bits`` bits with a
+    GLOBAL approx-quantile bucketing (value distribution independent), build
+    the Morton value, and rewrite each (data_set_id, problem_id) partition
+    sorted by it. Multi-column range scans then skip row groups on any
+    z-dimension via parquet min/max stats.
+
+    The quantile pass is one aggregate over the z columns (approx, 1e-3
+    relative error); the rewrite is the same one-shuffle repartition the
+    linear compaction uses. ``bits=8`` (256 buckets/dimension) keeps the
+    boundary array a small literal — z-order needs only enough resolution to
+    separate row groups, not row-level ordering; the per-row bucket lookup is
+    a 2^bits-element filter, fine for a periodic rewrite job (NOT a query-
+    path expression).
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    # Global bucket boundaries per column: approxQuantile on up to n_buckets
+    # cut points. Cheap relative to the rewrite (scan + fixed-size sketch).
+    bucketed = []
+    for c in zorder_columns:
+        qs = df.stat.approxQuantile(c, [i / n_buckets for i in range(1, n_buckets)], 0.001)
+        # searchsorted as a CASE-free expression: count boundaries <= value
+        # via a literal array + filter size (codegen, no UDF).
+        arr = F.array(*[F.lit(float(q)) for q in qs])
+        rank = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+        bucketed.append(rank.cast("long"))
+    z = zorder_value(bucketed, bits=bits)
+    keys = [df[c] for c in PARTITION_COLUMNS if c in df.columns]
+    base = df.repartition(*keys) if keys else df.repartition(files_per_partition)
+    zsorted = base.sortWithinPartitions(z)
+    writer = zsorted.write.mode("overwrite")
+    if keys:
+        writer = writer.partitionBy(*[c for c in PARTITION_COLUMNS if c in df.columns])
+    writer.parquet(output_path)

@@ -134,6 +134,13 @@ def main() -> None:
             spark.read.parquet(f"{root}/{t}"), f"{root}/compact_{t}", sort_columns=cols
         )
 
+    # Serving layout note: a bucketed copy (plans/maintenance.
+    # bucket_serving_table) makes these aggregation plans single-stage
+    # (no Exchange — pinned by tests/test_plans.py) and wins ~40% p50 when
+    # the scheduler is contended, but on a QUIET host the 648-row exchange
+    # costs ~10 ms and n_buckets=1 serializes the BATCH job's scan to one
+    # task — so the measured profile here serves from the compacted
+    # file-scan layout and keeps bucketing as the busy-cluster tool.
     obs = spark.read.parquet(f"{root}/compact_observations")
     code = spark.read.parquet(f"{root}/compact_code_implementations")
     tst = spark.read.parquet(f"{root}/compact_tests")
@@ -183,6 +190,26 @@ def main() -> None:
             "min_ms": round(min(lat), 1),
             "max_ms": round(max(lat), 1),
         }
+
+    # Repeat-hit latency through the plan cache (plans/serving.QueryCache):
+    # the reference's loop re-binds a prepared statement; the Spark analog is
+    # re-executing a memoized DataFrame, which skips Catalyst re-analysis
+    # (~40-90 ms of the first-hit number). This is the latency a researcher
+    # re-querying the problems they are inspecting actually sees.
+    from observation_lakehouse_spark.plans.serving import QueryCache
+
+    qcache = QueryCache()
+    repeat: dict[str, float] = {}
+    for name, fam in families.items():
+        for k in range(n_samples):  # warm: plan each problem once
+            qcache.get(name, k, lambda fam=fam, k=k: fam(f"p_{k:04d}")).toPandas()
+        lat = []
+        for k in range(n_samples):
+            pid = f"p_{k:04d}"
+            t0 = time.perf_counter()
+            qcache.get(name, k, lambda fam=fam, pid=pid: fam(pid)).toPandas()
+            lat.append((time.perf_counter() - t0) * 1000)
+        repeat[name] = round(statistics.median(lat), 1)
 
     # Floor diagnostics: what an empty Spark job and pure Catalyst planning
     # cost in this session — the irreducible part of every per-problem number
@@ -262,6 +289,7 @@ def main() -> None:
         "srm_rows_per_problem": N_TESTS * N_STEPS,
         "impls_per_problem": N_IMPLS,
         "families": result,
+        "repeat_hit_p50_ms": repeat,  # plan-cache hits (QueryCache)
         "floor_ms": {
             "trivial_job_p50": round(statistics.median(floor), 1),
             "catalyst_planning_p50": plan_ms,
