@@ -2491,12 +2491,12 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation order differs between engines. Shape: one explode + (doc,
     term) aggregate, a vocabulary-sized term-prob table broadcast back, one
     per-doc aggregate. Lower xent = more typical text."""
-    from observation_lakehouse_spark.functions.text import tokens
+    from observation_lakehouse_spark.functions.text import lower_tokens, tokens
 
     docs = _t(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id",
-        F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias("term"),
+        F.explode(lower_tokens("text")).alias("term"),
     )
     # persist: the token explode + aggregate feeds the corpus model AND the
     # final per-doc join — the boundary stops a second explode pass.
@@ -2705,10 +2705,10 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact long arithmetic. Shape: one bigram explode + (doc, bigram)
     aggregate, corpus bigram/unigram count tables joined vocabulary-side,
     broadcast V, one per-doc aggregate."""
-    from observation_lakehouse_spark.functions.text import tokens
+    from observation_lakehouse_spark.functions.text import lower_tokens, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    toks = lower_tokens("text")
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),

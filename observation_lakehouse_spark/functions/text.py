@@ -18,9 +18,24 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def tokens(text: str | Column) -> Column:
-    """Whitespace tokens, empty strings removed."""
+    """Whitespace tokens, empty strings removed.
+
+    ``array_remove`` instead of a ``filter`` lambda: the HOF runs
+    interpreted per element, array_remove stays in codegen — same result
+    (after ``trim``, a \\s+ split only yields an empty element for the
+    empty string itself).
+    """
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), _WS), lambda t: t != "")
+    return F.array_remove(F.split(F.trim(c), _WS), "")
+
+
+def lower_tokens(text: str | Column) -> Column:
+    """Lowercased whitespace tokens — ``lower`` applied to the WHOLE string
+    before splitting (one codegen string op) rather than ``transform(...,
+    lower)`` per token (interpreted per element). Identical content: case
+    mapping never produces whitespace, so the split is unaffected."""
+    c = F.col(text) if isinstance(text, str) else text
+    return tokens(F.lower(c))
 
 
 def token_pieces(text: str | Column) -> Column:
@@ -43,7 +58,7 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     drops) the incomplete tail windows. ``array_distinct`` because shingle
     SETS drive Jaccard.
     """
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = lower_tokens(text)
     if n == 1:  # fast path: no windowing at all
         return F.array_distinct(toks)
     acc = toks
@@ -119,7 +134,7 @@ def hashed_word_shingles(text: str | Column, n: int = 3) -> Column:
     Edge semantics match :func:`word_shingles`: docs with 0 < tokens < n get a
     single whole-doc shingle; empty docs get an empty array.
     """
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = lower_tokens(text)
     p = F.lit(_MINHASH_PRIME).cast("long")
     mult = F.lit(1000003).cast("long")
     hh = F.transform(toks, lambda t: F.pmod(tok_hash60(t), p))

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from observation_lakehouse_spark.functions.text import (
     hashed_word_shingles,
     jaccard,
+    lower_tokens,
     lsh_bands,
     md5_hi32,
     md5_lo32,
@@ -244,7 +245,7 @@ def simhash_fingerprints(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("tok"),
+        F.explode_outer(lower_tokens(text_col)).alias("tok"),
     )
     # Branch-free votes: bit i is set iff #ones > #zeros ⇔ 2·Σbit_i > n.
     # Plain arithmetic sums beat when/otherwise branches by ~20% in codegen.
@@ -406,28 +407,41 @@ def ngram_jaccard_pairs(
     # tok carries exactly n_sh rows per doc (shingles are distinct), so the
     # prefix bound needs no per-doc count window — one row_number pass.
     w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    t = float(threshold)
     pref = (
         tok.join(dfreq, ["blk", "shingle"])
         .withColumn("_rk", F.row_number().over(w))
-        .filter(
-            F.col("_rk")
-            <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + F.lit(1)
-        )
-        .select("doc_id", "blk", "n_sh", "shingle")
+        .filter(F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1))
+        .select("doc_id", "blk", "n_sh", "shingle", "_rk")
     )
-    # Candidate join adds the standard length filter: Jaccard >= t forces
-    # t*n_a <= n_b <= n_a/t, pruning size-mismatched pairs inside the join.
-    l, r = pref.alias("l"), pref.alias("r")
+    # Asymmetric (AllPairs) prefixes: for a pair with n_x <= n_y the required
+    # overlap is ceil(t/(1+t)·(n_x+n_y)) >= ceil(2t/(1+t)·n_x), so the SMALLER
+    # side only needs its n - ceil(2t/(1+t)·n) + 1 rarest shingles in the join
+    # (both used prefixes are supersets of the minimal intersecting prefixes —
+    # lossless). At t=0.5 the short prefix is ~n/3 vs ~n/2, cutting candidate
+    # pairs ~1/3. The join also carries the standard length filter
+    # (t·n_y <= n_x), pruning size-mismatched pairs before they materialize.
+    short = pref.filter(
+        F.col("_rk")
+        <= F.col("n_sh") - F.ceil(F.lit(2 * t / (1 + t)) * F.col("n_sh")) + F.lit(1)
+    )
+    l, r = short.alias("l"), pref.alias("r")
+    smaller_first = (F.col("l.n_sh") < F.col("r.n_sh")) | (
+        (F.col("l.n_sh") == F.col("r.n_sh")) & (F.col("l.doc_id") < F.col("r.doc_id"))
+    )
     cand = (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
             & (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc_id") < F.col("r.doc_id"))
-            & (F.col("r.n_sh") * float(threshold) <= F.col("l.n_sh"))
-            & (F.col("l.n_sh") * float(threshold) <= F.col("r.n_sh")),
+            & (F.col("l.doc_id") != F.col("r.doc_id"))
+            & smaller_first
+            & (F.col("r.n_sh") * t <= F.col("l.n_sh")),
         )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_b"),
+        )
         .distinct()
     )
     # Exact verification: full hashed shingle sets per candidate pair.

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.functions.text import (
+    lower_tokens,
     rolling_fingerprint,
     token_pieces,
     tokens,
@@ -61,7 +62,7 @@ def language_id(
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("_tok"),
+        F.explode_outer(lower_tokens(text_col)).alias("_tok"),
     )
     langs = sorted(LANGUAGE_MARKERS.items())
     counted = toks.groupBy("_id").agg(
@@ -111,9 +112,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ),
     ).otherwise(0.0)
-    stop_ratio = F.round(
-        _marker_ratio(F.transform(toks, lambda t: F.lower(t)), _EN_STOPWORDS), 6
-    )
+    stop_ratio = F.round(_marker_ratio(lower_tokens(text_col), _EN_STOPWORDS), 6)
     return (
         df.withColumn("n_chars_obs", n_chars)
         .withColumn("n_tokens", n_tok)
@@ -163,7 +162,7 @@ def document_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc fingerprints: order-sensitive rolling hash + content sha256."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    toks = lower_tokens(text_col)
     return df.select(
         F.col(id_col),
         rolling_fingerprint(toks).alias("rolling_fp"),
@@ -248,7 +247,7 @@ def top_terms(
     grp = F.col(group_col) if group_col else F.lit("all")
     exploded = df.select(
         grp.alias("grp"),
-        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+        F.explode(lower_tokens(text_col)).alias("term"),
     )
     counts = exploded.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("term_count"))
     w = Window.partitionBy("grp").orderBy(F.desc("term_count"), F.asc("term"))
@@ -307,7 +306,7 @@ def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     shuffle carries (doc_id, bigram_hash, count) — bounded by the corpus
     token count, partial-combined map-side.
     """
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    toks = lower_tokens(text_col)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),
@@ -367,7 +366,7 @@ def tfidf_terms(
     """
     ex = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+        F.explode(lower_tokens(text_col)).alias("term"),
     )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
