@@ -352,6 +352,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    shingle_fn=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via prefix-filtered set-similarity join.
 
@@ -380,15 +381,19 @@ def ngram_jaccard_pairs(
     ``block_col`` additionally bounds candidates to within-block pairs
     (language, source, an LSH bucket); frequencies are computed per block
     so the order stays consistent within every joinable scope.
+    ``shingle_fn`` swaps the shingling (default word n-grams) for any
+    array<string> expression factory — e.g. ``functions.text.char_shingles``
+    for tokenization-robust character-gram dedup (code, CJK).
     """
     # persist(): the shingle expression feeds sizes + tokens (multiple
     # consumers) — materialize once. The size filter sits ABOVE the persist
     # (below it, the cached plan evaluates the shingle expression twice per
     # row during materialization: once in the filter, once in the project).
+    mk_shingles = shingle_fn or (lambda c: word_shingles(c, shingle_size))
     cached = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-        word_shingles(text_col, shingle_size).alias("sh"),
+        mk_shingles(text_col).alias("sh"),
     ).persist()
     base = cached.filter(F.size("sh") > 0)
     # Work on the shingle's 64-bit hash, not the string: every downstream

@@ -328,3 +328,27 @@ def test_video_avi_mjpeg_real_frame_decode(spark):
     fb = sample_video_frames(mp4, every_ms=1000).collect()
     assert [r["decoded"] for r in fb] == [False, False]
     assert fb[0]["frame_key"] == "v2@0"
+
+
+def test_ngram_jaccard_pairs_custom_shingle_fn(spark):
+    """shingle_fn swaps word shingles for character grams (tokenization-
+    robust dedup — code, CJK). Exercises the prefix-filter machinery on a
+    dense char-gram key space on a small fixture; the query-scale variant is
+    deliberately NOT in the driver contract (char grams on the synthetic
+    corpus admit ~780k candidates even at t=0.9 — measured at sf0.1 — which
+    is an OOM/time hazard in the driver's bare 200-partition session)."""
+    from observation_lakehouse_spark.functions.text import char_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = ngram_jaccard_pairs(
+        docs, shingle_fn=lambda c: char_shingles(c, 5), threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["jaccard_sim"] > 0.7
