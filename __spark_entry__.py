@@ -990,9 +990,13 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pair_plan.select("id_a", "id_b").persist()
     out = dedup_clusters(docs, pairs)
     # Cache handles propagate to the returned plan for the caller's
-    # release_cached, the same contract as the pair queries themselves.
+    # release_cached, the same contract as the pair queries themselves —
+    # including the graph operator's own edge-table handle (unpersisting it
+    # eagerly inside the operator poisons CacheManager plan matching for
+    # the session's next identical run).
     out._cached_deps = (  # noqa: SLF001
         pairs,
+        *getattr(out, "_cached_deps", ()),
         *getattr(pair_plan, "_cached_deps", ()),
     )
     return out

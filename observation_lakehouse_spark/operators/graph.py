@@ -76,6 +76,14 @@ def connected_components(
     n_edges = e0.count()
 
     if n_edges <= driver_threshold:
+        # NB: e0 is NOT unpersisted here — DataFrame.unpersist() triggers a
+        # CacheManager re-cache of entries whose plans overlap e0's, after
+        # which NEW identical plans (a re-run of the same query in the same
+        # session) no longer match the still-warm caches and silently
+        # recompute the whole pair pipeline (measured: 0.2 s -> 5.3 s on the
+        # sf0.1 dup graph). The handle rides on the result as _cached_deps,
+        # the repo-wide contract release_cached() frees at the CALLER's
+        # consumption boundary instead.
         try:
             spark = edges.sparkSession
             parent: dict[int, int] = {}
@@ -100,9 +108,12 @@ def connected_components(
                     else:
                         parent[ra] = rb
             rows = [(n, find(n)) for n in parent]
-            return spark.createDataFrame(rows, "node long, component long")
-        finally:
+            out = spark.createDataFrame(rows, "node long, component long")
+            out._cached_deps = (e0,)  # noqa: SLF001
+            return out
+        except BaseException:
             e0.unpersist()
+            raise
 
     # Iteration tuning, scoped to this loop and restored on exit:
     # - AQE off: adaptive execution materializes every exchange as its own
@@ -178,17 +189,22 @@ def connected_components(
             # Round 0 always changes on any non-empty edge set (some node
             # adopts a smaller neighbor id) — skip its convergence count.
             if rnd > 0 and stepped.filter(F.col("_changed")).count() == 0:
+                # Same unpersist-poisons-plan-matching rationale as the
+                # driver path: hand the cache handles to the caller.
+                labels._cached_deps = (sym, e0)  # noqa: SLF001
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(graph diameter exceeds max_iter)"
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+    except BaseException:
         if sym is not None:
             sym.unpersist()
         e0.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
 
 
 def dedup_clusters(
@@ -218,7 +234,7 @@ def dedup_clusters(
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return (
+    out = (
         assigned.join(sizes, "cluster_id")
         .select(
             "doc_id",
@@ -228,3 +244,7 @@ def dedup_clusters(
         )
         .orderBy("doc_id")
     )
+    # propagate connected_components' cache handles to the caller's
+    # release_cached boundary
+    out._cached_deps = getattr(comps, "_cached_deps", ())  # noqa: SLF001
+    return out
