@@ -154,3 +154,55 @@ def test_connected_components_matches_union_find(spark_global, edges):
         comp_min[find(n)] = min(comp_min[find(n)], n)
     expected = {(n, comp_min[find(n)]) for n in parent}
     assert got == expected
+
+
+# Adversarial corpora for the prefix-filtered set-similarity join: a TINY
+# vocabulary makes every shingle globally hot — the exact skew regime the
+# prefix filter exists for, and the one the synthetic oracle corpus never
+# exercises. Losslessness must hold anyway (the AllPairs bound is
+# distribution-free).
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=docs_strategy, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filtered_jaccard_is_lossless(spark_global, docs, threshold):
+    """ngram_jaccard_pairs (df-ordered asymmetric prefixes + length filter +
+    exact verification) must return EXACTLY the pairs a brute-force
+    all-pairs Jaccard finds, for ANY corpus and threshold — including
+    corpora where every shingle is hot and docs collide heavily."""
+    from observation_lakehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_cached,
+    )
+
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    def shingle_set(toks):
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = set()
+    sets = {i: shingle_set([t.lower() for t in toks]) for i, toks in enumerate(docs)}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= threshold:
+                    expected.add((a, b))
+
+    df = spark_global.createDataFrame(texts, "doc_id long, text string")
+    out = ngram_jaccard_pairs(
+        df, text_col="text", id_col="doc_id", threshold=threshold
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    release_cached(out)
+    assert got == expected
