@@ -1925,6 +1925,62 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline, ORACLE-CHECKED end to end: deterministic
+    constant-color 8x8 PNGs are synthesized per doc_id (pure-Python
+    functions.codecs.encode_png inside mapInPandas — the Arrow-batched
+    binary-column shape of operators/multimodal.py), decoded by the real
+    PNG decoder, and featurized (aHash, luma). Constant color v makes every
+    feature a closed form the SQL oracle states exactly: mean_luma =
+    (77v+150v+29v)/256 = v, aHash = all-ones = -1 (every grid cell equals
+    the mean), dims 8x8, decoded=true — so the driver hash-checks the
+    actual decode+feature path, not just plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    from observation_lakehouse_spark.functions.codecs import encode_png
+    from observation_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def mk(batches):
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                v = int(d) % 200 + 1
+                content = encode_png(np.full((8, 8, 3), v, dtype=np.uint8))
+                rows.append(
+                    (str(int(d)), "image", content, "png", 8, 8, None, len(content))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = docs.mapInPandas(mk, MEDIA_SCHEMA)
+    return (
+        extract_image_features(media)
+        .select(
+            "media_id", "decoded", "px_width", "px_height", "ahash64", "mean_luma"
+        )
+        .orderBy(F.col("media_id").cast("long"))
+    )
+
+
+_ORACLE_IMAGE_FEATURES = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       TRUE AS decoded,
+       CAST(8 AS INTEGER) AS px_width,
+       CAST(8 AS INTEGER) AS px_height,
+       CAST(-1 AS BIGINT) AS ahash64,
+       CAST(doc_id % 200 + 1 AS DOUBLE) AS mean_luma
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
 def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style GROUPING SETS rollup — (day,hour,type), (day,type),
     (type) in ONE Expand + hash aggregate (operators/behavior.py)."""
@@ -2910,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "multires_rollup": q_multires_rollup,
+        "image_features": q_image_features,
         "decontaminate": q_decontaminate,
         "pii_redaction": q_pii_redaction,
         "repetition": q_repetition,
@@ -2984,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _ORACLE_FUNNEL,
         "cohort_retention": _ORACLE_COHORT,
         "multires_rollup": _ORACLE_MULTIRES,
+        "image_features": _ORACLE_IMAGE_FEATURES,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pii_redaction": _ORACLE_PII,
         "repetition": _ORACLE_REPETITION,

@@ -78,6 +78,7 @@ HEADLINE = [
     "funnel",
     "cohort_retention",
     "multires_rollup",
+    "image_features",
     "latest_per_key",
     "cdc_upsert",
     "unpivot",
