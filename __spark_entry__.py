@@ -1981,6 +1981,73 @@ ORDER BY doc_id
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode pipeline, ORACLE-CHECKED end to end: a deterministic
+    constant-amplitude PCM-16 mono WAV per doc_id (stdlib wave writer inside
+    mapInPandas), decoded by the real RIFF/WAV parser, loudness stats
+    emitted. Constant amplitude a makes the stats closed forms the SQL
+    oracle states exactly: rms = peak = a/32768 (exact binary fractions),
+    n_frames = 80 + doc_id % 160, duration = n_frames*1000/8000 ms."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import pandas as pd
+
+    from observation_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def mk(batches):
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                amp = (d % 100) * 256  # exact /32768 fraction, < 2^15
+                n = 80 + d % 160
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack(f"<{n}h", *([amp] * n)))
+                content = buf.getvalue()
+                rows.append(
+                    (str(d), "audio", content, "wav", None, None, n * 1000 // 8000,
+                     len(content))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = docs.mapInPandas(mk, MEDIA_SCHEMA)
+    return (
+        extract_audio_features(media)
+        .select(
+            "media_id", "decoded", "sample_rate", "channels", "n_frames",
+            "decoded_duration_ms", "rms", "peak",
+        )
+        .orderBy(F.col("media_id").cast("long"))
+    )
+
+
+_ORACLE_AUDIO_FEATURES = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       TRUE AS decoded,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(80 + doc_id % 160 AS BIGINT) AS n_frames,
+       (80 + doc_id % 160) * 1000 // 8000 AS decoded_duration_ms,
+       CAST((doc_id % 100) * 256 AS DOUBLE) / 32768 AS rms,
+       CAST((doc_id % 100) * 256 AS DOUBLE) / 32768 AS peak
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
 def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style GROUPING SETS rollup — (day,hour,type), (day,type),
     (type) in ONE Expand + hash aggregate (operators/behavior.py)."""
@@ -2967,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "multires_rollup": q_multires_rollup,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "decontaminate": q_decontaminate,
         "pii_redaction": q_pii_redaction,
         "repetition": q_repetition,
@@ -3042,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _ORACLE_COHORT,
         "multires_rollup": _ORACLE_MULTIRES,
         "image_features": _ORACLE_IMAGE_FEATURES,
+        "audio_features": _ORACLE_AUDIO_FEATURES,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pii_redaction": _ORACLE_PII,
         "repetition": _ORACLE_REPETITION,

@@ -79,6 +79,7 @@ HEADLINE = [
     "cohort_retention",
     "multires_rollup",
     "image_features",
+    "audio_features",
     "latest_per_key",
     "cdc_upsert",
     "unpivot",
