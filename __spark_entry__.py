@@ -2048,6 +2048,65 @@ ORDER BY doc_id
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video demux+decode pipeline, ORACLE-CHECKED on its structural output:
+    a deterministic MJPEG-in-AVI container per doc_id (3 constant-color
+    frames at 2 fps, encoded by the pure-Python baseline JPEG encoder and
+    wrapped by functions.codecs.encode_avi_mjpeg inside mapInPandas) runs
+    through sample_video_frames — the real RIFF chunk walk + JPEG decode.
+    The SQL oracle states the closed-form frame grid exactly: duration
+    3/2 s from the container header, sampled every 500 ms -> ts {0, 500,
+    1000, 1500}, decoded=true and the true pixel dims (which only a
+    successful decode can produce; pixel VALUES are JPEG-lossy so luma/hash
+    stay out of the contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from observation_lakehouse_spark.functions.codecs import encode_avi_mjpeg
+    from observation_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select("doc_id")
+
+    def mk(batches):
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.full((16, 24, 3), (d * 3 + k) % 200 + 20, dtype=np.uint8)
+                    for k in range(3)
+                ]
+                avi = encode_avi_mjpeg(frames, fps=2)
+                rows.append(
+                    (str(d), "video", avi, "avi", 24, 16, None, len(avi))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = docs.mapInPandas(mk, MEDIA_SCHEMA)
+    return (
+        sample_video_frames(media, every_ms=500)
+        .select("media_id", "frame_ts_ms", "decoded", "px_width", "px_height")
+        .orderBy(F.col("media_id").cast("long"), "frame_ts_ms")
+    )
+
+
+_ORACLE_VIDEO_FRAMES = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(ts.g AS BIGINT) AS frame_ts_ms,
+       TRUE AS decoded,
+       CAST(24 AS INTEGER) AS px_width,
+       CAST(16 AS INTEGER) AS px_height
+FROM documents
+CROSS JOIN (SELECT unnest([0, 500, 1000, 1500]) AS g) AS ts
+WHERE doc_id < 20
+ORDER BY doc_id, ts.g
+"""
+
+
 def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style GROUPING SETS rollup — (day,hour,type), (day,type),
     (type) in ONE Expand + hash aggregate (operators/behavior.py)."""
@@ -3035,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_rollup": q_multires_rollup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "decontaminate": q_decontaminate,
         "pii_redaction": q_pii_redaction,
         "repetition": q_repetition,
@@ -3111,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
         "multires_rollup": _ORACLE_MULTIRES,
         "image_features": _ORACLE_IMAGE_FEATURES,
         "audio_features": _ORACLE_AUDIO_FEATURES,
+        "video_frames": _ORACLE_VIDEO_FRAMES,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pii_redaction": _ORACLE_PII,
         "repetition": _ORACLE_REPETITION,

@@ -80,6 +80,7 @@ HEADLINE = [
     "multires_rollup",
     "image_features",
     "audio_features",
+    "video_frames",
     "latest_per_key",
     "cdc_upsert",
     "unpivot",
