@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from observation_lakehouse_spark.operators.cdc import apply_changes
-from observation_lakehouse_spark.transaction import AtomicParquetTable
+from observation_lakehouse_spark.transaction import AtomicParquetTable, CommitConflict
 
 
 def stream_cdc_apply(
@@ -56,14 +56,29 @@ def stream_cdc_apply(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         key = f"cdc:{ckpt_id}:{batch_id}"
-        if key in table.committed_keys():
-            return  # replay after crash-between-commit-and-checkpoint
-        base = table.read()
-        merged = apply_changes(base, batch_df, keys, order_by, delete_col=delete_col)
-        # Full-replacement snapshot: stage the merged state, then commit its
-        # files as the table's entire file list in one idempotent manifest.
-        staged = table.stage(merged)
-        table.commit_replace(staged, idempotency_key=key)
+        # The pre-check is an optimization only; correctness comes from the
+        # commit itself: the idempotency key is re-checked inside the
+        # manifest-publish loop, and expected_version pins the replacement to
+        # the exact snapshot it was merged FROM. A zombie driver committing
+        # between our read() and commit_replace() raises CommitConflict here
+        # instead of being silently overwritten (lost update), and we re-merge
+        # against the new head.
+        for _ in range(3):
+            if key in table.committed_keys():
+                return  # replay after crash-between-commit-and-checkpoint
+            base_v = table.latest_version()
+            base = table.read(version=base_v)
+            merged = apply_changes(base, batch_df, keys, order_by, delete_col=delete_col)
+            # Full-replacement snapshot: stage the merged state, then commit
+            # its files as the table's entire file list in one idempotent
+            # manifest.
+            staged = table.stage(merged)
+            try:
+                table.commit_replace(staged, idempotency_key=key, expected_version=base_v)
+                return
+            except CommitConflict:
+                continue  # head moved under us — re-read, re-merge, retry
+        raise CommitConflict(f"batch {batch_id}: table kept advancing during merge retries")
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", ckpt

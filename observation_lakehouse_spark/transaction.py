@@ -157,17 +157,33 @@ class AtomicParquetTable:
         shutil.rmtree(staging, ignore_errors=True)
         return new_files
 
-    def commit_replace(self, files: list[str], idempotency_key: str | None = None) -> int:
+    def commit_replace(
+        self,
+        files: list[str],
+        idempotency_key: str | None = None,
+        expected_version: int | None = None,
+    ) -> int:
         """Commit ``files`` (from :meth:`stage`) as the table's ENTIRE file
         list — a full-replacement snapshot (copy-on-write MERGE / overwrite).
-        Prior snapshots keep their own file lists and stay time-travelable."""
-        return self._commit([], idempotency_key, replace_files=list(files))
+        Prior snapshots keep their own file lists and stay time-travelable.
+
+        ``expected_version`` makes the replace SERIALIZABLE: the commit only
+        lands if the table head is still at that version (the snapshot the
+        replacement was computed FROM); otherwise :class:`CommitConflict` is
+        raised so the caller re-reads and re-derives. Without it a replace
+        computed from a stale read would silently drop a concurrent commit
+        (lost update) — the same validation Iceberg's ``overwrite`` does.
+        """
+        return self._commit(
+            [], idempotency_key, replace_files=list(files), expected_version=expected_version
+        )
 
     def _commit(
         self,
         new_files: list[str],
         idempotency_key: str | None,
         replace_files: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         import time
 
@@ -176,6 +192,11 @@ class AtomicParquetTable:
             head = self._manifest(head_v)
             if idempotency_key is not None and idempotency_key in head["commits"]:
                 return head["commits"][idempotency_key]  # raced with our retry twin
+            if expected_version is not None and head_v != expected_version:
+                raise CommitConflict(
+                    f"table advanced to v{head_v} (expected v{expected_version}); "
+                    "re-read and re-derive the replacement"
+                )
             next_v = head_v + 1
             manifest = {
                 "version": next_v,

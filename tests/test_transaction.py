@@ -215,3 +215,30 @@ def test_expire_keep_last_validates(spark, tmp_path):
     t = _mk(spark, tmp_path, "exp2")
     with pytest.raises(ValueError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
+
+
+def test_commit_replace_expected_version_detects_lost_update(spark, tmp_path):
+    """A replace computed FROM a stale snapshot must not silently drop a
+    concurrent commit (the zombie-driver window in streaming CDC apply)."""
+    from observation_lakehouse_spark.transaction import CommitConflict
+
+    t = _mk(spark, tmp_path, "ser")
+    t.append(_batch(spark, "dsA", 0, 5))
+    base_v = t.latest_version()
+    staged = t.stage(_batch(spark, "dsB", 100, 2))  # replacement derived from v1
+    # a concurrent committer lands between our read and our replace
+    t.append(_batch(spark, "dsC", 200, 3))
+    with pytest.raises(CommitConflict, match="advanced"):
+        t.commit_replace(staged, expected_version=base_v)
+    # nothing was lost: the concurrent append is still visible
+    assert t.read().count() == 8
+    # re-derived replace from the CURRENT head succeeds
+    t.commit_replace(t.stage(_batch(spark, "dsB", 100, 2)), expected_version=t.latest_version())
+    assert t.read().count() == 2
+
+
+def test_commit_replace_unpinned_still_works(spark, tmp_path):
+    t = _mk(spark, tmp_path, "ser2")
+    t.append(_batch(spark, "dsA", 0, 4))
+    t.commit_replace(t.stage(_batch(spark, "dsB", 100, 2)))
+    assert t.read().count() == 2
