@@ -453,8 +453,14 @@ def ngram_jaccard_pairs(
     # n_sh comes from the STRING-distinct array (oracle parity); the
     # intersection count comes from array_intersect over the hash sets —
     # identical to the old exploded-join count modulo the same 2⁻⁶⁴ class.
-    arrs = tok.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("hs"), F.first("n_sh").alias("n_sh")
+    # Projected straight off the cached arrays: a per-row transform() is one
+    # interpreted pass over data we already hold, where the former
+    # explode → groupBy → collect_list reconstruction shuffled every shingle
+    # hash in the corpus just to rebuild an array the scan produced.
+    arrs = base.select(
+        "doc_id",
+        F.transform("sh", lambda x: F.xxhash64(x)).alias("hs"),
+        F.size("sh").alias("n_sh"),
     )
     out = (
         cand.join(
