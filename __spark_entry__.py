@@ -3030,6 +3030,201 @@ ORDER BY label, pos
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact truth for the top-20
+    terms (operators/retrieval.py:cms_heavy_hitters). The 4×512 grid is a
+    SUM over the vocabulary (mergeable across any partitioning); estimates
+    MIN their 4 buckets and can only overestimate. Buckets come from the
+    md5-prefix family, so the DuckDB twin reproduces the grid bit-for-bit."""
+    from observation_lakehouse_spark.operators.retrieval import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, depth=4, width=512, k=20)
+
+
+_ORACLE_CMS = """
+WITH tk AS (
+    SELECT unnest(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t))) AS term
+    FROM documents
+), exact AS (
+    SELECT term, COUNT(*) AS exact_cnt FROM tk GROUP BY 1
+), rows_i AS (
+    SELECT unnest(range(4)) AS i
+), grid AS (
+    SELECT i,
+           ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || '|' || term), 1, 8))::BIGINT % 512 AS b,
+           SUM(exact_cnt) AS c
+    FROM exact CROSS JOIN rows_i GROUP BY 1, 2
+), top AS (
+    SELECT term, exact_cnt FROM exact ORDER BY exact_cnt DESC, term LIMIT 20
+), probes AS (
+    SELECT term, exact_cnt, i,
+           ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || '|' || term), 1, 8))::BIGINT % 512 AS b
+    FROM top CROSS JOIN rows_i
+)
+SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_est,
+       CAST(MIN(c) - exact_cnt AS BIGINT) AS overestimate
+FROM probes JOIN grid USING (i, b)
+GROUP BY term, exact_cnt
+ORDER BY exact_cnt DESC, term
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {spark, join, stream}
+    (operators/retrieval.py:bm25_rank). Per-term contributions round to 6dp
+    and sum as DECIMAL(18,6) so the per-doc score is order-independent;
+    avgdl is an explicit sum/count division, identical in both engines."""
+    from observation_lakehouse_spark.operators.retrieval import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=20)
+
+
+_ORACLE_BM25 = """
+WITH tk0 AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS dl FROM tk0
+), stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM base
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM tk0)
+    WHERE term IN ('spark', 'join', 'stream')
+    GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), contrib AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           6) AS DECIMAL(18,6)) AS w
+    FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+), scored AS (
+    SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score, COUNT(*) AS n_terms_hit
+    FROM contrib GROUP BY 1
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+)
+SELECT rank, doc_id, score, n_terms_hit FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase lookup for "table hash"
+    (operators/retrieval.py:phrase_search): shifted-slice zip builds the
+    positional bigrams on the carried token array (no positional self-join),
+    one equality filter + per-doc count."""
+    from observation_lakehouse_spark.operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, ["table", "hash"])
+
+
+_ORACLE_PHRASE = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+    FROM tk WHERE len(toks) >= 2
+)
+SELECT doc_id, COUNT(*) AS n_occurrences
+FROM bg WHERE gram = 'table hash'
+GROUP BY 1 ORDER BY n_occurrences DESC, doc_id
+"""
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/text.py:
+    winnowing_fingerprints, Schleimer et al. SIGMOD'03): k=3-token shingle
+    hashes, window w=4 sliding MIN over a packed hash·2^20+pos key (leftmost
+    minimum), per-doc distinct-fingerprint count + exact integer digest."""
+    from observation_lakehouse_spark.operators.text import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, kgram=3, window=4)
+
+
+_ORACLE_WINNOW = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), kg AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+    FROM tk WHERE len(toks) >= 3
+), hx AS (
+    SELECT doc_id,
+           unnest(list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS h,
+           unnest(range(1, len(grams) + 1)) AS pos
+    FROM kg
+), keyed AS (
+    SELECT doc_id, pos,
+           MIN(h * 1048576 + pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_kgrams
+    FROM hx
+), picked AS (
+    SELECT DISTINCT doc_id, n_kgrams, key FROM keyed WHERE pos <= n_kgrams - 3
+)
+SELECT doc_id, n_kgrams,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM((key // 1048576) % 1000000007) AS BIGINT) AS fp_digest
+FROM picked
+GROUP BY doc_id, n_kgrams
+ORDER BY doc_id
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture reweighting toward a uniform token-mass target
+    (operators/text.py:domain_mixture) — the Pile/DoReMi-style mixing step.
+    Token counts are array sizes on the scan; no shuffle sees row data."""
+    from observation_lakehouse_spark.operators.text import domain_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mixture(docs, by="source")
+
+
+_ORACLE_DOMAIN_MIX = """
+WITH per AS (
+    SELECT source AS domain, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, COUNT(*) AS n_domains FROM per
+)
+SELECT domain, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS actual_frac,
+       ROUND((1.0 / CAST(n_domains AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS mix_weight
+FROM per CROSS JOIN tot ORDER BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3114,6 +3309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
+        "winnowing": q_winnowing,
+        "domain_mixture": q_domain_mixture,
     }
 
 
@@ -3191,4 +3391,9 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "cms_heavy_hitters": _ORACLE_CMS,
+        "bm25_search": _ORACLE_BM25,
+        "phrase_search": _ORACLE_PHRASE,
+        "winnowing": _ORACLE_WINNOW,
+        "domain_mixture": _ORACLE_DOMAIN_MIX,
     }

@@ -54,14 +54,21 @@ from observation_lakehouse_spark.operators.similarity import (
 )
 from observation_lakehouse_spark.operators.srm import srm_output_map, srm_output_view
 from observation_lakehouse_spark.operators.stats import dataset_stats, per_problem_stats
+from observation_lakehouse_spark.operators.retrieval import (
+    bm25_rank,
+    cms_heavy_hitters,
+    phrase_search,
+)
 from observation_lakehouse_spark.operators.text import (
     document_fingerprints,
+    domain_mixture,
     language_id,
     quality_score,
     redact_pii,
     repetition_score,
     tfidf_terms,
     token_stats,
+    winnowing_fingerprints,
 )
 
 __all__ = [
@@ -94,4 +101,9 @@ __all__ = [
     "redact_pii",
     "repetition_score",
     "tfidf_terms",
+    "bm25_rank",
+    "cms_heavy_hitters",
+    "phrase_search",
+    "winnowing_fingerprints",
+    "domain_mixture",
 ]

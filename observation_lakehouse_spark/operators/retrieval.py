@@ -1,0 +1,205 @@
+"""Ranked retrieval and frequency-sketch operators over the documents table.
+
+The reference's analytics surface stops at exact aggregation; a training-data
+lakehouse also needs the search-side primitives — ranked retrieval over the
+corpus (BM25), exact phrase lookup, and sublinear frequency estimation
+(count-min sketch) whose state is MERGEABLE across partitions, which is what
+makes it work on a 1000-executor cluster: each executor sketches its split,
+the (depth × width) integer grid sums across splits, and the merged grid
+answers point queries with the usual CMS overestimate-only guarantee.
+
+Every hash here is the md5-prefix family (functions/text.py:tok_hash60
+rationale) so each operator is differentially testable against a DuckDB
+oracle — same buckets, same estimates, bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.functions.text import lower_tokens, md5_hi32
+
+
+def _bucket(term: Column, row: Column, width: int) -> Column:
+    """Row ``i``'s CMS bucket for ``term``: md5-prefix of ``cms<i>|term``.
+
+    Cross-engine: DuckDB computes the identical value with
+    ``('0x' || substr(md5('cms' || i || '|' || term), 1, 8))::BIGINT % width``.
+    """
+    return md5_hi32(F.concat(F.lit("cms"), row.cast("string"), F.lit("|"), term)) % width
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) vs exact truth for the
+    corpus's ``k`` most frequent terms.
+
+    Build: one explode + term hash-aggregate collapses the corpus to its
+    vocabulary (map-side combined — the only shuffle that sees data volume),
+    then the sketch grid is an aggregate OVER THE VOCABULARY: ``depth`` rows
+    per distinct term, summed into ``depth × width`` counters. At 100 TB the
+    grid is a few KiB of state no matter the corpus size, and because the
+    build is a plain SUM it merges associatively across any partitioning —
+    the property that lets per-executor sketches combine into one.
+
+    Answer: each heavy hitter probes its ``depth`` buckets and takes the MIN
+    — estimates can only overestimate (collisions add, never subtract), which
+    the output exposes as ``overestimate = cms_est - exact_cnt >= 0``.
+    """
+    # persist(): the corpus collapses to its vocabulary exactly once; grid,
+    # top and probes all re-read the (tiny) cached aggregate instead of
+    # re-exploding the corpus per consumer.
+    exact = (
+        df.select(F.explode(lower_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .persist()
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
+    # Sketch grid: depth buckets per VOCABULARY entry (not per token).
+    grid = (
+        exact.select(rows, "term", "exact_cnt")
+        .select("i", _bucket(F.col("term"), F.col("i"), width).alias("b"), "exact_cnt")
+        .groupBy("i", "b")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(k)
+    probes = top.select("term", "exact_cnt", rows).select(
+        "term", "exact_cnt", "i", _bucket(F.col("term"), F.col("i"), width).alias("b")
+    )
+    out = (
+        probes.join(F.broadcast(grid), ["i", "b"])
+        .groupBy("term")
+        .agg(F.first("exact_cnt").alias("exact_cnt"), F.min("c").alias("cms_est"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+    )
+    out._cached_deps = (exact,)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for a bag-of-words query.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` (Robertson/Spärck Jones).
+
+    Cross-engine float discipline: each per-term contribution is ROUNDED to
+    6dp and cast to DECIMAL(18,6) BEFORE the per-document sum, so the sum is
+    exact integer arithmetic — a float SUM's addend order (nondeterministic
+    under grouping) can never flip a rank. ``avgdl`` is computed explicitly
+    as sum/count, not AVG, so both engines evaluate the identical division.
+
+    Shape: the token explode filters to the query's terms AT THE EXPLODE
+    (predicate on the exploded column — the corpus collapses to query-term
+    postings immediately); doc lengths ride the same scan; df/N/avgdl are
+    vocabulary- or single-row aggregates broadcast into the scoring join.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(lower_tokens(text_col)).alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(lower_tokens(text_col)).alias("term")
+        )
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(base, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("w").cast("double").alias("score"), F.count(F.lit(1)).alias("n_terms_hit")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score", "n_terms_hit")
+        .orderBy("rank")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase lookup: documents containing ``phrase`` as consecutive
+    tokens, with occurrence counts.
+
+    The positional index is implicit: the token array is shifted ``len(phrase)``
+    ways with ``slice`` and zipped back into n-gram rows (the same carried-array
+    idiom as repetition_score's bigrams — no positional self-join, no shuffle of
+    positions), then one equality filter + per-doc count. At scale this is a
+    map-only scan + one tiny aggregate over matching docs.
+    """
+    n = len(phrase)
+    toks = lower_tokens(text_col)
+    target = " ".join(t.lower() for t in phrase)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    win = F.size("_toks") - F.lit(n - 1)
+    grams = [
+        F.slice(F.col("_toks"), i + 1, F.greatest(win, F.lit(0))) for i in range(n)
+    ]
+    joined = grams[0]
+    for g in grams[1:]:
+        joined = F.zip_with(joined, g, lambda a, bb: F.concat_ws(" ", a, bb))
+    ex = base.select("doc_id", F.explode(joined).alias("gram"))
+    return (
+        ex.filter(F.col("gram") == target)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from observation_lakehouse_spark.functions.text import (
     lower_tokens,
+    md5_hi32,
     rolling_fingerprint,
     token_pieces,
     tokens,
@@ -390,3 +391,118 @@ def tfidf_terms(
         .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
         .orderBy("doc_id", "term_rank")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03) — the local fingerprint selection MOSS uses: any shared token
+    run of length >= window + kgram - 1 is GUARANTEED to surface a common
+    fingerprint, unlike fixed-stride or 0-mod-p sampling.
+
+    Per doc: hash every consecutive ``kgram``-token window (the md5-prefix
+    family, so a DuckDB oracle reproduces the selection bit-for-bit), then in
+    every ``window`` of consecutive hashes select the minimum, leftmost on
+    ties. Selection runs as one sliding-frame window MIN over a packed
+    ``hash * 2^20 + pos`` key (hash < 2^32, pos < 2^20 — docs are bounded at
+    ~1M tokens): min-by-hash-then-position in a single bigint, no struct
+    ordering needed. Fingerprints dedupe per doc and fold into an exact
+    integer digest, so the output stays one row per document no matter the
+    selection density.
+
+    Shape: map-only shingle hashing on the scan, one per-doc window pass
+    (partition-local sort), one per-doc aggregate. Nothing shuffles raw text.
+    """
+    toks = lower_tokens(text_col)
+    win_n = F.size("_toks") - F.lit(kgram - 1)
+    grams = [
+        F.slice(F.col("_toks"), i + 1, F.greatest(win_n, F.lit(0))) for i in range(kgram)
+    ]
+    joined = grams[0]
+    for g in grams[1:]:
+        joined = F.zip_with(joined, g, lambda a, b: F.concat_ws(" ", a, b))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).select(
+        "doc_id", F.posexplode(joined).alias("pos0", "gram")
+    )
+    hashed = base.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        md5_hi32(F.col("gram")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n_w = Window.partitionBy("doc_id")
+    picked = (
+        hashed.withColumn("key", F.min(F.col("h") * F.lit(1 << 20) + F.col("pos")).over(w))
+        .withColumn("n_kgrams", F.count(F.lit(1)).over(n_w))
+        # Only full windows select (standard winnowing: positions 1..n-w+1).
+        .filter(F.col("pos") <= F.col("n_kgrams") - F.lit(window - 1))
+        .select("doc_id", "n_kgrams", "key")
+        .distinct()
+    )
+    return (
+        picked.groupBy("doc_id")
+        .agg(
+            F.first("n_kgrams").alias("n_kgrams"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.shiftright("key", 20) % F.lit(1_000_000_007)).alias("fp_digest"),
+        )
+        .select("doc_id", "n_kgrams", "n_fingerprints", "fp_digest")
+        .orderBy("doc_id")
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain sampling weights that re-shape the corpus's token mass to a
+    target mixture (the Pile/DoReMi-style mixing step before training).
+
+    With no explicit ``target``, the target is uniform over observed domains.
+    ``mix_weight`` is the per-document sampling multiplier: domains
+    over-represented in tokens get weight < 1, under-represented > 1 —
+    ``actual_frac · mix_weight`` is constant across domains.
+
+    One explode-free pass: token counts come from the array size on the scan,
+    the per-domain aggregate is domain-cardinality-sized, and the total rides
+    a single-row broadcast — no shuffle sees row-level data. Fractions round
+    at 6dp AFTER the exact integer token sums (cross-engine float discipline).
+    """
+    per = df.groupBy(F.col(by).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(lower_tokens(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count(F.lit(1)).alias("n_domains")
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    if target is None:
+        tgt = F.lit(1.0) / F.col("n_domains").cast("double")
+    else:
+        tgt = None
+        for k, v in target.items():
+            tgt = (
+                F.when(F.col("domain") == k, F.lit(float(v)))
+                if tgt is None
+                else tgt.when(F.col("domain") == k, F.lit(float(v)))
+            )
+        tgt = tgt.otherwise(F.lit(0.0))
+    actual = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_frac"),
+        F.round(tgt / actual, 6).alias("mix_weight"),
+    ).orderBy("domain")
