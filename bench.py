@@ -95,6 +95,11 @@ HEADLINE = [
     "pii_redaction",
     "repetition",
     "tfidf_terms",
+    "domain_mixture",
+    "phrase_search",
+    "bm25_search",
+    "winnowing",
+    "cms_heavy_hitters",
     "decontaminate",
     "dup_clusters",
 ]

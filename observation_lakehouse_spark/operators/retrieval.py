@@ -115,9 +115,13 @@ def bm25_rank(
     postings immediately); doc lengths ride the same scan; df/N/avgdl are
     vocabulary- or single-row aggregates broadcast into the scoring join.
     """
+    # persist(): base (doc_id, dl) and tf (query-term postings) are each read
+    # by two consumers; caching them caps the corpus text scans at two —
+    # without it Catalyst re-inlines the token split under stats, dfreq AND
+    # the scoring join (8 scans of the text column observed in the plan).
     base = df.select(
         F.col(id_col).alias("doc_id"), F.size(lower_tokens(text_col)).alias("dl")
-    )
+    ).persist()
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).select(
@@ -131,6 +135,7 @@ def bm25_rank(
         .filter(F.col("term").isin(query_terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     contrib = (
@@ -161,13 +166,18 @@ def bm25_rank(
     scored = contrib.groupBy("doc_id").agg(
         F.sum("w").cast("double").alias("score"), F.count(F.lit(1)).alias("n_terms_hit")
     )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition heads,
+    # never a single-partition sort of every matching doc), then rank the k
+    # survivors with a window that only ever sees k rows.
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+    out = (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "score", "n_terms_hit")
         .orderBy("rank")
     )
+    out._cached_deps = (base, tf)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out
 
 
 def phrase_search(
