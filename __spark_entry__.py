@@ -3030,6 +3030,75 @@ ORDER BY label, pos
 """
 
 
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate (plans/incremental.py): the orders
+    GROUP BY (status, priority) view is built by folding three disjoint
+    appends into keys-sized partial state — each refresh touches only its
+    delta, never re-scanning prior appends — then served from the state
+    table. The oracle is the ONE-SHOT GROUP BY over the same rows, so the
+    hash-match proves incremental maintenance ≡ full recompute (DECIMAL
+    partials make the two-stage sum exact). The tiny result materializes to
+    the driver so the temp MV store can be reclaimed before returning."""
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="olake_mv_")
+    try:
+        mv = IncrementalAggregate(
+            spark,
+            f"{loc}/t",
+            keys=["o_orderstatus", "o_orderpriority"],
+            aggs={
+                "n_orders": ("count", "1"),
+                "sum_total": ("sum", "CAST(o_totalprice AS DECIMAL(28,2))"),
+                "min_key": ("min", "o_orderkey"),
+                "max_key": ("max", "o_orderkey"),
+            },
+            agg_types={
+                "sum_total": "decimal(38,2)",
+                "min_key": "bigint",
+                "max_key": "bigint",
+            },
+        )
+        for i in range(3):
+            mv.refresh(orders.filter(F.col("o_orderkey") % 3 == i))
+        rows = (
+            mv.read()
+            .select(
+                "o_orderstatus",
+                "o_orderpriority",
+                "n_orders",
+                F.col("sum_total").cast("double").alias("sum_total"),
+                "min_key",
+                "max_key",
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, o_orderpriority string, n_orders bigint, "
+        "sum_total double, min_key bigint, max_key bigint",
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+_ORACLE_INCREMENTAL_MV = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_total,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates vs exact truth for the top-20
     terms (operators/retrieval.py:cms_heavy_hitters). The 4×512 grid is a
@@ -3309,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
@@ -3391,6 +3461,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,
         "bm25_search": _ORACLE_BM25,
         "phrase_search": _ORACLE_PHRASE,

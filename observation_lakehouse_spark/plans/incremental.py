@@ -1,0 +1,135 @@
+"""Incremental materialized aggregates — refresh cost tracks the DELTA.
+
+The reference's interactive loop re-aggregates the source on every query
+(benchmark_srm_output_view.py re-runs the view per problem). At 100 TB the
+Spark-first answer is a materialized aggregate maintained incrementally:
+each append folds ONLY the new batch into keys-sized partial state, so a
+refresh is O(delta + |keys|) no matter how large the accumulated source is,
+and serving the view is a scan of the (tiny) state table.
+
+Classic incremental view maintenance restricted to the distributive /
+algebraic aggregates (Gray et al., "Data Cube", ICDE'96 classification):
+
+- distributive: COUNT, SUM, MIN, MAX — partials merge by the same function;
+- algebraic: AVG — derived at read time from SUM/COUNT partials.
+
+Append-only sources only: deletions need retractions (holistic aggregates
+like MEDIAN need full state) — out of scope, documented, and enforced by
+the API shape (there is no delete hook).
+
+Exactness: SUM partials are stored as DECIMAL, so the two-stage sum
+(per-batch partial, then merge) is bit-identical to a one-shot aggregate
+over the full source — float addition is non-associative, decimal addition
+is. This is what makes the incremental path oracle-checkable against a
+plain GROUP BY (the `incremental_mv` driver query does exactly that).
+
+State lives in an :class:`~observation_lakehouse_spark.transaction.
+AtomicParquetTable`: every refresh is an atomic snapshot commit pinned to
+the state version it merged FROM (``expected_version``), so concurrent
+refreshers serialize instead of losing updates, and MV history is
+time-travelable like any table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import _parse_datatype_string
+
+from observation_lakehouse_spark.transaction import AtomicParquetTable, CommitConflict
+
+# out_col -> (fn, source_expr_sql); fn drives both the per-batch partial and
+# the merge function.
+_PARTIAL_FNS = ("count", "sum", "min", "max")
+_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+class IncrementalAggregate:
+    """A materialized ``GROUP BY keys`` view refreshed one append at a time.
+
+    ``aggs`` maps output column name → ``(fn, source_sql_expr)`` with ``fn``
+    in ``count | sum | min | max``; sums should target DECIMAL expressions
+    (cast in the source_sql_expr) for merge-order-independent results.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str]],
+        key_types: str = "string",
+        agg_types: dict[str, str] | None = None,
+        max_refresh_retries: int = 5,
+    ) -> None:
+        for name, (fn, _) in aggs.items():
+            if fn not in _PARTIAL_FNS:
+                raise ValueError(f"{name}: non-incremental aggregate {fn!r}")
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+        self.max_refresh_retries = max_refresh_retries
+        if agg_types is None:
+            agg_types = {}
+        fields = [f"`{k}` {key_types}" for k in keys] + [
+            f"`{name}` {agg_types.get(name, 'decimal(38,6)' if fn in ('sum', 'min', 'max') else 'bigint')}"
+            for name, (fn, _) in aggs.items()
+        ]
+        self.table = AtomicParquetTable(
+            spark, location, schema=_parse_datatype_string(", ".join(fields))
+        )
+
+    # -- maintenance ----------------------------------------------------------
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        cols = []
+        for name, (fn, expr) in self.aggs.items():
+            e = F.expr(expr)
+            cols.append(
+                (F.count(e) if fn == "count" else _MERGE[fn](e)).alias(name)
+            )
+        return delta.groupBy(*[F.col(k) for k in self.keys]).agg(*cols)
+
+    def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
+        # Align the delta partial to the state's exact types before the union
+        # (a delta SUM's inferred decimal precision can differ from the
+        # declared state type; union would otherwise widen per-refresh).
+        typed = partial.select(
+            [F.col(f.name).cast(f.dataType) for f in self.table.schema.fields]
+        )
+        unioned = state.unionByName(typed)
+        merged_cols = [
+            _MERGE[fn](F.col(name)).alias(name) for name, (fn, _) in self.aggs.items()
+        ]
+        return unioned.groupBy(*self.keys).agg(*merged_cols)
+
+    def refresh(self, delta: DataFrame) -> int:
+        """Fold one appended batch into the view; returns the new MV version.
+
+        Aggregates the delta (delta-sized shuffle), merges with the current
+        keys-sized state, and commits the result pinned to the state version
+        it merged from — a concurrent refresh triggers a re-read + re-merge
+        instead of a lost update.
+        """
+        partial = self._partial(delta)
+        for _ in range(self.max_refresh_retries):
+            base_v = self.table.latest_version()
+            state = self.table.read(version=base_v)
+            merged = self._merge(state, partial)
+            staged = self.table.stage(merged)
+            try:
+                return self.table.commit_replace(staged, expected_version=base_v)
+            except CommitConflict:
+                continue
+        raise CommitConflict("concurrent refreshers kept winning; giving up")
+
+    # -- serving --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) view state — a scan of the state table."""
+        return self.table.read(version=version)
+
+    def read_with_avg(self, avg_col: str, sum_col: str, count_col: str) -> DataFrame:
+        """Algebraic AVG derived from SUM/COUNT partials at read time."""
+        return self.read().withColumn(
+            avg_col, F.col(sum_col) / F.col(count_col).cast("decimal(38,6)")
+        )
