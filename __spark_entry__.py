@@ -3030,6 +3030,62 @@ ORDER BY label, pos
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/dedup.py:bloom_decontaminate):
+    the benchmark 5-gram set compresses to a 4194304-bit filter (131072 packed
+    int words via bit_or — a few KiB broadcast) and the corpus probes it
+    map-side; a hit needs all 4 md5-prefix bit positions set. Same train /
+    bench split as `decontaminate`; n_bloom_hits upper-bounds that query's
+    exact n_shared_ngrams (no false negatives), and the DuckDB oracle
+    rebuilds the identical filter so even false positives hash-match."""
+    from observation_lakehouse_spark.operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 7)
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    return bloom_decontaminate(train, bench, ngram=5, min_hits=3)
+
+
+_ORACLE_BLOOM_DECON = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE [array_to_string(toks, ' ')] END)) AS g
+    FROM tk WHERE len(toks) > 0
+), rows_i AS (
+    SELECT unnest(range(4)) AS i
+), bench_pos AS (
+    SELECT ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4194304 AS pos
+    FROM sh CROSS JOIN rows_i WHERE doc_id % 20 = 7
+), bloom AS (
+    SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS w
+    FROM bench_pos GROUP BY 1
+), probe AS (
+    SELECT doc_id, g, i,
+           ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4194304 AS pos
+    FROM sh CROSS JOIN rows_i WHERE doc_id % 20 <> 7
+), checked AS (
+    SELECT p.doc_id, p.g,
+           CASE WHEN COALESCE(b.w, 0) & (1::BIGINT << CAST(p.pos % 32 AS INT)) <> 0
+                THEN 1 ELSE 0 END AS is_set
+    FROM probe p LEFT JOIN bloom b ON p.pos // 32 = b.word
+), hits AS (
+    SELECT doc_id, g FROM checked GROUP BY doc_id, g HAVING SUM(is_set) = 4
+)
+SELECT doc_id, COUNT(*) AS n_bloom_hits, COUNT(*) >= 3 AS bloom_flagged
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized aggregate (plans/incremental.py): the orders
     GROUP BY (status, priority) view is built by folding three disjoint
@@ -3378,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bm25_search": q_bm25_search,
@@ -3461,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,
         "bm25_search": _ORACLE_BM25,

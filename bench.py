@@ -101,6 +101,7 @@ HEADLINE = [
     "winnowing",
     "cms_heavy_hitters",
     "decontaminate",
+    "bloom_decontaminate",
     "dup_clusters",
 ]
 

@@ -534,3 +534,81 @@ def decontaminate(
         .withColumn("contaminated", F.col("n_shared_ngrams") >= min_hits)
         .orderBy("doc_id")
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    min_hits: int = 3,
+    m_bits: int = 4194304,
+    depth: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the 100 TB shape.
+
+    :func:`decontaminate` joins corpus grams against benchmark grams: correct,
+    but the benchmark side must ship to the join. Here the ENTIRE benchmark
+    compresses into an ``m_bits``-bit Bloom filter (``m_bits/32`` packed int
+    words built with a ``bit_or`` aggregate — mergeable across partitions like
+    any distributive aggregate), which broadcasts to every executor as a few
+    KiB no matter how many grams fed it. Probing is then map-side: each corpus
+    gram checks its ``depth`` bit positions against the broadcast words, a hit
+    requiring ALL set. One corpus scan, no corpus-sized shuffle, benchmark
+    cost amortized to a constant-size build.
+
+    Classic Bloom semantics: no false negatives (every truly shared gram is
+    flagged), deterministic false positives (same md5-prefix bit positions in
+    any engine — the DuckDB oracle reproduces the filter bit-for-bit, so even
+    the FPs hash-match). ``n_bloom_hits`` therefore upper-bounds the exact
+    ``n_shared_ngrams``; callers treating ``bloom_flagged`` as a verdict
+    accept the (sizeable ``m_bits``-tunable) FP rate, or feed flagged docs to
+    :func:`decontaminate` as the exact verifier over a now-tiny candidate set.
+    """
+    words_per = 32
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
+
+    def positions(side: DataFrame, keep_id: bool) -> DataFrame:
+        cols = ([F.col(id_col).alias("doc_id")] if keep_id else []) + [
+            F.explode(word_shingles(text_col, ngram)).alias("g")
+        ]
+        ids = ["doc_id"] if keep_id else []
+        ex = side.select(*cols).select("*", rows)
+        pos = md5_hi32(
+            F.concat(F.lit("bf"), F.col("i").cast("string"), F.lit("|"), F.col("g"))
+        ) % m_bits
+        return ex.select(*ids, "g", "i", pos.alias("pos")).select(
+            *ids,
+            "g",
+            "i",
+            F.expr(f"pos DIV {words_per}").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {words_per} AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    bloom = (
+        positions(benchmark, keep_id=False)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    probes = positions(train, keep_id=True)
+    hit_grams = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "set",
+            F.when(
+                F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(F.col("mask")) != 0, 1
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.sum("set").alias("n_set"))
+        .filter(F.col("n_set") == depth)
+    )
+    return (
+        hit_grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+        .withColumn("bloom_flagged", F.col("n_bloom_hits") >= min_hits)
+        .orderBy("doc_id")
+    )

@@ -91,3 +91,36 @@ def test_decontaminate_below_threshold_not_flagged(spark):
     out = decontaminate(train, bench, ngram=5, min_hits=3).collect()
     assert len(out) == 1 and bool(out[0]["contaminated"]) is False
     assert out[0]["n_shared_ngrams"] == 1
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark):
+    from observation_lakehouse_spark.operators.dedup import bloom_decontaminate
+
+    shared = "one two three four five six seven"
+    train = _docs(
+        spark,
+        [shared + " extra tail words here", "totally different text with no overlap at all"],
+    )
+    bench = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    exact = {r["doc_id"]: r for r in decontaminate(train, bench, ngram=5, min_hits=3).collect()}
+    bloom = {
+        r["doc_id"]: r for r in bloom_decontaminate(train, bench, ngram=5, min_hits=3).collect()
+    }
+    # Bloom semantics: every exactly-shared gram is flagged (no false
+    # negatives) -> per-doc bloom hit count upper-bounds the exact count.
+    assert set(exact) <= set(bloom)
+    for k in exact:
+        assert bloom[k]["n_bloom_hits"] >= exact[k]["n_shared_ngrams"]
+    assert bool(bloom[0]["bloom_flagged"]) is True
+
+
+def test_bloom_decontaminate_clean_corpus_mostly_silent(spark):
+    from observation_lakehouse_spark.operators.dedup import bloom_decontaminate
+
+    train = _docs(spark, [f"completely unique document number {i} with words w{i} x{i} y{i} z{i}" for i in range(20)])
+    bench = spark.createDataFrame(
+        [(100, "benchmark holdout text that shares nothing with the corpus")],
+        "doc_id long, text string",
+    )
+    # with a 4M-bit filter and ~10 grams set, FP probability ~ (1e-5)^4: empty
+    assert bloom_decontaminate(train, bench).count() == 0
