@@ -3030,6 +3030,72 @@ ORDER BY label, pos
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
+    customer→supplier fulfillment graph (orders ⋈ lineitem), 3 rounds,
+    d=0.85, all arithmetic in integer pico-units so the unrolled-CTE DuckDB
+    oracle agrees bit-for-bit (float PR sums are plan-order-dependent).
+    Top-50 with total tie-break."""
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iters=3).limit(50)
+
+
+_ORACLE_PAGERANK = """
+WITH e AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+    SELECT COUNT(*) AS n FROM nodes
+), outdeg AS (
+    SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+), pr0 AS (
+    SELECT node, 1000000000000 // n AS pr FROM nodes CROSS JOIN nn
+), it1 AS (
+    SELECT nodes.node,
+           (1000000000000 * 15) // (100 * n)
+           + (COALESCE(s.in_sum, 0) * 85) // 100 AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst, SUM(pr // outdeg) AS in_sum
+               FROM pr0 JOIN outdeg ON pr0.node = outdeg.src
+               JOIN e ON e.src = outdeg.src
+               GROUP BY 1) s ON s.dst = nodes.node
+), it2 AS (
+    SELECT nodes.node,
+           (1000000000000 * 15) // (100 * n)
+           + (COALESCE(s.in_sum, 0) * 85) // 100 AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst, SUM(pr // outdeg) AS in_sum
+               FROM it1 JOIN outdeg ON it1.node = outdeg.src
+               JOIN e ON e.src = outdeg.src
+               GROUP BY 1) s ON s.dst = nodes.node
+), it3 AS (
+    SELECT nodes.node,
+           (1000000000000 * 15) // (100 * n)
+           + (COALESCE(s.in_sum, 0) * 85) // 100 AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst, SUM(pr // outdeg) AS in_sum
+               FROM it2 JOIN outdeg ON it2.node = outdeg.src
+               JOIN e ON e.src = outdeg.src
+               GROUP BY 1) s ON s.dst = nodes.node
+)
+SELECT node, CAST(pr AS BIGINT) AS pr_pico
+FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/dedup.py:bloom_decontaminate):
     the benchmark 5-gram set compresses to a 4194304-bit filter (131072 packed
@@ -3434,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "pagerank": q_pagerank,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3518,6 +3585,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "pagerank": _ORACLE_PAGERANK,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

@@ -248,3 +248,75 @@ def dedup_clusters(
     # release_cached boundary
     out._cached_deps = getattr(comps, "_cached_deps", ())  # noqa: SLF001
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer pico-units — deterministic on any
+    engine and any partitioning.
+
+    Float PageRank is NOT differentially testable: the per-node contribution
+    sum's addend order varies with the physical plan, and 1e-16 drifts
+    compound per iteration. Here every quantity is a scaled bigint:
+    ``pr0 = scale DIV N``; each round,
+    ``pr' = (1-d)·scale DIV N  +  d · Σ_in (pr DIV outdeg) DIV 100`` with
+    all divisions integer (floor on the non-negative domain) — so Spark and
+    a SQL oracle (unrolled CTE per iteration) agree bit-for-bit, and integer
+    SUM is order-independent. Truncation loses < 1 pico-unit per term;
+    rankings are unaffected at any realistic scale.
+
+    Simplified treatment of dangling nodes (no out-edges): their mass is not
+    redistributed — identical in the oracle, and the standard simplification
+    for hub-style rankings. Per iteration: one equi-join of the (16-byte)
+    rank table against the edge list + one destination-keyed aggregate, both
+    codegen; lineage is truncated per round via ``localCheckpoint`` so round
+    k does not re-execute rounds 1..k-1 per action (same discipline as
+    :func:`connected_components`).
+    """
+    # The per-round inputs (edges, nodes, out-degrees) are each consumed once
+    # PER ITERATION — persist them; the evolving rank frame stays a lazily
+    # chained plan (for a handful of rounds one composite plan beats per-round
+    # materialization) and is lineage-truncated every 4th round so deep
+    # iteration counts can't grow the plan unboundedly.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    pr = nodes.withColumn("pr", F.lit(scale // n))
+    for i in range(n_iters):
+        contrib = (
+            pr.join(outdeg, pr["node"] == outdeg["src"])
+            .join(e, "src")
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pr = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr(f"(COALESCE(in_sum, 0) * {damping_pct}) DIV 100")
+            ).alias("pr"),
+        )
+        if (i + 1) % 4 == 0 and i + 1 < n_iters:
+            pr = pr.localCheckpoint(eager=True)
+    out = pr.select("node", F.col("pr").alias("pr_pico")).orderBy(
+        F.desc("pr_pico"), F.asc("node")
+    )
+    out._cached_deps = (e, nodes, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out

@@ -55,3 +55,34 @@ def test_dedup_clusters_includes_singletons(spark):
     }
     assert [d for d, r in rows.items() if r["is_canonical"]] == [0, 1, 2, 4]
     assert rows[5]["cluster_size"] == 3 and rows[1]["cluster_size"] == 1
+
+
+def test_pagerank_ranks_popular_sink_first(spark):
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    # star: everyone links to hub; hub links to one spoke
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    out = pagerank(edges, n_iters=3).collect()
+    assert out[0]["node"] == "hub"
+    # integer pico-units: total mass never exceeds the injected scale
+    assert sum(r["pr_pico"] for r in out) <= 1_000_000_000_000
+    # 'a' receives the hub's entire (damped) mass -> outranks b/c/d
+    by = {r["node"]: r["pr_pico"] for r in out}
+    assert by["a"] > by["b"] == by["c"] == by["d"]
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{(i * 7) % 23}") for i in range(100)], "src string, dst string"
+    )
+    a = [(r["node"], r["pr_pico"]) for r in pagerank(edges, n_iters=4).collect()]
+    b = [
+        (r["node"], r["pr_pico"])
+        for r in pagerank(edges.repartition(13), n_iters=4).collect()
+    ]
+    assert a == b  # integer arithmetic: no plan/partitioning sensitivity
