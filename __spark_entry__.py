@@ -2679,7 +2679,9 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate. Lower xent = more typical text."""
     from observation_lakehouse_spark.functions.text import lower_tokens, tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    from observation_lakehouse_spark.functions.partitioning import parallelize_scan
+
+    docs = parallelize_scan(_t(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id",
         F.explode(lower_tokens("text")).alias("term"),
@@ -2893,7 +2895,9 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast V, one per-doc aggregate."""
     from observation_lakehouse_spark.functions.text import lower_tokens, tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    from observation_lakehouse_spark.functions.partitioning import parallelize_scan
+
+    docs = parallelize_scan(_t(spark, sf_dir, "documents"))
     toks = lower_tokens("text")
     n = F.size(toks)
     bigrams = F.zip_with(

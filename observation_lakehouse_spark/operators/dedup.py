@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from observation_lakehouse_spark.functions.partitioning import parallelize_scan
 from observation_lakehouse_spark.functions.text import (
     hashed_word_shingles,
     jaccard,
@@ -162,7 +163,10 @@ def minhash_lsh_dedup(
     # size(<shingle expr>) predicate is part of the cached plan and the
     # materialization evaluates the whole shingle expression twice per row
     # (once for the filter, once for the projection).
-    cached = df.select(
+    # parallelize_scan: the shingle expression is the dominant per-row cost;
+    # a compacted few-row-group corpus would otherwise compute it on as many
+    # cores as there are input splits (no-op when the scan already fans out).
+    cached = parallelize_scan(df).select(
         F.col(id_col).alias("doc_id"),
         hashed_word_shingles(text_col, shingle_size).alias("sh_hashes"),
     ).persist()
@@ -300,7 +304,7 @@ def simhash_dedup(
     # Spark recomputes it per side (measured ~0.8 s of the 2.4 s total at
     # sf0.1). In production this is the materialized fingerprints table.
     fp = (
-        simhash_fingerprints(df, text_col, id_col)
+        simhash_fingerprints(parallelize_scan(df), text_col, id_col)
         .filter(F.col("n_tokens") > 0)
         .drop("n_tokens")
         .persist()
@@ -390,7 +394,7 @@ def ngram_jaccard_pairs(
     # (below it, the cached plan evaluates the shingle expression twice per
     # row during materialization: once in the filter, once in the project).
     mk_shingles = shingle_fn or (lambda c: word_shingles(c, shingle_size))
-    cached = df.select(
+    cached = parallelize_scan(df).select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
         mk_shingles(text_col).alias("sh"),
