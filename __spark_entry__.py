@@ -3034,6 +3034,51 @@ ORDER BY label, pos
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py:table_diff): the 'old'
+    snapshot drops orderkeys ≡3 (mod 10), the 'new' drops ≡7 and bumps
+    prices for custkeys ≡0 (mod 5) — the diff must label exactly the
+    deleted / inserted / updated keys via one full-outer join with a
+    NULL-safe packed-struct comparison, unchanged mass dropped early."""
+    from observation_lakehouse_spark.operators.cdc import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 3)
+    new = orders.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 5 == 0, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return table_diff(old, new, keys=["o_orderkey"])
+
+
+_ORACLE_TABLE_DIFF = """
+WITH old AS (
+    SELECT * FROM orders WHERE o_orderkey % 10 <> 3
+), new AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_custkey % 5 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 7
+), j AS (
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE
+             WHEN old.o_orderkey IS NULL THEN 'inserted'
+             WHEN new.o_orderkey IS NULL THEN 'deleted'
+             WHEN (old.o_custkey, old.o_orderstatus, old.o_totalprice,
+                   old.o_orderdate, old.o_orderpriority) IS DISTINCT FROM
+                  (new.o_custkey, new.o_orderstatus, new.o_totalprice,
+                   new.o_orderdate, new.o_orderpriority) THEN 'updated'
+             ELSE 'unchanged'
+           END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+)
+SELECT o_orderkey, change_type FROM j
+WHERE change_type <> 'unchanged' ORDER BY o_orderkey
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
     customer→supplier fulfillment graph (orders ⋈ lineitem), 3 rounds,
@@ -3504,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "table_diff": q_table_diff,
         "pagerank": q_pagerank,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
@@ -3589,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,

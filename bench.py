@@ -83,6 +83,7 @@ HEADLINE = [
     "video_frames",
     "latest_per_key",
     "cdc_upsert",
+    "table_diff",
     "unpivot",
     "range_join",
     "data_profile",

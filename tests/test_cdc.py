@@ -72,3 +72,30 @@ def test_latest_per_key_preserves_user_rn_column(spark):
     assert [(r["k"], r["seq"], r["_rn"]) for r in got.collect()] == [
         ("a", 2, 200), ("b", 1, 300),
     ]
+
+
+def test_table_diff_labels_all_change_types(spark):
+    from observation_lakehouse_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # 1 deleted, 3 updated, 5 inserted; 2 and 4 (incl. NULL-equal column) unchanged
+    assert out == {1: "deleted", 3: "updated", 5: "inserted"}
+
+
+def test_table_diff_schema_mismatch_raises(spark):
+    import pytest
+
+    from observation_lakehouse_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, "a")], "k long, s string")
+    new = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="share one schema"):
+        table_diff(old, new, ["k"])
