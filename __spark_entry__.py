@@ -3034,6 +3034,53 @@ ORDER BY label, pos
 """
 
 
+def q_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs, blocked by (source, lang) —
+    the tokenization-robust dedup path (code, CJK, mangled whitespace) that
+    exercises ngram_jaccard_pairs' custom shingle_fn hook end to end. Same
+    prefix-filtered set-similarity join as the word-trigram query; the
+    oracle runs the naive within-block all-pairs list_intersect, so the
+    hash-match proves the prefix filter lossless on a second gram family."""
+    from observation_lakehouse_spark.functions.text import char_shingles
+    from observation_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk_sl", F.concat_ws("|", F.col("source"), F.col("lang"))
+    )
+    return ngram_jaccard_pairs(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        block_col="blk_sl",
+        threshold=0.5,
+        shingle_fn=lambda c: char_shingles(c, 5),
+    )
+
+
+_ORACLE_CHARGRAM = """
+WITH base AS (
+    SELECT doc_id, source || '|' || lang AS blk, lower(text) AS t
+    FROM documents WHERE length(lower(text)) > 0
+), sh AS (
+    SELECT doc_id, blk,
+           CASE WHEN length(t) >= 5
+                THEN list_distinct(list_transform(range(1, length(t) - 3), i -> t[i:i+4]))
+                ELSE [t] END AS g
+    FROM base
+), pairs AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           len(list_intersect(l.g, r.g)) AS n_inter,
+           len(l.g) AS n_a, len(r.g) AS n_b
+    FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard_sim
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/cdc.py:table_diff): the 'old'
     snapshot drops orderkeys ≡3 (mod 10), the 'new' drops ≡7 and bumps
@@ -3549,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "chargram_jaccard": q_chargram_jaccard,
         "table_diff": q_table_diff,
         "pagerank": q_pagerank,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -3635,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "chargram_jaccard": _ORACLE_CHARGRAM,
         "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
