@@ -138,3 +138,42 @@ def test_tokens_edge_cases(spark):
     df = spark.createDataFrame([("  a  b ",), ("",), ("   ",)], "text string")
     out = [r["t"] for r in df.select(tokens("text").alias("t")).collect()]
     assert out == [["a", "b"], [], []]
+
+
+def test_parallelize_scan_only_fans_out_narrow_inputs(spark):
+    from observation_lakehouse_spark.functions.partitioning import parallelize_scan
+
+    narrow = spark.range(100).coalesce(1)
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism)
+    assert (
+        parallelize_scan(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # already-parallel input passes through untouched (no extra shuffle)
+    assert parallelize_scan(wide) is wide
+
+
+def test_word_shingle_xxhashes_matches_hashed_word_shingles_identity(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.functions.text import (
+        word_shingle_xxhashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b"), (2, ""), (3, "x y z x y z x y")],
+        "doc_id long, text string",
+    )
+    direct = df.select(
+        "doc_id", F.array_sort(word_shingle_xxhashes("text", 3)).alias("h")
+    ).collect()
+    via_strings = df.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(word_shingles("text", 3), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    ).collect()
+    assert {r["doc_id"]: r["h"] for r in direct} == {
+        r["doc_id"]: r["h"] for r in via_strings
+    }
