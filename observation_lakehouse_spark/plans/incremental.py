@@ -102,22 +102,31 @@ class IncrementalAggregate:
         ]
         return unioned.groupBy(*self.keys).agg(*merged_cols)
 
-    def refresh(self, delta: DataFrame) -> int:
+    def refresh(self, delta: DataFrame, idempotency_key: str | None = None) -> int:
         """Fold one appended batch into the view; returns the new MV version.
 
         Aggregates the delta (delta-sized shuffle), merges with the current
         keys-sized state, and commits the result pinned to the state version
         it merged from — a concurrent refresh triggers a re-read + re-merge
-        instead of a lost update.
+        instead of a lost update. With ``idempotency_key``, a replayed batch
+        (streaming crash-recovery) is recognized and skipped: folding the
+        same delta twice would DOUBLE-COUNT it, so the key is what upgrades
+        a streaming MV from at-least-once to exactly-once.
         """
         partial = self._partial(delta)
         for _ in range(self.max_refresh_retries):
+            if idempotency_key is not None:
+                committed = self.table.committed_keys()
+                if idempotency_key in committed:
+                    return committed[idempotency_key]
             base_v = self.table.latest_version()
             state = self.table.read(version=base_v)
             merged = self._merge(state, partial)
             staged = self.table.stage(merged)
             try:
-                return self.table.commit_replace(staged, expected_version=base_v)
+                return self.table.commit_replace(
+                    staged, idempotency_key=idempotency_key, expected_version=base_v
+                )
             except CommitConflict:
                 continue
         raise CommitConflict("concurrent refreshers kept winning; giving up")
