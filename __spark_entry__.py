@@ -3034,6 +3034,58 @@ ORDER BY label, pos
 """
 
 
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + OLS slope/intercept of extendedprice
+    against quantity — analytics the reference's DuckDB surface gets from
+    corr()/regr_*(), re-derived here from EXACT decimal co-moments (Σx, Σy,
+    Σxy, Σx², all exact, cast to double once at the end) so both engines
+    evaluate the identical float expression tree: native corr/regr
+    aggregates accumulate doubles in partition order and drift. One
+    single-pass grouped aggregate, all map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+        F.sum(x * x).cast("double").alias("_sx2"),
+        F.sum(y * y).cast("double").alias("_sy2"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sx2") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_sy2") - F.col("_sy") * F.col("_sy") / n
+    slope = cov / vx
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_REGRESSION = """
+WITH a AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+             / sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) * (sy2 - sy * sy / CAST(n AS DOUBLE))), 6) AS corr_qty_price,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / (sx2 - sx * sx / CAST(n AS DOUBLE)), 6) AS slope,
+       ROUND((sy - (sxy - sx * sy / CAST(n AS DOUBLE)) / (sx2 - sx * sx / CAST(n AS DOUBLE)) * sx) / CAST(n AS DOUBLE), 6) AS intercept
+FROM a ORDER BY l_returnflag
+"""
+
+
 def q_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard near-dup pairs, blocked by (source, lang) —
     the tokenization-robust dedup path (code, CJK, mangled whitespace) that
@@ -3596,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "regression_stats": q_regression_stats,
         "chargram_jaccard": q_chargram_jaccard,
         "table_diff": q_table_diff,
         "pagerank": q_pagerank,
@@ -3683,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "regression_stats": _ORACLE_REGRESSION,
         "chargram_jaccard": _ORACLE_CHARGRAM,
         "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,

@@ -54,6 +54,7 @@ HEADLINE = [
     "event_windows",
     "window_analytics",
     "percentiles",
+    "regression_stats",
     "stratified_sample",
     "top_terms",
     "ann_ivf_topk",
