@@ -56,7 +56,11 @@ def release_cached(df: DataFrame) -> None:
     blocks live until session end. No-op for plans without registered caches.
     """
     for cached in getattr(df, "_cached_deps", ()):
-        cached.unpersist()
+        # blocking: the default async unpersist leaves the columnar block
+        # vectors resident (observed ~150 MB of live long[] after a shingle
+        # query) while the NEXT query starts allocating — on a default-heap
+        # harness session that adjacency is an OOM.
+        cached.unpersist(blocking=True)
 
 
 def _with_cached_deps(df: DataFrame, *deps: DataFrame) -> DataFrame:
@@ -589,45 +593,56 @@ def bloom_decontaminate(
     words_per = 32
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
 
-    def positions(side: DataFrame, keep_id: bool) -> DataFrame:
-        cols = ([F.col(id_col).alias("doc_id")] if keep_id else []) + [
-            F.explode(word_shingles(text_col, ngram)).alias("g")
-        ]
-        ids = ["doc_id"] if keep_id else []
-        ex = side.select(*cols).select("*", rows)
+    def positions(side: DataFrame) -> DataFrame:
+        ex = side.select(F.explode(word_shingles(text_col, ngram)).alias("g")).select(
+            "*", rows
+        )
         pos = md5_hi32(
             F.concat(F.lit("bf"), F.col("i").cast("string"), F.lit("|"), F.col("g"))
         ) % m_bits
-        return ex.select(*ids, "g", "i", pos.alias("pos")).select(
-            *ids,
-            "g",
-            "i",
+        return ex.select(pos.alias("pos")).select(
             F.expr(f"pos DIV {words_per}").alias("word"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {words_per} AS INT))").alias(
                 "mask"
             ),
         )
 
-    bloom = (
-        positions(benchmark, keep_id=False)
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("w"))
+    bloom = positions(benchmark).groupBy("word").agg(F.bit_or("mask").alias("w"))
+    # Probe side: ONE row per (doc, gram) carrying all `depth` bit positions
+    # as columns, resolved through `depth` broadcast left-joins against the
+    # same tiny word table — entirely map-side. The alternative (explode the
+    # positions, join, re-group by (doc, gram) to count set bits) shuffles
+    # depth× the corpus gram count just to reassemble what one row already
+    # holds; here the only shuffle left is the per-doc count of hit grams.
+    probe = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, ngram)).alias("g"),
     )
-    probes = positions(train, keep_id=True)
-    hit_grams = (
-        probes.join(F.broadcast(bloom), "word", "left")
-        .withColumn(
-            "set",
-            F.when(
-                F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(F.col("mask")) != 0, 1
-            ).otherwise(0),
+    all_set = F.lit(True)
+    for i in range(depth):
+        wi, mi, bi = f"_w{i}", f"_m{i}", f"_b{i}"
+        pos = md5_hi32(F.concat(F.lit(f"bf{i}|"), F.col("g"))) % m_bits
+        probe = (
+            probe.withColumn(f"_p{i}", pos)
+            .withColumn(wi, F.expr(f"_p{i} DIV {words_per}"))
+            .withColumn(
+                mi,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {words_per} AS INT))"),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(F.col("word").alias(wi), F.col("w").alias(bi))
+                ),
+                wi,
+                "left",
+            )
         )
-        .groupBy("doc_id", "g")
-        .agg(F.sum("set").alias("n_set"))
-        .filter(F.col("n_set") == depth)
-    )
+        all_set = all_set & (
+            F.coalesce(F.col(bi), F.lit(0)).bitwiseAND(F.col(mi)) != 0
+        )
     return (
-        hit_grams.groupBy("doc_id")
+        probe.filter(all_set)
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
         .withColumn("bloom_flagged", F.col("n_bloom_hits") >= min_hits)
         .orderBy("doc_id")
