@@ -430,13 +430,19 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    dfreq = tok.groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # Document frequency as a COUNT window over (blk, shingle) — one shuffle
+    # of tok, where the aggregate-then-rejoin form shuffles tok twice (once
+    # into the vocabulary aggregate, once re-keyed for the join) for the
+    # identical _df values. Same key distribution, so the skew story is
+    # unchanged: map-side nothing to combine, but hot shingles are bounded by
+    # their df and the prefix filter drops them from the JOIN regardless.
+    w_df = Window.partitionBy("blk", "shingle")
     # tok carries exactly n_sh rows per doc (shingles are distinct), so the
     # prefix bound needs no per-doc count window — one row_number pass.
     w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     t = float(threshold)
     pref = (
-        tok.join(dfreq, ["blk", "shingle"])
+        tok.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1))
         .select("doc_id", "blk", "n_sh", "shingle", "_rk")
