@@ -462,6 +462,20 @@ def ngram_jaccard_pairs(
     smaller_first = (F.col("l.n_sh") < F.col("r.n_sh")) | (
         (F.col("l.n_sh") == F.col("r.n_sh")) & (F.col("l.doc_id") < F.col("r.doc_id"))
     )
+    # PPJoin positional filter (Xiao, Wang, Lin & Yu, WWW'08): a pair meeting
+    # at prefix positions (i, j) can still share at most
+    # min(n_x − i, n_y − j) + 1 elements (everything from the match onward),
+    # so pairs whose remaining-overlap bound is below the required
+    # ⌈t/(1+t)·(n_x+n_y)⌉ are pruned INSIDE the join condition — lossless,
+    # and it cuts the candidate set the verification stage must intersect.
+    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("l.n_sh") + F.col("r.n_sh")))
+    positional = (
+        F.least(
+            F.col("l.n_sh") - F.col("l._rk"), F.col("r.n_sh") - F.col("r._rk")
+        )
+        + F.lit(1)
+        >= alpha
+    )
     cand = (
         l.join(
             r,
@@ -469,7 +483,8 @@ def ngram_jaccard_pairs(
             & (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.doc_id") != F.col("r.doc_id"))
             & smaller_first
-            & (F.col("r.n_sh") * t <= F.col("l.n_sh")),
+            & (F.col("r.n_sh") * t <= F.col("l.n_sh"))
+            & positional,
         )
         .select(
             F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_a"),
