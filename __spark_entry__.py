@@ -3264,7 +3264,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/dedup.py:bloom_decontaminate):
     the benchmark 5-gram set compresses to a 4194304-bit filter (131072 packed
     int words via bit_or — a few KiB broadcast) and the corpus probes it
-    map-side; a hit needs all 4 md5-prefix bit positions set. Same train /
+    map-side; a hit needs all 4 bit positions (disjoint 32-bit lanes of ONE md5 digest) set. Same train /
     bench split as `decontaminate`; n_bloom_hits upper-bounds that query's
     exact n_shared_ngrams (no false negatives), and the DuckDB oracle
     rebuilds the identical filter so even false positives hash-match."""
@@ -3294,14 +3294,14 @@ WITH tk AS (
 ), rows_i AS (
     SELECT unnest(range(4)) AS i
 ), bench_pos AS (
-    SELECT ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4194304 AS pos
+    SELECT ('0x' || substr(md5(g), 1 + 8 * i, 8))::BIGINT % 4194304 AS pos
     FROM sh CROSS JOIN rows_i WHERE doc_id % 20 = 7
 ), bloom AS (
     SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS w
     FROM bench_pos GROUP BY 1
 ), probe AS (
     SELECT doc_id, g, i,
-           ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4194304 AS pos
+           ('0x' || substr(md5(g), 1 + 8 * i, 8))::BIGINT % 4194304 AS pos
     FROM sh CROSS JOIN rows_i WHERE doc_id % 20 <> 7
 ), checked AS (
     SELECT p.doc_id, p.g,

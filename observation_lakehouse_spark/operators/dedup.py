@@ -611,17 +611,27 @@ def bloom_decontaminate(
     accept the (sizeable ``m_bits``-tunable) FP rate, or feed flagged docs to
     :func:`decontaminate` as the exact verifier over a now-tiny candidate set.
     """
+    if depth > 4:
+        raise ValueError("depth > 4 needs more digest bits than one md5 carries")
     words_per = 32
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
+
+    def gram_pos(i):
+        # All `depth` bit positions slice ONE md5 digest (disjoint 32-bit
+        # lanes, hex chars 1-8 / 9-16 / 17-24 / 25-32) — one hash per gram
+        # instead of `depth` salted hashes, same cross-engine reproducibility
+        # (DuckDB: substr(md5(g), 1+8i, 8)), statistically equivalent bits.
+        return (
+            F.conv(F.substring(F.md5(F.col("g")), 1 + 8 * i, 8), 16, 10).cast("long")
+            % m_bits
+        )
 
     def positions(side: DataFrame) -> DataFrame:
-        ex = side.select(F.explode(word_shingles(text_col, ngram)).alias("g")).select(
-            "*", rows
-        )
-        pos = md5_hi32(
-            F.concat(F.lit("bf"), F.col("i").cast("string"), F.lit("|"), F.col("g"))
-        ) % m_bits
-        return ex.select(pos.alias("pos")).select(
+        ex = side.select(F.explode(word_shingles(text_col, ngram)).alias("g"))
+        lanes = [ex.select(gram_pos(i).alias("pos")) for i in range(depth)]
+        allpos = lanes[0]
+        for l in lanes[1:]:
+            allpos = allpos.unionAll(l)
+        return allpos.select(
             F.expr(f"pos DIV {words_per}").alias("word"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {words_per} AS INT))").alias(
                 "mask"
@@ -635,14 +645,14 @@ def bloom_decontaminate(
     # positions, join, re-group by (doc, gram) to count set bits) shuffles
     # depth× the corpus gram count just to reassemble what one row already
     # holds; here the only shuffle left is the per-doc count of hit grams.
-    probe = train.select(
+    probe = parallelize_scan(train).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, ngram)).alias("g"),
     )
     all_set = F.lit(True)
     for i in range(depth):
         wi, mi, bi = f"_w{i}", f"_m{i}", f"_b{i}"
-        pos = md5_hi32(F.concat(F.lit(f"bf{i}|"), F.col("g"))) % m_bits
+        pos = gram_pos(i)
         probe = (
             probe.withColumn(f"_p{i}", pos)
             .withColumn(wi, F.expr(f"_p{i} DIV {words_per}"))
