@@ -563,7 +563,7 @@ def decontaminate(
     any realistic scale.
     """
     def grams(df: DataFrame, side: str) -> DataFrame:
-        return df.select(
+        return parallelize_scan(df).select(
             F.col(id_col).alias(f"{side}_id"),
             F.explode(word_shingles(text_col, ngram)).alias("_g"),
         ).select(f"{side}_id", F.xxhash64("_g").alias("gram"))
