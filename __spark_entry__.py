@@ -3034,6 +3034,53 @@ ORDER BY label, pos
 """
 
 
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 part pairs most often ordered
+    together. Distinct (order, part) → order-keyed self-join with a < b →
+    pair hash-aggregate → distributed top-k (TakeOrderedAndProject). The
+    self-join key is the order id (baskets are small — pairs per order grow
+    quadratically in basket size, not corpus size), and the pair aggregate
+    is map-side combinable; at 100 TB this is the standard two-pass
+    pairwise-support shape with no all-pairs blowup."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+    ).select(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+    counted = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_orders_together")
+    )
+    topk = counted.orderBy(
+        F.desc("n_orders_together"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+    w = Window.orderBy(F.desc("n_orders_together"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "part_a", "part_b", "n_orders_together")
+        .orderBy("rank")
+    )
+
+
+_ORACLE_PART_COOCCUR = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+), counted AS (
+    SELECT part_a, part_b, COUNT(*) AS n_orders_together
+    FROM pairs GROUP BY 1, 2
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY n_orders_together DESC, part_a, part_b) AS INT) AS rank
+    FROM counted
+)
+SELECT rank, part_a, part_b, n_orders_together
+FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
 def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation + OLS slope/intercept of extendedprice
     against quantity — analytics the reference's DuckDB surface gets from
@@ -3733,6 +3780,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "part_cooccurrence": q_part_cooccurrence,
         "regression_stats": q_regression_stats,
         "chargram_jaccard": q_chargram_jaccard,
         "table_diff": q_table_diff,
@@ -3821,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "part_cooccurrence": _ORACLE_PART_COOCCUR,
         "regression_stats": _ORACLE_REGRESSION,
         "chargram_jaccard": _ORACLE_CHARGRAM,
         "table_diff": _ORACLE_TABLE_DIFF,

@@ -55,6 +55,7 @@ HEADLINE = [
     "window_analytics",
     "percentiles",
     "regression_stats",
+    "part_cooccurrence",
     "stratified_sample",
     "top_terms",
     "ann_ivf_topk",
