@@ -3627,6 +3627,192 @@ FROM per CROSS JOIN tot ORDER BY domain
 """
 
 
+_GAP_STEP_US = 6 * 3600 * 1_000_000  # 6-hour epoch-aligned buckets
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LOCF (operators/timeseries.py:gap_fill):
+    irregular per-user samples onto an epoch-aligned 6-hour grid, empty
+    buckets carrying the last observed bucket mean forward. The grid is a
+    per-key sequence() explode bounded by span/step — never corpus-sized —
+    and every join/window shares the user_id partitioning."""
+    from observation_lakehouse_spark.operators.timeseries import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill(ev, "user_id", "ts", "value", _GAP_STEP_US).orderBy(
+        "user_id", "bucket_us"
+    )
+
+
+_ORACLE_GAP_FILL = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, value FROM events
+), b AS (
+    SELECT user_id, t - (t % {_GAP_STEP_US}) AS bucket_us,
+           COUNT(*) AS n_obs,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS bucket_value
+    FROM e GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM b GROUP BY 1
+), grid AS (
+    SELECT user_id, unnest(generate_series(lo, hi, {_GAP_STEP_US})) AS bucket_us
+    FROM spans
+)
+SELECT g.user_id, g.bucket_us,
+       COALESCE(b.n_obs, 0) AS n_obs,
+       LAST_VALUE(b.bucket_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       b.bucket_value IS NULL AS filled
+FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_us = g.bucket_us
+ORDER BY g.user_id, g.bucket_us
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of irregularly-sampled gauges
+    (operators/timeseries.py:time_weighted_avg): each reading weighted by how
+    long it was current (LEAD gap), exact decimal weighted sum, one shuffle
+    on the entity key. Plain AVG over irregular samples over-weights bursts;
+    this is the correct gauge average every observability engine ships."""
+    from observation_lakehouse_spark.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id").orderBy(
+        "user_id"
+    )
+
+
+_ORACLE_TWA = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+), s AS (
+    SELECT user_id, t, v,
+           LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+    FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_samples,
+       MAX(t) - MIN(t) AS span_us,
+       ROUND(CAST(SUM(v * dt) AS DOUBLE) / (MAX(t) - MIN(t)), 6) AS twa
+FROM s GROUP BY user_id HAVING MAX(t) - MIN(t) > 0 ORDER BY user_id
+"""
+
+
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-counter increase with reset detection
+    (operators/timeseries.py:counter_increase) — the Prometheus increase()
+    semantic: a raw-value drop means the counter restarted, so the post-reset
+    reading is itself new increase. LAG + conditional delta, exact decimal
+    accumulation, one shuffle on the entity key."""
+    from observation_lakehouse_spark.operators.timeseries import counter_increase
+
+    ev = _t(spark, sf_dir, "events")
+    return counter_increase(ev, "user_id", "ts", "value", "event_id").orderBy(
+        "user_id"
+    )
+
+
+_ORACLE_COUNTER_INCREASE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+), d AS (
+    SELECT user_id, v,
+           LAG(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+    FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resets,
+       ROUND(CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,6))
+                           WHEN v >= prev THEN v - prev
+                           ELSE v END) AS DOUBLE), 6) AS total_increase
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: unordered pairs of distinct part names within
+    Levenshtein distance 2 (operators/linkage.py:fuzzy_match_pairs).
+    Candidate blocking is the lossless length band (edit distance k bounds
+    the length gap by k — Ed-Join/PassJoin's length filter), verification is
+    the codegen built-in levenshtein; no Python touches row data."""
+    from observation_lakehouse_spark.operators.linkage import fuzzy_match_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_match_pairs(part, "p_name", max_dist=2).orderBy("name_a", "name_b")
+
+
+_ORACLE_FUZZY_MATCH = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM n a JOIN n b
+  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+_SEMANTIC_DEDUP_TAU = 0.4  # synthetic embeddings top out ~0.51 (see q_embedding_near_dup)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup): k-means-cluster the
+    embedding space (the literal trained IVF codebook), then mark within-
+    cluster epsilon-duplicates, keeping the smallest id. The cluster-then-
+    dedup recall trade is the published algorithm's scale mechanism — work is
+    sum |cluster|^2, bounded by codebook size, never corpus N^2."""
+    from observation_lakehouse_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, _ivf_centroids(), threshold=_SEMANTIC_DEDUP_TAU
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    import numpy as np
+
+    C = np.array(_ivf_centroids(), dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]  # the matrix ivf_assign uses
+    sims = ",\n           ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
+        for i, row in enumerate(Cn)
+    )
+    best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
+    argmax = " ".join(f"WHEN s_{i} = m THEN {i}" for i in range(len(Cn)))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           {sims}
+    FROM e
+),
+a AS (
+    SELECT vec_id, v, (CASE {argmax} END) AS cell
+    FROM (SELECT *, {best} AS m FROM s)
+),
+dup AS (
+    SELECT DISTINCT x.vec_id
+    FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+    WHERE ROUND(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                6) >= {_SEMANTIC_DEDUP_TAU}
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS centroid_id,
+       (d.vec_id IS NOT NULL) AS is_duplicate
+FROM a LEFT JOIN dup d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3792,6 +3978,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "winnowing": q_winnowing,
         "domain_mixture": q_domain_mixture,
+        "gap_fill": q_gap_fill,
+        "time_weighted_avg": q_time_weighted_avg,
+        "counter_increase": q_counter_increase,
+        "fuzzy_match": q_fuzzy_match,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3881,4 +4072,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _ORACLE_PHRASE,
         "winnowing": _ORACLE_WINNOW,
         "domain_mixture": _ORACLE_DOMAIN_MIX,
+        "gap_fill": _ORACLE_GAP_FILL,
+        "time_weighted_avg": _ORACLE_TWA,
+        "counter_increase": _ORACLE_COUNTER_INCREASE,
+        "fuzzy_match": _ORACLE_FUZZY_MATCH,
+        "semantic_dedup": _semantic_dedup_oracle(),
     }

@@ -106,6 +106,11 @@ HEADLINE = [
     "decontaminate",
     "bloom_decontaminate",
     "dup_clusters",
+    "gap_fill",
+    "time_weighted_avg",
+    "counter_increase",
+    "fuzzy_match",
+    "semantic_dedup",
 ]
 
 

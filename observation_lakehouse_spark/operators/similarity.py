@@ -392,3 +392,81 @@ def train_ivf_centroids(
         nonempty = counts > 0
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return [[float(x) for x in row] for row in C]
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-dedup.
+
+    Each vector is assigned to its nearest centroid (:func:`ivf_assign`,
+    the IVF-flat layout); within every cluster, a vector is a duplicate if
+    some SMALLER-id cluster-mate has cosine >= ``threshold`` to it (the
+    deterministic keep-min-id form of the paper's one-per-epsilon-ball
+    rule). Cross-cluster near-dups are deliberately not compared — that
+    recall trade IS the algorithm's scale mechanism: pairwise work is
+    sum-over-clusters |c|^2, bounded by the codebook size k, never corpus N^2.
+
+    Per-cluster scoring runs as one ``applyInPandas`` group — dense numpy
+    math over Arrow batches with the same sequential k-order accumulation
+    the exact near-dup scorer uses (so raw cosines match the SQL oracle's
+    ``list_dot_product`` bit-for-bit); the boundary decision happens
+    Spark-side on ``F.round(cos, 6)``, the codebase's proven determinism
+    contract (the in-task filter is loose by 1e-6, never decisive).
+
+    Output: ``(id, centroid_id, is_duplicate)``, one row per input vector.
+    At 100 TB: k is sized so clusters fit one task's memory (SemDeDup used
+    k=50k on LAION); the groupBy shuffles each vector once, and no stage is
+    corpus-quadratic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(centroids[0])
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    narrow = assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "centroid_id"
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"_dup_id": [], "cos_raw": []}).astype(
+                {"_dup_id": "int64", "cos_raw": "float64"}
+            )
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        # Sequential k-order accumulation == the oracle's list_dot_product.
+        S = np.multiply.outer(V[:, 0], V[:, 0])
+        n2 = V[:, 0] * V[:, 0]
+        for k in range(1, dim):
+            S += np.multiply.outer(V[:, k], V[:, k])
+            n2 += V[:, k] * V[:, k]
+        norms = np.sqrt(n2)
+        cos = S / (norms[:, None] * norms[None, :])
+        hit = (cos >= threshold - 1e-6) & (ids[None, :] < ids[:, None])
+        i, _ = np.nonzero(hit)
+        return pd.DataFrame({"_dup_id": ids[i], "cos_raw": cos[hit]})
+
+    dup_ids = (
+        narrow.groupBy("centroid_id")
+        .applyInPandas(pairs, "_dup_id long, cos_raw double")
+        .filter(F.round("cos_raw", 6) >= F.lit(threshold))
+        .select("_dup_id")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("_dup", F.lit(True)),
+            assigned[id_col] == dup_ids["_dup_id"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.coalesce("_dup", F.lit(False)).alias("is_duplicate"),
+        )
+    )

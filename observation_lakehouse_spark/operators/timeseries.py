@@ -1,0 +1,192 @@
+"""Time-series resampling and rate operators over irregular event streams.
+
+The reference engine's `events`-style observability tables (SURVEY.md §1.2,
+§2.9) are irregular samples: per-key readings at arbitrary timestamps. The
+three canonical consumers of such a table that plain GROUP BY cannot express
+are implemented here, each as a single-shuffle per-key window shape:
+
+- :func:`gap_fill` — resample onto a fixed epoch-aligned grid, carrying the
+  last observation forward through empty buckets (the dashboard/rollup shape).
+- :func:`time_weighted_avg` — the mean of a step function held between
+  samples, weighting each reading by how long it was current (the correct
+  average for irregularly-sampled gauges; plain AVG over-weights bursts).
+- :func:`counter_increase` — monotone-counter deltas with reset detection
+  (the Prometheus ``increase()`` semantic): a drop in the raw value means the
+  counter restarted, so the post-reset reading is itself the increase.
+
+Scale notes (100 TB): every operator here shuffles ONCE on the entity key and
+then runs ordered-window logic inside each partition — no self-joins, no
+driver collection. ``gap_fill``'s grid explode is bounded per key by
+(span / step), independent of corpus row count; the grid is generated with
+``sequence()`` inside the partition, never materialized globally. Exact
+arithmetic uses DECIMAL accumulators (sums of doubles are order-dependent
+under Spark's non-deterministic partial aggregation; decimals are not).
+
+Semantics only from the reference (events rollups, SURVEY §2.4 time grids);
+no reference code was consulted for the implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec6(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+) -> DataFrame:
+    """Resample irregular samples onto a fixed epoch-aligned grid with LOCF.
+
+    Buckets are ``floor(ts / step) * step`` (epoch-aligned, so buckets are
+    comparable across keys). Per key the grid spans that key's observed
+    range; buckets holding no sample get the last preceding bucket's value
+    (last-observation-carried-forward) and ``filled = true``.
+
+    Output: ``(key, bucket_us, n_obs, value, filled)`` where ``value`` is the
+    bucket's mean reading, exact-decimal summed then rounded to 6dp (a filled
+    bucket repeats the carried rounded value).
+
+    Plan shape: one hash aggregate onto (key, bucket), one per-key MIN/MAX
+    aggregate whose ``sequence()`` explode regenerates the grid (bounded by
+    span/step per key — never corpus-sized), one left join back onto the
+    observed buckets, one per-key ordered window for the carry. All joins and
+    windows share the key partitioning; AQE picks broadcast for the span side
+    when small.
+    """
+    bucket = (F.col(ts_col) - (F.col(ts_col) % F.lit(step_us))).alias("bucket_us")
+    obs = (
+        df.select(F.col(key_col).alias("k"), bucket, _dec6(value_col).alias("v"))
+        .groupBy("k", "bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            # exact decimal sum; the mean is one double division both engines
+            # evaluate identically, then one terminal round.
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("bucket_value"),
+        )
+    )
+    spans = obs.groupBy("k").agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = spans.select(
+        "k", F.explode(F.sequence("lo", "hi", F.lit(step_us))).alias("bucket_us")
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["k", "bucket_us"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            "bucket_us",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.last("bucket_value", ignorenulls=True).over(w).alias("value"),
+            F.col("bucket_value").isNull().alias("filled"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Time-weighted mean of a step function: each reading is held from its
+    own timestamp until the next one, so it contributes ``value × Δt``.
+
+    ``order_col`` breaks timestamp ties into a total order (tied samples get
+    Δt = 0 — they were current for no time — deterministically on any
+    partitioning). Keys with fewer than 2 samples or zero span are dropped:
+    a single point has no duration to weight.
+
+    Output: ``(key, n_samples, span_us, twa)`` with ``twa`` rounded to 6dp.
+    Exactness: ``value`` is cast to DECIMAL(18,6) and multiplied by the
+    BIGINT microsecond gap — the weighted sum is exact decimal arithmetic,
+    order-independent under partial aggregation; only the final
+    sum/span division runs in double.
+    """
+    w = Window.partitionBy("k").orderBy("t", "o")
+    steps = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("t"),
+            F.col(order_col).alias("o"),
+            _dec6(value_col).alias("v"),
+        )
+        .withColumn("dt", F.lead("t").over(w) - F.col("t"))
+        .withColumn("wv", F.col("v") * F.col("dt"))
+    )
+    return (
+        steps.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (F.max("t") - F.min("t")).alias("span_us"),
+            F.sum("wv").alias("wsum"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            F.col("k").alias(key_col),
+            "n_samples",
+            "span_us",
+            F.round(F.col("wsum").cast("double") / F.col("span_us"), 6).alias("twa"),
+        )
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Monotone-counter total increase with reset detection (Prometheus
+    ``increase()`` semantics, applied per key over the full series).
+
+    Ordered by ``(ts, order_col)`` within each key: a sample's contribution
+    is ``value - lag(value)`` when non-negative, else ``value`` (the counter
+    restarted from zero — everything seen since the reset is new). The first
+    sample contributes nothing (no preceding interval).
+
+    Output: ``(key, n_samples, n_resets, total_increase)``; the increase is
+    an exact DECIMAL(18,6) sum rounded to 6dp at the end.
+    """
+    w = Window.partitionBy("k").orderBy("t", "o")
+    deltas = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("t"),
+            F.col(order_col).alias("o"),
+            _dec6(value_col).alias("v"),
+        )
+        .withColumn("prev", F.lag("v").over(w))
+        .withColumn(
+            "inc",
+            F.when(F.col("prev").isNull(), F.lit(0).cast("decimal(18,6)"))
+            .when(F.col("v") >= F.col("prev"), F.col("v") - F.col("prev"))
+            .otherwise(F.col("v")),
+        )
+        .withColumn(
+            "reset",
+            (F.col("prev").isNotNull() & (F.col("v") < F.col("prev"))).cast("int"),
+        )
+    )
+    return deltas.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("reset").cast("bigint").alias("n_resets"),
+        F.round(F.sum("inc").cast("double"), 6).alias("total_increase"),
+    ).select(
+        F.col("k").alias(key_col), "n_samples", "n_resets", "total_increase"
+    )

@@ -1,0 +1,86 @@
+"""Semantics tests for operators/timeseries.py (gap fill, TWA, counter rate).
+
+Hand-computed expectations on tiny series — the differential oracle
+(scripts/check_correctness.py) covers the corpus-scale agreement; these pin
+the per-operator edge semantics: empty buckets, LOCF carry, timestamp ties,
+counter resets, single-sample keys.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from observation_lakehouse_spark.operators.timeseries import (
+    counter_increase,
+    gap_fill,
+    time_weighted_avg,
+)
+
+STEP = 100  # 100-microsecond grid for readable fixtures
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    # key 1: samples in buckets 0, 0, 300 (buckets 100/200 empty -> filled)
+    # key 2: one sample only (no span)
+    # key 3: counter with a reset (10 -> 4) and a timestamp tie
+    rows = [
+        (1, 10, 2.0, 100),
+        (1, 90, 4.0, 101),
+        (1, 310, 9.0, 102),
+        (2, 50, 5.0, 103),
+        (3, 0, 10.0, 104),
+        (3, 100, 4.0, 105),
+        (3, 100, 6.0, 106),
+        (3, 200, 7.0, 107),
+    ]
+    return spark.createDataFrame(rows, "k bigint, ts bigint, value double, eid bigint")
+
+
+def test_gap_fill_carries_last_bucket_mean(samples):
+    out = {
+        (r["k"], r["bucket_us"]): (r["n_obs"], r["value"], r["filled"])
+        for r in gap_fill(samples, "k", "ts", "value", STEP).collect()
+    }
+    # key 1 grid: 0, 100, 200, 300 — bucket 0 mean (2+4)/2 = 3.0
+    assert out[(1, 0)] == (2, 3.0, False)
+    assert out[(1, 100)] == (0, 3.0, True)  # LOCF carry
+    assert out[(1, 200)] == (0, 3.0, True)
+    assert out[(1, 300)] == (1, 9.0, False)
+    # key 2: single-bucket grid, nothing filled
+    assert out[(2, 0)] == (1, 5.0, False)
+    # key 3 bucket 100 holds the tied pair: mean (4+6)/2 = 5.0
+    assert out[(3, 100)] == (2, 5.0, False)
+    assert len(out) == 4 + 1 + 3
+
+
+def test_time_weighted_avg_weights_by_hold_time(samples):
+    out = {r["k"]: r for r in time_weighted_avg(samples, "k", "ts", "value", "eid").collect()}
+    # key 1: 2.0 held 80us, 4.0 held 220us, span 300 -> (160+880)/300
+    assert out[1]["twa"] == pytest.approx((2.0 * 80 + 4.0 * 220) / 300)
+    assert out[1]["n_samples"] == 3 and out[1]["span_us"] == 300
+    # key 2: zero span -> dropped
+    assert 2 not in out
+    # key 3: tie at t=100 -> value 4.0 (eid order) held 0us, 6.0 held 100us
+    assert out[3]["twa"] == pytest.approx((10.0 * 100 + 4.0 * 0 + 6.0 * 100) / 200)
+
+
+def test_counter_increase_detects_resets(samples):
+    out = {r["k"]: r for r in counter_increase(samples, "k", "ts", "value", "eid").collect()}
+    # key 1 monotone: (4-2) + (9-4) = 7
+    assert out[1]["n_resets"] == 0 and out[1]["total_increase"] == 7.0
+    # key 2: single sample, no interval
+    assert out[2]["n_resets"] == 0 and out[2]["total_increase"] == 0.0
+    # key 3 ordered 10, 4(reset), 6, 7: increase 4 + 2 + 1 = 7, one reset
+    assert out[3]["n_resets"] == 1 and out[3]["total_increase"] == 7.0
+
+
+def test_gap_fill_grid_is_epoch_aligned(spark):
+    # samples at ts 250 and 410 with step 100 -> buckets 200..400, not 250..
+    df = spark.createDataFrame(
+        [(1, 250, 1.0), (1, 410, 2.0)], "k bigint, ts bigint, value double"
+    )
+    got = sorted(
+        r["bucket_us"] for r in gap_fill(df, "k", "ts", "value", 100).collect()
+    )
+    assert got == [200, 300, 400]
