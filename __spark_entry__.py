@@ -3813,6 +3813,82 @@ ORDER BY a.vec_id
 """
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplication profiling (operators/dedup.py:dup_span_stats):
+    per-doc share of 8-token windows that also occur in other documents —
+    the profiling half of substring-level dedup (Lee et al., ExactSubstr).
+    Gram document-frequency is a hash aggregate + re-join on 8-byte hashes,
+    never a gram self-join, so hot boilerplate grams cost linear work."""
+    from observation_lakehouse_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "text", "doc_id", ngram=8)
+
+
+_ORACLE_DUP_SPANS = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 8
+               THEN list_transform(range(1, len(toks) - 6),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                     || ' ' || toks[i+3] || ' ' || toks[i+4]
+                                     || ' ' || toks[i+5] || ' ' || toks[i+6]
+                                     || ' ' || toks[i+7])
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM tk WHERE len(toks) > 0
+), g AS (
+    SELECT doc_id, unnest(sh) AS s FROM base
+), gdf AS (
+    SELECT s, COUNT(*) AS df FROM g GROUP BY s
+)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS dup_ratio
+FROM g JOIN gdf USING (s)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct entities (7-day active users,
+    operators/timeseries.py:rolling_active_entities): exact trailing
+    COUNT(DISTINCT) per day via the dedup-then-explode-to-window-ends form —
+    sliding distinct state does not merge subtractively, so no window
+    aggregate can express it. Explode factor is exactly the window length on
+    deduplicated (user, day) pairs, not on raw events."""
+    from observation_lakehouse_spark.operators.timeseries import (
+        rolling_active_entities,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_entities(ev, "user_id", "ts", 7, _DAY_US)
+
+
+_ORACLE_ROLLING_ACTIVE = f"""
+WITH p AS (
+    SELECT DISTINCT epoch_us(ts) - (epoch_us(ts) % {_DAY_US}) AS b, user_id
+    FROM events
+), w AS (
+    SELECT unnest(generate_series(b, b + 6 * {_DAY_US}, {_DAY_US})) AS bucket_us,
+           user_id
+    FROM p
+), bounds AS (SELECT MAX(b) AS hi FROM p)
+SELECT bucket_us, COUNT(DISTINCT user_id) AS n_active
+FROM w, bounds WHERE bucket_us <= hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -3874,6 +3950,7 @@ _HEAVY_FIRST = [
     "incremental_mv",
     "bloom_decontaminate",
     "dup_clusters",
+    "dup_span_stats",
     "ngram_jaccard",
     "bigram_xent",
     "unigram_xent",
@@ -3983,6 +4060,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase": q_counter_increase,
         "fuzzy_match": q_fuzzy_match,
         "semantic_dedup": q_semantic_dedup,
+        "dup_span_stats": q_dup_span_stats,
+        "rolling_active": q_rolling_active,
     }
 
 
@@ -4077,4 +4156,6 @@ def oracle_sql() -> dict[str, str]:
         "counter_increase": _ORACLE_COUNTER_INCREASE,
         "fuzzy_match": _ORACLE_FUZZY_MATCH,
         "semantic_dedup": _semantic_dedup_oracle(),
+        "dup_span_stats": _ORACLE_DUP_SPANS,
+        "rolling_active": _ORACLE_ROLLING_ACTIVE,
     }

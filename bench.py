@@ -111,6 +111,8 @@ HEADLINE = [
     "counter_increase",
     "fuzzy_match",
     "semantic_dedup",
+    "dup_span_stats",
+    "rolling_active",
 ]
 
 

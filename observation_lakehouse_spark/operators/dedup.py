@@ -678,3 +678,61 @@ def bloom_decontaminate(
         .withColumn("bloom_flagged", F.col("n_bloom_hits") >= min_hits)
         .orderBy("doc_id")
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Per-document partial-duplication profile: how much of each doc's
+    ``ngram``-token window set also appears in OTHER documents.
+
+    Document-level dedup (exact hash, MinHash) misses partially-copied text —
+    boilerplate headers, quoted passages, licence blocks — which substring-
+    level dedup targets (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, the ExactSubstr setting).
+    This is the profiling half of that pipeline expressed relationally: a
+    window is "duplicated" when its token ``ngram`` occurs in >= 2 distinct
+    documents, and each doc reports how many of its distinct windows are.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_ratio) for docs with >= 1
+    window; ``dup_ratio`` rounds at 6 dp.
+
+    Shape: one explode of distinct window hashes per doc, one hash aggregate
+    for gram document-frequency (map-side combine absorbs hot grams), one
+    re-join keyed by the 8-byte gram hash, one per-doc aggregate. Nothing is
+    pair-quadratic — the df aggregate bounds hot-gram cost linearly, unlike
+    a gram self-join. Grams travel as xxhash64 longs; the oracle counts the
+    same windows as strings (collisions ~(distinct grams)^2/2^64 — none at
+    any realistic corpus).
+    """
+    g = (
+        parallelize_scan(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, ngram)).alias("_g"),
+        )
+        .select("doc_id", F.xxhash64("_g").alias("gram"))
+        .persist()
+    )
+    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    out = (
+        g.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_df") >= 2).cast("bigint")).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+    return _with_cached_deps(out, g)

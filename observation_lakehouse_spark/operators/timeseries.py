@@ -190,3 +190,55 @@ def counter_increase(
     ).select(
         F.col("k").alias(key_col), "n_samples", "n_resets", "total_increase"
     )
+
+
+def rolling_active_entities(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_buckets: int = 7,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Sliding-window distinct entities (7-day-active-users shape): for every
+    bucket in the observed range, how many distinct entities appeared in the
+    trailing ``window_buckets`` buckets ending there.
+
+    Exact sliding DISTINCT cannot be a window aggregate (distinct state does
+    not merge subtractively), so the standard relational form is used: each
+    distinct (entity, bucket) pair is exploded to the ``window_buckets``
+    window-end buckets it contributes to, then a plain COUNT(DISTINCT) per
+    window end. Windows are truncated to the observed bucket range (leading
+    partial windows are reported, trailing empty ones are not).
+
+    Output: ``(bucket_us, n_active)`` — window END bucket, trailing count.
+
+    Scale: the explode factor is exactly ``window_buckets`` on the
+    DEDUPLICATED (entity, bucket) pairs — bounded by entities x buckets, not
+    by raw event volume (the first distinct collapses event cardinality at
+    the scan). Both aggregates are hash shuffles with map-side partials. For
+    very long windows where w x pairs is too hot, the mergeable-sketch path
+    (per-bucket HLL partials merged over the window) trades exactness for a
+    constant explode factor — that variant is approx_count_distinct over the
+    same explode and inherits HLL's documented error.
+    """
+    pairs = df.select(
+        (F.col(ts_col) - (F.col(ts_col) % F.lit(bucket_us))).alias("_b"),
+        F.col(entity_col).alias("_e"),
+    ).distinct()
+    bounds = pairs.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    wins = pairs.select(
+        F.explode(
+            F.sequence(
+                "_b",
+                F.col("_b") + F.lit((window_buckets - 1) * bucket_us),
+                F.lit(bucket_us),
+            )
+        ).alias("bucket_us"),
+        "_e",
+    )
+    return (
+        wins.join(F.broadcast(bounds), F.col("bucket_us") <= F.col("_hi"))
+        .groupBy("bucket_us")
+        .agg(F.countDistinct("_e").alias("n_active"))
+        .orderBy("bucket_us")
+    )

@@ -84,3 +84,38 @@ def test_gap_fill_grid_is_epoch_aligned(spark):
         r["bucket_us"] for r in gap_fill(df, "k", "ts", "value", 100).collect()
     )
     assert got == [200, 300, 400]
+
+
+def test_rolling_active_entities_counts_trailing_window(spark):
+    from observation_lakehouse_spark.operators.timeseries import (
+        rolling_active_entities,
+    )
+
+    # buckets of 10us, window of 3 buckets; users: a@0, b@10, a@40
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (10, "b"), (40, "a")], "ts bigint, u string"
+    )
+    out = {
+        r["bucket_us"]: r["n_active"]
+        for r in rolling_active_entities(df, "u", "ts", 3, 10).collect()
+    }
+    # window ends: 0:{a} 10:{a,b} 20:{a,b} 30:{b} 40:{a}; no bucket past 40
+    assert out == {0: 1, 10: 2, 20: 2, 30: 1, 40: 1}
+
+
+def test_dup_span_stats_flags_shared_windows(spark):
+    from observation_lakehouse_spark.operators.dedup import dup_span_stats
+
+    shared = "one two three four"  # 4-token window shared verbatim
+    rows = [
+        (1, shared + " alpha beta"),
+        (2, shared + " gamma delta"),
+        (3, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(df, "text", "doc_id", ngram=4).collect()}
+    # docs 1/2: 3 windows each, exactly the leading shared one duplicated
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0
+    assert out[1]["dup_ratio"] == round(1 / 3, 6)
