@@ -3670,6 +3670,63 @@ ORDER BY g.user_id, g.bucket_us
 """
 
 
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of gap_fill: empty buckets take the straight
+    line between the previous and next observed bucket means. Same one-
+    shuffle plan — the following-anchor pass is a mirrored window frame over
+    the identical key partitioning, not an extra exchange."""
+    from observation_lakehouse_spark.operators.timeseries import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill(
+        ev, "user_id", "ts", "value", _GAP_STEP_US, strategy="linear"
+    ).orderBy("user_id", "bucket_us")
+
+
+_ORACLE_GAP_FILL_INTERP = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, value FROM events
+), b AS (
+    SELECT user_id, t - (t % {_GAP_STEP_US}) AS bucket_us,
+           COUNT(*) AS n_obs,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS bucket_value
+    FROM e GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM b GROUP BY 1
+), grid AS (
+    SELECT user_id, unnest(generate_series(lo, hi, {_GAP_STEP_US})) AS bucket_us
+    FROM spans
+), j AS (
+    SELECT g.user_id, g.bucket_us, b.n_obs, b.bucket_value
+    FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_us = g.bucket_us
+), anch AS (
+    SELECT *,
+        CAST(ROUND(LAST_VALUE(bucket_value IGNORE NULLS) OVER wp * 1e6) AS BIGINT) AS pv,
+        LAST_VALUE(CASE WHEN bucket_value IS NOT NULL THEN bucket_us END IGNORE NULLS)
+            OVER wp AS pb,
+        CAST(ROUND(FIRST_VALUE(bucket_value IGNORE NULLS) OVER wn * 1e6) AS BIGINT) AS nv,
+        FIRST_VALUE(CASE WHEN bucket_value IS NOT NULL THEN bucket_us END IGNORE NULLS)
+            OVER wn AS nb
+    FROM j
+    WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY bucket_us
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_us,
+       COALESCE(n_obs, 0) AS n_obs,
+       CASE WHEN bucket_value IS NOT NULL THEN bucket_value
+            ELSE CAST(pv + CAST(FLOOR(
+                     CAST((nv - pv) * ((bucket_us - pb) // {_GAP_STEP_US}) AS DOUBLE)
+                     / CAST((nb - pb) // {_GAP_STEP_US} AS DOUBLE)) AS BIGINT)
+                 AS DOUBLE) / 1e6 END AS value,
+       bucket_value IS NULL AS filled
+FROM anch
+ORDER BY user_id, bucket_us
+"""
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted mean of irregularly-sampled gauges
     (operators/timeseries.py:time_weighted_avg): each reading weighted by how
@@ -4062,6 +4119,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dup_span_stats": q_dup_span_stats,
         "rolling_active": q_rolling_active,
+        "gap_fill_interp": q_gap_fill_interp,
     }
 
 
@@ -4158,4 +4216,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "dup_span_stats": _ORACLE_DUP_SPANS,
         "rolling_active": _ORACLE_ROLLING_ACTIVE,
+        "gap_fill_interp": _ORACLE_GAP_FILL_INTERP,
     }

@@ -113,6 +113,7 @@ HEADLINE = [
     "semantic_dedup",
     "dup_span_stats",
     "rolling_active",
+    "gap_fill_interp",
 ]
 
 

@@ -43,25 +43,37 @@ def gap_fill(
     ts_col: str,
     value_col: str,
     step_us: int,
+    strategy: str = "locf",
 ) -> DataFrame:
-    """Resample irregular samples onto a fixed epoch-aligned grid with LOCF.
+    """Resample irregular samples onto a fixed epoch-aligned grid.
 
     Buckets are ``floor(ts / step) * step`` (epoch-aligned, so buckets are
     comparable across keys). Per key the grid spans that key's observed
-    range; buckets holding no sample get the last preceding bucket's value
-    (last-observation-carried-forward) and ``filled = true``.
+    range; buckets holding no sample are filled per ``strategy``:
+
+    - ``"locf"`` — last-observation-carried-forward: the previous observed
+      bucket's mean.
+    - ``"linear"`` — linear interpolation between the previous and next
+      observed bucket means by bucket distance (grid edges are always
+      observed buckets, so both anchors exist). The interpolation runs in
+      integer MICRO-UNITS of the 6dp anchors with an explicit floor division
+      — re-ROUNDing a value derived from already-rounded anchors lands on
+      decimal ties (measured 2 in 17k rows vs the SQL oracle), whereas
+      floor-of-an-identical-IEEE-ratio is bit-deterministic across engines.
 
     Output: ``(key, bucket_us, n_obs, value, filled)`` where ``value`` is the
-    bucket's mean reading, exact-decimal summed then rounded to 6dp (a filled
-    bucket repeats the carried rounded value).
+    bucket's mean reading, exact-decimal summed then rounded to 6dp.
 
     Plan shape: one hash aggregate onto (key, bucket), one per-key MIN/MAX
     aggregate whose ``sequence()`` explode regenerates the grid (bounded by
     span/step per key — never corpus-sized), one left join back onto the
-    observed buckets, one per-key ordered window for the carry. All joins and
-    windows share the key partitioning; AQE picks broadcast for the span side
-    when small.
+    observed buckets, then per-key ordered window(s) for the anchors — the
+    linear strategy adds only the mirrored following-window pass, no extra
+    shuffle (same partitioning, opposite frame). AQE picks broadcast for the
+    span side when small.
     """
+    if strategy not in ("locf", "linear"):
+        raise ValueError(f"strategy must be 'locf' or 'linear', got {strategy!r}")
     bucket = (F.col(ts_col) - (F.col(ts_col) % F.lit(step_us))).alias("bucket_us")
     obs = (
         df.select(F.col(key_col).alias("k"), bucket, _dec6(value_col).alias("v"))
@@ -79,20 +91,43 @@ def gap_fill(
     grid = spans.select(
         "k", F.explode(F.sequence("lo", "hi", F.lit(step_us))).alias("bucket_us")
     )
-    w = (
+    w_prev = (
         Window.partitionBy("k")
         .orderBy("bucket_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, ["k", "bucket_us"], "left")
-        .select(
-            F.col("k").alias(key_col),
-            "bucket_us",
-            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-            F.last("bucket_value", ignorenulls=True).over(w).alias("value"),
-            F.col("bucket_value").isNull().alias("filled"),
+    joined = grid.join(obs, ["k", "bucket_us"], "left")
+    if strategy == "locf":
+        value = F.last("bucket_value", ignorenulls=True).over(w_prev)
+    else:
+        w_next = (
+            Window.partitionBy("k")
+            .orderBy("bucket_us")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        anchor = F.when(F.col("bucket_value").isNotNull(), F.col("bucket_us"))
+        # anchors in exact integer micro-units (the 6dp double is within 1
+        # ulp of its integer image — the to-integer round can never tie)
+        pv = F.round(F.last("bucket_value", ignorenulls=True).over(w_prev) * 1e6).cast("bigint")
+        pb = F.last(anchor, ignorenulls=True).over(w_prev)
+        nv = F.round(F.first("bucket_value", ignorenulls=True).over(w_next) * 1e6).cast("bigint")
+        nb = F.first(anchor, ignorenulls=True).over(w_next)
+        # bucket steps, not raw microseconds: keeps the integer product far
+        # from bigint range at any span
+        sn = ((F.col("bucket_us") - pb) / F.lit(step_us)).cast("bigint")
+        sd = ((nb - pb) / F.lit(step_us)).cast("bigint")
+        interp_u = pv + F.floor(((nv - pv) * sn).cast("double") / sd.cast("double")).cast(
+            "bigint"
+        )
+        value = F.when(F.col("bucket_value").isNotNull(), F.col("bucket_value")).otherwise(
+            interp_u.cast("double") / F.lit(1e6)
+        )
+    return joined.select(
+        F.col("k").alias(key_col),
+        "bucket_us",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        value.alias("value"),
+        F.col("bucket_value").isNull().alias("filled"),
     )
 
 

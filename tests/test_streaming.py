@@ -203,3 +203,69 @@ def test_dedup_stream_agrees_with_batch_incremental_dedup(spark, tmp_path_factor
     assert admitted_b == expected_b == {12, 14}
     # corpus batch itself is admitted in full (it was first)
     assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2, 3, 12, 14}
+
+
+def test_counter_rollup_stream_agrees_with_batch_counter_increase(
+    spark, tmp_path_factory
+):
+    """Twin agreement: the stateful streaming counter rollup's FINAL row per
+    key over two micro-batches equals the oracle-checked batch operator
+    (operators.timeseries.counter_increase) on the union of the batches.
+    Micro-unit folding in the stream is exactly the batch DECIMAL(18,6)
+    arithmetic, so the match is exact, not approximate."""
+    import time as _time
+
+    from observation_lakehouse_spark.operators.timeseries import counter_increase
+    from observation_lakehouse_spark.streaming.counter import counter_rollup
+
+    landing = tmp_path_factory.mktemp("ctr-landing")
+    out = tmp_path_factory.mktemp("ctr-out")
+    ckpt = tmp_path_factory.mktemp("ctr-ckpt")
+    schema = "user_id long, ts long, event_id long, value double"
+    a_rows = [  # batch A: u1 rising, u2 with an in-batch reset
+        (1, 100, 1, 10.5), (1, 200, 2, 12.25),
+        (2, 100, 3, 7.0), (2, 300, 4, 2.0),
+    ]
+    b_rows = [  # batch B: u1 resets across the batch boundary, u3 appears
+        (1, 400, 5, 3.125), (1, 500, 6, 9.0),
+        (3, 100, 7, 1.0),
+    ]
+    a_df = spark.createDataFrame(a_rows, schema)
+    b_df = spark.createDataFrame(b_rows, schema)
+    a_df.coalesce(1).write.parquet(str(landing / "a"))
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    b_df.coalesce(1).write.parquet(str(landing / "b"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(landing) + "/*"
+    )
+    q = (
+        counter_rollup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per key = the running totals after all batches
+    rows = spark.read.parquet(str(out)).collect()
+    final = {}
+    for r in rows:  # update mode re-emits; the max n_samples row is final
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_samples"] > cur["n_samples"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in counter_increase(
+            a_df.unionByName(b_df), "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert set(final) == set(batch) == {1, 2, 3}
+    for k in batch:
+        assert final[k]["n_samples"] == batch[k]["n_samples"]
+        assert final[k]["n_resets"] == batch[k]["n_resets"]
+        assert final[k]["total_increase"] == batch[k]["total_increase"]
+    # the cross-batch reset for u1 was seen (12.25 -> 3.125)
+    assert final[1]["n_resets"] == 1

@@ -119,3 +119,22 @@ def test_dup_span_stats_flags_shared_windows(spark):
     assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
     assert out[3]["n_dup_grams"] == 0
     assert out[1]["dup_ratio"] == round(1 / 3, 6)
+
+
+def test_gap_fill_linear_interpolates_between_anchors(spark, samples):
+    # key 1 buckets: 0 (mean 3.0), 100, 200 empty, 300 (9.0): line 3 -> 9
+    out = {
+        (r["k"], r["bucket_us"]): (r["value"], r["filled"])
+        for r in gap_fill(samples, "k", "ts", "value", STEP, strategy="linear").collect()
+    }
+    assert out[(1, 0)] == (3.0, False)
+    assert out[(1, 100)] == (5.0, True)   # 3 + 6 * 1/3
+    assert out[(1, 200)] == (7.0, True)   # 3 + 6 * 2/3
+    assert out[(1, 300)] == (9.0, False)
+
+
+def test_gap_fill_rejects_unknown_strategy(spark, samples):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gap_fill(samples, "k", "ts", "value", STEP, strategy="cubic")
