@@ -178,6 +178,59 @@ class AtomicParquetTable:
             [], idempotency_key, replace_files=list(files), expected_version=expected_version
         )
 
+    def _collect_stats(self, files: list[str]) -> dict[str, dict[str, list]]:
+        """Per-file column [min, max] from parquet footers, for data skipping.
+
+        The same write-time stat collection Iceberg records in its manifests;
+        here the footers of the just-staged files are read once at commit
+        time (a few ms per file, proportional to the COMMIT's file count —
+        never a table-wide scan; on a cluster this folds into the write job).
+        Only JSON-safe comparable leaf types (int/float/str) are recorded;
+        anything else — nested, binary, temporal — is simply absent, and
+        absent stats always read as "keep the file" (pruning is purely an
+        optimization, never a correctness dependency).
+        """
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # noqa: BLE001 — stats are optional metadata
+            return {}
+        out: dict[str, dict[str, list]] = {}
+        for rel in files:
+            colstats: dict[str, list] = {}
+            try:
+                md = pq.ParquetFile(str(self.data_dir / rel)).metadata
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                continue
+                        if not (
+                            isinstance(mn, (int, float, str))
+                            and isinstance(mx, (int, float, str))
+                            and not isinstance(mn, bool)
+                        ):
+                            continue
+                        name = col.path_in_schema
+                        cur = colstats.get(name)
+                        colstats[name] = (
+                            [mn, mx]
+                            if cur is None
+                            else [min(cur[0], mn), max(cur[1], mx)]
+                        )
+            except Exception:  # noqa: BLE001 — a bad footer never fails a commit
+                continue
+            if colstats:
+                out[rel] = colstats
+        return out
+
     def _commit(
         self,
         new_files: list[str],
@@ -187,6 +240,13 @@ class AtomicParquetTable:
     ) -> int:
         import time
 
+        # Stats for files this commit introduces, collected ONCE outside the
+        # retry loop (a file's footer never changes, so conflicts only re-merge
+        # the parent-carried entries). In the replace case only files the
+        # current head doesn't already know are footer-read.
+        known = self._manifest(self.latest_version()).get("stats", {})
+        candidates = new_files if replace_files is None else replace_files
+        fresh_stats = self._collect_stats([f for f in candidates if f not in known])
         for _ in range(self.max_commit_retries):
             head_v = self.latest_version()
             head = self._manifest(head_v)
@@ -198,12 +258,17 @@ class AtomicParquetTable:
                     "re-read and re-derive the replacement"
                 )
             next_v = head_v + 1
+            files = replace_files if replace_files is not None else head["files"] + new_files
+            parent_stats = head.get("stats", {})
             manifest = {
                 "version": next_v,
                 "parent": head_v,
-                "files": (
-                    replace_files if replace_files is not None else head["files"] + new_files
-                ),
+                "files": files,
+                "stats": {
+                    f: s
+                    for f in files
+                    if (s := fresh_stats.get(f) or parent_stats.get(f)) is not None
+                },
                 "commits": {**head["commits"], **(
                     {idempotency_key: next_v} if idempotency_key is not None else {}
                 )},
@@ -238,6 +303,87 @@ class AtomicParquetTable:
         reader = self.spark.read.schema(self.schema).option("basePath", str(self.data_dir))
         return reader.parquet(*[str(self.data_dir / f) for f in files]).select(
             [f.name for f in self.schema.fields]
+        )
+
+    def scan(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping snapshot read: files whose manifest [min, max] range
+        for ``column`` cannot contain ``[lower, upper]`` are pruned BEFORE the
+        Spark scan is planned — the zone-map/file-skipping read Iceberg and
+        Delta drive from manifest stats, and the piece that makes point/range
+        lookups on a sorted or naturally-clustered column O(matching files)
+        instead of O(table). The surviving files still get the residual
+        ``filter``, so results are exact whether or not stats exist (absent
+        stats = keep the file; partition columns are dir-encoded, their
+        pruning is Spark's own and needs no stats here).
+        """
+        if lower is None and upper is None:
+            raise ValueError("scan() needs lower and/or upper — use read() for full scans")
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(column)
+            if s is not None:
+                mn, mx = s
+                if (lower is not None and mx < lower) or (upper is not None and mn > upper):
+                    continue
+            keep.append(f)
+        if not keep:
+            df = self.spark.createDataFrame([], self.schema)
+        else:
+            df = (
+                self.spark.read.schema(self.schema)
+                .option("basePath", str(self.data_dir))
+                .parquet(*[str(self.data_dir / f) for f in keep])
+                .select([f.name for f in self.schema.fields])
+            )
+        from pyspark.sql import functions as F
+
+        if lower is not None:
+            df = df.filter(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(column) <= F.lit(upper))
+        return df
+
+    def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental read: rows APPENDED after ``since_version`` up to
+        ``to_version`` (default: head) — the files in the target snapshot
+        that the base snapshot lacks, which is exactly the appended data as
+        long as the range is append-only. A replace/rollback inside the range
+        removes files, so the delta is no longer expressible as
+        files-to-read; that raises (the same append-only restriction
+        Iceberg's incremental scan has) and the caller falls back to a
+        snapshot diff (operators.cdc.table_diff) between the two reads.
+        """
+        to_v = self.latest_version() if to_version is None else to_version
+        for v in (since_version, to_v):
+            if v != 0 and v not in self._versions():
+                raise ValueError(f"no snapshot v{v}")
+        if to_v < since_version:
+            raise ValueError(f"to_version v{to_v} precedes since_version v{since_version}")
+        base = set(self._manifest(since_version)["files"])
+        target = self._manifest(to_v)["files"]
+        removed = base - set(target)
+        if removed:
+            raise ValueError(
+                f"v{since_version}..v{to_v} is not append-only ({len(removed)} file(s) "
+                "removed by a replace/rollback); diff the two snapshot reads instead"
+            )
+        added = [f for f in target if f not in base]
+        if not added:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(self.schema)
+            .option("basePath", str(self.data_dir))
+            .parquet(*[str(self.data_dir / f) for f in added])
+            .select([f.name for f in self.schema.fields])
         )
 
     def add_column(self, column: str, spark_type: str) -> None:

@@ -242,3 +242,68 @@ def test_commit_replace_unpinned_still_works(spark, tmp_path):
     t.append(_batch(spark, "dsA", 0, 4))
     t.commit_replace(t.stage(_batch(spark, "dsB", 100, 2)))
     assert t.read().count() == 2
+
+
+def test_scan_prunes_files_by_manifest_stats(spark, table):
+    """Data skipping: three appends with disjoint run_id ranges; a range scan
+    should plan over only the matching commit's files, and still return exact
+    rows (residual filter applies regardless of stats)."""
+    table.append(_batch(spark, "dsA", 0, 10))     # run_id 0..9
+    table.append(_batch(spark, "dsA", 100, 10))   # run_id 100..109
+    table.append(_batch(spark, "dsA", 200, 10))   # run_id 200..209
+    all_files = len(table.read().inputFiles())
+
+    hit = table.scan("run_id", lower=100, upper=109)
+    assert sorted(r["run_id"] for r in hit.collect()) == list(range(100, 110))
+    assert 0 < len(hit.inputFiles()) < all_files  # pruned, not a full scan
+
+    # a range matching nothing prunes every file
+    assert table.scan("run_id", lower=5000).count() == 0
+    # half-open ranges work
+    assert table.scan("run_id", lower=200).count() == 10
+    assert table.scan("run_id", upper=9).count() == 10
+
+
+def test_scan_is_conservative_without_stats(spark, table):
+    table.append(_batch(spark, "dsA", 0, 10))
+    table.add_column("note", "string")
+    # 'note' has no stats in any committed file -> every file kept, filter
+    # still exact (all NULLs -> no rows match a range)
+    assert table.scan("note", lower="a").count() == 0
+    assert len(table.scan("run_id", lower=0).inputFiles()) > 0
+
+
+def test_scan_requires_a_bound(spark, table):
+    table.append(_batch(spark, "dsA", 0, 5))
+    with pytest.raises(ValueError, match="lower and/or upper"):
+        table.scan("run_id")
+
+
+def test_read_changes_returns_appended_rows_only(spark, table):
+    v1 = table.append(_batch(spark, "dsA", 0, 10))
+    v2 = table.append(_batch(spark, "dsA", 100, 10))
+    table.append(_batch(spark, "dsA", 200, 10))
+
+    delta = table.read_changes(v1, v2)
+    assert sorted(r["run_id"] for r in delta.collect()) == list(range(100, 110))
+    # since head: everything after v1
+    assert table.read_changes(v1).count() == 20
+    # empty range
+    assert table.read_changes(v2, v2).count() == 0
+    # from the table's birth = a full read
+    assert table.read_changes(0).count() == 30
+
+
+def test_read_changes_rejects_non_append_ranges(spark, table):
+    v1 = table.append(_batch(spark, "dsA", 0, 10))
+    v2 = table.append(_batch(spark, "dsA", 100, 10))
+    table.rollback(v1)  # head loses v2's files
+
+    # v1 -> head nets out to nothing (v2's files added AND removed inside the
+    # range): a correct, empty incremental read
+    assert table.read_changes(v1).count() == 0
+    # but v2 -> head removed base files: the delta is not files-to-read
+    with pytest.raises(ValueError, match="not append-only"):
+        table.read_changes(v2)
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.read_changes(99)
