@@ -3946,6 +3946,73 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (functions/skew.py:skew_profile): the top-10
+    hottest lineitem order keys with row share and uniform-key ratio — the
+    pre-flight numbers that decide whether a join/agg key needs salting.
+    One map-side-combined hash aggregate + broadcast single-row totals +
+    distributed top-k; the profile of a skewed key cannot itself skew."""
+    from observation_lakehouse_spark.functions.skew import skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_orderkey", top_k=10)
+
+
+_ORACLE_SKEW_PROFILE = """
+WITH c AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY 1
+), t AS (
+    SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c
+)
+SELECT key, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n_rows AS DOUBLE) * nkeys / total, 6) AS uniform_ratio,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS INTEGER) AS rank
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, key ASC LIMIT 10
+"""
+
+
+_VOCAB_SIZE = 20  # the synthetic corpus has 31 distinct tokens — 20 leaves real OOV
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage (operators/text.py:vocab_coverage):
+    top-K corpus vocabulary (count desc, token asc — deterministic boundary),
+    per-doc OOV count/ratio via a broadcast membership join — the vocabulary
+    is bounded by the PARAMETER, so the broadcast is valid at any corpus
+    size and the coverage pass stays map-side."""
+    from observation_lakehouse_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", "doc_id", vocab_size=_VOCAB_SIZE)
+
+
+_ORACLE_VOCAB_COVERAGE = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), ex AS (
+    SELECT doc_id, unnest(toks) AS tok FROM tk WHERE len(toks) > 0
+), vc AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT {_VOCAB_SIZE}
+    )
+)
+SELECT ex.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_ratio
+FROM ex LEFT JOIN vc ON vc.tok = ex.tok
+GROUP BY ex.doc_id ORDER BY ex.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4120,6 +4187,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "rolling_active": q_rolling_active,
         "gap_fill_interp": q_gap_fill_interp,
+        "skew_profile": q_skew_profile,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -4217,4 +4286,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _ORACLE_DUP_SPANS,
         "rolling_active": _ORACLE_ROLLING_ACTIVE,
         "gap_fill_interp": _ORACLE_GAP_FILL_INTERP,
+        "skew_profile": _ORACLE_SKEW_PROFILE,
+        "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     }

@@ -114,6 +114,8 @@ HEADLINE = [
     "dup_span_stats",
     "rolling_active",
     "gap_fill_interp",
+    "skew_profile",
+    "vocab_coverage",
 ]
 
 

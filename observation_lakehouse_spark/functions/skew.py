@@ -16,7 +16,7 @@ would be wrong.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PHASE1 = {
@@ -119,3 +119,45 @@ def salted_join(
         sc, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return b.join(s, [*on, sc], how).drop(sc)
+
+
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/aggregate-key skew diagnostics: the numbers that decide whether a
+    key needs :func:`salted_agg` / :func:`salted_join` before the job runs.
+
+    Returns the ``top_k`` hottest keys with, per key: row count, share of all
+    rows, and the ratio to a perfectly uniform key (count x distinct_keys /
+    total — 1.0 means no skew; the reference planning rule of thumb is to
+    salt keys with ratio over ~5-10x). One hash aggregate over the key (map-
+    side combine absorbs the hot keys being measured — the profile itself
+    cannot skew), one single-row global aggregate joined back as a broadcast
+    literal, one top-k. Runs on a column sample's full data, never a
+    driver collect.
+
+    Output: (key, n_rows, share, uniform_ratio, rank) — key cast to string
+    so profiles of any key type union cleanly into one diagnostics table.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    topk = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .withColumn(
+            "uniform_ratio",
+            F.round(F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 6),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("key", "n_rows", "share", "uniform_ratio", "rank")
+        .orderBy("rank")
+    )

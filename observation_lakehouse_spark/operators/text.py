@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from observation_lakehouse_spark.functions.partitioning import parallelize_scan
 from observation_lakehouse_spark.functions.text import (
     lower_tokens,
     md5_hi32,
@@ -506,3 +507,56 @@ def domain_mixture(
         F.round(actual, 6).alias("actual_frac"),
         F.round(tgt / actual, 6).alias("mix_weight"),
     ).orderBy("domain")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32_000,
+) -> DataFrame:
+    """Tokenizer-prep profile: build the corpus's top-``vocab_size`` token
+    vocabulary and report each document's out-of-vocabulary exposure.
+
+    The fixed-vocab coverage question every tokenizer/vocab decision asks —
+    "how much of the corpus does a K-entry vocabulary cover, and which
+    documents fall outside it" — answered relationally: vocabulary = the K
+    most frequent tokens (count desc, token asc — a total order, so the
+    boundary is deterministic), coverage = a per-token membership join.
+
+    Output: (doc_id, n_tokens, n_oov, oov_ratio[6dp]) for docs with >= 1
+    token.
+
+    Scale shape: token counting is one hash aggregate (map-side combine);
+    the vocabulary is a distributed top-k (TakeOrderedAndProject), bounded
+    by the PARAMETER — so broadcasting it to the membership join is valid at
+    any corpus size, which keeps the coverage pass a map-side join over the
+    token explode. No stage's width depends on corpus volume.
+    """
+    toks = parallelize_scan(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(lower_tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("bigint")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

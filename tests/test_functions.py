@@ -177,3 +177,23 @@ def test_word_shingle_xxhashes_matches_hashed_word_shingles_identity(spark):
     assert {r["doc_id"]: r["h"] for r in direct} == {
         r["doc_id"]: r["h"] for r in via_strings
     }
+
+
+def test_vocab_coverage_flags_oov_tokens(spark):
+    from observation_lakehouse_spark.operators.text import vocab_coverage
+
+    rows = [
+        (1, "aa aa aa bb"),   # aa x3, bb x1
+        (2, "aa bb cc"),      # cc is rare
+        (3, "cc cc dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # vocab of size 2 = {aa (4), cc (3)}; bb (2) and dd (1) are OOV
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[2]["n_oov"] == 1  # bb
+    assert out[3]["n_oov"] == 1  # dd
+    assert out[3]["oov_ratio"] == round(1 / 3, 6)
+    # ties at the boundary are broken (count desc, token asc) -> deterministic
+    out_k3 = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=3).collect()}
+    assert out_k3[1]["n_oov"] == 0  # bb now in vocab (beats dd by count)

@@ -167,3 +167,16 @@ def test_salted_join_preserves_user_salt_column(spark):
     assert "_salt" in got.columns
     assert [r["_salt"] for r in got.collect()] == [77, 88, 99]
     assert got.count() == 3
+
+
+def test_skew_profile_ranks_hot_keys(spark):
+    from observation_lakehouse_spark.functions.skew import skew_profile
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, "k", top_k=2).collect()
+    assert [r["key"] for r in out] == ["hot", "warm"]
+    assert out[0]["n_rows"] == 6 and out[0]["share"] == 0.5
+    # 5 distinct keys, uniform would be 12/5: hot is 6/(12/5) = 2.5x
+    assert out[0]["uniform_ratio"] == 2.5
+    assert [r["rank"] for r in out] == [1, 2]
