@@ -4013,6 +4013,45 @@ GROUP BY ex.doc_id ORDER BY ex.doc_id
 """
 
 
+_PACK_SEQ_LEN = 256  # docs average ~50 tokens — 256 exercises boundary spans
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-style sequence packing (operators/text.py:pack_sequences)
+    — the GPT pre-training layout: docs laid end-to-end into a global token
+    stream cut into fixed-length training sequences. The global running
+    offset is the two-phase distributed prefix sum
+    (functions/prefix.py:global_prefix_sum), never an unpartitioned window —
+    the oracle IS that single-partition window, so the scale-safe scan is
+    proven bit-equal to the naive form."""
+    from observation_lakehouse_spark.operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "text", "doc_id", seq_len=_PACK_SEQ_LEN)
+
+
+_ORACLE_PACK_SEQUENCES = f"""
+WITH tk AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+               AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS stream_offset
+    FROM tk WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, stream_offset,
+       stream_offset // {_PACK_SEQ_LEN} AS seq_id,
+       stream_offset % {_PACK_SEQ_LEN} AS offset_in_seq,
+       ((stream_offset + n_tokens - 1) // {_PACK_SEQ_LEN})
+           > (stream_offset // {_PACK_SEQ_LEN}) AS spans_boundary
+FROM c ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4189,6 +4228,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_interp": q_gap_fill_interp,
         "skew_profile": q_skew_profile,
         "vocab_coverage": q_vocab_coverage,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -4288,4 +4328,5 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_interp": _ORACLE_GAP_FILL_INTERP,
         "skew_profile": _ORACLE_SKEW_PROFILE,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
     }

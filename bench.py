@@ -116,6 +116,7 @@ HEADLINE = [
     "gap_fill_interp",
     "skew_profile",
     "vocab_coverage",
+    "pack_sequences",
 ]
 
 

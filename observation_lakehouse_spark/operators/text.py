@@ -560,3 +560,51 @@ def vocab_coverage(
         )
         .orderBy("doc_id")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Concatenation-style sequence packing (the GPT pre-training layout):
+    documents are laid end-to-end in ``id_col`` order into one global token
+    stream, which is cut into fixed ``seq_len`` training sequences.
+
+    Per document: its token count, its global ``stream_offset`` (exclusive
+    prefix sum), the ``seq_id`` its first token lands in, the offset within
+    that sequence, and whether the doc ``spans_boundary`` (crosses into the
+    next sequence — the docs an attention-masking / doc-boundary policy must
+    handle). Zero-token documents are dropped (they occupy no stream space).
+
+    The global running offset uses
+    :func:`..functions.prefix.global_prefix_sum` — the two-phase distributed
+    scan — NOT an unpartitioned window, so no stage ever single-partitions
+    the corpus. Everything else is row-local arithmetic on the scan.
+    """
+    from observation_lakehouse_spark.functions.prefix import global_prefix_sum
+
+    toks = (
+        parallelize_scan(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(lower_tokens(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    packed = global_prefix_sum(toks, "doc_id", "n_tokens", out_col="stream_offset")
+    off = F.col("stream_offset")
+    out = packed.select(
+        "doc_id",
+        "n_tokens",
+        "stream_offset",
+        (off / F.lit(seq_len)).cast("bigint").alias("seq_id"),
+        (off % F.lit(seq_len)).alias("offset_in_seq"),
+        (
+            ((off + F.col("n_tokens") - 1) / F.lit(seq_len)).cast("bigint")
+            > (off / F.lit(seq_len)).cast("bigint")
+        ).alias("spans_boundary"),
+    ).orderBy("doc_id")
+    out._cached_deps = getattr(packed, "_cached_deps", ())  # noqa: SLF001
+    return out
