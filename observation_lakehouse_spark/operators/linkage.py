@@ -42,15 +42,21 @@ def fuzzy_match_pairs(
     right side its exact length — every qualifying pair meets on exactly one
     key (no post-join distinct needed).
 
-    Plan: distinct (hash aggregate) → one equi-join on (block length
-    [, extra block]) → codegen ``levenshtein`` verification. The verifier
-    also re-checks the length band, letting Catalyst prune impossible
-    combinations early.
+    Plan: distinct (hash aggregate, persisted — it feeds BOTH join sides, and
+    projection collapse would otherwise run the corpus distinct twice) → one
+    equi-join on (block length [, extra block]) → codegen ``levenshtein``
+    verification. The verifier also re-checks the length band, letting
+    Catalyst prune impossible combinations early.
+
+    With ``extra_block_col``: matching is scoped WITHIN equal block values —
+    a pair must share a block to be compared (rows with a NULL block match
+    nothing, the standard blocking-key convention), and a pair co-occurring
+    under several block values is still reported once.
     """
     cols = [F.col(text_col).alias("name")] + (
         [F.col(extra_block_col).alias("_xb")] if extra_block_col else []
     )
-    names = df.select(*cols).filter(F.col("name").isNotNull()).distinct()
+    names = df.select(*cols).filter(F.col("name").isNotNull()).distinct().persist()
     left = names.select(
         F.col("name").alias("name_a"),
         *([F.col("_xb")] if extra_block_col else []),
@@ -81,4 +87,9 @@ def fuzzy_match_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+    if extra_block_col is not None:
+        # the same name pair can co-occur under several block values (one
+        # join match per shared block) — report it once
+        out = out.dropDuplicates(["name_a", "name_b"])
+    out._cached_deps = (names,)  # noqa: SLF001 — release_cached contract
     return out

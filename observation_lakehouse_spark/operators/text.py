@@ -533,9 +533,13 @@ def vocab_coverage(
     any corpus size, which keeps the coverage pass a map-side join over the
     token explode. No stage's width depends on corpus volume.
     """
+    # persisted: the exploded tokens feed BOTH the vocabulary aggregate and
+    # the coverage join — without the boundary the corpus-wide tokenize +
+    # explode scan runs twice (projection collapse re-inlines it). Caller
+    # releases via release_cached(out).
     toks = parallelize_scan(df).select(
         F.col(id_col).alias("doc_id"), F.explode(lower_tokens(text_col)).alias("tok")
-    )
+    ).persist()
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -543,7 +547,7 @@ def vocab_coverage(
         .limit(vocab_size)
         .select("tok", F.lit(True).alias("_in_vocab"))
     )
-    return (
+    out = (
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
@@ -560,6 +564,8 @@ def vocab_coverage(
         )
         .orderBy("doc_id")
     )
+    out._cached_deps = (toks,)  # noqa: SLF001 — release_cached contract
+    return out
 
 
 def pack_sequences(

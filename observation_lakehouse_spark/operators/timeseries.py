@@ -256,11 +256,14 @@ def rolling_active_entities(
     constant explode factor — that variant is approx_count_distinct over the
     same explode and inherits HLL's documented error.
     """
+    # persisted: the deduplicated pairs feed BOTH the bounds aggregate and
+    # the window explode — without the boundary the corpus-wide distinct
+    # runs twice. Caller releases via release_cached(out).
     pairs = df.select(
         (F.col(ts_col) - (F.col(ts_col) % F.lit(bucket_us))).alias("_b"),
         F.col(entity_col).alias("_e"),
-    ).distinct()
-    bounds = pairs.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    ).distinct().persist()
+    bounds = pairs.agg(F.max("_b").alias("_hi"))
     wins = pairs.select(
         F.explode(
             F.sequence(
@@ -271,9 +274,11 @@ def rolling_active_entities(
         ).alias("bucket_us"),
         "_e",
     )
-    return (
+    out = (
         wins.join(F.broadcast(bounds), F.col("bucket_us") <= F.col("_hi"))
         .groupBy("bucket_us")
         .agg(F.countDistinct("_e").alias("n_active"))
         .orderBy("bucket_us")
     )
+    out._cached_deps = (pairs,)  # noqa: SLF001 — release_cached contract
+    return out

@@ -203,10 +203,19 @@ class AtomicParquetTable:
                     row = md.row_group(rg)
                     for ci in range(row.num_columns):
                         col = row.column(ci)
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
+                        try:
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            # accessing .min/.max itself raises for types
+                            # pyarrow can't extract (e.g. Spark-written
+                            # DECIMAL: has_min_max=True but
+                            # ArrowNotImplementedError on read) — a per-
+                            # COLUMN skip, so one such column never drops
+                            # the file's other stats
+                            mn, mx = st.min, st.max
+                        except Exception:  # noqa: BLE001
                             continue
-                        mn, mx = st.min, st.max
                         if isinstance(mn, bytes):
                             try:
                                 mn, mx = mn.decode(), mx.decode()

@@ -86,3 +86,13 @@ def test_semantic_dedup_misses_cross_cluster_pair(spark):
     out = {r["vec_id"]: r for r in semantic_dedup(df, centroids, 0.9).collect()}
     assert {out[1]["centroid_id"], out[2]["centroid_id"]} == {0, 1}
     assert not out[1]["is_duplicate"] and not out[2]["is_duplicate"]
+
+
+def test_fuzzy_pairs_with_block_report_pair_once_across_blocks(spark):
+    # same close pair present in TWO regions: one output row, not two
+    df = spark.createDataFrame(
+        [("red rod", "us"), ("red rod", "eu"), ("red rods", "us"), ("red rods", "eu")],
+        "p_name string, region string",
+    )
+    rows = fuzzy_match_pairs(df, "p_name", 2, extra_block_col="region").collect()
+    assert len(rows) == 1 and rows[0]["dist"] == 1

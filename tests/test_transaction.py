@@ -307,3 +307,33 @@ def test_read_changes_rejects_non_append_ranges(spark, table):
         table.read_changes(v2)
     with pytest.raises(ValueError, match="no snapshot"):
         table.read_changes(99)
+
+
+def test_stats_survive_decimal_columns(spark, tmp_path):
+    """pyarrow cannot extract min/max for Spark-written DECIMAL columns
+    (has_min_max=True but st.min raises) — that must skip the COLUMN, not
+    drop the whole file's stats (found by review: the per-file except ate
+    every other column's stats)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    t = AtomicParquetTable(
+        spark,
+        str(tmp_path / "dec"),
+        schema=_parse_datatype_string("run_id bigint, amount decimal(18,6)"),
+    )
+    t.append(
+        spark.range(0, 10).select(
+            F.col("id").alias("run_id"),
+            (F.col("id") * 1.5).cast("decimal(18,6)").alias("amount"),
+        )
+    )
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("run_id"),
+            (F.col("id") * 1.5).cast("decimal(18,6)").alias("amount"),
+        )
+    )
+    all_files = len(t.read().inputFiles())
+    hit = t.scan("run_id", lower=100)
+    assert hit.count() == 10
+    assert len(hit.inputFiles()) < all_files  # run_id stats still recorded
