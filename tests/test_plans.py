@@ -216,3 +216,52 @@ def test_zorder_partitions_clusters_both_dimensions(spark, tmp_path):
     ly, _ = spans(lin, "y")
     assert lx < 60 and ly > 180, (lx, ly)
     assert sy < ly - 50  # z-order's reason to exist
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_timeseries_plans_have_no_corpus_single_partition_stage(spark):
+    """The round-4 operators' scale contracts, pinned on real plans: no
+    corpus-wide work ever lands on one partition. (The 1-row global MAX in
+    rolling_active is the only SinglePartition exchange — an aggregate over
+    per-partition partials, not row data.)"""
+    import __spark_entry__ as e
+
+    qs = e.queries(clear_cache=False)
+    for name in ("gap_fill", "gap_fill_interp", "time_weighted_avg", "counter_increase"):
+        plan = _executed(qs[name](spark, SF))
+        assert "Exchange SinglePartition" not in plan, name
+        assert "windowspecdefinition(k" in plan, name  # windows keyed, never global
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark):
+    """The global running offset must be the two-phase scan: a window
+    partitioned by the range-partition id — NEVER an unpartitioned window
+    (Spark's own 'No Partition Defined' collapse), which is what the DuckDB
+    oracle runs instead."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["pack_sequences"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_pid" in plan
+    assert "rangepartitioning(doc_id" in plan
+
+
+def test_fuzzy_match_verifies_in_codegen_equi_join(spark):
+    """Blocking must make the pair search an equi-join: any nested-loop /
+    cartesian shape means the length-band blocking regressed."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["fuzzy_match"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # JVM built-in, not a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skew_profile_uses_distributed_top_k(spark):
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["skew_profile"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
