@@ -233,6 +233,8 @@ def rolling_active_entities(
     ts_col: str,
     window_buckets: int = 7,
     bucket_us: int = 86_400_000_000,
+    exact: bool = True,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Sliding-window distinct entities (7-day-active-users shape): for every
     bucket in the observed range, how many distinct entities appeared in the
@@ -253,8 +255,11 @@ def rolling_active_entities(
     the scan). Both aggregates are hash shuffles with map-side partials. For
     very long windows where w x pairs is too hot, the mergeable-sketch path
     (per-bucket HLL partials merged over the window) trades exactness for a
-    constant explode factor — that variant is approx_count_distinct over the
-    same explode and inherits HLL's documented error.
+    constant explode factor — pass ``exact=False`` for that variant:
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``) over
+    the same explode, mergeable across any partitioning. The approximate
+    twin is test-bounded against the exact one, not oracle-hashed (sketch
+    internals are engine-specific).
     """
     # persisted: the deduplicated pairs feed BOTH the bounds aggregate and
     # the window explode — without the boundary the corpus-wide distinct
@@ -274,10 +279,13 @@ def rolling_active_entities(
         ).alias("bucket_us"),
         "_e",
     )
+    counter = (
+        F.countDistinct("_e") if exact else F.approx_count_distinct("_e", rsd)
+    )
     out = (
         wins.join(F.broadcast(bounds), F.col("bucket_us") <= F.col("_hi"))
         .groupBy("bucket_us")
-        .agg(F.countDistinct("_e").alias("n_active"))
+        .agg(counter.alias("n_active"))
         .orderBy("bucket_us")
     )
     out._cached_deps = (pairs,)  # noqa: SLF001 — release_cached contract

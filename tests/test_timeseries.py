@@ -138,3 +138,27 @@ def test_gap_fill_rejects_unknown_strategy(spark, samples):
 
     with _pytest.raises(ValueError):
         gap_fill(samples, "k", "ts", "value", STEP, strategy="cubic")
+
+
+def test_rolling_active_approx_tracks_exact(spark):
+    """The HLL scale path (exact=False) must track the exact sliding
+    distinct within its configured relative error on every window."""
+    from observation_lakehouse_spark.operators.timeseries import (
+        rolling_active_entities,
+    )
+
+    rows = [(t * 3 + u, t, f"u{u % 97}") for t in range(30) for u in range(40)]
+    df = spark.createDataFrame(
+        [(ts, e) for _, ts, e in rows], "ts bigint, e string"
+    )
+    exact = {
+        r["bucket_us"]: r["n_active"]
+        for r in rolling_active_entities(df, "e", "ts", 7, 5).collect()
+    }
+    approx = {
+        r["bucket_us"]: r["n_active"]
+        for r in rolling_active_entities(df, "e", "ts", 7, 5, exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for b, n in exact.items():
+        assert abs(approx[b] - n) <= max(2, 0.15 * n)  # 3x rsd margin
