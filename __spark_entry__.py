@@ -4052,6 +4052,85 @@ FROM c ORDER BY doc_id
 """
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/text.py:bpe_train_merges): the
+    classic most-frequent-adjacent-pair merge loop as relational algebra.
+    One corpus-sized aggregate (word frequencies), then every round is
+    vocabulary-bounded; each round's symbol table is lineage-truncated.
+    The oracle is the SAME algorithm unrolled as a generated CTE chain —
+    merge decisions, tie-breaks and leftmost-greedy overlap resolution all
+    hash-checked."""
+    from observation_lakehouse_spark.operators.text import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", n_merges=_BPE_MERGES)
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled-CTE twin of bpe_train_merges (5 CTEs per merge round)."""
+    ctes = [
+        """wc AS MATERIALIZED (
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_transform(
+            list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+            t -> lower(t))) AS word
+        FROM documents
+    ) GROUP BY word
+)""",
+        """e0 AS MATERIALIZED (
+    SELECT word, cnt, pos, word[pos] AS sym FROM (
+        SELECT word, cnt, CAST(unnest(range(1, len(word) + 1)) AS INTEGER) AS pos
+        FROM wc
+    )
+)""",
+    ]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+    SELECT word, cnt, pos, sym,
+           LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM e{i}
+)""")
+        ctes.append(f"""t{i} AS MATERIALIZED (
+    SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+    FROM p{i} WHERE nxt IS NOT NULL
+    GROUP BY 1, 2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT p.word, p.pos,
+               p.pos - ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos) AS rg
+        FROM p{i} p JOIN t{i} t ON p.sym = t.a AND p.nxt = t.b
+    ) x
+    QUALIFY (pos - MIN(pos) OVER (PARTITION BY word, rg)) % 2 = 0
+)""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+    SELECT word, cnt,
+           CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INTEGER) AS pos,
+           sym
+    FROM (
+        SELECT e.word, e.cnt, e.pos,
+               CASE WHEN h.pos IS NOT NULL THEN (SELECT a || b FROM t{i})
+                    ELSE e.sym END AS sym
+        FROM e{i} e
+        LEFT JOIN m{i} h  ON h.word = e.word AND h.pos = e.pos
+        LEFT JOIN m{i} c2 ON c2.word = e.word AND c2.pos = e.pos - 1
+        WHERE c2.pos IS NULL
+    ) y
+)""")
+    unions = "\n    UNION ALL ".join(
+        f'SELECT {i + 1} AS "rank", a AS "left", b AS "right", a || b AS merged, '
+        f"pc AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + f'SELECT * FROM (\n    {unions}\n) ORDER BY "rank"'
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4229,6 +4308,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "vocab_coverage": q_vocab_coverage,
         "pack_sequences": q_pack_sequences,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -4329,4 +4409,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_profile": _ORACLE_SKEW_PROFILE,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "bpe_train": _bpe_oracle(),
     }

@@ -614,3 +614,117 @@ def pack_sequences(
     ).orderBy("doc_id")
     out._cached_deps = getattr(packed, "_cached_deps", ())  # noqa: SLF001
     return out
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train a byte-pair-encoding merge table on the corpus (Sennrich et al.
+    2016, arXiv:1508.07909) — tokenizer training as relational algebra.
+
+    Classic BPE: start from characters, repeatedly merge the most frequent
+    adjacent symbol pair (weighted by word frequency), recording each merge.
+    Deterministic contract: the winning pair orders by (count DESC, left ASC,
+    right ASC); within a run of overlapping matches (only possible for an
+    (a, a) pair inside an a-run) merges apply leftmost-greedily — positions
+    0, 2, 4… of the run — the standard disambiguation.
+
+    Returns the merge table: (rank, left, right, merged, pair_count), rank =
+    merge order starting at 1. Stops early if no adjacent pair remains.
+
+    Scale shape: ONE corpus-sized stage (the word-frequency hash aggregate);
+    everything after operates on the DISTINCT-word symbol table — vocabulary-
+    bounded, not corpus-bounded — re-using a single hash partitioning on
+    `word` for every window. Per merge: one pair-count aggregate, a 1-row
+    driver top-1 (the merge decision IS a scalar), one windowed merge apply.
+    Each round's symbol table is localCheckpoint-ed — the rebuild references
+    the previous table several times, so without lineage truncation the
+    logical plan GROWS EXPONENTIALLY per round (observed: heap-OOM printing
+    the plan by round 6; same fix as graph.pagerank).
+    """
+    words = (
+        parallelize_scan(df)
+        .select(F.explode(lower_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # char-split via substring transform (split on '' yields empty edge tokens)
+    deps = []  # noqa: F841 — checkpoint blocks free with the session
+    sym = words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    ).persist()
+    sym.count()
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    deps = [sym]
+    for rank in range(1, n_merges + 1):
+        paired = sym.withColumn("nxt", F.lead("sym").over(w_word))
+        top = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, pc = top[0]["sym"], top[0]["nxt"], int(top[0]["pc"])
+        merges.append((rank, a, b, a + b, pc))
+        is_match = (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+        # leftmost-greedy within overlap runs: consecutive matched positions
+        # (only (a,a) runs) keep even offsets from the run start
+        marked = (
+            paired.filter(is_match)
+            .select("word", "pos")
+            .withColumn(
+                "_rg",
+                F.col("pos")
+                - F.row_number().over(Window.partitionBy("word").orderBy("pos")),
+            )
+            .withColumn(
+                "keep",
+                ((F.col("pos") - F.min("pos").over(
+                    Window.partitionBy("word", "_rg")
+                )) % 2 == 0),
+            )
+            .filter("keep")
+            .select("word", F.col("pos").alias("_mp"))
+        )
+        # rebuild: merge heads take a+b, consumed tails drop, positions re-densify
+        heads = marked
+        new_sym = (
+            sym.join(
+                heads.select(F.col("word").alias("_hw"), F.col("_mp").alias("_hp")),
+                (F.col("word") == F.col("_hw")) & (F.col("pos") == F.col("_hp")),
+                "left",
+            )
+            .join(
+                heads.select(F.col("word").alias("_cw"), (F.col("_mp") + 1).alias("_cp")),
+                (F.col("word") == F.col("_cw")) & (F.col("pos") == F.col("_cp")),
+                "left",
+            )
+            .filter(F.col("_cp").isNull())  # consumed tails vanish
+            .select(
+                "word",
+                "cnt",
+                "pos",
+                F.when(F.col("_hp").isNotNull(), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+            )
+            .withColumn("pos", F.row_number().over(Window.partitionBy("word").orderBy("pos")))
+            .localCheckpoint()
+        )
+        sym = new_sym
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    ).orderBy("rank")

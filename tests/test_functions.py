@@ -197,3 +197,33 @@ def test_vocab_coverage_flags_oov_tokens(spark):
     # ties at the boundary are broken (count desc, token asc) -> deterministic
     out_k3 = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=3).collect()}
     assert out_k3[1]["n_oov"] == 0  # bb now in vocab (beats dd by count)
+
+
+def test_bpe_train_merges_classic_fixture(spark):
+    """Hand-computed BPE on the Sennrich-style fixture: weighted pair counts,
+    (count DESC, left, right) tie-break, and leftmost-greedy overlap inside
+    an 'aaaa' run (3 adjacent pairs, merges apply at offsets 0 and 2)."""
+    from observation_lakehouse_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower lower newest newest newest newest widest",),
+         ("aaaa aaaa ab",)],
+        "text string",
+    )
+    got = [tuple(r) for r in bpe_train_merges(df, n_merges=6).collect()]
+    assert got == [
+        (1, "a", "a", "aa", 6),    # 2 x 'aaaa': 3 overlapping pairs each
+        (2, "w", "e", "we", 6),    # newest x4 + lower x2
+        (3, "l", "o", "lo", 5),    # low x3 + lower x2
+        (4, "s", "t", "st", 5),    # newest x4 + widest
+        (5, "e", "we", "ewe", 4),  # n-e-we-st x4
+        (6, "ewe", "st", "ewest", 4),
+    ]
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    from observation_lakehouse_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    got = [tuple(r) for r in bpe_train_merges(df, n_merges=5).collect()]
+    assert got == [(1, "a", "b", "ab", 2)]  # then every word is one symbol
