@@ -4131,6 +4131,92 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
     )
 
 
+# Merge table trained by bpe_train_merges on the sf0.01 corpus, frozen as
+# literals (the same train-then-freeze flow as _ivf_centroids): stale merges
+# on a future drop stay CORRECT — both engines share the literals — they only
+# cost compression.
+_BPE_FROZEN_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (operators/text.py:bpe_encode): apply the frozen literal
+    merge table in rank order with training's leftmost-greedy semantics;
+    per-doc piece counts + compression ratio. The merge loop runs on the
+    DISTINCT-word table (vocabulary-bounded); documents touch only the
+    first explode and the final piece-count join."""
+    from observation_lakehouse_spark.operators.text import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_FROZEN_MERGES, "text", "doc_id")
+
+
+def _bpe_encode_oracle() -> str:
+    """Unrolled-CTE twin of bpe_encode over the frozen literal merges."""
+    ctes = [
+        """tok AS MATERIALIZED (
+    SELECT doc_id, unnest(list_transform(
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+        t -> lower(t))) AS word
+    FROM documents
+)""",
+        """wc AS MATERIALIZED (
+    SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+)""",
+        """e0 AS MATERIALIZED (
+    SELECT word, cnt, pos, word[pos] AS sym FROM (
+        SELECT word, cnt, CAST(unnest(range(1, len(word) + 1)) AS INTEGER) AS pos
+        FROM wc
+    )
+)""",
+    ]
+    for i, (a, b) in enumerate(_BPE_FROZEN_MERGES):
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        ctes.append(f"""p{i} AS MATERIALIZED (
+    SELECT word, cnt, pos, sym,
+           LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM e{i}
+)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT p.word, p.pos,
+               p.pos - ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos) AS rg
+        FROM p{i} p WHERE p.sym = '{qa}' AND p.nxt = '{qb}'
+    ) x
+    QUALIFY (pos - MIN(pos) OVER (PARTITION BY word, rg)) % 2 = 0
+)""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+    SELECT word, cnt,
+           CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INTEGER) AS pos,
+           sym
+    FROM (
+        SELECT e.word, e.cnt, e.pos,
+               CASE WHEN h.pos IS NOT NULL THEN '{qa}{qb}' ELSE e.sym END AS sym
+        FROM e{i} e
+        LEFT JOIN m{i} h  ON h.word = e.word AND h.pos = e.pos
+        LEFT JOIN m{i} c2 ON c2.word = e.word AND c2.pos = e.pos - 1
+        WHERE c2.pos IS NULL
+    ) y
+)""")
+    n = len(_BPE_FROZEN_MERGES)
+    ctes.append(f"""pieces AS MATERIALIZED (
+    SELECT word, COUNT(*) AS n_pieces, CAST(SUM(len(sym)) AS BIGINT) AS n_chars
+    FROM e{n} GROUP BY word
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(p.n_chars) AS BIGINT) AS n_chars_tokenized,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       ROUND(CAST(SUM(p.n_pieces) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+FROM tok t JOIN pieces p USING (word)
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4309,6 +4395,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "pack_sequences": q_pack_sequences,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -4410,4 +4497,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "bpe_train": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
     }

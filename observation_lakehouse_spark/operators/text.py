@@ -616,6 +616,68 @@ def pack_sequences(
     return out
 
 
+def _bpe_char_symbols(words: DataFrame) -> DataFrame:
+    """(word, cnt) -> exploded (word, cnt, pos, sym) single-char symbol rows."""
+    return words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    )
+
+
+def _bpe_apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
+    """One merge round on the symbol table: adjacent (a, b) occurrences fuse
+    leftmost-greedily (within an overlap run — only possible for a == b —
+    positions at even offsets from the run start merge), consumed tails
+    drop, positions re-densify. Shared by training and encoding; the result
+    must be lineage-truncated by the caller (multi-reference rebuild)."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    paired = sym.withColumn("nxt", F.lead("sym").over(w_word))
+    is_match = (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+    marked = (
+        paired.filter(is_match)
+        .select("word", "pos")
+        .withColumn(
+            "_rg",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("word").orderBy("pos")),
+        )
+        .withColumn(
+            "keep",
+            ((F.col("pos") - F.min("pos").over(
+                Window.partitionBy("word", "_rg")
+            )) % 2 == 0),
+        )
+        .filter("keep")
+        .select("word", F.col("pos").alias("_mp"))
+    )
+    return (
+        sym.join(
+            marked.select(F.col("word").alias("_hw"), F.col("_mp").alias("_hp")),
+            (F.col("word") == F.col("_hw")) & (F.col("pos") == F.col("_hp")),
+            "left",
+        )
+        .join(
+            marked.select(F.col("word").alias("_cw"), (F.col("_mp") + 1).alias("_cp")),
+            (F.col("word") == F.col("_cw")) & (F.col("pos") == F.col("_cp")),
+            "left",
+        )
+        .filter(F.col("_cp").isNull())  # consumed tails vanish
+        .select(
+            "word",
+            "cnt",
+            "pos",
+            F.when(F.col("_hp").isNotNull(), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+        )
+        .withColumn("pos", F.row_number().over(Window.partitionBy("word").orderBy("pos")))
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -651,21 +713,9 @@ def bpe_train_merges(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # char-split via substring transform (split on '' yields empty edge tokens)
-    deps = []  # noqa: F841 — checkpoint blocks free with the session
-    sym = words.select(
-        "word",
-        "cnt",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.col("word").substr(i, F.lit(1)),
-            )
-        ).alias("pos", "sym"),
-    ).persist()
-    sym.count()
+    sym = _bpe_char_symbols(words).localCheckpoint()
     w_word = Window.partitionBy("word").orderBy("pos")
     merges = []
-    deps = [sym]
     for rank in range(1, n_merges + 1):
         paired = sym.withColumn("nxt", F.lead("sym").over(w_word))
         top = (
@@ -680,51 +730,68 @@ def bpe_train_merges(
             break
         a, b, pc = top[0]["sym"], top[0]["nxt"], int(top[0]["pc"])
         merges.append((rank, a, b, a + b, pc))
-        is_match = (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
-        # leftmost-greedy within overlap runs: consecutive matched positions
-        # (only (a,a) runs) keep even offsets from the run start
-        marked = (
-            paired.filter(is_match)
-            .select("word", "pos")
-            .withColumn(
-                "_rg",
-                F.col("pos")
-                - F.row_number().over(Window.partitionBy("word").orderBy("pos")),
-            )
-            .withColumn(
-                "keep",
-                ((F.col("pos") - F.min("pos").over(
-                    Window.partitionBy("word", "_rg")
-                )) % 2 == 0),
-            )
-            .filter("keep")
-            .select("word", F.col("pos").alias("_mp"))
-        )
-        # rebuild: merge heads take a+b, consumed tails drop, positions re-densify
-        heads = marked
-        new_sym = (
-            sym.join(
-                heads.select(F.col("word").alias("_hw"), F.col("_mp").alias("_hp")),
-                (F.col("word") == F.col("_hw")) & (F.col("pos") == F.col("_hp")),
-                "left",
-            )
-            .join(
-                heads.select(F.col("word").alias("_cw"), (F.col("_mp") + 1).alias("_cp")),
-                (F.col("word") == F.col("_cw")) & (F.col("pos") == F.col("_cp")),
-                "left",
-            )
-            .filter(F.col("_cp").isNull())  # consumed tails vanish
-            .select(
-                "word",
-                "cnt",
-                "pos",
-                F.when(F.col("_hp").isNotNull(), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
-            )
-            .withColumn("pos", F.row_number().over(Window.partitionBy("word").orderBy("pos")))
-            .localCheckpoint()
-        )
-        sym = new_sym
+        sym = _bpe_apply_merge(sym, a, b).localCheckpoint()
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     ).orderBy("rank")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — the inference half of
+    the tokenizer (:func:`bpe_train_merges` is the training half). Merges
+    apply in rank order with the same leftmost-greedy semantics training
+    used, so encode(train corpus) reproduces training's final symbol state.
+
+    Returns per doc: ``(id, n_words, n_chars_tokenized, n_pieces,
+    pieces_per_word)`` — the corpus-level compression statistics a vocab/
+    merge-budget decision reads (pieces_per_word -> 1.0 means the merge
+    table saturates the corpus).
+
+    Scale shape: the merge loop runs on the DISTINCT-word symbol table
+    (vocabulary-bounded, lineage-truncated per round exactly like training);
+    documents only participate in the first word-count explode and the final
+    word -> piece-count join, both corpus-linear. The merge table itself is a
+    driver-side list — frozen literals, the FAISS-style train-then-freeze
+    flow the ANN operators use too.
+    """
+    tok = (
+        parallelize_scan(df)
+        .select(
+            F.col(id_col).alias("doc_id"), F.explode(lower_tokens(text_col)).alias("word")
+        )
+        .persist()
+    )
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    sym = _bpe_char_symbols(words).localCheckpoint()
+    for a, b in merges:
+        sym = _bpe_apply_merge(sym, a, b).localCheckpoint()
+    pieces = sym.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_n_pieces"), F.sum(F.length("sym")).alias("_n_chars")
+    )
+    out = (
+        tok.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_chars").alias("n_chars_tokenized"),
+            F.sum("_n_pieces").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars_tokenized",
+            "n_pieces",
+            F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+    out._cached_deps = (tok,)  # noqa: SLF001 — release_cached contract
+    return out

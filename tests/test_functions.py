@@ -227,3 +227,17 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     got = [tuple(r) for r in bpe_train_merges(df, n_merges=5).collect()]
     assert got == [(1, "a", "b", "ab", 2)]  # then every word is one symbol
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from observation_lakehouse_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "newest lowest"), (2, "we we st")], "doc_id long, text string"
+    )
+    # merges: w+e, s+t, then e+we is inert here; newest -> n,e,we,st (4 pieces)
+    # lowest -> l,o,we,st (4); 'we' -> we (1); 'st' -> st (1)
+    out = {r["doc_id"]: r for r in bpe_encode(df, [("w", "e"), ("s", "t")]).collect()}
+    assert out[1]["n_words"] == 2 and out[1]["n_pieces"] == 8
+    assert out[1]["n_chars_tokenized"] == 12  # chars survive merging intact
+    assert out[2]["n_pieces"] == 3 and out[2]["pieces_per_word"] == 1.0
