@@ -4217,6 +4217,49 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
     )
 
 
+_RESAMPLE_FRAC = 0.5
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mixing plan (operators/text.py:mixture_resample):
+    deterministic content-hash Bernoulli per domain at
+    min(1, frac x mix_weight) — repartition-proof, rates broadcast from the
+    mixture aggregate, thresholds FLOOR-ed into ppm micro-units so both
+    engines run identical IEEE arithmetic."""
+    from observation_lakehouse_spark.operators.text import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_resample(docs, "source", "text", "doc_id", _RESAMPLE_FRAC)
+
+
+_ORACLE_MIXTURE_RESAMPLE = f"""
+WITH per AS (
+    SELECT source AS domain, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, COUNT(*) AS n_domains FROM per
+), rates AS (
+    SELECT domain, n_docs,
+           CAST(FLOOR(LEAST(1.0,
+               {_RESAMPLE_FRAC} * ROUND((1.0 / CAST(n_domains AS DOUBLE))
+                   / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
+           ) * 1e6) AS BIGINT) AS rate_ppm
+    FROM per CROSS JOIN tot
+), kept AS (
+    SELECT d.source AS domain, COUNT(*) AS n_sampled
+    FROM documents d JOIN rates r ON r.domain = d.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+          < r.rate_ppm
+    GROUP BY 1
+)
+SELECT r.domain, r.n_docs, COALESCE(k.n_sampled, 0) AS n_sampled, r.rate_ppm
+FROM rates r LEFT JOIN kept k ON k.domain = r.domain
+ORDER BY r.domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4396,6 +4439,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -4498,4 +4542,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
+        "mixture_resample": _ORACLE_MIXTURE_RESAMPLE,
     }

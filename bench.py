@@ -117,6 +117,7 @@ HEADLINE = [
     "skew_profile",
     "vocab_coverage",
     "pack_sequences",
+    "mixture_resample",
 ]
 
 

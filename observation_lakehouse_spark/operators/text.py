@@ -795,3 +795,57 @@ def bpe_encode(
     )
     out._cached_deps = (tok,)  # noqa: SLF001 — release_cached contract
     return out
+
+
+def mixture_resample(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """EXECUTE the mixing step :func:`domain_mixture` plans: deterministically
+    resample each domain at ``rate = min(1, target_frac x mix_weight)`` so
+    the kept corpus's token mixture moves toward the target while the total
+    shrinks by ~``target_frac``.
+
+    The keep decision is the content-hash Bernoulli from
+    :func:`..functions.sampling.hash_bucket` — a pure function of the row
+    key, so the sample is repartition-proof and bit-reproducible in the SQL
+    oracle. Rates are derived from the DATA (the mixture aggregate), so they
+    join back as a tiny broadcast (domain-cardinality rows) rather than
+    folding into a literal CASE; the rate threshold is FLOOR-ed into ppm
+    micro-units — both engines run the identical IEEE multiply + floor, no
+    re-rounding of rounded values.
+
+    Output, per domain: (domain, n_docs, n_sampled, rate_ppm) — the audit
+    summary a mixing job logs; the same join + filter yields the sampled
+    rows themselves when materializing the corpus.
+    """
+    from observation_lakehouse_spark.functions.sampling import hash_bucket
+
+    mix = domain_mixture(df, by=by, text_col=text_col)
+    rates = mix.select(
+        "domain",
+        "n_docs",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(target_frac) * F.col("mix_weight")) * F.lit(1e6)
+        ).cast("long").alias("rate_ppm"),
+    )
+    kept = (
+        df.select(F.col(by).alias("domain"), F.col(id_col).alias("_id"))
+        .join(F.broadcast(rates), "domain")
+        .filter(hash_bucket(F.col("_id")) < F.col("rate_ppm"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(kept, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "rate_ppm",
+        )
+        .orderBy("domain")
+    )

@@ -92,3 +92,23 @@ def test_weighted_sample_rejects_priority_collision(spark):
     df = spark.createDataFrame([("a", 1.0, 9)], "id string, w double, priority long")
     with pytest.raises(ValueError, match="priority"):
         weighted_sample(df, "id", "w", 1)
+
+
+def test_mixture_resample_moves_token_mass_toward_uniform(spark):
+    from observation_lakehouse_spark.operators.text import mixture_resample
+
+    # domain A dominates tokens 4:1 -> its rate must be ~4x lower than B's
+    rows = [(i, "a " * 20, "A") for i in range(100)] + [
+        (1000 + i, "b " * 5, "B") for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = {r["domain"]: r for r in mixture_resample(df, target_frac=0.5).collect()}
+    # token shares 80/20, uniform target 50/50: weights 0.625 and 2.5 ->
+    # rates floor(0.5*0.625*1e6)=312500 and min(1, 1.25) clamped -> 1000000
+    assert out["A"]["rate_ppm"] == 312500 and out["B"]["rate_ppm"] == 1000000
+    assert out["B"]["n_sampled"] == 100  # rate 1.0 keeps everything
+    # the deterministic sample is a fixed subset: re-running yields same count
+    again = {r["domain"]: r["n_sampled"] for r in mixture_resample(df, target_frac=0.5).collect()}
+    assert again["A"] == out["A"]["n_sampled"]
