@@ -3803,7 +3803,13 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from observation_lakehouse_spark.operators.linkage import fuzzy_match_pairs
 
     part = _t(spark, sf_dir, "part")
-    return fuzzy_match_pairs(part, "p_name", max_dist=2).orderBy("name_a", "name_b")
+    out = fuzzy_match_pairs(part, "p_name", max_dist=2)
+    # .orderBy returns a fresh DataFrame without the operator's cache handles;
+    # re-attach them so release_cached can unpersist the distinct-names block
+    # (same pattern as q_dup_clusters above).
+    sorted_out = out.orderBy("name_a", "name_b")
+    sorted_out._cached_deps = getattr(out, "_cached_deps", ())  # noqa: SLF001
+    return sorted_out
 
 
 _ORACLE_FUZZY_MATCH = """

@@ -601,15 +601,18 @@ def pack_sequences(
     )
     packed = global_prefix_sum(toks, "doc_id", "n_tokens", out_col="stream_offset")
     off = F.col("stream_offset")
+    # Integer `div` keeps the arithmetic on bigints end to end: double
+    # round-trips are exact only below 2^53, and floor-via-cast would drift
+    # from the oracle's integer // division on a 100 TB token stream.
     out = packed.select(
         "doc_id",
         "n_tokens",
         "stream_offset",
-        (off / F.lit(seq_len)).cast("bigint").alias("seq_id"),
+        F.expr(f"stream_offset div {int(seq_len)}").alias("seq_id"),
         (off % F.lit(seq_len)).alias("offset_in_seq"),
         (
-            ((off + F.col("n_tokens") - 1) / F.lit(seq_len)).cast("bigint")
-            > (off / F.lit(seq_len)).cast("bigint")
+            F.expr(f"(stream_offset + n_tokens - 1) div {int(seq_len)}")
+            > F.expr(f"stream_offset div {int(seq_len)}")
         ).alias("spans_boundary"),
     ).orderBy("doc_id")
     out._cached_deps = getattr(packed, "_cached_deps", ())  # noqa: SLF001

@@ -341,8 +341,18 @@ class AtomicParquetTable:
             s = stats.get(f, {}).get(column)
             if s is not None:
                 mn, mx = s
-                if (lower is not None and mx < lower) or (upper is not None and mn > upper):
-                    continue
+                # Pruning must never be a correctness dependency: if the stat
+                # values aren't comparable to the caller's bounds (schema
+                # evolution left str/int stats mixed across files, or a
+                # numeric bound probes a string column), keep the file and
+                # let the residual filter decide.
+                try:
+                    if (lower is not None and mx < lower) or (
+                        upper is not None and mn > upper
+                    ):
+                        continue
+                except TypeError:
+                    pass
             keep.append(f)
         if not keep:
             df = self.spark.createDataFrame([], self.schema)
@@ -379,12 +389,24 @@ class AtomicParquetTable:
             raise ValueError(f"to_version v{to_v} precedes since_version v{since_version}")
         base = set(self._manifest(since_version)["files"])
         target = self._manifest(to_v)["files"]
-        removed = base - set(target)
-        if removed:
-            raise ValueError(
-                f"v{since_version}..v{to_v} is not append-only ({len(removed)} file(s) "
-                "removed by a replace/rollback); diff the two snapshot reads instead"
-            )
+        # Append-only means EVERY step in the chain only adds files. Diffing
+        # just the endpoints misses a replace that rewrites a file added
+        # within the range (v2 appends f1, v3 replaces f1 with g: endpoints
+        # diff clean, but g is not pure appended data). Walk each
+        # intermediate manifest and require it to be a superset of its
+        # parent's file set.
+        chain = sorted(v for v in self._versions() if since_version < v <= to_v)
+        prev_files = base
+        for v in chain:
+            cur_files = set(self._manifest(v)["files"])
+            removed = prev_files - cur_files
+            if removed:
+                raise ValueError(
+                    f"v{since_version}..v{to_v} is not append-only (v{v} removed "
+                    f"{len(removed)} file(s) via a replace/rollback); diff the two "
+                    "snapshot reads instead"
+                )
+            prev_files = cur_files
         added = [f for f in target if f not in base]
         if not added:
             return self.spark.createDataFrame([], self.schema)

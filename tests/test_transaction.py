@@ -299,14 +299,53 @@ def test_read_changes_rejects_non_append_ranges(spark, table):
     v2 = table.append(_batch(spark, "dsA", 100, 10))
     table.rollback(v1)  # head loses v2's files
 
-    # v1 -> head nets out to nothing (v2's files added AND removed inside the
-    # range): a correct, empty incremental read
-    assert table.read_changes(v1).count() == 0
-    # but v2 -> head removed base files: the delta is not files-to-read
+    # v1 -> head contains the rollback step (v2's files removed inside the
+    # range): even though the endpoints diff clean, the range is not
+    # append-only — the chain walk catches the intermediate removal
+    with pytest.raises(ValueError, match="not append-only"):
+        table.read_changes(v1)
+    # and v2 -> head removed base files directly
     with pytest.raises(ValueError, match="not append-only"):
         table.read_changes(v2)
     with pytest.raises(ValueError, match="no snapshot"):
         table.read_changes(99)
+
+
+def test_read_changes_rejects_in_range_rewrite(spark, table):
+    """ADVICE r4: a replace that rewrites a file ADDED within the range passes
+    an endpoints-only diff (base files all survive) but the 'appended' files
+    are rewrites, not appends — the chain walk must raise."""
+    v1 = table.append(_batch(spark, "dsA", 0, 10))
+    base_files = set(table._manifest(v1)["files"])
+    v2 = table.append(_batch(spark, "dsA", 100, 10))  # v2 adds in-range files
+    in_range = [f for f in table._manifest(v2)["files"] if f not in base_files]
+    # v3 rewrites ONLY the in-range files (different rows!) while keeping all
+    # of v1's base files — the exact endpoints-diff blind spot: base - head
+    # is empty, yet the 'added' files are rewrites, not appends
+    rewritten = table.stage(_batch(spark, "dsA", 500, 5))
+    table.commit_replace(sorted(base_files) + rewritten)
+    head = table.latest_version()
+    assert base_files <= set(table._manifest(head)["files"])  # endpoints look clean
+    assert not set(in_range) & set(table._manifest(head)["files"])
+    with pytest.raises(ValueError, match="not append-only"):
+        table.read_changes(v1, head)
+
+
+def test_scan_keeps_file_on_incomparable_stats(spark, table):
+    """ADVICE r4: manifest stats whose type doesn't match the caller's bound
+    (evolved column with str/int stats mixed across files) must keep the
+    file — pruning is never a correctness dependency — not raise TypeError."""
+    table.append(_batch(spark, "dsA", 0, 10))
+    v = table.latest_version()
+    m = table._manifest(v)
+    # sabotage: a string min/max for the numeric run_id column
+    for f in m["files"]:
+        m.setdefault("stats", {}).setdefault(f, {})["run_id"] = ["a", "z"]
+    import json as _json
+
+    (table.manifest_dir / f"v{v}.json").write_text(_json.dumps(m))
+    got = table.scan("run_id", lower=3, upper=5)
+    assert sorted(r["run_id"] for r in got.collect()) == [3, 4, 5]
 
 
 def test_stats_survive_decimal_columns(spark, tmp_path):
