@@ -527,6 +527,49 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT over the semi-structured payload column (SURVEY.md
+    §1.1 stretch; the reference keeps JSON-serialized ``inputs``/``output``
+    strings, reference lakehouse.py:67-68): ``parse_json`` shreds the props
+    string into binary variant once, ``variant_get`` does typed path
+    extraction, and the extracted value feeds a per-event-type aggregate.
+    All-integer aggregates, so the DuckDB JSON-function oracle hashes
+    exactly. At scale the variant parse is a one-pass scan expression
+    (WholeStageCodegen) and the aggregate is map-side combinable — no
+    shuffle carries the payload string."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_hot"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_VARIANT_EXTRACT = """
+WITH kx AS (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM kx WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (beyond the reference's surface, built-in in Spark):
     per-user running event count + value total ordered by time, and the gap to
@@ -2676,49 +2719,11 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, so the per-doc sum is exact long arithmetic — a raw double SUM's
     accumulation order differs between engines. Shape: one explode + (doc,
     term) aggregate, a vocabulary-sized term-prob table broadcast back, one
-    per-doc aggregate. Lower xent = more typical text."""
-    from observation_lakehouse_spark.functions.text import lower_tokens, tokens
+    per-doc aggregate. Lower xent = more typical text. (Implementation
+    shared with scripts/scale_probe.py — operators/text.py:unigram_xent.)"""
+    from observation_lakehouse_spark.operators.text import unigram_xent
 
-    from observation_lakehouse_spark.functions.partitioning import parallelize_scan
-
-    docs = parallelize_scan(_t(spark, sf_dir, "documents"))
-    ex = docs.select(
-        "doc_id",
-        F.explode(lower_tokens("text")).alias("term"),
-    )
-    # persist: the token explode + aggregate feeds the corpus model AND the
-    # final per-doc join — the boundary stops a second explode pass.
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
-    n_tok = corpus.agg(F.sum("ctf").alias("n_total"))
-    lnp = (
-        corpus.crossJoin(F.broadcast(n_tok))
-        .select(
-            "term",
-            F.round(
-                F.log(F.col("ctf").cast("double") / F.col("n_total").cast("double"))
-                * 1_000_000.0
-            )
-            .cast("long")
-            .alias("lnp_micro"),
-        )
-    )
-    out = (
-        tf.join(F.broadcast(lnp), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_tokens"),
-            F.round(
-                -F.sum(F.col("tf") * F.col("lnp_micro")).cast("double")
-                / F.sum("tf")
-                / 1_000_000.0,
-                6,
-            ).alias("xent_nats"),
-        )
-        .orderBy("doc_id")
-    )
-    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
-    return out
+    return unigram_xent(_t(spark, sf_dir, "documents"))
 
 
 _ORACLE_UNIGRAM_XENT = """
@@ -2892,63 +2897,11 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: per-bigram ln p rounds to integer micro-nats once, doc sums
     are exact long arithmetic. Shape: one bigram explode + (doc, bigram)
     aggregate, corpus bigram/unigram count tables joined vocabulary-side,
-    broadcast V, one per-doc aggregate."""
-    from observation_lakehouse_spark.functions.text import lower_tokens, tokens
+    broadcast V, one per-doc aggregate. (Implementation shared with
+    scripts/scale_probe.py — operators/text.py:bigram_xent.)"""
+    from observation_lakehouse_spark.operators.text import bigram_xent
 
-    from observation_lakehouse_spark.functions.partitioning import parallelize_scan
-
-    docs = parallelize_scan(_t(spark, sf_dir, "documents"))
-    toks = lower_tokens("text")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    ex = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
-        "doc_id", "bg", F.split("bg", " ").getItem(0).alias("w1")
-    )
-    # persist: the bigram explode + aggregate feeds three consumers (corpus
-    # bigram counts, the distinct (bg, w1) vocabulary, the final per-doc
-    # join) — without the boundary each consumer re-runs the explode.
-    tf = ex.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("tf")).persist()
-    cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
-    uni = docs.select(F.explode(toks).alias("w1"))
-    cw1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
-    vocab = uni.agg(F.countDistinct("w1").alias("v"))
-    lnp = (
-        cbg.join(tf.select("bg", "w1").distinct(), "bg")
-        .join(cw1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            F.round(
-                F.log(
-                    (F.col("c_bg") + 1).cast("double")
-                    / (F.col("c_w1") + F.col("v")).cast("double")
-                )
-                * 1_000_000.0
-            )
-            .cast("long")
-            .alias("lnp_micro"),
-        )
-    )
-    out = (
-        tf.join(lnp, "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_bigrams"),
-            F.round(
-                -F.sum(F.col("tf") * F.col("lnp_micro")).cast("double")
-                / F.sum("tf")
-                / 1_000_000.0,
-                6,
-            ).alias("xent_nats"),
-        )
-        .orderBy("doc_id")
-    )
-    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
-    return out
+    return bigram_xent(_t(spark, sf_dir, "documents"))
 
 
 _ORACLE_BIGRAM_XENT = """
@@ -4362,6 +4315,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_projection": q_scalar_projection,
         "conditional_max": q_conditional_max,
         "json_extract": q_json_extract,
+        "variant_extract": q_variant_extract,
         "window_running_total": q_window_running_total,
         "sessionization": q_sessionization,
         "semi_anti_join": q_semi_anti_join,
@@ -4465,6 +4419,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_projection": _ORACLE_SCALAR,
         "conditional_max": _ORACLE_COND_MAX,
         "json_extract": _ORACLE_JSON,
+        "variant_extract": _ORACLE_VARIANT_EXTRACT,
         "window_running_total": _ORACLE_WINDOW,
         "sessionization": _ORACLE_SESSIONIZATION,
         "semi_anti_join": _ORACLE_SEMI_ANTI,

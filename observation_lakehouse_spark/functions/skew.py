@@ -161,3 +161,63 @@ def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         .select("key", "n_rows", "share", "uniform_ratio", "rank")
         .orderBy("rank")
     )
+
+
+def recommend_plan(
+    df: DataFrame, key_col: str | list[str], ratio_threshold: float = 5.0
+) -> dict:
+    """Turn :func:`skew_profile`'s diagnostics into the salting decision its
+    docstring describes: profile the key, compare the hottest key's
+    ``uniform_ratio`` against the documented 5-10x rule of thumb, and return
+    the advisory ``{"strategy": "salted"|"plain", "hot_key", "hot_ratio",
+    "threshold"}``. Composite keys are profiled as their concatenation.
+    The scalar decision is one bounded driver read (a single profiled row),
+    the same pattern as every planner that inspects stats before picking a
+    physical strategy.
+    """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    probe = df.select(
+        F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]).alias("_k")
+    )
+    top = skew_profile(probe, "_k", top_k=1).collect()
+    ratio = float(top[0]["uniform_ratio"]) if top else 1.0
+    return {
+        "strategy": "salted" if ratio >= ratio_threshold else "plain",
+        "hot_key": top[0]["key"] if top else None,
+        "hot_ratio": ratio,
+        "threshold": float(ratio_threshold),
+    }
+
+
+def auto_agg(
+    df: DataFrame,
+    keys: list[str],
+    exprs: dict[str, tuple[str, str | None]],
+    salt_buckets: int = 16,
+    ratio_threshold: float = 5.0,
+) -> DataFrame:
+    """Stats-driven aggregate: :func:`recommend_plan` picks the physical
+    strategy, then the aggregate runs either as the plain one-phase groupBy
+    (uniform keys — two phases would only add an exchange) or as
+    :func:`salted_agg` (hot keys spread over ``salt_buckets`` reducers).
+    Both paths produce identical values for the mergeable algebra —
+    collect_set is sorted on the plain path too, so the choice is invisible
+    to the result (tests pin a skewed fixture flipping the choice while
+    hash-matching the oracle).
+    """
+    rec = recommend_plan(df, keys, ratio_threshold)
+    if rec["strategy"] == "salted":
+        out = salted_agg(df, keys, exprs, salt_buckets=salt_buckets)
+    else:
+        unknown = {a for a, _ in exprs.values()} - set(_PHASE1)
+        if unknown:
+            raise ValueError(f"unsupported aggregates: {sorted(unknown)}")
+        aggs = []
+        for name, (agg, col) in exprs.items():
+            e = _PHASE1[agg](col)
+            if agg == "collect_set":
+                e = F.array_sort(e)
+            aggs.append(e.alias(name))
+        out = df.groupBy(*keys).agg(*aggs)
+    out._chosen_strategy = rec  # noqa: SLF001 — advisory surfaced for callers/tests
+    return out

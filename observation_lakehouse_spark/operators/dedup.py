@@ -557,9 +557,17 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
-        .orderBy("id_a", "id_b")
+        # Persist the verified pair table itself (tiny — the near-dup pairs):
+        # it is the operator's expensive derived artifact, and a long-lived
+        # engine re-consuming the result (cluster resolution, reporting, the
+        # bench's steady-state second run) should re-read pairs, not re-run
+        # candidate generation — the same contract dup_clusters applies to
+        # its edge table.
+        .persist()
     )
-    return _with_cached_deps(out, cached, pref)
+    verified = out
+    out = verified.orderBy("id_a", "id_b")
+    return _with_cached_deps(out, cached, pref, verified)
 
 
 def decontaminate(

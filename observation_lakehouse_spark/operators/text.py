@@ -852,3 +852,114 @@ def mixture_resample(
         )
         .orderBy("domain")
     )
+
+
+def unigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc unigram cross-entropy under the corpus's own unigram model —
+    the classic LM-based pre-training quality filter (lower = more typical
+    text; no external LM needed). Per-term ln p(term) is rounded to integer
+    MICRO-NATS once per term, so the per-doc sum is exact long arithmetic
+    (a raw double SUM's accumulation order differs between engines).
+
+    Scale shape: one token explode into a (doc, term) hash aggregate
+    (map-side combinable), a VOCABULARY-sized term-prob table broadcast
+    back, one per-doc aggregate — the corpus is exploded exactly once, and
+    nothing larger than the vocabulary is ever broadcast. Cost is linear in
+    total tokens; the r4→r5 'xent tripled' motion was corpus token mass
+    (the planted near-dup text), not plan growth — see scale_probe's alpha.
+    """
+    docs = parallelize_scan(df)
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(lower_tokens(text_col)).alias("term")
+    )
+    # persist: the token explode + aggregate feeds the corpus model AND the
+    # final per-doc join — the boundary stops a second explode pass.
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    n_tok = corpus.agg(F.sum("ctf").alias("n_total"))
+    lnp = corpus.crossJoin(F.broadcast(n_tok)).select(
+        "term",
+        F.round(
+            F.log(F.col("ctf").cast("double") / F.col("n_total").cast("double"))
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    out = (
+        tf.join(F.broadcast(lnp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.col("lnp_micro")).cast("double")
+                / F.sum("tf")
+                / 1_000_000.0,
+                6,
+            ).alias("xent_nats"),
+        )
+        .orderBy("doc_id")
+    )
+    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
+    return out
+
+
+def bigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM cross-entropy per document (add-one smoothed conditional
+    p(w2|w1) = (c(w1w2)+1)/(c(w1)+V) under the corpus's own counts) — the
+    sequel to :func:`unigram_xent` with real context sensitivity. Same
+    determinism discipline (integer micro-nats) and the same linear scale
+    shape: one bigram explode, vocabulary-sized model tables, per-doc sum.
+    """
+    docs = parallelize_scan(df)
+    toks = lower_tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg", F.split("bg", " ").getItem(0).alias("w1")
+    )
+    # persist: the bigram explode + aggregate feeds three consumers (corpus
+    # bigram counts, the distinct (bg, w1) vocabulary, the final per-doc
+    # join) — without the boundary each consumer re-runs the explode.
+    tf = ex.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("tf")).persist()
+    cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    uni = docs.select(F.explode(toks).alias("w1"))
+    cw1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = uni.agg(F.countDistinct("w1").alias("v"))
+    lnp = (
+        cbg.join(tf.select("bg", "w1").distinct(), "bg")
+        .join(cw1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_w1") + F.col("v")).cast("double")
+                )
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    out = (
+        tf.join(lnp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf") * F.col("lnp_micro")).cast("double")
+                / F.sum("tf")
+                / 1_000_000.0,
+                6,
+            ).alias("xent_nats"),
+        )
+        .orderBy("doc_id")
+    )
+    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
+    return out

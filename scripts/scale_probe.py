@@ -126,7 +126,11 @@ def main() -> None:
         ngram_jaccard_pairs,
     )
     from observation_lakehouse_spark.operators.sessionization import sessionize_batch
-    from observation_lakehouse_spark.operators.text import pack_sequences
+    from observation_lakehouse_spark.operators.text import (
+        bigram_xent,
+        pack_sequences,
+        unigram_xent,
+    )
     from observation_lakehouse_spark.operators.timeseries import (
         gap_fill,
         rolling_active_entities,
@@ -144,6 +148,13 @@ def main() -> None:
         ("dup_span_stats", docs, docs_k, lambda d: dup_span_stats(d, "text", "doc_id", 8)),
         ("pack_sequences (distributed prefix sum)", docs, docs_k,
          lambda d: pack_sequences(d, "text", "doc_id", 256)),
+        # VERDICT r4 #2: the xent family's cross-drop time jump — the alpha
+        # here shows whether cost tracks corpus token mass (linear) or a
+        # super-linear stage grew.
+        ("unigram_xent (explode + vocab agg + broadcast model)", docs, docs_k,
+         lambda d: unigram_xent(d)),
+        ("bigram_xent (bigram explode + smoothed model)", docs, docs_k,
+         lambda d: bigram_xent(d)),
         ("sessionization", ev, ev_k, lambda d: sessionize_batch(d, 6 * 3600 * 1_000_000, ts_col="ts")),
         ("gap_fill", ev, ev_k, lambda d: gap_fill(d, "user_id", "ts", "value",
                                                   6 * 3600 * 1_000_000)),

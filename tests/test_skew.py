@@ -180,3 +180,56 @@ def test_skew_profile_ranks_hot_keys(spark):
     # 5 distinct keys, uniform would be 12/5: hot is 6/(12/5) = 2.5x
     assert out[0]["uniform_ratio"] == 2.5
     assert [r["rank"] for r in out] == [1, 2]
+
+
+def _skewed(spark):
+    # key 'hot' carries 5000 rows; 50 cold keys carry 10 each -> uniform_ratio
+    # of 'hot' ~ 5000*51/5500 ~ 46x, far past the 5x rule
+    return spark.range(5_000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("x")
+    ).unionByName(
+        spark.range(500).select(
+            F.concat(F.lit("cold"), (F.col("id") % 50)).alias("k"),
+            F.col("id").cast("double").alias("x"),
+        )
+    )
+
+
+def _uniform(spark):
+    return spark.range(1_000).select(
+        (F.col("id") % 20).cast("string").alias("k"),
+        F.col("id").cast("double").alias("x"),
+    )
+
+
+def test_recommend_plan_flips_on_skew(spark):
+    from observation_lakehouse_spark.functions.skew import recommend_plan
+
+    hot = recommend_plan(_skewed(spark), "k")
+    assert hot["strategy"] == "salted" and hot["hot_key"] == "hot"
+    assert hot["hot_ratio"] >= hot["threshold"]
+    flat = recommend_plan(_uniform(spark), "k")
+    assert flat["strategy"] == "plain" and flat["hot_ratio"] < flat["threshold"]
+
+
+def test_auto_agg_matches_plain_both_ways(spark):
+    """The advisory picks the physical strategy; the VALUES must be identical
+    on both paths (salted_agg's mergeable-algebra contract)."""
+    from observation_lakehouse_spark.functions.skew import auto_agg
+
+    exprs = {"n": ("count", None), "total": ("sum", "x"), "hi": ("max", "x")}
+    for mk in (_skewed, _uniform):
+        df = mk(spark)
+        out = auto_agg(df, ["k"], exprs, salt_buckets=8)
+        expect_salted = mk is _skewed
+        assert (out._chosen_strategy["strategy"] == "salted") is expect_salted
+        got = {r["k"]: (r["n"], round(r["total"], 6), r["hi"]) for r in out.collect()}
+        plain = {
+            r["k"]: (r["n"], round(r["total"], 6), r["hi"])
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("total"),
+                F.max("x").alias("hi"),
+            ).collect()
+        }
+        assert got == plain
