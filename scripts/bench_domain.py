@@ -191,6 +191,33 @@ def main() -> None:
             "max_ms": round(max(lat), 1),
         }
 
+    # First-hit with PLAN PRIMING (plans/serving.QueryCache + forced physical
+    # planning, VERDICT r4 #3): the reference's per-problem loop knows the
+    # problem list before it queries — the Spark analog pre-builds each
+    # problem's DataFrame and forces Catalyst analysis/optimization (driver-
+    # side only, no job, no data touched) while the researcher picks a
+    # problem. The timed first EXECUTION then pays scheduling + scan + fetch
+    # but not planning. Distinct from repeat-hit below: that has executed the
+    # same plan before; this has not.
+    from observation_lakehouse_spark.plans.serving import QueryCache
+
+    primed_cache = QueryCache()
+    primed: dict[str, float] = {}
+    for name, fam in families.items():
+        dfs = {}
+        for k in range(n_samples):
+            pid = f"p_{k:04d}"
+            pdf = primed_cache.get(name, pid, lambda fam=fam, pid=pid: fam(pid))
+            pdf._jdf.queryExecution().executedPlan()  # prime: plan, don't run
+            dfs[pid] = pdf
+        lat = []
+        for k in range(n_samples):
+            pid = f"p_{k:04d}"
+            t0 = time.perf_counter()
+            dfs[pid].toPandas()
+            lat.append((time.perf_counter() - t0) * 1000)
+        primed[name] = round(statistics.median(lat), 1)
+
     # Repeat-hit latency through the plan cache (plans/serving.QueryCache):
     # the reference's loop re-binds a prepared statement; the Spark analog is
     # re-executing a memoized DataFrame, which skips Catalyst re-analysis
@@ -289,6 +316,7 @@ def main() -> None:
         "srm_rows_per_problem": N_TESTS * N_STEPS,
         "impls_per_problem": N_IMPLS,
         "families": result,
+        "first_hit_primed_p50_ms": primed,  # plans pre-built, first execution
         "repeat_hit_p50_ms": repeat,  # plan-cache hits (QueryCache)
         "floor_ms": {
             "trivial_job_p50": round(statistics.median(floor), 1),
