@@ -926,13 +926,18 @@ def bigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # bigram counts, the distinct (bg, w1) vocabulary, the final per-doc
     # join) — without the boundary each consumer re-runs the explode.
     tf = ex.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("tf")).persist()
-    cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    # w1 is functionally dependent on bg (its first word), so grouping by
+    # (bg, w1) folds what used to be a separate distinct-(bg, w1) aggregate
+    # + re-join into the corpus-count aggregate itself — one stage, same
+    # values. cw1 is persisted because it feeds both the conditional-prob
+    # join AND the vocabulary size (V = its row count — no second corpus
+    # explode + two-phase countDistinct needed).
+    cbg = tf.groupBy("bg", "w1").agg(F.sum("tf").alias("c_bg"))
     uni = docs.select(F.explode(toks).alias("w1"))
-    cw1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
-    vocab = uni.agg(F.countDistinct("w1").alias("v"))
+    cw1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")).persist()
+    vocab = cw1.agg(F.count(F.lit(1)).alias("v"))
     lnp = (
-        cbg.join(tf.select("bg", "w1").distinct(), "bg")
-        .join(cw1, "w1")
+        cbg.join(cw1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "bg",
@@ -961,5 +966,5 @@ def bigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         )
         .orderBy("doc_id")
     )
-    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
+    out._cached_deps = (tf, cw1)  # noqa: SLF001 — released by the caller
     return out
