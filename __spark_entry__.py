@@ -1511,6 +1511,95 @@ ORDER BY id_a, id_b
 """
 
 
+def q_minhash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup batch ADMISSION (operators/dedup.py:minhash_lsh_admit): every
+    10th document plays the incoming batch, the rest the existing corpus;
+    each new doc gets a per-doc verdict — admitted, or flagged with its
+    best-matching corpus doc and Jaccard. The LSH bucket join is the only
+    batch x corpus contact (production keeps the corpus side as a persisted
+    signature table). Same literal coefficient family as minhash_lsh_dedup,
+    so the DuckDB oracle recomputes identical signatures and verdicts."""
+    from observation_lakehouse_spark.operators.dedup import minhash_lsh_admit
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 3)
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    return minhash_lsh_admit(
+        new, corpus, shingle_size=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def _minhash_admit_oracle(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of q_minhash_admit: the _minhash_oracle CTE chain with the
+    batch/corpus split, a per-new-doc rounded-sim argmax (ties to smallest
+    corpus id), and a left join back to the full batch."""
+    from observation_lakehouse_spark.operators.dedup import minhash_coeffs
+
+    P, M = _MINHASH_P, _MINHASH_MULT
+    rows_per_band = num_hashes // bands
+    slots = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{key}] AS key FROM sig".format(
+            b=b,
+            key=", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), hh AS (
+    SELECT doc_id,
+           list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {P}) AS hh
+    FROM tk WHERE len(toks) > 0
+), sh AS MATERIALIZED (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(hh) >= 3
+                THEN list_transform(range(1, len(hh) - 1), i -> ((hh[i] * {M} + hh[i+1]) % {P} * {M} + hh[i+2]) % {P})
+                ELSE [list_reduce(hh, (a, b) -> (a * {M} + b) % {P})] END) AS sh
+    FROM hh
+), shr AS (
+    SELECT doc_id, unnest(sh) AS h FROM sh
+), sig AS MATERIALIZED (
+    SELECT doc_id,
+           {slots}
+    FROM shr GROUP BY doc_id
+), bands AS MATERIALIZED (
+    {band_rows}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+    FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+    WHERE l.doc_id % 10 = 3 AND r.doc_id % 10 <> 3
+), ver AS (
+    SELECT new_id, old_id,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim
+    FROM cand JOIN sh a ON a.doc_id = new_id JOIN sh b ON b.doc_id = old_id
+    WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {threshold}
+), best AS (
+    SELECT new_id, old_id, jaccard_sim,
+           ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY jaccard_sim DESC, old_id) AS rn
+    FROM ver
+)
+SELECT d.doc_id,
+       (b.old_id IS NULL) AS admitted,
+       b.old_id AS dup_of,
+       b.jaccard_sim
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 3) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 3 — fully oracle-checked via the
     md5-prefix bit family (functions.text.md5_hi32/md5_lo32)."""
@@ -4339,6 +4428,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "salted_agg": q_salted_agg,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "minhash_admit": q_minhash_admit,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -4451,6 +4541,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),
         "minhash_lsh_dedup": _minhash_oracle(),
+        "minhash_admit": _minhash_admit_oracle(),
         "simhash_dedup": _simhash_oracle(),
         "doc_fingerprints": _ORACLE_DOC_FP,
         "funnel": _ORACLE_FUNNEL,

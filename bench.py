@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard",
     "minhash_lsh_dedup",
+    "minhash_admit",
     "simhash_dedup",
     "embedding_near_dup",
     "embedding_near_dup_lsh",

@@ -38,6 +38,7 @@ from observation_lakehouse_spark.operators.clustering import (
 from observation_lakehouse_spark.operators.dedup import (
     decontaminate,
     exact_dedup,
+    minhash_lsh_admit,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
@@ -82,6 +83,7 @@ __all__ = [
     "dataset_stats",
     "per_problem_stats",
     "exact_dedup",
+    "minhash_lsh_admit",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",

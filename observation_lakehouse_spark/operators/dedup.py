@@ -238,6 +238,117 @@ def minhash_lsh_dedup(
     return _with_cached_deps(verified.orderBy("id_a", "id_b"), cached, sigs)
 
 
+def minhash_lsh_admit(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup batch admission: the MinHash-signature composition that
+    :func:`incremental_dedup`'s docstring promises. Each incoming doc is
+    checked against the EXISTING corpus through banded LSH — candidates only
+    form where a new doc and a corpus doc share a band key, then exact
+    Jaccard verifies — and the verdict is per NEW doc:
+
+        (doc_id, admitted, dup_of, jaccard_sim)
+
+    ``admitted`` is true iff no corpus doc has Jaccard ≥ threshold;
+    otherwise ``dup_of`` is the best-matching corpus doc (highest rounded
+    similarity, ties to the smallest id — fully deterministic).
+
+    Scale shape: signatures for batch + corpus come from the same explode +
+    MIN-aggregate pipeline as :func:`minhash_lsh_dedup` (in production the
+    corpus side is the persisted signature table — computed once at ingest,
+    not per batch); the only join is new-bands x corpus-bands on the 16-byte
+    bucket key, so per-batch cost tracks the batch's bucket occupancy, never
+    corpus x batch. Ids must be distinct across the two inputs.
+    """
+    rows_per_band = num_hashes // bands
+    uni = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.lit(False).alias("is_new"),
+    ).unionByName(
+        new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    # Same persist rationale as minhash_lsh_dedup: the hashed shingle sets
+    # feed the signature path AND the pairwise verification.
+    cached = parallelize_scan(uni).select(
+        "doc_id",
+        "is_new",
+        hashed_word_shingles("_text", shingle_size).alias("sh_hashes"),
+    ).persist()
+    base = cached.filter(F.size("sh_hashes") > 0)
+    exploded = base.select("doc_id", "is_new", F.explode("sh_hashes").alias("h"))
+    coeffs = minhash_coeffs(num_hashes)
+    slot_mins = exploded.groupBy("doc_id", "is_new").agg(
+        *[
+            F.expr(f"min(pmod(h * {a}L + {b}L, {_MINHASH_PRIME}L)) AS s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    sigs = slot_mins.select(
+        "doc_id",
+        "is_new",
+        F.expr("array(" + ", ".join(f"s{i}" for i in range(num_hashes)) + ")").alias(
+            "sig"
+        ),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "is_new",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"),
+    ).select("doc_id", "is_new", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    l = banded.filter(F.col("is_new")).alias("l")
+    r = banded.filter(~F.col("is_new")).alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
+        .select(F.col("l.doc_id").alias("new_id"), F.col("r.doc_id").alias("old_id"))
+        .distinct()
+    )
+    sh = base
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_id"), F.col("sh_hashes").alias("sh_n")),
+            "new_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("old_id"), F.col("sh_hashes").alias("sh_o")),
+            "old_id",
+        )
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_n"), F.col("sh_o")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    # Deterministic argmax: rank on the ROUNDED similarity (both engines see
+    # identical IEEE ratios, so the rounded ordering + id tie-break agree).
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard_sim"), F.asc("old_id"))
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_id", "old_id", "jaccard_sim")
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.col("old_id").isNull().alias("admitted"),
+            F.col("old_id").alias("dup_of"),
+            "jaccard_sim",
+        )
+        .orderBy("doc_id")
+    )
+    return _with_cached_deps(out, cached)
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -120,11 +120,30 @@ def main() -> None:
     docs_k.count(), ev_k.count(), li_k.count()
 
     from observation_lakehouse_spark.operators.dedup import (
+        bloom_decontaminate,
         dup_span_stats,
         exact_dedup,
         minhash_lsh_dedup,
         ngram_jaccard_pairs,
     )
+
+    def _part_cooccurrence(li_df: DataFrame) -> DataFrame:
+        # q_part_cooccurrence's shape (see __spark_entry__.py) over any
+        # lineitem replica: distinct (order, part) -> order-keyed self-join
+        # -> pair aggregate -> top-k.
+        op = li_df.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        a, b = op.alias("a"), op.alias("b")
+        pairs = a.join(
+            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+        ).select(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        return (
+            pairs.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "part_a", "part_b")
+            .limit(20)
+        )
     from observation_lakehouse_spark.operators.sessionization import sessionize_batch
     from observation_lakehouse_spark.operators.text import (
         bigram_xent,
@@ -159,6 +178,16 @@ def main() -> None:
         ("gap_fill", ev, ev_k, lambda d: gap_fill(d, "user_id", "ts", "value",
                                                   6 * 3600 * 1_000_000)),
         ("rolling_active", ev, ev_k, lambda d: rolling_active_entities(d, "user_id", "ts")),
+        # corpus side scales, benchmark/filter side fixed — the probe shows
+        # the map-side-probe claim (cost linear in corpus grams):
+        ("bloom_decontaminate (corpus-side probe)", docs, docs_k,
+         lambda d: bloom_decontaminate(
+             d.filter(F.col("doc_id") % 20 != 7),
+             docs.filter(F.col("doc_id") % 20 == 7),
+             ngram=5, min_hits=3)),
+        # basket self-join: pairs grow with basket size, not corpus size
+        ("part_cooccurrence (basket self-join + top-k)", li, li_k,
+         lambda d: _part_cooccurrence(d)),
     ]
 
     lines = [

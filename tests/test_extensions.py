@@ -352,3 +352,30 @@ def test_ngram_jaccard_pairs_custom_shingle_fn(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
     assert got[0]["jaccard_sim"] > 0.7
+
+
+def test_minhash_lsh_admit_verdicts(spark):
+    """Batch admission: an exact dup and a near-dup of corpus docs are
+    rejected with the right dup_of; novel text is admitted."""
+    from observation_lakehouse_spark.operators.dedup import minhash_lsh_admit
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different corpus content about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "unrelated brand new document text with novel words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["admitted"], r["dup_of"])
+        for r in minhash_lsh_admit(new, corpus, threshold=0.5).collect()
+    }
+    assert got[10] == (False, 1)
+    assert got[11] == (True, None)
