@@ -3930,6 +3930,55 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(docs, "text", "doc_id", ngram=8)
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/dedup.py:remove_dup_spans) — the
+    cleaning half of ExactSubstr dedup (Lee et al. 2021): tokens covered by
+    any 8-gram occurring >= 2 times anywhere in the corpus are cut and the
+    text rebuilt. Positional grams + occurrence count + array-native
+    reconstruction (array_except on positions) — tokens never shuffle."""
+    from observation_lakehouse_spark.operators.dedup import remove_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, "text", "doc_id", ngram=8)
+
+
+def _remove_dup_spans_oracle(n: int = 8) -> str:
+    """DuckDB twin of q_remove_dup_spans: same positional windows (list
+    slices), same >= 2 occurrence rule, same covered-position rebuild."""
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), gr AS MATERIALIZED (
+    SELECT doc_id, u.s AS s, u.g AS g
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - {n} + 2),
+                        i -> {{'s': i, 'g': array_to_string(toks[i : i + {n} - 1], ' ')}})) AS u
+          FROM tk WHERE len(toks) >= {n})
+), cnt AS (
+    SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2
+), cov AS (
+    SELECT doc_id, list(DISTINCT p) AS cov
+    FROM (SELECT gr.doc_id AS doc_id, unnest(range(gr.s, gr.s + {n})) AS p
+          FROM gr JOIN cnt USING (g))
+    GROUP BY doc_id
+), rebuilt AS (
+    SELECT t.doc_id AS doc_id, t.toks AS toks,
+           list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                           p -> c.cov IS NULL OR NOT list_contains(c.cov, p)),
+               p -> t.toks[p]) AS kept
+    FROM tk t LEFT JOIN cov c ON c.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS INT) AS n_removed,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text
+FROM rebuilt ORDER BY doc_id
+"""
+
+
 _ORACLE_DUP_SPANS = """
 WITH tk AS (
     SELECT doc_id,
@@ -4482,6 +4531,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "semantic_dedup": q_semantic_dedup,
         "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "rolling_active": q_rolling_active,
         "gap_fill_interp": q_gap_fill_interp,
         "skew_profile": q_skew_profile,
@@ -4587,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match": _ORACLE_FUZZY_MATCH,
         "semantic_dedup": _semantic_dedup_oracle(),
         "dup_span_stats": _ORACLE_DUP_SPANS,
+        "remove_dup_spans": _remove_dup_spans_oracle(),
         "rolling_active": _ORACLE_ROLLING_ACTIVE,
         "gap_fill_interp": _ORACLE_GAP_FILL_INTERP,
         "skew_profile": _ORACLE_SKEW_PROFILE,

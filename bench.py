@@ -114,6 +114,7 @@ HEADLINE = [
     "fuzzy_match",
     "semantic_dedup",
     "dup_span_stats",
+    "remove_dup_spans",
     "rolling_active",
     "gap_fill_interp",
     "skew_profile",

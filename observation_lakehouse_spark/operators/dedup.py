@@ -880,3 +880,79 @@ def dup_span_stats(
         .orderBy("doc_id")
     )
     return _with_cached_deps(out, g)
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the cleaning half of substring-level dedup
+    (Lee et al. 2021, arXiv:2107.06499, ExactSubstr; :func:`dup_span_stats`
+    is the profiling half). A token position is *covered* when any
+    ``ngram``-token window containing it occurs at >= 2 positions anywhere
+    in the corpus (cross-doc boilerplate AND within-doc repetition); covered
+    tokens are removed and the survivors re-join with single spaces.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text), ordered by doc_id.
+    Docs shorter than ``ngram`` tokens have no windows and are never cut.
+
+    Shape: positional windows via the zip_with shingle chain + posexplode
+    (start index = explode position — no per-doc window needed), one
+    map-side-combined occurrence count over 8-byte gram hashes, a re-join
+    keyed by the hash to recover duplicated starts, covered positions
+    folded to ONE array row per doc, and the text rebuilt ARRAY-SIDE with
+    an index-aware ``filter`` lambda — reconstruction never shuffles
+    tokens, only the (doc, covered-positions) pairs. Nothing is
+    pair-quadratic: hot grams cost their occurrence count, never df².
+    Gram identity is xxhash64 (collisions ~(distinct grams)²/2⁻⁶⁴ — the
+    string-counting oracle agrees at any realistic corpus).
+    """
+    toks = lower_tokens(text_col)
+    # Positional (non-distinct) windows: index i holds the window STARTING at
+    # token i; tails where the window would run off the end stay NULL and are
+    # dropped AFTER posexplode so surviving positions are the true starts.
+    acc = toks
+    for k in range(1, ngram):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    base = parallelize_scan(df).select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), acc.alias("wins")
+    ).persist()
+    g = (
+        base.select("doc_id", F.posexplode("wins").alias("p0", "w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("start"), F.xxhash64("w").alias("gram"))
+        .persist()
+    )
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    cov = (
+        g.join(counts.filter(F.col("_n") >= 2), "gram")
+        .select("doc_id", F.explode(F.sequence("start", F.col("start") + ngram - 1)).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    # Reconstruction is array-native, not a per-token membership lambda:
+    # kept positions = sequence(1..n) MINUS covered (one hash set-difference
+    # per row; array_except preserves the left array's order, so positions
+    # stay ascending), then one element_at per survivor.
+    kept = F.transform(
+        F.array_except(
+            F.sequence(F.lit(1), F.size("toks")),
+            F.coalesce("cov", F.array().cast("array<int>")),
+        ),
+        lambda p: F.element_at(F.col("toks"), p),
+    )
+    out = (
+        base.join(cov, "doc_id", "left")
+        .select("doc_id", F.size("toks").alias("n_tokens"), kept.alias("_kept"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).alias("n_removed"),
+            F.array_join("_kept", " ").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+    return _with_cached_deps(out, base, g)

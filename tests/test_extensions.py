@@ -379,3 +379,39 @@ def test_minhash_lsh_admit_verdicts(spark):
     }
     assert got[10] == (False, 1)
     assert got[11] == (True, None)
+
+
+def test_remove_dup_spans_cuts_shared_boilerplate(spark):
+    from observation_lakehouse_spark.operators.dedup import remove_dup_spans
+
+    boiler = "this license text is repeated verbatim across many documents here"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one alpha beta gamma"),
+            (2, boiler + " another distinct ending with different words entirely"),
+            (3, "totally original content with no shared eight gram runs at all"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs, ngram=8).collect()}
+    # the 10-token boilerplate is covered in both carriers; unique tails stay
+    assert got[1]["n_removed"] == 10 and got[1]["clean_text"] == "unique tail one alpha beta gamma"
+    assert got[2]["n_removed"] == 10
+    assert got[3]["n_removed"] == 0
+    # shorter than the gram window -> never cut
+    assert got[4]["n_removed"] == 0 and got[4]["clean_text"] == "short doc"
+
+
+def test_remove_dup_spans_catches_within_doc_repetition(spark):
+    from observation_lakehouse_spark.operators.dedup import remove_dup_spans
+
+    run = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, run + " filler " + run), (2, "nothing shared with that document at all here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs, ngram=8).collect()}
+    # the 8-token run occurs at two positions inside doc 1 -> both covered
+    assert got[1]["n_removed"] == 16 and got[1]["clean_text"] == "filler"
+    assert got[2]["n_removed"] == 0
