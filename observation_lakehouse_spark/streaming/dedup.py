@@ -36,3 +36,86 @@ def dedup_stream(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def near_dedup_admit_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    table,
+    checkpoint: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    available_now: bool = False,
+    **lsh_kwargs,
+):
+    """Continuous NEAR-dup admission — the streaming twin of
+    :func:`~observation_lakehouse_spark.operators.dedup.minhash_lsh_admit`.
+
+    Each micro-batch is admitted against the standing corpus = the static
+    ``corpus`` PLUS everything this stream already admitted into ``table``
+    (an :class:`~observation_lakehouse_spark.transaction.AtomicParquetTable`
+    — its snapshot read makes admission read-your-writes across batches, so
+    a near-dup of a doc admitted two batches ago is rejected). Within a
+    batch, near-dup pairs resolve lowest-id-wins first (the same rule as
+    :func:`~..operators.dedup.deduplicate`), then survivors face the corpus.
+
+    Exactly-once: the admitted-rows append commits under a (checkpoint,
+    batch_id) idempotency key in the same atomic manifest publish — a
+    replayed batch is recognized and skipped, so no duplicate admissions
+    (the same argument as streaming/mv_refresh.py; replay here would be
+    worse than duplicate rows, it would seed the corpus with copies that
+    then reject legitimate future documents' near-dup verdicts... of
+    themselves).
+
+    At scale the per-batch cost is the LSH bucket join of batch x standing
+    corpus (production keeps the corpus side as a maintained signature
+    table); batch-internal resolution is pair-count-bounded by bucket
+    occupancy, never batch².
+    """
+    import uuid as _uuid
+
+    from observation_lakehouse_spark.operators.dedup import (
+        minhash_lsh_admit,
+        minhash_lsh_dedup,
+        release_cached,
+    )
+
+    ckpt = checkpoint or f"/tmp/near_dedup_ckpt_{_uuid.uuid4().hex}"
+    ckpt_id = _uuid.uuid5(_uuid.NAMESPACE_URL, ckpt).hex
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            # intra-batch: drop any doc near-dup'ing a smaller-id batch doc
+            pairs = minhash_lsh_dedup(
+                batch_df, text_col, id_col, threshold=threshold, **lsh_kwargs
+            )
+            # anti-join, not a collect: the loser set is data-sized
+            survivors = batch_df.join(
+                pairs.select(F.col("id_b").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            standing = corpus.select(id_col, text_col).unionByName(
+                table.read().select(id_col, text_col)
+            )
+            verdict = minhash_lsh_admit(
+                survivors, standing, text_col, id_col, threshold=threshold, **lsh_kwargs
+            )
+            admitted_ids = verdict.filter(F.col("admitted")).select(
+                F.col("doc_id").alias("_adm_id")
+            )
+            admitted = survivors.join(
+                admitted_ids, survivors[id_col] == F.col("_adm_id"), "semi"
+            )
+            table.append(admitted, idempotency_key=f"neardedup:{ckpt_id}:{batch_id}")
+            release_cached(verdict)
+            release_cached(pairs)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(admit).option("checkpointLocation", ckpt)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
