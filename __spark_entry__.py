@@ -3031,6 +3031,43 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store (operators/similarity
+    .py:quantize_embeddings) — per-vector symmetric SQ8 codes + exact integer
+    anchors (qsum/qmax) + worst reconstruction error. Pure array algebra on
+    the scan; the 4x memory/IO cut a 100 TB vector store takes before ANN."""
+    from observation_lakehouse_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+_ORACLE_EMBEDDING_QUANTIZE = """
+WITH d AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM d
+), qq AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> CASE WHEN scale > 0
+                THEN CAST(round(x / scale) AS INT) ELSE 0 END) AS qvec
+    FROM s
+)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS n_dims,
+       ROUND(scale, 9) AS scale,
+       COALESCE(array_to_string(qvec, ','), '') AS qvec,
+       CAST(list_sum(qvec) AS BIGINT) AS qsum,
+       CAST(list_max(qvec) AS INT) AS qmax,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - qvec[i] * scale))), 6) AS max_abs_err
+FROM qq ORDER BY vec_id
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregate over the embedding column: per-label centroid, one
     (label, dimension) hash aggregate via posexplode — the shuffle carries
@@ -4513,6 +4550,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_quantize": q_embedding_quantize,
         "part_cooccurrence": q_part_cooccurrence,
         "regression_stats": q_regression_stats,
         "chargram_jaccard": q_chargram_jaccard,
@@ -4619,6 +4657,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
+        "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
         "part_cooccurrence": _ORACLE_PART_COOCCUR,
         "regression_stats": _ORACLE_REGRESSION,
         "chargram_jaccard": _ORACLE_CHARGRAM,

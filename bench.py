@@ -69,6 +69,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "ann_cosine_topk",
     "embedding_centroids",
+    "embedding_quantize",
     "ann_lsh_topk",
     "srm_output_map",
     "text_quality",

@@ -415,3 +415,21 @@ def test_remove_dup_spans_catches_within_doc_repetition(spark):
     # the 8-token run occurs at two positions inside doc 1 -> both covered
     assert got[1]["n_removed"] == 16 and got[1]["clean_text"] == "filler"
     assert got[2]["n_removed"] == 0
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from observation_lakehouse_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = got[1]
+    assert r1["qvec"] == "127,-64,32,0"  # scale = 1/127
+    assert r1["qmax"] == 127 and r1["qsum"] == 127 - 64 + 32
+    # SQ8 guarantee: |x - q*scale| <= scale/2
+    assert r1["max_abs_err"] <= round(1.0 / 127.0 / 2, 6) + 1e-9
+    # zero vector: scale 0, all-zero codes, zero error
+    r2 = got[2]
+    assert r2["scale"] == 0.0 and r2["qvec"] == "0,0,0,0" and r2["max_abs_err"] == 0.0
