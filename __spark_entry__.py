@@ -1045,7 +1045,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_ORACLE_DUP_CLUSTERS = """
+_DUP_CLUSTERS_CTES = """
 WITH RECURSIVE tk AS (
     SELECT doc_id,
            list_transform(
@@ -1085,11 +1085,17 @@ WITH RECURSIVE tk AS (
     SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN comps c USING (doc_id)
 )
+"""
+
+_ORACLE_DUP_CLUSTERS = (
+    _DUP_CLUSTERS_CTES
+    + """
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM assigned
 ORDER BY doc_id
 """
+)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1895,6 +1901,70 @@ SELECT doc_id,
        AS DOUBLE) / 10000000.0 AS quality_score
 FROM toks
 """
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: duplicate clusters (the same prefix-filtered
+    pair join + connected components as q_dup_clusters) resolved to ONE
+    canonical keeper per cluster by QUALITY, not lowest-id — the highest
+    quality_score wins, ties to the smallest doc_id. This is what a corpus
+    actually feeds to training: the best representative of every near-dup
+    family. All building blocks are the already-oracle-checked operators;
+    the composition re-proves them end-to-end."""
+    from observation_lakehouse_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pair_plan = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", block_col=None,
+        shingle_size=3, threshold=0.5,
+    )
+    # identical pair plan to q_dup_clusters -> the session's CacheManager
+    # shares the materialized edge table between the two queries
+    pairs = pair_plan.select("id_a", "id_b").persist()
+    clusters = dedup_clusters(docs, pairs)
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    out = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "cluster_size",
+            "quality_score",
+        )
+        .orderBy("cluster_id")
+    )
+    out._cached_deps = (  # noqa: SLF001
+        pairs,
+        *getattr(clusters, "_cached_deps", ()),
+        *getattr(pair_plan, "_cached_deps", ()),
+    )
+    return out
+
+
+def _canonical_docs_oracle() -> str:
+    """dup_clusters' recursive-CTE component resolution + the text-quality
+    scored CTE + a per-cluster quality argmax (ties to smallest doc_id)."""
+    return (
+        _DUP_CLUSTERS_CTES
+        + f""",
+scored AS (
+{_ORACLE_TEXT_QUALITY}
+)
+SELECT cluster_id, kept_doc_id, cluster_size, quality_score FROM (
+    SELECT a.cluster_id AS cluster_id, a.doc_id AS kept_doc_id,
+           COUNT(*) OVER (PARTITION BY a.cluster_id) AS cluster_size,
+           q.quality_score AS quality_score,
+           ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                              ORDER BY q.quality_score DESC, a.doc_id) AS rn
+    FROM assigned a JOIN scored q ON q.doc_id = a.doc_id
+) WHERE rn = 1 ORDER BY cluster_id
+"""
+    )
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4455,6 +4525,9 @@ _HEAVY_FIRST = [
     "incremental_mv",
     "bloom_decontaminate",
     "dup_clusters",
+    "canonical_docs",
+    "remove_dup_spans",
+    "minhash_admit",
     "dup_span_stats",
     "ngram_jaccard",
     "bigram_xent",
@@ -4503,6 +4576,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "canonical_docs": q_canonical_docs,
         "stratified_sample": q_stratified_sample,
         "window_analytics": q_window_analytics,
         "percentiles": q_percentiles,
@@ -4609,6 +4683,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "dup_clusters": _ORACLE_DUP_CLUSTERS,
+        "canonical_docs": _canonical_docs_oracle(),
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "window_analytics": _ORACLE_WINDOW_ANALYTICS,
         "percentiles": _ORACLE_PERCENTILES,

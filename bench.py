@@ -109,6 +109,7 @@ HEADLINE = [
     "decontaminate",
     "bloom_decontaminate",
     "dup_clusters",
+    "canonical_docs",
     "gap_fill",
     "time_weighted_avg",
     "counter_increase",
