@@ -302,11 +302,16 @@ def minhash_lsh_admit(
             "sig"
         ),
     )
+    # persist: the band table feeds BOTH sides of the bucket join — without
+    # the boundary each side re-runs the signature aggregate. N x bands rows
+    # of 16-byte keys; in production this IS the maintained signature table.
     banded = sigs.select(
         "doc_id",
         "is_new",
         F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"),
-    ).select("doc_id", "is_new", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    ).select(
+        "doc_id", "is_new", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    ).persist()
     l = banded.filter(F.col("is_new")).alias("l")
     r = banded.filter(~F.col("is_new")).alias("r")
     cand = (
@@ -346,7 +351,7 @@ def minhash_lsh_admit(
         )
         .orderBy("doc_id")
     )
-    return _with_cached_deps(out, cached)
+    return _with_cached_deps(out, cached, banded)
 
 
 def simhash_fingerprints(
