@@ -107,7 +107,10 @@ def main() -> None:
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    spark = get_spark("scale-probe")
+    # the probe holds three Kx replicas persisted PLUS pair-aggregate maps;
+    # it is a diagnostic script, not the driver's 1g query gate — give its
+    # own process a real heap (must be set before the JVM launches).
+    spark = get_spark("scale-probe", extra_conf={"spark.driver.memory": "4g"})
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     docs = entrymod._t(spark, sf_dir, "documents").persist()
@@ -130,8 +133,10 @@ def main() -> None:
     def _part_cooccurrence(li_df: DataFrame) -> DataFrame:
         # q_part_cooccurrence's shape (see __spark_entry__.py) over any
         # lineitem replica: distinct (order, part) -> order-keyed self-join
-        # -> pair aggregate -> top-k.
-        op = li_df.select(
+        # -> pair aggregate -> top-k. Half the order book at both scales:
+        # the 8x replica's pair aggregate exceeds the probe session's heap
+        # at full width, and alpha only needs the same fraction on each side.
+        op = li_df.filter(F.col("l_orderkey") % 2 == 0).select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         ).distinct()
         a, b = op.alias("a"), op.alias("b")
