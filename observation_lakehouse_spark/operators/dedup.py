@@ -942,11 +942,14 @@ def remove_dup_spans(
     # kept positions = sequence(1..n) MINUS covered (one hash set-difference
     # per row; array_except preserves the left array's order, so positions
     # stay ascending), then one element_at per survivor.
+    # sequence(1, 0) would yield a DESCENDING [1, 0] (negative default step)
+    # for a zero-token doc, so the position list must be guarded empty
+    # (property test caught it: docs=[[], []]).
+    positions = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.transform(
-        F.array_except(
-            F.sequence(F.lit(1), F.size("toks")),
-            F.coalesce("cov", F.array().cast("array<int>")),
-        ),
+        F.array_except(positions, F.coalesce("cov", F.array().cast("array<int>"))),
         lambda p: F.element_at(F.col("toks"), p),
     )
     out = (

@@ -206,3 +206,90 @@ def test_prefix_filtered_jaccard_is_lossless(spark_global, docs, threshold):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     release_cached(out)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=docs_strategy, ngram=st.sampled_from([2, 3]))
+def test_remove_dup_spans_matches_bruteforce(spark_global, docs, ngram):
+    """remove_dup_spans must cut EXACTLY the positions a brute-force
+    positional scan marks: token p covered iff some n-window containing p
+    occurs at >= 2 start positions anywhere — for ANY corpus, including
+    heavy within-doc repetition the synthetic oracle corpus lacks."""
+    from collections import Counter
+
+    from observation_lakehouse_spark.operators.dedup import (
+        release_cached,
+        remove_dup_spans,
+    )
+
+    toks = [[t.lower() for t in d] for d in docs]
+    counts = Counter()
+    for d in toks:
+        for i in range(len(d) - ngram + 1):
+            counts[tuple(d[i : i + ngram])] += 1
+    expected = {}
+    for di, d in enumerate(toks):
+        covered = set()
+        for i in range(len(d) - ngram + 1):
+            if counts[tuple(d[i : i + ngram])] >= 2:
+                covered.update(range(i, i + ngram))
+        kept = [t for p, t in enumerate(d) if p not in covered]
+        expected[di] = (len(d), len(d) - len(kept), " ".join(kept))
+
+    df = spark_global.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    out = remove_dup_spans(df, ngram=ngram)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in out.collect()
+    }
+    release_cached(out)
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=docs_strategy)
+def test_minhash_admit_agrees_with_pair_dedup(spark_global, docs):
+    """Consistency invariant binding the two MinHash operators: a new doc is
+    REJECTED by minhash_lsh_admit iff minhash_lsh_dedup over the union finds
+    a cross (new, corpus) pair for it — identical signatures, bands and
+    verification on both paths, so the verdicts may never diverge."""
+    from observation_lakehouse_spark.operators.dedup import (
+        minhash_lsh_admit,
+        minhash_lsh_dedup,
+        release_cached,
+    )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    new_rows = [r for r in rows if r[0] % 2 == 0]
+    corpus_rows = [r for r in rows if r[0] % 2 == 1]
+    if not new_rows or not corpus_rows:
+        return
+    schema = "doc_id long, text string"
+    new_df = spark_global.createDataFrame(new_rows, schema)
+    corpus_df = spark_global.createDataFrame(corpus_rows, schema)
+    union_df = spark_global.createDataFrame(rows, schema)
+
+    kw = dict(shingle_size=3, num_hashes=32, bands=8, threshold=0.5)
+    verdict = minhash_lsh_admit(new_df, corpus_df, **kw)
+    got_rejected = {
+        r["doc_id"]: r["dup_of"] for r in verdict.collect() if not r["admitted"]
+    }
+    release_cached(verdict)
+
+    pairs = minhash_lsh_dedup(union_df, **kw)
+    cross = {}
+    for r in pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        for new, old in ((a, b), (b, a)):
+            if new % 2 == 0 and old % 2 == 1:
+                sim_key = (r["jaccard_sim"], -old)
+                best = cross.get(new)
+                # same argmax rule as admit: highest rounded sim, smallest id
+                if best is None or sim_key > best[0]:
+                    cross[new] = (sim_key, old)
+    release_cached(pairs)
+    assert set(got_rejected) == set(cross)
+    for new, (_, old) in cross.items():
+        assert got_rejected[new] == old, (new, old, got_rejected[new])
