@@ -241,3 +241,35 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     assert out[1]["n_words"] == 2 and out[1]["n_pieces"] == 8
     assert out[1]["n_chars_tokenized"] == 12  # chars survive merging intact
     assert out[2]["n_pieces"] == 3 and out[2]["pieces_per_word"] == 1.0
+
+
+def test_chunk_udtf_matches_relational_chunker(spark):
+    """SURVEY §2.10's table-function slot: the Python UDTF must emit exactly
+    the rows the codegen relational twin derives — including the trailing
+    partial window and the no-token case."""
+    from observation_lakehouse_spark.functions.udtf import ChunkTextUDTF
+    from observation_lakehouse_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "one two"),
+            (3, "   "),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    spark.udtf.register("chunk_text", ChunkTextUDTF)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM udtf_docs d, "
+            "LATERAL chunk_text(d.text, 3, 3) c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=3).collect()
+    }
+    assert got == want and len(got) == 4  # 3 chunks for doc 1, 1 for doc 2
