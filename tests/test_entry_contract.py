@@ -53,3 +53,22 @@ def test_differential_sample(spark, duck, name):
     want = duck.execute(entry.oracle_sql()[name]).fetchdf()
     problems = compare(name, got, want)
     assert not problems, problems
+
+
+def test_bench_helpers_shape(spark):
+    """bench.py's heavy section and load canary are driver-facing artifacts:
+    the five capped heavies must build real DataFrames and the canary must
+    return a positive median."""
+    import bench
+
+    hq = bench.heavy_queries(spark, "/root/testdata/sf0.001")
+    assert set(hq) == {
+        "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train", "bpe_encode",
+    }
+    for name, (fn, params) in hq.items():
+        assert isinstance(params, str) and params, name
+    # cheapest heavy actually runs end to end at sf0.001
+    df = hq["bpe_encode"][0](spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
+    assert bench.trivial_job_p50_ms(spark) > 0
+    assert bench.CANARY_REF_TRIVIAL_MS > 0
