@@ -1606,6 +1606,166 @@ ORDER BY doc_id
 """
 
 
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Trained PQ codebooks (m=4 sub-vectors x k=8 centroids x 16 dims): 3
+    Lloyd iterations of operators.similarity.train_pq_codebooks over the
+    sf0.01 embeddings (deterministic hash-sample init), frozen as literals —
+    the same train-on-a-sample-then-freeze flow as _ivf_centroids, and the
+    same stale-drop contract: literals keep BOTH engines bit-identical on
+    any future testdata, only reconstruction quality drifts."""
+    return [
+        [  # sub-vector 0 (dims 0..15)
+            [0.062885, 0.015859, 0.087188, 0.021557, -0.074567, 0.053244, 0.035895, 0.063638, 0.063488, -0.143897, 0.112921, 0.10055, 0.065737, -0.038473, -0.005748, 0.072023],
+            [0.010286, 5.9e-05, -0.041234, 0.064912, 0.044131, -0.00561, -0.098311, -0.01973, -0.051182, -0.104613, 0.028086, -0.011908, -0.034469, -0.004115, 0.044444, -0.03704],
+            [0.01362, 0.017863, 0.031976, 0.031227, 0.003141, -0.139965, 0.036404, 0.097225, -0.059136, 0.06802, -0.075485, 0.049174, 0.071362, 0.04428, 0.029233, 0.033001],
+            [-0.047663, -0.027019, 0.099266, -0.001002, -0.013491, 0.032459, -0.079251, 0.019327, -0.029398, 0.12518, -0.037787, -0.024327, 0.091549, -0.117435, 0.052189, -0.031246],
+            [-0.042414, -0.008057, -0.026752, 0.046158, 0.009877, 0.065806, 0.049103, 0.061643, -0.033803, 0.119511, 0.052413, 0.085446, -0.118575, 0.03973, -0.049361, -0.027299],
+            [0.005513, -0.004234, 0.014642, -0.037303, 0.086848, 0.023201, 0.033504, -0.00625, 0.020743, -0.017358, 0.082474, -0.094143, 0.023139, -0.003263, -0.025362, 0.030084],
+            [0.043147, -0.00336, -0.013777, -0.057622, -0.128038, -0.044524, -0.010282, -0.017456, 0.053574, -0.0372, -0.003929, -0.05285, -0.072295, 0.031421, -0.01989, -0.080724],
+            [-0.005869, -0.015948, -0.022281, -0.078243, 0.027963, 0.068903, -0.061033, -0.037456, 0.03925, 0.002956, -0.093536, 0.0813, 0.017645, 0.02298, -0.018659, 0.104572],
+        ],
+        [  # sub-vector 1 (dims 16..31)
+            [0.05445, -0.000351, -0.009735, -0.129706, 0.088377, -0.013281, 0.032746, -0.043397, 0.002061, 0.070364, -0.047276, 0.030334, 0.032403, 0.002174, 0.032146, 0.000926],
+            [0.038647, 0.053918, 0.013995, -0.023897, 0.00627, 0.070096, 0.122892, -0.11895, -0.064968, -0.045988, 0.055042, 0.054048, -0.110635, 0.02289, -0.004085, -0.006898],
+            [-0.035832, -0.100521, -0.104539, 0.041512, -0.003438, 0.000558, 0.019454, -0.009757, 0.064038, 0.021951, -0.049878, -0.009534, 0.003182, 0.016346, 0.054941, -0.017294],
+            [0.071771, -0.001337, 0.034343, -0.026024, -0.087564, -0.027398, -0.022328, 0.051652, -0.013396, 0.004238, 0.050477, -0.027636, 0.045943, -0.101932, 0.023059, -0.003624],
+            [-0.098739, 0.019164, 0.063364, -0.038336, -0.071369, 0.109379, -0.012046, 0.035133, 0.068803, 0.111347, 0.098881, -0.022579, -0.011426, 0.021377, -0.019189, 0.007292],
+            [-0.056363, 0.029854, 0.030143, 0.066397, 0.009953, -0.038032, -0.041464, 0.004221, -0.080651, 0.066916, -0.02532, 0.013374, 0.00297, 0.078318, -0.083659, -0.026715],
+            [0.109055, 0.00904, 0.029045, 0.0618, 0.082087, 0.028714, -0.077851, 0.040799, 0.000669, -0.059203, -0.016221, 0.096549, -0.013011, -0.049673, -0.080813, 0.064676],
+            [-0.028492, 0.163731, 0.024932, 0.024801, -0.008468, -0.072205, 0.023783, -0.063404, -0.022908, -0.122487, -0.047904, 0.003323, -0.002609, 0.024705, 0.092206, -0.039846],
+        ],
+        [  # sub-vector 2 (dims 32..47)
+            [-0.029597, -0.035484, -0.036861, 0.00734, 0.029709, -0.035312, -0.03649, 0.007549, -0.032082, 0.077659, -0.063013, -0.048884, 0.009433, -0.051672, 0.075558, -0.053433],
+            [0.021518, -0.071647, 0.0654, -0.018934, -0.017494, 0.017702, 0.050746, 0.152883, -0.019093, -0.019069, 0.044659, 0.011213, -0.086662, -0.020348, 0.02483, -0.015872],
+            [0.098233, 0.08901, 0.096289, -0.049976, -0.027472, 0.084913, 0.002571, 0.018281, -0.0995, -0.025443, -0.008595, -0.036242, 0.007169, 0.006412, -0.060856, 0.029402],
+            [0.028319, 0.101467, 0.036836, 0.102884, -0.019199, -0.068175, 0.040061, -0.003429, 0.067952, -0.11192, -0.06261, 0.046334, -0.064585, -0.030973, 0.05685, -0.062818],
+            [-0.076393, 0.003714, -0.063114, -0.010775, -0.101282, 0.106079, -0.022308, -0.031039, -0.063881, -0.073108, -0.00927, 0.065132, -0.00437, 0.025315, 0.003133, 0.036961],
+            [0.037786, -0.067075, -0.075649, -0.057954, -0.016495, -0.097976, 0.038173, 0.048368, 0.076465, -0.032573, -0.026289, 0.09755, -0.081422, 0.092732, -0.060032, 0.060948],
+            [0.026036, -0.042485, 0.022751, 0.021543, 0.052355, -0.029922, 0.041174, -0.030951, 0.049086, -0.024987, 0.060531, -0.042491, 0.077678, 0.056649, 0.025908, 0.033255],
+            [-0.011507, 0.001464, -0.014658, 0.010052, 0.006376, -0.028385, -0.083231, -0.097715, 0.035869, 0.046851, 0.01398, -0.003909, -0.054394, -0.035582, -0.087148, 0.010237],
+        ],
+        [  # sub-vector 3 (dims 48..63)
+            [0.06419, -0.02661, -0.030404, -0.042518, -0.101987, 0.006735, 0.05408, -0.011344, -0.048361, -0.007383, 0.038221, -0.081997, -0.049711, -0.052116, -0.008494, -0.033056],
+            [-0.066632, -0.00113, -0.022029, -0.032589, -0.037329, 0.056368, -0.013469, -0.009382, -0.019398, -0.059607, -0.111961, 0.106356, -0.022587, 0.020704, 0.083912, -0.069252],
+            [-0.045389, 0.012132, 0.107477, 0.072054, 0.066734, -0.049216, 0.057913, 0.051617, -0.038835, -0.066427, -0.024819, -0.009066, 0.052827, -0.017129, -0.022153, -0.079542],
+            [-0.042571, 0.031493, -0.045934, 0.037192, 0.047465, -0.062232, -0.045233, 0.038896, 0.059973, 0.01345, -0.049433, -0.012325, -0.079096, 0.01443, -0.049669, -0.000259],
+            [0.028555, 0.006518, 0.051618, 0.015408, 0.028045, -0.004942, 0.01631, -0.001868, 0.087818, 0.072943, 0.095189, 0.041507, 0.022902, -0.104588, 0.038716, -0.083225],
+            [0.016049, 0.055502, 0.040419, -0.04735, -0.01207, 0.019732, -0.081388, -0.105645, 0.081694, -0.011324, 0.057777, 0.026623, 0.052995, 0.070835, -0.063623, 0.019912],
+            [-0.02274, -0.078938, 0.000483, -0.03896, 0.098582, -0.05107, 0.006306, -0.038034, -0.069778, 0.004343, 0.056607, -0.067284, -0.00824, 0.096336, 0.065745, 0.053806],
+            [0.026289, -0.093174, -0.021743, 0.019177, -0.022147, 0.084264, 0.040573, 0.043132, -0.006385, 0.042112, -0.119561, -0.026356, 0.048604, 0.009444, -0.012591, 0.076881],
+        ],
+    ]
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py:pq_encode —
+    Jegou et al. TPAMI'11, the memory side of IVF-PQ): each vector becomes
+    m=4 sub-codebook codes (4 bytes vs 256) plus its total squared
+    reconstruction distance. Row-local unrolled literal arithmetic at scan
+    speed; the frozen codebooks regenerate identically in the SQL oracle."""
+    from observation_lakehouse_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, _pq_codebooks())
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN by asymmetric PQ distance (operators/similarity.py:pq_topk): the
+    corpus is scanned as codes only — queries (every 100th vector) carry raw
+    floats and score candidates through code-indexed sub-centroid lookups.
+    The third ANN family next to sign-LSH and IVF-flat; at 100 TB the
+    corpus-side IO drops 64x (4-byte codes vs 256-byte vectors)."""
+    from observation_lakehouse_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(emb, queries_df, _pq_codebooks(), k=10)
+
+
+def _pq_dsq_sql(cbs, m, code):
+    off = m * len(cbs[0][0])
+    terms = []
+    for j, c in enumerate(cbs[m][code]):
+        terms.append(f"(v[{off + j + 1}] - {c!r}) * (v[{off + j + 1}] - {c!r})")
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def _pq_base_ctes(cbs) -> str:
+    """Shared CTE prefix: per-(vec, sub-vector, code) squared distances with
+    the SAME left-associated term order as the Spark expressions, then the
+    argmin pick pivoted to per-m columns (fixed addition order — a SQL
+    SUM() over the group would add in arbitrary order and drift ulps)."""
+    d_rows = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {code} AS c, {_pq_dsq_sql(cbs, m, code)} AS dsq FROM base"
+        for m in range(len(cbs))
+        for code in range(len(cbs[0]))
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), d AS MATERIALIZED (
+    {d_rows}
+), amin AS (
+    SELECT vec_id, m, c, dsq,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dsq, c) AS rn
+    FROM d
+), picked AS MATERIALIZED (
+    SELECT vec_id,
+           MAX(CASE WHEN m = 0 THEN c END) AS c0,
+           MAX(CASE WHEN m = 1 THEN c END) AS c1,
+           MAX(CASE WHEN m = 2 THEN c END) AS c2,
+           MAX(CASE WHEN m = 3 THEN c END) AS c3,
+           MAX(CASE WHEN m = 0 THEN dsq END) AS d0,
+           MAX(CASE WHEN m = 1 THEN dsq END) AS d1,
+           MAX(CASE WHEN m = 2 THEN dsq END) AS d2,
+           MAX(CASE WHEN m = 3 THEN dsq END) AS d3
+    FROM amin WHERE rn = 1 GROUP BY vec_id
+)"""
+
+
+def _pq_encode_oracle() -> str:
+    return (
+        _pq_base_ctes(_pq_codebooks())
+        + """
+SELECT vec_id,
+       CAST(c0 AS VARCHAR) || ',' || CAST(c1 AS VARCHAR) || ',' ||
+       CAST(c2 AS VARCHAR) || ',' || CAST(c3 AS VARCHAR) AS codes,
+       ROUND(((d0 + d1) + d2) + d3, 6) AS dist_sq
+FROM picked ORDER BY vec_id
+"""
+    )
+
+
+def _pq_topk_oracle() -> str:
+    return (
+        _pq_base_ctes(_pq_codebooks())
+        + """,
+qd AS MATERIALIZED (
+    SELECT vec_id, m, c, dsq FROM d WHERE vec_id % 100 = 0
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND(((l0.dsq + l1.dsq) + l2.dsq) + l3.dsq, 6) AS approx_dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(((l0.dsq + l1.dsq) + l2.dsq) + l3.dsq, 6), e.vec_id
+           ) AS rank
+    FROM (SELECT DISTINCT vec_id FROM qd) q
+    JOIN picked e ON e.vec_id <> q.vec_id
+    JOIN qd l0 ON l0.vec_id = q.vec_id AND l0.m = 0 AND l0.c = e.c0
+    JOIN qd l1 ON l1.vec_id = q.vec_id AND l1.m = 1 AND l1.c = e.c1
+    JOIN qd l2 ON l2.vec_id = q.vec_id AND l2.m = 2 AND l2.c = e.c2
+    JOIN qd l3 ON l3.vec_id = q.vec_id AND l3.m = 3 AND l3.c = e.c3
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+    )
+
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 3 — fully oracle-checked via the
     md5-prefix bit family (functions.text.md5_hi32/md5_lo32)."""
@@ -4625,6 +4785,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_xent": q_bigram_xent,
         "embedding_centroids": q_embedding_centroids,
         "embedding_quantize": q_embedding_quantize,
+        "pq_encode": q_pq_encode,
+        "ann_pq_topk": q_ann_pq_topk,
         "part_cooccurrence": q_part_cooccurrence,
         "regression_stats": q_regression_stats,
         "chargram_jaccard": q_chargram_jaccard,
@@ -4733,6 +4895,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_xent": _ORACLE_BIGRAM_XENT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
         "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
+        "pq_encode": _pq_encode_oracle(),
+        "ann_pq_topk": _pq_topk_oracle(),
         "part_cooccurrence": _ORACLE_PART_COOCCUR,
         "regression_stats": _ORACLE_REGRESSION,
         "chargram_jaccard": _ORACLE_CHARGRAM,

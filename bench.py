@@ -70,6 +70,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_centroids",
     "embedding_quantize",
+    "pq_encode",
+    "ann_pq_topk",
     "ann_lsh_topk",
     "srm_output_map",
     "text_quality",
@@ -263,6 +265,7 @@ def main() -> None:
     exact = pairs(entrymod.q_ann_cosine_topk(spark, sf_dir))
     lsh_recall = len(exact & pairs(entrymod.q_ann_lsh_topk(spark, sf_dir))) / len(exact)
     ivf_recall = len(exact & pairs(entrymod.q_ann_ivf_topk(spark, sf_dir))) / len(exact)
+    pq_recall = len(exact & pairs(entrymod.q_ann_pq_topk(spark, sf_dir))) / len(exact)
 
     # Trained-IVF recall on a CLUSTERED corpus (IVF's design assumption):
     # plant 8 strong clusters on the same embeddings, train the codebook with
@@ -378,6 +381,10 @@ def main() -> None:
                 "ann_ivf_trained_clustered_recall_at_10_nprobe1": round(
                     ivf_trained_clustered_recall, 4
                 ),
+                # PQ trades 64x corpus IO for recall; near-random embeddings
+                # are its adversarial case like IVF's (floor in
+                # tests/test_ann_recall.py::test_pq_adc_recall_floor)
+                "ann_pq_recall_at_10": round(pq_recall, 4),
                 "hll_count_distinct_rel_err": round(hll_rel_err, 4),
                 "approx_p50_rel_err": round(p50_rel_err, 6),
                 "startup_sec": round(startup, 2),
