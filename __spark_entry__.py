@@ -1682,59 +1682,67 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries_df, _pq_codebooks(), k=10)
 
 
-def _pq_dsq_sql(cbs, m, code):
-    off = m * len(cbs[0][0])
-    terms = []
-    for j, c in enumerate(cbs[m][code]):
-        terms.append(f"(v[{off + j + 1}] - {c!r}) * (v[{off + j + 1}] - {c!r})")
-    expr = terms[0]
-    for t in terms[1:]:
-        expr = f"({expr} + {t})"
-    return expr
-
-
-def _pq_base_ctes(cbs) -> str:
-    """Shared CTE prefix: per-(vec, sub-vector, code) squared distances with
-    the SAME left-associated term order as the Spark expressions, then the
-    argmin pick pivoted to per-m columns (fixed addition order — a SQL
-    SUM() over the group would add in arbitrary order and drift ulps)."""
-    d_rows = "\n    UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, {code} AS c, {_pq_dsq_sql(cbs, m, code)} AS dsq FROM base"
-        for m in range(len(cbs))
-        for code in range(len(cbs[0]))
+def _pq_micro_lit_values() -> str:
+    """The (m, code, j, c_micro) literal table as a VALUES CTE — the SAME
+    micro-unit integers operators.similarity._pq_lit_table builds, computed
+    once here in Python so neither engine rounds anything itself."""
+    cbs = _pq_codebooks()
+    rows = ", ".join(
+        f"({m}, {code}, {j}, {int(round(c * 1_000_000))})"
+        for m, cb in enumerate(cbs)
+        for code, cent in enumerate(cb)
+        for j, c in enumerate(cent)
     )
+    return rows
+
+
+def _pq_base_ctes() -> str:
+    """Shared CTE prefix mirroring _pq_sub_dists: micro-unit int64 distance
+    sums (order-independent — no ulp drift), argmin per (vec, sub-vector)
+    with the same (dsq, code) tie-break."""
+    sub = 16
     return f"""
-WITH base AS MATERIALIZED (
+WITH lit(m, code, j, c_micro) AS (
+    VALUES {_pq_micro_lit_values()}
+), base AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
-), d AS MATERIALIZED (
-    {d_rows}
+), ex AS MATERIALIZED (
+    SELECT vec_id, u.dim AS dim, u.x AS x_micro
+    FROM (SELECT vec_id,
+                 unnest(list_transform(range(1, len(v) + 1),
+                        i -> {{'dim': i - 1, 'x': CAST(round(v[i] * 1000000.0) AS BIGINT)}})) AS u
+          FROM base)
+), parts AS MATERIALIZED (
+    SELECT e.vec_id, l.m, l.code,
+           SUM((e.x_micro - l.c_micro) * (e.x_micro - l.c_micro)) AS dsq
+    FROM (SELECT vec_id, CAST(dim // {sub} AS INT) AS m,
+                 CAST(dim % {sub} AS INT) AS j, x_micro FROM ex) e
+    JOIN lit l ON l.m = e.m AND l.j = e.j
+    GROUP BY e.vec_id, l.m, l.code
 ), amin AS (
-    SELECT vec_id, m, c, dsq,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dsq, c) AS rn
-    FROM d
+    SELECT vec_id, m, code, dsq,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dsq, code) AS rn
+    FROM parts
 ), picked AS MATERIALIZED (
     SELECT vec_id,
-           MAX(CASE WHEN m = 0 THEN c END) AS c0,
-           MAX(CASE WHEN m = 1 THEN c END) AS c1,
-           MAX(CASE WHEN m = 2 THEN c END) AS c2,
-           MAX(CASE WHEN m = 3 THEN c END) AS c3,
-           MAX(CASE WHEN m = 0 THEN dsq END) AS d0,
-           MAX(CASE WHEN m = 1 THEN dsq END) AS d1,
-           MAX(CASE WHEN m = 2 THEN dsq END) AS d2,
-           MAX(CASE WHEN m = 3 THEN dsq END) AS d3
+           MAX(CASE WHEN m = 0 THEN code END) AS c0,
+           MAX(CASE WHEN m = 1 THEN code END) AS c1,
+           MAX(CASE WHEN m = 2 THEN code END) AS c2,
+           MAX(CASE WHEN m = 3 THEN code END) AS c3,
+           CAST(SUM(dsq) AS BIGINT) AS dsq_micro
     FROM amin WHERE rn = 1 GROUP BY vec_id
 )"""
 
 
 def _pq_encode_oracle() -> str:
     return (
-        _pq_base_ctes(_pq_codebooks())
+        _pq_base_ctes()
         + """
 SELECT vec_id,
        CAST(c0 AS VARCHAR) || ',' || CAST(c1 AS VARCHAR) || ',' ||
        CAST(c2 AS VARCHAR) || ',' || CAST(c3 AS VARCHAR) AS codes,
-       ROUND(((d0 + d1) + d2) + d3, 6) AS dist_sq
+       ROUND(CAST(dsq_micro AS DOUBLE) / 1e12, 6) AS dist_sq
 FROM picked ORDER BY vec_id
 """
     )
@@ -1742,28 +1750,29 @@ FROM picked ORDER BY vec_id
 
 def _pq_topk_oracle() -> str:
     return (
-        _pq_base_ctes(_pq_codebooks())
+        _pq_base_ctes()
         + """,
-qd AS MATERIALIZED (
-    SELECT vec_id, m, c, dsq FROM d WHERE vec_id % 100 = 0
+enc AS (
+    SELECT vec_id AS neighbor_id, m, code FROM amin WHERE rn = 1
+), qd AS MATERIALIZED (
+    SELECT vec_id AS query_id, m, code, dsq FROM parts WHERE vec_id % 100 = 0
 )
 SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           ROUND(((l0.dsq + l1.dsq) + l2.dsq) + l3.dsq, 6) AS approx_dist,
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(CAST(s.dsq_micro AS DOUBLE) / 1e12, 6) AS approx_dist,
            ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY ROUND(((l0.dsq + l1.dsq) + l2.dsq) + l3.dsq, 6), e.vec_id
+               PARTITION BY s.query_id
+               ORDER BY ROUND(CAST(s.dsq_micro AS DOUBLE) / 1e12, 6), s.neighbor_id
            ) AS rank
-    FROM (SELECT DISTINCT vec_id FROM qd) q
-    JOIN picked e ON e.vec_id <> q.vec_id
-    JOIN qd l0 ON l0.vec_id = q.vec_id AND l0.m = 0 AND l0.c = e.c0
-    JOIN qd l1 ON l1.vec_id = q.vec_id AND l1.m = 1 AND l1.c = e.c1
-    JOIN qd l2 ON l2.vec_id = q.vec_id AND l2.m = 2 AND l2.c = e.c2
-    JOIN qd l3 ON l3.vec_id = q.vec_id AND l3.m = 3 AND l3.c = e.c3
+    FROM (
+        SELECT q.query_id, e.neighbor_id, CAST(SUM(q.dsq) AS BIGINT) AS dsq_micro
+        FROM enc e JOIN qd q ON q.m = e.m AND q.code = e.code
+        WHERE e.neighbor_id <> q.query_id
+        GROUP BY q.query_id, e.neighbor_id
+    ) s
 ) WHERE rank <= 10 ORDER BY query_id, rank
 """
     )
-
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

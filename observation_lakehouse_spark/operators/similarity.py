@@ -584,6 +584,48 @@ def _pq_code_struct(vec_col: str | Column, codebook_m: list[list[float]], offset
     )
 
 
+def _pq_lit_table(spark, codebooks: list[list[list[float]]]):
+    """(m, code, j, c_micro) literal sub-centroid table — m*k*subdim rows
+    (512 at the 4x8x16 default), broadcast everywhere PQ math happens.
+    Components are INTEGER MICRO-UNITS: all distance arithmetic below is
+    exact int64, therefore order-independent — shuffle aggregates cannot
+    drift ulps and the SQL oracle agrees bit-for-bit (the repo's standard
+    determinism discipline)."""
+    rows = [
+        (m, code, j, int(round(c * 1_000_000)))
+        for m, cb in enumerate(codebooks)
+        for code, cent in enumerate(cb)
+        for j, c in enumerate(cent)
+    ]
+    return spark.createDataFrame(rows, "m int, code int, j int, c_micro long")
+
+
+def _pq_sub_dists(df: DataFrame, codebooks, vec_col: str, id_col: str) -> DataFrame:
+    """(id, m, code, dsq) — exact integer squared distance of every
+    sub-vector to every sub-centroid, at 1e-6 input quantization. Shape:
+    posexplode -> broadcast join with the literal table -> hash aggregate
+    (map-side combinable). No giant unrolled expressions: the first PQ cut
+    generated 512-term projection trees that fell out of whole-stage
+    codegen and measured 4.7-7.6 s at sf0.1; this aggregate shape is the
+    same numbers in ~1 s and is the form that scales."""
+    sub = len(codebooks[0][0])
+    lit = _pq_lit_table(df.sparkSession, codebooks)
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("dim", "xf")
+    ).select(
+        "_id",
+        F.expr(f"dim div {sub}").cast("int").alias("m"),
+        (F.col("dim") % sub).cast("int").alias("j"),
+        F.round(F.col("xf").cast("double") * 1_000_000.0).cast("long").alias("x_micro"),
+    )
+    diff = F.col("x_micro") - F.col("c_micro")
+    return (
+        ex.join(F.broadcast(lit), ["m", "j"])
+        .groupBy("_id", "m", "code")
+        .agg(F.sum(diff * diff).alias("dsq"))
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -593,36 +635,33 @@ def pq_encode(
     """Product-quantization encoding (Jégou et al., TPAMI'11 — the memory
     side of IVF-PQ, the canonical 100 TB ANN compression): the vector splits
     into m contiguous sub-vectors, each replaced by the index of its nearest
-    sub-codebook centroid (squared L2, ties to the smallest code). m codes
-    of log2(k) bits replace d floats — at the 4x8 default, 4 bytes per
-    64-dim vector vs 256.
+    sub-codebook centroid (squared L2 at 1e-6 input quantization, ties to
+    the smallest code). m codes of log2(k) bits replace d floats — at the
+    4x8 default, 4 bytes per 64-dim vector vs 256.
 
-    Returns (id, codes, dist_sq): ``codes`` is the comma-joined code string
-    (integer anchors for the oracle), ``dist_sq`` the total squared
-    reconstruction distance, rounded at 6 dp. Pure row-local literal
-    arithmetic on the scan — no shuffle, no Python, no per-element lambda
-    re-evaluation (each sub-distance is an unrolled codegen chain).
+    Returns (id, codes, dist_sq): ``codes`` is the comma-joined code string,
+    ``dist_sq`` the total squared reconstruction distance (micro-unit exact
+    sum divided once, rounded at 6 dp). All distance math is exact int64 —
+    order-independent across any partitioning, oracle-identical.
     """
     m = len(codebooks)
-    dim = len(codebooks[0][0]) * m
-    structs = [
-        _pq_code_struct(vec_col, codebooks[i], off)
-        for i, (off, _) in enumerate(_pq_slices(dim, m))
-    ]
-    sel = df.select(
-        F.col(id_col),
-        *[s.alias(f"_s{i}") for i, s in enumerate(structs)],
+    dists = _pq_sub_dists(df, codebooks, vec_col, id_col)
+    picked = dists.groupBy("_id", "m").agg(
+        F.min(F.struct("dsq", "code")).alias("best")
     )
-    total = None
-    for i in range(m):
-        d = F.col(f"_s{i}")["d"]
-        total = d if total is None else total + d
-    return sel.select(
-        F.col(id_col),
-        F.concat_ws(",", *[F.col(f"_s{i}")["k"].cast("string") for i in range(m)]).alias(
+    per_m = picked.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("m") == i, F.col("best")["code"])).alias(f"_c{i}")
+            for i in range(m)
+        ],
+        F.sum(F.col("best")["dsq"]).alias("_dsq_micro"),
+    )
+    return per_m.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(",", *[F.col(f"_c{i}").cast("string") for i in range(m)]).alias(
             "codes"
         ),
-        F.round(total, 6).alias("dist_sq"),
+        F.round(F.col("_dsq_micro").cast("double") / 1e12, 6).alias("dist_sq"),
     ).orderBy(id_col)
 
 
@@ -711,46 +750,38 @@ def pq_topk(
     """ANN top-k by asymmetric PQ distance (ADC): corpus vectors live ONLY
     as their m codes; each (query, candidate) pair scores as the sum of
     exact query-to-sub-centroid squared distances looked up by the
-    candidate's codes. The broadcast side is the (small) query set carrying
-    raw vectors; the corpus side streams 4-byte codes — the scan never
+    candidate's codes. The lookup table is the query-side sub-distance
+    aggregate (Q·m·k rows); the corpus side streams codes — the scan never
     touches corpus floats, which is the entire point at 100 TB.
 
-    Deterministic: approximate distance rounds at 6 dp before ranking, ties
-    break on neighbor id. Self-pairs are excluded.
+    Deterministic end to end: micro-unit integer distance sums (order-
+    independent), divided once and rounded at 6 dp before ranking, ties on
+    neighbor id. Self-pairs are excluded.
     """
     m = len(codebooks)
-    dim = len(codebooks[0][0]) * m
-    slices = _pq_slices(dim, m)
-    enc = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        *[
-            _pq_code_struct(vec_col, codebooks[i], off)["k"].alias(f"_c{i}")
-            for i, (off, _) in enumerate(slices)
-        ],
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    joined = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    total = None
-    for i, (off, _) in enumerate(slices):
-        # literal k x subdim matrix for sub-vector i, indexed by the code col
-        lit_m = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in codebooks[i]
-            ]
+    enc = (
+        _pq_sub_dists(corpus, codebooks, vec_col, id_col)
+        .groupBy("_id", "m")
+        .agg(F.min(F.struct("dsq", "code")).alias("best"))
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            "m",
+            F.col("best")["code"].alias("code"),
         )
-        cvec = F.element_at(lit_m, F.col(f"_c{i}") + 1)
-        d = None
-        for j in range(len(codebooks[i][0])):
-            x = F.element_at(F.col("_qv"), off + j + 1).cast("double")
-            cj = F.element_at(cvec, j + 1)
-            term = (x - cj) * (x - cj)
-            d = term if d is None else d + term
-        total = d if total is None else total + d
-    scored = joined.select(
-        "query_id", "neighbor_id", F.round(total, 6).alias("approx_dist")
+    )
+    lut = _pq_sub_dists(queries, codebooks, vec_col, id_col).select(
+        F.col("_id").alias("query_id"), "m", "code", "dsq"
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dsq").alias("_dsq_micro"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_dsq_micro").cast("double") / 1e12, 6).alias("approx_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
     return (
