@@ -819,15 +819,10 @@ ORDER BY side, nationkey
 """
 
 
-def _ivf_centroids() -> list[list[float]]:
-    """Trained IVF codebook: 3 Lloyd iterations of
-    operators.similarity.train_ivf_centroids over the sf0.01 embeddings
-    (deterministic hash-sample init), frozen as literals — the standard
-    train-on-a-sample-then-freeze IVF flow (FAISS does the same). Literal so
-    the DuckDB oracle regenerates the identical cell argmax in SQL; stale
-    centroids on a future testdata drop stay CORRECT (both engines share the
-    literals), they only cost recall."""
-    return [
+# >>> REFREEZE ivf_centroids — scripts/refreeze.py rewrites this block
+# (trained by operators.similarity.train_ivf_centroids, k=8, n_iters=3,
+#  deterministic hash-sample init, on /root/testdata/sf0.01)
+_IVF_CENTROIDS: list[list[float]] = [
         [0.021449, 0.034611, 0.00175, 0.008169, -0.011529, 0.02124, 0.067642, 0.019, 0.007734, -0.060759, 0.074887, -0.010622, 0.002519, -0.015888, 0.011321, 0.037126, 0.054931, 0.039632, -0.033448, -0.032547, -0.018196, -0.020294, 0.01612, 0.00205, -0.021966, 0.024961, -0.026062, 0.016569, 0.038891, 0.016246, 0.06127, -0.017693, 0.008505, 0.013549, -0.024703, 0.011169, -0.041816, -0.024379, 0.011256, 0.020272, -0.010682, 0.000824, -0.038511, -0.046028, -0.026717, -0.001903, 0.023768, 0.028325, -0.007627, -0.007431, -0.040476, 0.021546, -0.04978, -0.027268, 0.029531, 0.001739, -0.033319, -0.022124, -0.0246, -0.076792, -0.020904, -0.04448, 0.009984, -0.050074],
         [0.013311, -0.008209, -0.018764, 0.02613, 0.052872, 0.001396, -0.04999, -0.017402, -0.020311, -0.039002, 0.012266, -0.017116, -0.012375, 0.033435, 0.012551, -0.010072, 0.027462, 0.039319, 0.006123, -0.034174, 0.025728, 0.057593, 0.066312, -0.103279, -0.032767, -0.034791, 0.04371, 0.047553, -0.050136, -0.000266, 0.026826, -0.035402, -0.038, -0.0179, 0.021151, 0.021715, 0.062652, -0.001027, 0.028002, 0.06595, 0.013777, 0.029008, 0.031838, -0.030736, -0.019834, -0.024929, -0.026193, 0.019694, -0.015862, 0.031124, -0.013662, -0.02878, 0.016277, 0.023514, 0.011481, -0.001086, -0.012416, -0.024234, -0.001789, 0.031269, -0.035221, 0.035238, 0.044196, -0.017423],
         [0.004914, -0.037194, 0.038254, 0.004683, -0.004032, -0.062829, -0.019064, 0.077712, -0.029401, 0.05964, -0.003433, 0.010811, 0.056184, 0.034176, 0.004502, 0.009718, -0.037973, -0.021024, -0.035364, 0.033314, -0.003402, -0.0257, 0.016447, 0.004509, 0.013165, 0.009085, -0.038777, 0.031896, -0.023413, 0.052296, 0.01948, -0.025196, 0.058071, 0.067925, 0.025878, 0.004433, -0.004484, 0.021309, -0.021108, 0.002629, -0.035669, -0.02315, -0.021282, 0.024616, -0.036428, -0.01069, -0.048889, 0.00303, 0.01101, -0.024273, 0.088679, 0.041339, 0.020807, 0.02006, 0.004046, -0.010261, -0.006549, -0.039129, -0.020613, 0.007912, 0.00105, -0.008157, -0.007922, -0.060297],
@@ -837,6 +832,18 @@ def _ivf_centroids() -> list[list[float]]:
         [-0.006748, -0.04397, 0.002925, -0.030886, -0.032108, -0.018718, -0.002217, -0.056385, 0.001753, 0.008258, 0.010212, -0.010069, -0.058933, -0.003273, -0.04346, -0.01269, 0.051863, 0.004451, -0.005576, 0.041956, -0.007554, 0.038285, -0.024597, 0.061323, 0.013682, -0.046375, -0.032341, 0.011981, -0.032288, -0.031457, -0.018501, 0.023501, 0.026719, -0.071583, 0.027958, 0.017525, 0.014622, -0.01825, 0.011348, 0.000174, 0.004013, 0.035992, 0.049964, -0.015653, 0.024427, 0.04045, 0.040879, -0.016105, -0.024952, -0.026258, 0.014379, 0.015811, 0.088872, -0.061981, 0.019356, -0.018733, 0.004747, -0.022079, 0.036257, -0.030363, 0.004913, 0.049672, 0.021304, 0.024636],
         [-0.000944, 0.033093, -0.032214, -0.031958, 0.041871, 0.079101, -0.058349, -0.009521, -0.004483, 0.011521, 0.006792, 0.029151, -0.022971, 0.006906, 0.008414, 0.027944, -0.02883, 0.019925, 0.015467, -0.022573, 0.032424, -0.052248, 0.009625, -0.051163, 0.032914, -0.083654, -0.038739, 0.009056, 0.014215, -0.015565, 0.053909, -0.030661, 0.021365, -0.01607, -0.014578, -0.019751, 0.016637, -0.002185, 0.006981, -0.0826, -0.002311, -0.01686, 0.016329, 0.023632, -0.010419, -0.000367, -0.001481, 0.001412, 0.05626, -0.039544, 0.000477, -0.049568, -0.010218, 0.031703, 0.038616, 0.012412, -0.03354, 0.000516, -0.0695, 0.013738, 0.037199, 0.013683, 0.035851, 0.055465],
     ]
+# <<< REFREEZE ivf_centroids
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """Trained IVF codebook, frozen as literals — the standard
+    train-on-a-sample-then-freeze IVF flow (FAISS does the same). Literal so
+    the DuckDB oracle regenerates the identical cell argmax in SQL; stale
+    centroids on a future testdata drop stay CORRECT (both engines share the
+    literals), they only cost recall. Refreeze per drop with
+    ``python scripts/refreeze.py`` (retrains + rewrites the marked block +
+    prints recall deltas)."""
+    return _IVF_CENTROIDS
 
 
 # Queries probe their 4 nearest cells (corpus stays single-assigned): the
@@ -1606,80 +1613,216 @@ ORDER BY doc_id
 """
 
 
+# >>> REFREEZE pq_codebooks — scripts/refreeze.py rewrites this block
+# (trained by operators.similarity.train_pq_codebooks, m=8, k=16, n_iters=3,
+#  deterministic hash-sample init, on /root/testdata/sf0.01)
+_PQ_CODEBOOKS: list[list[list[float]]] = [
+        [  # sub-vector 0 (dims 0..7)
+            [0.089694, 0.078473, 0.011388, 0.011141, -0.072199, 0.064359, 0.21473, -0.028922],
+            [-0.088682, -0.019269, 0.006135, 0.025532, 0.134019, -0.127986, -0.149376, -0.075591],
+            [0.024153, -0.062371, -0.040457, 0.059917, 0.110353, -0.143131, -0.057494, 0.118291],
+            [-0.087989, -0.045265, 0.185988, -0.017333, -0.094152, 0.081164, 0.032896, 0.037649],
+            [-0.003127, 0.042871, 0.022709, 0.164692, 0.029191, -0.037464, 0.044977, -0.070056],
+            [-0.001459, -0.040598, 0.029073, -0.019211, 0.084383, 0.08341, 0.118804, -0.119573],
+            [0.070671, -0.020082, -0.016863, -0.047078, -0.130151, -0.099736, -0.010763, -0.041888],
+            [-0.08245, -0.049635, -0.105669, -0.140467, 0.105859, 0.034333, 0.026726, -0.074502],
+            [-0.016712, 0.102275, 0.017429, -0.020538, -0.127853, 0.096625, -0.084506, -0.003531],
+            [0.068039, -0.138372, -0.020847, 0.073614, -0.002364, 0.118514, -0.11006, -0.034118],
+            [-0.074338, 0.050394, 0.122899, -0.016256, -0.014769, -0.154045, 0.121596, 0.057737],
+            [0.047365, -0.001823, 0.07845, 0.062581, 0.02562, 0.012426, -0.240103, -0.04734],
+            [-0.005472, 0.111793, -0.176154, -0.043775, -0.018566, 0.064783, 0.021678, 0.139576],
+            [0.187361, 2.8e-05, 0.017568, -0.035701, 0.053238, 0.027602, 0.008513, 0.138836],
+            [-0.064626, 0.107029, 0.013428, 0.089461, 0.122363, 0.164184, -0.108253, -0.020255],
+            [-0.074982, -0.083017, 0.029057, -0.079196, 0.031054, 0.015315, -0.09531, 0.093305],
+        ],
+        [  # sub-vector 1 (dims 8..15)
+            [0.054011, -0.093501, 0.16718, 0.064646, -0.0331, -0.027887, 0.084125, 0.100414],
+            [-0.063836, -0.11955, 0.060735, -0.004142, -0.043793, 0.027061, 0.000984, -0.145541],
+            [-0.039354, -0.016436, -0.119525, 0.128854, 0.089126, 0.130734, -0.045444, -0.092856],
+            [-0.085003, 0.207506, -0.104278, -0.175077, 0.066216, -0.073854, -0.040512, -0.006108],
+            [-0.030869, 0.167728, 0.067846, 0.106795, -0.108051, 0.061697, -0.061898, -0.035393],
+            [-0.003957, 0.033733, 0.048946, -0.100326, -0.042282, -0.023797, -0.085367, 0.041212],
+            [0.157468, 0.031114, -0.017265, -0.021862, -0.168669, -0.044623, -0.013736, -0.060103],
+            [0.023572, -0.016492, -0.076185, 0.150846, -0.026046, -0.061417, 0.01573, 0.063218],
+            [0.029758, -0.088591, 0.108997, -0.029307, 0.121032, 0.053992, -0.117504, 0.119214],
+            [-0.042307, 0.090487, -0.100523, 0.026178, 0.090678, 0.004769, -0.062116, 0.160469],
+            [-0.010569, -0.027874, -0.054774, -0.04017, -0.017357, 0.215724, 0.070731, 0.073907],
+            [0.134596, 0.015193, -0.053382, -0.020321, 0.10265, -0.006474, 0.162, -0.003443],
+            [-0.030464, -0.063286, 0.142494, -0.132565, 0.030599, -0.201971, -0.036099, 0.046777],
+            [-0.111675, -0.170096, -0.066717, -0.032188, -0.081235, 0.00129, -0.03429, 0.054843],
+            [-0.002261, 0.01804, 0.102032, -0.08077, 0.1071, -0.049067, 0.05628, -0.114211],
+            [-0.064664, 0.173032, -0.015089, 0.064367, 0.065814, -0.109997, 0.090043, -0.066945],
+        ],
+        [  # sub-vector 2 (dims 16..23)
+            [0.105996, 0.067288, -0.087563, -0.143156, 0.067911, -0.030964, 0.052519, 0.075414],
+            [0.116588, -0.087375, -0.050336, -0.051598, -0.068621, 0.073704, 0.032148, -0.148963],
+            [0.005466, -0.055031, -0.142945, 0.12745, 0.020133, -0.002418, 0.091912, 0.038083],
+            [0.132422, 0.008324, -0.012875, -0.008749, -0.160621, -0.060758, -0.049569, 0.030767],
+            [0.002531, 0.020359, 0.092136, -0.010056, -0.063448, 0.142871, 0.047962, 0.129359],
+            [-0.114847, 0.096788, 0.016453, 0.093204, -0.018638, 0.01095, -0.062174, -0.020027],
+            [0.15804, -0.04965, -0.093098, 0.049436, 0.063021, 0.043999, -0.146243, 0.045482],
+            [-0.049607, 0.193677, 0.027045, 0.003191, -0.05865, -0.161849, 0.019435, -0.054486],
+            [-0.097355, 0.077342, 0.027832, -0.184404, 0.033688, 0.062828, 0.080883, -0.163654],
+            [0.038802, -0.038973, 0.145333, -0.008358, 0.013051, -0.139849, 0.066739, -0.011834],
+            [-0.132388, -0.183658, -0.073776, -0.039772, 0.021953, 0.005033, -0.076144, -0.010033],
+            [-0.054251, -0.002311, -0.070519, -0.058415, -0.134117, -0.03903, -0.000177, -0.009842],
+            [0.046585, 0.105196, 0.018056, 0.031248, 0.059373, -0.017457, 0.095406, -0.19214],
+            [-0.045242, -0.06216, 0.051539, 0.011993, 0.141142, 0.083209, 0.056456, 0.017252],
+            [0.030135, 0.006973, 0.090399, 0.030465, 0.098736, -0.019721, -0.159958, -0.004886],
+            [0.035926, -0.025455, 0.119605, 0.021944, -0.002781, -0.079813, -0.085429, 0.248203],
+        ],
+        [  # sub-vector 3 (dims 24..31)
+            [0.00819, 0.043103, -0.073106, 0.08041, 0.178035, 0.039698, -0.010123, -0.00982],
+            [-0.141189, 0.012077, 0.145423, 0.099899, -0.185326, 0.07342, -0.00616, -0.008916],
+            [0.05844, 0.024297, -0.05432, -0.05165, 0.027154, 0.14697, 0.076873, -0.029111],
+            [-0.011217, 0.067943, 0.08059, -0.078138, 0.040188, -0.168549, 0.025136, 0.024451],
+            [0.085061, 0.061993, 0.183894, -0.090567, 0.054811, 0.110568, -0.024599, -0.094754],
+            [-0.119157, 0.080562, 0.066213, -0.017307, 0.091001, 0.108139, -0.141091, -0.034028],
+            [-0.069526, -0.086636, -0.006261, 0.074003, -0.016485, -0.056346, -0.092223, 0.124062],
+            [-0.020853, -0.174071, 0.019545, 0.027215, 0.056571, 0.040356, 0.147539, 0.025737],
+            [-0.10074, -0.053541, 0.040026, 0.064141, -0.026317, 0.01655, 0.084054, -0.094371],
+            [-0.181823, 0.033392, -0.073834, -0.086229, 0.111141, -0.121114, -0.012026, -0.124428],
+            [0.129752, 0.113218, 0.023364, 0.094965, -0.145034, 0.005948, 0.104204, -0.068544],
+            [0.086045, 0.156105, 0.105285, 0.011636, 0.003577, 0.026557, -0.021608, 0.166255],
+            [0.011166, -0.004519, -0.099491, -0.099697, -0.092962, 0.055433, -0.115538, 0.030253],
+            [0.026466, 0.024839, -0.144171, 0.048286, -0.027132, -0.059715, 0.106326, 0.086558],
+            [-0.028595, 0.075594, -0.069481, 0.032038, -0.095347, -0.067109, -0.0751, -0.113503],
+            [0.133507, -0.117895, 0.022746, 0.074287, -0.00089, -0.0678, 0.013555, -0.081288],
+        ],
+        [  # sub-vector 4 (dims 32..39)
+            [-0.133912, -0.068741, -0.089486, -0.135535, 0.061717, -0.135338, 0.039318, 0.08044],
+            [-0.020683, -0.039766, 0.054231, 0.038037, 0.02374, 0.065084, 0.034367, 0.23564],
+            [0.094092, 0.177542, 0.120931, 0.033489, -0.054667, 0.089189, -0.030505, 0.052149],
+            [-0.067025, 0.021444, 0.060101, 0.107583, -0.097467, -0.134909, 0.050812, -0.022907],
+            [-0.124148, 0.059272, -0.058831, -0.075413, -0.114954, 0.094406, -0.091454, -0.046604],
+            [0.015047, -0.135471, -0.050153, -0.020804, -0.088539, -0.116994, -0.006139, 0.138253],
+            [0.007605, -0.045496, -0.007613, 0.165628, 0.111754, 0.002887, 0.032767, -0.025491],
+            [0.032705, -0.085573, -0.035795, -0.006747, 0.010866, 0.007251, -0.129521, -0.121383],
+            [-0.008268, -0.025366, 0.00802, 0.116898, -0.161322, 0.115971, -0.018161, 0.021327],
+            [-0.031536, -0.034571, 0.163369, -0.089141, 0.042646, 0.013625, 0.070756, -0.054581],
+            [0.161297, -0.03435, -0.005638, -0.04031, 0.056829, 0.0778, -0.002172, 0.030949],
+            [-0.106775, -0.140595, -0.051884, -0.083396, -0.022754, 0.043891, -0.033018, -0.028306],
+            [0.052414, -0.080442, -0.020911, -0.137154, 0.0791, -0.133049, -0.113724, 0.087281],
+            [0.009307, 0.160251, -0.031788, -0.010218, 0.02723, 0.049353, 0.153751, 0.022294],
+            [0.058207, 0.129656, -0.007469, 0.016662, 0.065141, -0.123161, -0.103047, -0.078244],
+            [0.092771, -0.024783, -0.05243, -0.095716, -0.105456, -0.061995, 0.175618, -0.039249],
+        ],
+        [  # sub-vector 5 (dims 40..47)
+            [-0.066488, 0.110891, -0.028875, -0.048812, 0.033678, -0.024342, 0.155146, -0.000201],
+            [0.044245, -0.15568, 0.048741, -0.032892, -0.162816, 0.0519, 0.009517, 0.053326],
+            [-0.120616, -0.022872, -0.067958, -0.078724, -0.096717, 0.032563, -0.137678, -0.022375],
+            [0.123809, 0.042981, -0.017314, 0.146122, 0.040938, -0.102479, 0.06474, -0.056425],
+            [-0.120479, -0.065749, 0.006207, 0.064387, 0.022816, 0.009673, 0.068818, 0.135786],
+            [0.033551, -0.092102, 0.039866, 0.158903, 0.026095, 0.095151, -0.078355, 0.046121],
+            [0.030536, -0.023905, 0.228209, -0.047148, 0.117632, 0.046737, 0.035356, -0.010257],
+            [0.08294, 0.005168, 0.097884, -0.046936, -0.02007, -0.159943, -0.065225, 0.018116],
+            [-0.187233, -0.042193, 0.140549, 0.059283, -0.115215, 0.064307, -0.000786, 0.011814],
+            [-0.017579, -0.141312, -0.050819, -0.0351, 0.040637, -0.097812, 0.03927, -0.101426],
+            [0.006824, 0.103616, 0.164989, -0.026104, -0.115831, -0.028711, -0.016143, -0.133568],
+            [0.046258, 0.04895, -0.063329, 0.133445, -0.097656, 0.111692, 0.153921, -0.1056],
+            [-0.019213, 0.10906, -0.070966, 0.008357, -0.077483, -0.060019, -0.041054, 0.095414],
+            [0.071837, 0.03608, -0.018491, -0.041692, 0.023895, 0.097067, -0.077389, -0.07738],
+            [-0.090524, 0.000449, -0.11048, -0.088335, 0.166616, 0.030359, -0.031781, 0.032957],
+            [0.148213, -0.094177, -0.08039, -0.107068, 0.013725, 0.042772, 0.02731, 0.120503],
+        ],
+        [  # sub-vector 6 (dims 48..55)
+            [-0.017022, -0.051856, -0.009768, -0.092891, -0.180585, 0.000505, 0.076767, 0.039685],
+            [-0.061246, 0.01293, -0.040168, -0.093654, 0.060389, 0.0963, 0.075015, -0.066485],
+            [0.075355, -0.133375, 0.219791, 0.083083, -0.031691, 0.011631, 0.112979, 0.042285],
+            [-0.112872, 0.033491, -0.113586, 0.040709, 0.121177, -0.059103, -0.027905, 0.010017],
+            [-0.003565, 0.085857, -0.015409, 0.097326, -0.087561, -0.079193, 0.038374, 0.036808],
+            [0.115764, 0.048994, 0.092841, -0.145411, -0.007431, 0.005813, -0.087049, -0.051435],
+            [-0.043203, -0.003206, 0.065309, -0.001696, 0.121207, -0.113073, 0.140657, -0.049241],
+            [0.120825, -0.032972, -0.056997, 0.04091, -0.03738, 0.138121, 0.073311, 0.095596],
+            [-0.003434, 0.066259, 0.049744, -0.035432, -0.076834, -0.016436, -0.023454, -0.244835],
+            [-0.146236, -0.020643, 0.001021, 0.094282, -0.123304, 0.087409, -0.047601, -0.092632],
+            [-0.110088, 0.100433, 0.105823, 0.058475, 0.098676, 0.120539, -0.069758, 0.085322],
+            [-0.046074, -0.127172, 0.081901, 0.091844, 0.076764, 0.010619, -0.010098, -0.00874],
+            [0.088788, 0.15097, 0.051832, -0.027561, 0.138625, -0.052798, -0.011665, 0.012754],
+            [0.030972, -0.097586, -0.012946, 0.001487, -0.017484, -0.188337, -0.069489, -0.071726],
+            [0.206888, -0.171448, -0.033778, -0.021981, 0.015319, 0.045939, -0.061082, 0.016456],
+            [-0.019003, -0.08275, -0.053375, -0.032352, 0.036505, -0.014187, -0.049657, 0.140619],
+        ],
+        [  # sub-vector 7 (dims 56..63)
+            [-0.073645, -0.045171, 0.099795, 0.031113, -0.040087, -0.110054, 0.09212, -0.072752],
+            [0.006021, -0.019468, -0.043777, 0.18357, -0.067558, -0.003183, 0.133566, -0.010022],
+            [-0.021076, -0.031595, -0.05788, 0.012358, 0.082078, 0.135298, 0.105792, -0.047548],
+            [0.04916, 0.105078, -0.014814, 0.03847, -0.151449, -0.068728, -0.03896, 0.03498],
+            [0.126858, 0.041729, 0.053224, 0.029395, 0.075939, -0.15621, 0.118934, -0.093516],
+            [0.139337, -0.053988, 0.118278, 0.076333, 0.047185, 0.117238, -0.004475, 0.014613],
+            [-0.16773, -0.008939, 0.062753, -0.086823, -0.041091, 0.049823, 0.04944, 0.118201],
+            [-0.043082, 0.002973, -0.19762, 0.046812, -0.008825, -0.028883, 0.017481, 0.08127],
+            [-0.067531, -0.100797, -0.041469, -0.076954, -0.000339, -0.003292, -0.090844, -0.094469],
+            [0.068838, 0.035556, -0.034094, -0.183214, -0.061248, 0.004579, 0.041696, -0.041279],
+            [0.092584, 0.014542, -0.085535, 0.065903, 0.138267, -0.075182, -0.089628, 0.091245],
+            [-0.041956, 0.051365, -0.095063, -0.159657, 0.124865, -0.043114, -0.007356, 0.001009],
+            [-0.008013, 0.023088, 0.041507, 0.075969, -0.067534, 0.099428, -0.11707, -0.08217],
+            [0.091283, -0.176165, 0.006378, -0.099824, 0.035371, 0.051646, 0.078779, 0.114723],
+            [-0.045734, 0.082863, 0.186004, -0.075213, -0.038024, -0.01009, -0.085859, 0.051071],
+            [0.162296, 0.160301, 0.121592, -0.05801, 0.113125, 0.028473, -0.141657, -0.08557],
+        ],
+    ]
+# <<< REFREEZE pq_codebooks
+
+
 def _pq_codebooks() -> list[list[list[float]]]:
-    """Trained PQ codebooks (m=4 sub-vectors x k=8 centroids x 16 dims): 3
+    """Trained PQ codebooks (m sub-vectors x k centroids x 64/m dims): 3
     Lloyd iterations of operators.similarity.train_pq_codebooks over the
     sf0.01 embeddings (deterministic hash-sample init), frozen as literals —
     the same train-on-a-sample-then-freeze flow as _ivf_centroids, and the
     same stale-drop contract: literals keep BOTH engines bit-identical on
-    any future testdata, only reconstruction quality drifts."""
-    return [
-        [  # sub-vector 0 (dims 0..15)
-            [0.062885, 0.015859, 0.087188, 0.021557, -0.074567, 0.053244, 0.035895, 0.063638, 0.063488, -0.143897, 0.112921, 0.10055, 0.065737, -0.038473, -0.005748, 0.072023],
-            [0.010286, 5.9e-05, -0.041234, 0.064912, 0.044131, -0.00561, -0.098311, -0.01973, -0.051182, -0.104613, 0.028086, -0.011908, -0.034469, -0.004115, 0.044444, -0.03704],
-            [0.01362, 0.017863, 0.031976, 0.031227, 0.003141, -0.139965, 0.036404, 0.097225, -0.059136, 0.06802, -0.075485, 0.049174, 0.071362, 0.04428, 0.029233, 0.033001],
-            [-0.047663, -0.027019, 0.099266, -0.001002, -0.013491, 0.032459, -0.079251, 0.019327, -0.029398, 0.12518, -0.037787, -0.024327, 0.091549, -0.117435, 0.052189, -0.031246],
-            [-0.042414, -0.008057, -0.026752, 0.046158, 0.009877, 0.065806, 0.049103, 0.061643, -0.033803, 0.119511, 0.052413, 0.085446, -0.118575, 0.03973, -0.049361, -0.027299],
-            [0.005513, -0.004234, 0.014642, -0.037303, 0.086848, 0.023201, 0.033504, -0.00625, 0.020743, -0.017358, 0.082474, -0.094143, 0.023139, -0.003263, -0.025362, 0.030084],
-            [0.043147, -0.00336, -0.013777, -0.057622, -0.128038, -0.044524, -0.010282, -0.017456, 0.053574, -0.0372, -0.003929, -0.05285, -0.072295, 0.031421, -0.01989, -0.080724],
-            [-0.005869, -0.015948, -0.022281, -0.078243, 0.027963, 0.068903, -0.061033, -0.037456, 0.03925, 0.002956, -0.093536, 0.0813, 0.017645, 0.02298, -0.018659, 0.104572],
-        ],
-        [  # sub-vector 1 (dims 16..31)
-            [0.05445, -0.000351, -0.009735, -0.129706, 0.088377, -0.013281, 0.032746, -0.043397, 0.002061, 0.070364, -0.047276, 0.030334, 0.032403, 0.002174, 0.032146, 0.000926],
-            [0.038647, 0.053918, 0.013995, -0.023897, 0.00627, 0.070096, 0.122892, -0.11895, -0.064968, -0.045988, 0.055042, 0.054048, -0.110635, 0.02289, -0.004085, -0.006898],
-            [-0.035832, -0.100521, -0.104539, 0.041512, -0.003438, 0.000558, 0.019454, -0.009757, 0.064038, 0.021951, -0.049878, -0.009534, 0.003182, 0.016346, 0.054941, -0.017294],
-            [0.071771, -0.001337, 0.034343, -0.026024, -0.087564, -0.027398, -0.022328, 0.051652, -0.013396, 0.004238, 0.050477, -0.027636, 0.045943, -0.101932, 0.023059, -0.003624],
-            [-0.098739, 0.019164, 0.063364, -0.038336, -0.071369, 0.109379, -0.012046, 0.035133, 0.068803, 0.111347, 0.098881, -0.022579, -0.011426, 0.021377, -0.019189, 0.007292],
-            [-0.056363, 0.029854, 0.030143, 0.066397, 0.009953, -0.038032, -0.041464, 0.004221, -0.080651, 0.066916, -0.02532, 0.013374, 0.00297, 0.078318, -0.083659, -0.026715],
-            [0.109055, 0.00904, 0.029045, 0.0618, 0.082087, 0.028714, -0.077851, 0.040799, 0.000669, -0.059203, -0.016221, 0.096549, -0.013011, -0.049673, -0.080813, 0.064676],
-            [-0.028492, 0.163731, 0.024932, 0.024801, -0.008468, -0.072205, 0.023783, -0.063404, -0.022908, -0.122487, -0.047904, 0.003323, -0.002609, 0.024705, 0.092206, -0.039846],
-        ],
-        [  # sub-vector 2 (dims 32..47)
-            [-0.029597, -0.035484, -0.036861, 0.00734, 0.029709, -0.035312, -0.03649, 0.007549, -0.032082, 0.077659, -0.063013, -0.048884, 0.009433, -0.051672, 0.075558, -0.053433],
-            [0.021518, -0.071647, 0.0654, -0.018934, -0.017494, 0.017702, 0.050746, 0.152883, -0.019093, -0.019069, 0.044659, 0.011213, -0.086662, -0.020348, 0.02483, -0.015872],
-            [0.098233, 0.08901, 0.096289, -0.049976, -0.027472, 0.084913, 0.002571, 0.018281, -0.0995, -0.025443, -0.008595, -0.036242, 0.007169, 0.006412, -0.060856, 0.029402],
-            [0.028319, 0.101467, 0.036836, 0.102884, -0.019199, -0.068175, 0.040061, -0.003429, 0.067952, -0.11192, -0.06261, 0.046334, -0.064585, -0.030973, 0.05685, -0.062818],
-            [-0.076393, 0.003714, -0.063114, -0.010775, -0.101282, 0.106079, -0.022308, -0.031039, -0.063881, -0.073108, -0.00927, 0.065132, -0.00437, 0.025315, 0.003133, 0.036961],
-            [0.037786, -0.067075, -0.075649, -0.057954, -0.016495, -0.097976, 0.038173, 0.048368, 0.076465, -0.032573, -0.026289, 0.09755, -0.081422, 0.092732, -0.060032, 0.060948],
-            [0.026036, -0.042485, 0.022751, 0.021543, 0.052355, -0.029922, 0.041174, -0.030951, 0.049086, -0.024987, 0.060531, -0.042491, 0.077678, 0.056649, 0.025908, 0.033255],
-            [-0.011507, 0.001464, -0.014658, 0.010052, 0.006376, -0.028385, -0.083231, -0.097715, 0.035869, 0.046851, 0.01398, -0.003909, -0.054394, -0.035582, -0.087148, 0.010237],
-        ],
-        [  # sub-vector 3 (dims 48..63)
-            [0.06419, -0.02661, -0.030404, -0.042518, -0.101987, 0.006735, 0.05408, -0.011344, -0.048361, -0.007383, 0.038221, -0.081997, -0.049711, -0.052116, -0.008494, -0.033056],
-            [-0.066632, -0.00113, -0.022029, -0.032589, -0.037329, 0.056368, -0.013469, -0.009382, -0.019398, -0.059607, -0.111961, 0.106356, -0.022587, 0.020704, 0.083912, -0.069252],
-            [-0.045389, 0.012132, 0.107477, 0.072054, 0.066734, -0.049216, 0.057913, 0.051617, -0.038835, -0.066427, -0.024819, -0.009066, 0.052827, -0.017129, -0.022153, -0.079542],
-            [-0.042571, 0.031493, -0.045934, 0.037192, 0.047465, -0.062232, -0.045233, 0.038896, 0.059973, 0.01345, -0.049433, -0.012325, -0.079096, 0.01443, -0.049669, -0.000259],
-            [0.028555, 0.006518, 0.051618, 0.015408, 0.028045, -0.004942, 0.01631, -0.001868, 0.087818, 0.072943, 0.095189, 0.041507, 0.022902, -0.104588, 0.038716, -0.083225],
-            [0.016049, 0.055502, 0.040419, -0.04735, -0.01207, 0.019732, -0.081388, -0.105645, 0.081694, -0.011324, 0.057777, 0.026623, 0.052995, 0.070835, -0.063623, 0.019912],
-            [-0.02274, -0.078938, 0.000483, -0.03896, 0.098582, -0.05107, 0.006306, -0.038034, -0.069778, 0.004343, 0.056607, -0.067284, -0.00824, 0.096336, 0.065745, 0.053806],
-            [0.026289, -0.093174, -0.021743, 0.019177, -0.022147, 0.084264, 0.040573, 0.043132, -0.006385, 0.042112, -0.119561, -0.026356, 0.048604, 0.009444, -0.012591, 0.076881],
-        ],
-    ]
+    any future testdata, only reconstruction quality (and hence ANN recall)
+    drifts. Refreeze per drop with ``python scripts/refreeze.py``."""
+    return _PQ_CODEBOOKS
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (operators/similarity.py:pq_encode —
     Jegou et al. TPAMI'11, the memory side of IVF-PQ): each vector becomes
-    m=4 sub-codebook codes (4 bytes vs 256) plus its total squared
-    reconstruction distance. Row-local unrolled literal arithmetic at scan
-    speed; the frozen codebooks regenerate identically in the SQL oracle."""
+    m=8 sub-codebook codes of 4 bits (a 32-bit code vs 256 raw bytes — 64x
+    compression) plus its total squared reconstruction distance.
+    Aggregate-shape exact integer math (posexplode + broadcast literal
+    table + hash aggregate); the frozen codebooks regenerate identically in
+    the SQL oracle, and refreeze per drop via scripts/refreeze.py."""
     from observation_lakehouse_spark.operators.similarity import pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_encode(emb, _pq_codebooks())
 
 
+# IVFADC knobs: queries probe their 4 nearest cells (like ann_ivf_topk), the
+# ADC shortlist re-ranked exactly is 128 deep. Recall@10 is bounded above by
+# cell recall (the IVF knob: 0.62 sf0.001 / 0.66 sf0.1) and below by the ADC
+# cut keeping true neighbors in its top-128 — measured 0.54+ at both SFs
+# (rerank=64 measured 0.40 at sf0.1: on these near-random embeddings the
+# 32-bit codes rank noisily, so the cut depth is the recall knob that
+# matters). Floors locked by test_ann_recall, reported by bench.
+_PQ_NPROBE = 4
+_PQ_RERANK = 128
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN by asymmetric PQ distance (operators/similarity.py:pq_topk): the
-    corpus is scanned as codes only — queries (every 100th vector) carry raw
-    floats and score candidates through code-indexed sub-centroid lookups.
-    The third ANN family next to sign-LSH and IVF-flat; at 100 TB the
-    corpus-side IO drops 64x (4-byte codes vs 256-byte vectors)."""
-    from observation_lakehouse_spark.operators.similarity import pq_topk
+    """IVFADC ANN (operators/similarity.py:ivfadc_topk — FAISS's IVFx,PQy):
+    the trained IVF cells prune candidates to the query's nprobe cells, PQ
+    codes rank those candidates by asymmetric distance (the pruned scan
+    reads 4-bit codes, not floats), and the ADC top-64 re-rank EXACTLY
+    against raw vectors. The third ANN family next to sign-LSH and
+    IVF-flat; both the coarse centroids and the codebooks are frozen
+    literals, so the oracle replays cell argmax, code argmin, integer ADC
+    and the cosine re-rank bit-for-bit in SQL."""
+    from observation_lakehouse_spark.operators.similarity import ivfadc_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    return pq_topk(emb, queries_df, _pq_codebooks(), k=10)
+    return ivfadc_topk(
+        emb,
+        queries_df,
+        _pq_codebooks(),
+        _ivf_centroids(),
+        k=10,
+        nprobe=_PQ_NPROBE,
+        rerank=_PQ_RERANK,
+    )
 
 
 def _pq_micro_lit_values() -> str:
@@ -1699,8 +1842,15 @@ def _pq_micro_lit_values() -> str:
 def _pq_base_ctes() -> str:
     """Shared CTE prefix mirroring _pq_sub_dists: micro-unit int64 distance
     sums (order-independent — no ulp drift), argmin per (vec, sub-vector)
-    with the same (dsq, code) tie-break."""
-    sub = 16
+    with the same (dsq, code) tie-break. Generated from the frozen codebook
+    SHAPE (m sub-vectors of 64/m dims), so a refreeze to a different (m, k)
+    regenerates a matching oracle automatically."""
+    cbs = _pq_codebooks()
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    code_cols = ",\n           ".join(
+        f"MAX(CASE WHEN m = {i} THEN code END) AS c{i}" for i in range(m)
+    )
     return f"""
 WITH lit(m, code, j, c_micro) AS (
     VALUES {_pq_micro_lit_values()}
@@ -1726,50 +1876,111 @@ WITH lit(m, code, j, c_micro) AS (
     FROM parts
 ), picked AS MATERIALIZED (
     SELECT vec_id,
-           MAX(CASE WHEN m = 0 THEN code END) AS c0,
-           MAX(CASE WHEN m = 1 THEN code END) AS c1,
-           MAX(CASE WHEN m = 2 THEN code END) AS c2,
-           MAX(CASE WHEN m = 3 THEN code END) AS c3,
+           {code_cols},
            CAST(SUM(dsq) AS BIGINT) AS dsq_micro
     FROM amin WHERE rn = 1 GROUP BY vec_id
 )"""
 
 
 def _pq_encode_oracle() -> str:
+    m = len(_pq_codebooks())
+    codes = " || ',' || ".join(f"CAST(c{i} AS VARCHAR)" for i in range(m))
     return (
         _pq_base_ctes()
-        + """
+        + f"""
 SELECT vec_id,
-       CAST(c0 AS VARCHAR) || ',' || CAST(c1 AS VARCHAR) || ',' ||
-       CAST(c2 AS VARCHAR) || ',' || CAST(c3 AS VARCHAR) AS codes,
+       {codes} AS codes,
        ROUND(CAST(dsq_micro AS DOUBLE) / 1e12, 6) AS dist_sq
 FROM picked ORDER BY vec_id
 """
     )
 
 
+def _ivf_cell_sql_parts() -> tuple[str, str, int]:
+    """(sims_select, argmax_case, K) over a row variable exposing ``v`` —
+    the literal normalized-centroid dot products and numpy's first-max
+    argmax, shared by the IVF-flat and IVFADC oracles so both replay
+    ivf_assign's cell decision identically."""
+    import numpy as np
+
+    C = np.array(_ivf_centroids(), dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]  # the matrix ivf_assign uses
+    sims = ",\n           ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
+        for i, row in enumerate(Cn)
+    )
+    best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
+    # np.argmax keeps the FIRST max -> ascending CASE order.
+    argmax = (
+        "(CASE "
+        + " ".join(f"WHEN s_{i} = mm THEN {i}" for i in range(len(Cn)))
+        + " END)"
+    )
+    sims_select = f"SELECT vec_id, v, {sims}"
+    argmax_over = f"(SELECT *, {best} AS mm FROM __SIMSRC__)"
+    return sims_select, f"SELECT vec_id, v, {argmax} AS cell FROM {argmax_over}", len(Cn)
+
+
 def _pq_topk_oracle() -> str:
+    """IVFADC twin of q_ann_pq_topk: same literal cell argmax (nearest-first
+    nprobe probes), same exact int64 micro-unit ADC over cell-bounded
+    candidates, same top-``_PQ_RERANK`` cut (dsq_micro, neighbor tie-break),
+    same 6-dp cosine re-rank."""
+    sims_select, argmax_select, K = _ivf_cell_sql_parts()
+    qprobe = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {i} AS cell, s_{i} AS sim FROM cs WHERE vec_id % 100 = 0"
+        for i in range(K)
+    )
     return (
         _pq_base_ctes()
-        + """,
-enc AS (
-    SELECT vec_id AS neighbor_id, m, code FROM amin WHERE rn = 1
-), qd AS MATERIALIZED (
+        + f""",
+cs AS (
+    {sims_select} FROM base
+),
+cellassign AS (
+    {argmax_select.replace("__SIMSRC__", "cs")}
+),
+qprobe AS (
+    {qprobe}
+),
+qcells AS (
+    SELECT vec_id AS query_id, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS cr FROM qprobe)
+    WHERE cr <= {_PQ_NPROBE}
+),
+encc AS (
+    SELECT e.vec_id AS neighbor_id, e.m, e.code, a.cell
+    FROM amin e JOIN cellassign a ON a.vec_id = e.vec_id
+    WHERE e.rn = 1
+),
+qd AS MATERIALIZED (
     SELECT vec_id AS query_id, m, code, dsq FROM parts WHERE vec_id % 100 = 0
-)
-SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+),
+adc AS (
+    SELECT qc.query_id, e.neighbor_id, CAST(SUM(q.dsq) AS BIGINT) AS dsq_micro
+    FROM qcells qc
+    JOIN encc e ON e.cell = qc.cell AND e.neighbor_id <> qc.query_id
+    JOIN qd q ON q.query_id = qc.query_id AND q.m = e.m AND q.code = e.code
+    GROUP BY qc.query_id, e.neighbor_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsq_micro, neighbor_id) AS ar
+        FROM adc
+    ) WHERE ar <= {_PQ_RERANK}
+),
+rer AS (
     SELECT s.query_id, s.neighbor_id,
-           ROUND(CAST(s.dsq_micro AS DOUBLE) / 1e12, 6) AS approx_dist,
-           ROW_NUMBER() OVER (
-               PARTITION BY s.query_id
-               ORDER BY ROUND(CAST(s.dsq_micro AS DOUBLE) / 1e12, 6), s.neighbor_id
-           ) AS rank
-    FROM (
-        SELECT q.query_id, e.neighbor_id, CAST(SUM(q.dsq) AS BIGINT) AS dsq_micro
-        FROM enc e JOIN qd q ON q.m = e.m AND q.code = e.code
-        WHERE e.neighbor_id <> q.query_id
-        GROUP BY q.query_id, e.neighbor_id
-    ) s
+           ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+    FROM short s
+    JOIN base c ON c.vec_id = s.neighbor_id
+    JOIN base q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM rer
 ) WHERE rank <= 10 ORDER BY query_id, rank
 """
     )

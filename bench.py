@@ -350,7 +350,12 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    load_ratio = round(canary_ms / CANARY_REF_TRIVIAL_MS, 4)
+    # Clamped to [0.5, 5]: scheduler-overhead load does not scale
+    # compute/shuffle-bound queries linearly, so queries_adj is an APPROXIMATE
+    # normalization — the clamp keeps a degenerate (near-zero or saturated)
+    # canary from silently inflating/deflating it; cross-round consumers
+    # should read raw timings + load_ratio together.
+    load_ratio = round(min(5.0, max(0.5, canary_ms / CANARY_REF_TRIVIAL_MS)), 4)
     queries_adj = {
         n: round(v / load_ratio, 4) for n, v in {**timings, **heavy_timings}.items()
     }

@@ -518,8 +518,16 @@ def ngram_jaccard_pairs(
     vocabulary**: the top-``hot_vocab_k`` (blk, shingle) keys with df > 1,
     computed by one map-side-combined aggregate (its exchange carries only
     per-partition-distinct keys, not the token explode) and joined back
-    with an explicit ``broadcast`` hint (≤ ~24 MB at the 2²⁰ default) — a
-    map-side lookup, not a shuffle. Every shingle outside the map ties at
+    with an explicit ``broadcast`` hint — a map-side lookup, not a shuffle.
+    Sizing note: the ~24 MB figure at the 2²⁰ default is RAW row data; the
+    JVM ``BroadcastHashJoin`` relation (LongHashedRelation pages + object
+    headers) costs ~3–5× that, so on the driver's bare 1 GiB session the
+    default leaves roughly 10× headroom, not 40×. ``F.broadcast`` bypasses
+    ``autoBroadcastJoinThreshold``, so the failure mode of oversizing is a
+    driver/executor OOM, not a silent plan change — if a corpus saturates
+    the hot map (the LIMIT actually binds) and memory is tight, lower
+    ``hot_vocab_k`` (2¹⁸ ≈ 1.5 MB raw) before raising heap; the filter
+    stays lossless at ANY k. Every shingle outside the map ties at
     df = 1 and orders by its hash. That leaves the per-doc row_number pass
     as the ONLY corpus-wide shuffle of the token explode, where the r4 plan
     paid two differently-keyed ones (df COUNT window over (blk, shingle) +

@@ -555,35 +555,6 @@ def _pq_slices(dim: int, m: int) -> list[tuple[int, int]]:
     return [(i * w, w) for i in range(m)]
 
 
-def _pq_subdist(vec_col: str | Column, centroid: list[float], offset: int) -> Column:
-    """Squared L2 between one sub-vector slice and a literal sub-centroid —
-    generated as a fixed left-associated chain of (x - c)^2 terms so the SQL
-    oracle (same generation order) sees bit-identical IEEE sums."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    total = None
-    for j, c in enumerate(centroid):
-        x = F.element_at(v, offset + j + 1).cast("double")
-        term = (x - F.lit(float(c))) * (x - F.lit(float(c)))
-        total = term if total is None else total + term
-    return total
-
-
-def _pq_code_struct(vec_col: str | Column, codebook_m: list[list[float]], offset: int) -> Column:
-    """array_min over (dsq, code) structs = deterministic argmin (ties to the
-    smallest code) — one codegen expression, no interpreted lambdas."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _pq_subdist(vec_col, c, offset).alias("d"),
-                    F.lit(code).alias("k"),
-                )
-                for code, c in enumerate(codebook_m)
-            ]
-        )
-    )
-
-
 def _pq_lit_table(spark, codebooks: list[list[list[float]]]):
     """(m, code, j, c_micro) literal sub-centroid table — m*k*subdim rows
     (512 at the 4x8x16 default), broadcast everywhere PQ math happens.
@@ -677,12 +648,16 @@ def train_pq_codebooks(
     PQ's metric, unlike the cosine IVF coarse quantizer). Same
     train-on-a-sample-then-freeze flow as :func:`train_ivf_centroids`:
     deterministic hash-sample init (the k smallest xxhash64(id) rows), then
-    per iteration (1) assign codes with the current literal codebooks — the
-    same unrolled argmin expression :func:`pq_encode` serves, (2) per
-    (sub-vector, code, dim) running sums via posexplode + hash aggregate
-    (map-side combine; the shuffle carries m*k*subdim partials, never
-    vectors), (3) rebuild the m codebooks driver-side from a few KB of sums.
-    Returns plain floats for literal embedding (SQL oracles, persistence).
+    per iteration (1) assign codes with the current literal codebooks via
+    :func:`pq_codes` — the SAME exact-integer aggregate-shape argmin
+    :func:`pq_encode` serves (an earlier unrolled-expression assign fell out
+    of whole-stage codegen at m·k·subdim ≈ 1024 literal terms, the repo's
+    standing giant-expression gotcha), (2) per (sub-vector, code, dim)
+    running sums via posexplode + equi-join on (id, sub-vector) + hash
+    aggregate (map-side combine; the shuffle carries m*k*subdim partials,
+    never vectors), (3) rebuild the m codebooks driver-side from a few KB of
+    sums. Returns plain floats for literal embedding (SQL oracles,
+    persistence).
     """
     import numpy as np
 
@@ -701,26 +676,21 @@ def train_pq_codebooks(
         [[float(x) for x in list(r["_v"])[off : off + sub]] for r in seed_rows]
         for off, _ in slices
     ]
+    ex = corpus.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("dim", "x")
+    ).select(
+        "_id",
+        F.expr(f"dim div {sub}").cast("int").alias("m"),
+        "dim",
+        F.col("x").cast("double").alias("x"),
+    )
     for _ in range(n_iters):
-        coded = corpus.select(
-            F.col(vec_col).alias("_v"),
-            *[
-                _pq_code_struct(vec_col, cbs[i], off)["k"].alias(f"_c{i}")
-                for i, (off, _) in enumerate(slices)
-            ],
+        codes = pq_codes(corpus, cbs, vec_col, id_col).withColumnRenamed(
+            "neighbor_id", "_id"
         )
         partials = (
-            coded.select(
-                F.array(*[F.col(f"_c{i}") for i in range(m)]).alias("_cs"),
-                F.posexplode(F.col("_v")).alias("dim", "x"),
-            )
-            .select(
-                (F.col("dim") / sub).cast("int").alias("mi"),
-                F.element_at("_cs", (F.col("dim") / sub).cast("int") + 1).alias("code"),
-                "dim",
-                F.col("x").cast("double").alias("x"),
-            )
-            .groupBy("mi", "code", "dim")
+            ex.join(codes, ["_id", "m"])
+            .groupBy(F.col("m").alias("mi"), "code", "dim")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
@@ -739,27 +709,17 @@ def train_pq_codebooks(
     return cbs
 
 
-def pq_topk(
+def pq_codes(
     corpus: DataFrame,
-    queries: DataFrame,
     codebooks: list[list[list[float]]],
-    k: int = 10,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN top-k by asymmetric PQ distance (ADC): corpus vectors live ONLY
-    as their m codes; each (query, candidate) pair scores as the sum of
-    exact query-to-sub-centroid squared distances looked up by the
-    candidate's codes. The lookup table is the query-side sub-distance
-    aggregate (Q·m·k rows); the corpus side streams codes — the scan never
-    touches corpus floats, which is the entire point at 100 TB.
-
-    Deterministic end to end: micro-unit integer distance sums (order-
-    independent), divided once and rounded at 6 dp before ranking, ties on
-    neighbor id. Self-pairs are excluded.
-    """
-    m = len(codebooks)
-    enc = (
+    """(neighbor_id, m, code): each vector's nearest sub-centroid per
+    sub-vector — the long-form PQ code table :func:`ivfadc_topk` scans.
+    Same exact integer argmin as :func:`pq_encode` ((dsq, code) min struct,
+    ties to the smallest code)."""
+    return (
         _pq_sub_dists(corpus, codebooks, vec_col, id_col)
         .groupBy("_id", "m")
         .agg(F.min(F.struct("dsq", "code")).alias("best"))
@@ -769,23 +729,99 @@ def pq_topk(
             F.col("best")["code"].alias("code"),
         )
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC ANN (Jégou et al., TPAMI'11 — the composition FAISS calls
+    ``IVFx,PQy``): the coarse IVF quantizer prunes candidates to the query's
+    ``nprobe`` nearest cells, asymmetric PQ distance (ADC) ranks ONLY those
+    candidates from their codes, and the ADC top-``rerank`` are re-ranked
+    EXACTLY against raw vectors. Three properties that make this the 100 TB
+    shape (and that the unpruned r5 ADC scan lacked):
+
+    - **candidates are probed-cell-bounded**: the corpus side enters the
+      join keyed by its single IVF cell, queries fan out to ``nprobe`` cell
+      keys — per-query candidate count is the occupancy of its probed cells
+      (~``nprobe/K`` of the corpus), not N. No window ever sees the corpus.
+    - **the pruned scan reads codes, not floats**: ADC looks distances up
+      by (m, code) from the query-side LUT (Q·m·k rows, broadcast); corpus
+      floats are touched only for the ``rerank`` survivors per query.
+    - **exact refinement**: the final top-k orders by true cosine over raw
+      vectors, so ADC quantization error can demote but not corrupt — the
+      result is exact within the candidate set, and recall is bounded by
+      cell recall (the IVF knob), not code resolution.
+
+    Deterministic end to end: the ADC cut orders by the EXACT int64
+    micro-unit distance sum (order-independent across any shuffle), ties on
+    neighbor id; the re-rank orders by 6-dp-rounded cosine (sequential
+    fold, the SQL-oracle expression tree), ties on neighbor id. Self-pairs
+    are excluded. Output matches the other ANN families:
+    (query_id, neighbor_id, cosine_sim, rank).
+    """
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    # Corpus: one cell per row + m PQ codes. The cell join shuffles only
+    # (id, m, code, cell) rows — at scale both are computed once at encode
+    # time and stored cell-partitioned, so this is ingest cost, not query
+    # cost (the serving layout ivf_assign's docstring describes).
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    enc = pq_codes(corpus, codebooks, vec_col, id_col).join(cells, "neighbor_id")
+    # Queries: nprobe nearest cells each (nearest-first stable order) + the
+    # ADC lookup table of exact query-to-sub-centroid micro distances.
+    qcells = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
     lut = _pq_sub_dists(queries, codebooks, vec_col, id_col).select(
         F.col("_id").alias("query_id"), "m", "code", "dsq"
     )
-    scored = (
-        enc.join(F.broadcast(lut), ["m", "code"])
+    adc = (
+        enc.join(F.broadcast(qcells), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("dsq").alias("_dsq_micro"))
+    )
+    # ADC cut on the exact integer distance — the window input is bounded by
+    # probed-cell occupancy (see above), never the corpus.
+    wa = Window.partitionBy("query_id").orderBy(F.asc("_dsq_micro"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank: raw floats for `rerank` survivors per query only.
+    rer = (
+        shortlist.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.col("_dsq_micro").cast("double") / 1e12, 6).alias("approx_dist"),
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

@@ -67,8 +67,9 @@ def test_bench_helpers_shape(spark):
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
-    # cheapest heavy actually runs end to end at sf0.001
+    # cheapest heavy actually runs end to end at sf0.001 AND produces rows
+    # (sf0.001 documents are non-empty — a silently-empty plan must fail here)
     df = hq["bpe_encode"][0](spark, "/root/testdata/sf0.001")
-    assert df.count() >= 0
+    assert df.count() > 0
     assert bench.trivial_job_p50_ms(spark) > 0
     assert bench.CANARY_REF_TRIVIAL_MS > 0
