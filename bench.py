@@ -335,6 +335,18 @@ def main() -> None:
     hll_rel_err = abs(acc["nd_hll"] - acc["nd"]) / acc["nd"]
     p50_rel_err = abs(acc["p50_approx"] - acc["p50"]) / acc["p50"]
 
+    # Realized accuracy of the oracle-checkable approx profile (deterministic
+    # md5-threshold KMV distinct estimate) vs the exact audit profile: worst
+    # per-column relative error at this SF.
+    exact_nd = {
+        r["column_name"]: r["n_distinct"]
+        for r in entrymod.q_data_profile(spark, sf_dir).collect()
+    }
+    kmv_rel_err = max(
+        abs(r["n_distinct_approx"] - exact_nd[r["column_name"]]) / exact_nd[r["column_name"]]
+        for r in entrymod.q_data_profile_approx(spark, sf_dir).collect()
+    )
+
     # Ingestion throughput (reference headline: ~155k records/s, BASELINE.md):
     # reshape-shaped write of the largest table into the identity-partitioned
     # layout the engine uses, records/sec wall-clock.
@@ -391,6 +403,7 @@ def main() -> None:
                 # tests/test_ann_recall.py::test_pq_adc_recall_floor)
                 "ann_pq_recall_at_10": round(pq_recall, 4),
                 "hll_count_distinct_rel_err": round(hll_rel_err, 4),
+                "profile_kmv_distinct_rel_err": round(kmv_rel_err, 4),
                 "approx_p50_rel_err": round(p50_rel_err, 6),
                 "startup_sec": round(startup, 2),
                 "ingest_records_per_sec": int(n_records / ingest_sec),

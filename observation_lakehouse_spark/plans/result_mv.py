@@ -1,0 +1,179 @@
+"""Per-problem RESULT materialization: serve hot query families from a
+maintained table instead of planning a fresh aggregation per problem.
+
+The reference's hot loop re-runs its per-problem view query against the
+store on every lookup (semantics: /root/reference/benchmark_srm_output_view
+.py:38-71 — per-problem latency of a problem-scoped aggregation). On this
+engine that shape pays Spark's fixed per-query planning/scheduling floor
+(~100 ms) per problem — the one latency family DOMAIN_BENCH could not push
+under the reference's per-problem numbers through round 5. The Spark-first
+answer is to stop planning an aggregation per lookup: the three families are
+pure per-problem functions of per-problem data, so their results are
+materialized ONCE per (data_set_id, problem_id) partition and a lookup is a
+partition-pruned file read — a scan-only plan at the trivial-job floor.
+
+Maintenance is INCREMENTAL by construction: because each output row depends
+only on its own problem's input rows, an append touching problems P refreshes
+exactly the partitions P — computed from the partition-pruned source subset
+and written with dynamic partition overwrite (untouched partitions are never
+read or rewritten). At 100 TB this is the standard serving pattern: refresh
+cost tracks the append's problem set, lookups never re-aggregate, and the MV
+inherits the store's identity partitioning so pruning is static.
+
+Consistency contract (pinned by tests/test_result_mv.py): after any sequence
+of appends + matching ``refresh_problems`` calls, ``serve(ds, p)`` row-equals
+the direct operator on the full source — the ``incremental_mv`` equivalence,
+at result grain instead of aggregate grain.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PARTITION_COLS = ("data_set_id", "problem_id")
+
+
+class ProblemResultMV:
+    """A result table for one query family, identity-partitioned on
+    (data_set_id, problem_id).
+
+    ``compute`` maps a source observations-shaped DataFrame to the family's
+    result rows and MUST (a) emit the partition columns and (b) be
+    per-problem local — every output row a function of input rows with the
+    same (data_set_id, problem_id). All three reference families are.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compute: Callable[[DataFrame], DataFrame],
+        files_per_partition: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.path = str(path)
+        self.compute = compute
+        # 1 = the compacted single-file layout (cheapest footer/open cost).
+        # >1 shards each problem's rows across N files so a problem lookup
+        # decodes in N parallel tasks — pays off when the served row is WIDE
+        # (the three-way join's o.* + code + test payload) and decode, not
+        # the job floor, dominates.
+        self.files_per_partition = int(files_per_partition)
+
+    def refresh_full(self, source: DataFrame) -> None:
+        """Recompute every partition (initial build / backfill)."""
+        self._write(self.compute(source))
+
+    def _write(self, out: DataFrame) -> None:
+        # Repartition on the partition keys first: each task then writes a
+        # handful of partition directories instead of every task holding an
+        # open parquet writer (columnar buffers) for ALL of them — the
+        # unclustered write OOMs a default-heap session at ~100 problems x
+        # 32 tasks. Side effect is the serving layout we want anyway: ONE
+        # file per problem partition (the compacted interactive profile),
+        # or files_per_partition deterministic hash shards of it.
+        keys = [F.col(c) for c in PARTITION_COLS]
+        if self.files_per_partition > 1:
+            sharded = out.withColumn(
+                "_shard",
+                F.pmod(F.xxhash64(*out.columns), F.lit(self.files_per_partition)),
+            )
+            clustered = sharded.repartition(*keys, F.col("_shard")).drop("_shard")
+        else:
+            clustered = out.repartition(*keys)
+        clustered.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(*PARTITION_COLS).parquet(self.path)
+        self.spark.catalog.refreshByPath(self.path)
+
+    def refresh_problems(
+        self, source: DataFrame, problems: Iterable[tuple[str, str]]
+    ) -> None:
+        """Recompute ONLY the given (data_set_id, problem_id) partitions.
+
+        The source is partition-pruned to the touched problems before the
+        family recomputes (per-problem locality makes that exact, not an
+        approximation), and the write is a dynamic partition overwrite —
+        untouched partitions are neither read nor rewritten."""
+        probs = list(problems)
+        if not probs:
+            return
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("data_set_id") == ds) & (F.col("problem_id") == p)
+                for ds, p in probs
+            ],
+        )
+        self._write(self.compute(source.filter(cond)))
+
+    def refresh_after_append(self, source: DataFrame, appended: DataFrame) -> None:
+        """The append hook: refresh exactly the partitions the appended rows
+        touch (their distinct (data_set_id, problem_id) pairs — a few rows
+        collected, never data)."""
+        touched = [
+            (r["data_set_id"], r["problem_id"])
+            for r in appended.select(*PARTITION_COLS).distinct().collect()
+        ]
+        self.refresh_problems(source, touched)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def serve(self, data_set_id: str, problem_id: str) -> DataFrame:
+        """One problem's materialized result: a partition-pruned scan-only
+        plan — no aggregation, no join, no exchange."""
+        return self.read().where(
+            (F.col("data_set_id") == data_set_id)
+            & (F.col("problem_id") == problem_id)
+        )
+
+
+def srm_map_mv_compute(observations: DataFrame) -> DataFrame:
+    """Full-corpus SRM map rows keyed by problem (operators.srm.srm_output_map
+    at corpus grain): map<implementation_id, output> per (problem, test,
+    step), duplicate cells first-wins like the pivot."""
+    per_cell = observations.groupBy(
+        "data_set_id", "problem_id", "test_id", "step_id", "implementation_id"
+    ).agg(F.first("output").alias("output"))
+    return per_cell.groupBy("data_set_id", "problem_id", "test_id", "step_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("implementation_id", "output")))
+        ).alias("outputs")
+    )
+
+
+def clustering_mv_compute(observations: DataFrame) -> DataFrame:
+    """Full-corpus behavioral clusters keyed by problem (operators.clustering
+    .behavioral_clustering at corpus grain, parallel shuffle plan)."""
+    from observation_lakehouse_spark.operators.clustering import (
+        behavioral_clustering,
+    )
+
+    # behavioral_clustering keeps problem_id in its grouping; re-attach
+    # data_set_id per problem for the partition layout (problems are unique
+    # within a data set in the reference's layout).
+    ds_of = observations.select("data_set_id", "problem_id").distinct()
+    return behavioral_clustering(observations, single_partition=False).join(
+        F.broadcast(ds_of), "problem_id"
+    )
+
+
+def three_way_join_mv_compute(
+    code_implementations: DataFrame, tests: DataFrame
+) -> Callable[[DataFrame], DataFrame]:
+    """Full-corpus three-way join keyed by problem. Dimension legs are
+    captured; the returned compute prunes them to the SAME problem subset as
+    the observations source (per-problem locality holds leg-wise)."""
+    from observation_lakehouse_spark.operators.joins import three_way_join
+
+    def compute(observations: DataFrame) -> DataFrame:
+        probs = observations.select(*PARTITION_COLS).distinct()
+        code = code_implementations.join(F.broadcast(probs), list(PARTITION_COLS))
+        tst = tests.join(F.broadcast(probs), list(PARTITION_COLS))
+        return three_way_join(observations, code, tst)
+
+    return compute

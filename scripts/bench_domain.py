@@ -113,7 +113,11 @@ def build_corpus(spark, root: str, n_problems: int) -> None:
 def main() -> None:
     n_problems = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    spark = get_spark("bench-domain")
+    # Benchmark script, not the driver's 1g query gate: the run plans ~500
+    # per-problem jobs (codegen classes, broadcast builds, plan caches pile
+    # up in one JVM) before the MV builds — give it a real heap like
+    # scale_probe does (must be set before the JVM launches).
+    spark = get_spark("bench-domain", extra_conf={"spark.driver.memory": "4g"})
     root = tempfile.mkdtemp(prefix="domain_bench_")
     build_corpus(spark, root, n_problems)
 
@@ -303,6 +307,62 @@ def main() -> None:
             (time.perf_counter() - t0) * 1000 / n_problems, 2
         )
 
+    # Served-from-MV profile (VERDICT r5 #2): per-problem results maintained
+    # as an identity-partitioned result table (plans/result_mv.ProblemResultMV
+    # — incremental refresh on append, consistency pinned by
+    # tests/test_result_mv.py), so a lookup is a partition-pruned SCAN of
+    # precomputed rows — no aggregation, no join, no exchange. This is the
+    # serving architecture for the interactive loop: the per-query planner
+    # floor still applies, but the data path is a one-file read.
+    from observation_lakehouse_spark.plans.result_mv import (
+        ProblemResultMV,
+        clustering_mv_compute,
+        srm_map_mv_compute,
+        three_way_join_mv_compute,
+    )
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    mvs = {
+        "srm_output_view": ProblemResultMV(spark, f"{root}/mv_srm", srm_map_mv_compute),
+        "behavioral_clustering": ProblemResultMV(
+            spark, f"{root}/mv_clu", clustering_mv_compute
+        ),
+        # the join's served row is WIDE (o.* + code + test payload): shard
+        # each problem across 4 files so the lookup decodes in parallel
+        # tasks (~40 -> ~20 ms of decode under load; floor unchanged)
+        "three_way_join": ProblemResultMV(
+            spark, f"{root}/mv_twj", three_way_join_mv_compute(code, tst),
+            files_per_partition=4,
+        ),
+    }
+    mv_build_ms: dict[str, float] = {}
+    for name, mv in mvs.items():
+        t0 = time.perf_counter()
+        mv.refresh_full(obs)
+        mv_build_ms[name] = round((time.perf_counter() - t0) * 1000 / n_problems, 2)
+
+    # interactive read profile again: a pruned MV partition is one file (or
+    # a few shards — split them into separate tasks instead of bin-packing)
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+    served: dict[str, float] = {}
+    for name, mv in mvs.items():
+        dfs = {}
+        for k in range(n_samples):
+            pid = f"p_{k:04d}"
+            dfs[pid] = mv.serve("DSA", pid)
+            dfs[pid]._jdf.queryExecution().executedPlan()  # prepared lookup
+        lat = []
+        for k in range(n_samples):
+            pid = f"p_{k:04d}"
+            t0 = time.perf_counter()
+            dfs[pid].toPandas()
+            lat.append((time.perf_counter() - t0) * 1000)
+        served[name] = round(statistics.median(lat), 1)
+
     out = {
         "metric": "per_problem_latency_ms",
         "n_problems": n_problems,
@@ -324,6 +384,10 @@ def main() -> None:
             "empty_problem_p50": empty_ms,
         },
         "batch_serving_amortized_ms_per_problem": batch_ms,
+        # result-MV serving: lookup = pruned scan of maintained results;
+        # build cost amortized per problem (one-off / incremental on append)
+        "served_from_mv_p50_ms": served,
+        "mv_build_amortized_ms_per_problem": mv_build_ms,
         "reference_baseline_ms": {
             "srm_output_view": 53.2,
             "behavioral_clustering": 27.9,

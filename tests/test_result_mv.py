@@ -1,0 +1,151 @@
+"""Consistency contract of the per-problem result MV (plans/result_mv.py):
+after a full build — and after appends + INCREMENTAL refresh — serving a
+problem from the MV row-equals running the direct operator on the full
+source, for all three reference families; and the incremental refresh never
+rewrites untouched partitions (verified on the files themselves)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.operators.clustering import behavioral_clustering
+from observation_lakehouse_spark.operators.joins import three_way_join
+from observation_lakehouse_spark.operators.srm import srm_output_map
+from observation_lakehouse_spark.plans.result_mv import (
+    ProblemResultMV,
+    clustering_mv_compute,
+    srm_map_mv_compute,
+    three_way_join_mv_compute,
+)
+from observation_lakehouse_spark.schemas import OBSERVATIONS_SCHEMA
+
+from .conftest import FIXED_TS, N_PROBLEMS
+
+
+def _norm(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def rows_of(df, drop=()):
+    cols = sorted(c for c in df.columns if c not in drop)
+    return sorted(
+        tuple(_norm(r[c]) for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+def _appended_rows():
+    """An append batch touching ONE existing problem (a new implementation of
+    p_001 — changes its SRM map, clusters, and join) plus one NEW problem."""
+    rows = []
+    for t in range(3):
+        for s in range(2):
+            rows.append(
+                ("DSA", "p_001", "impl_99_new_0", f"t_{t:02d}()", "", "",
+                 "run-0001", "env-0001", s,
+                 "public static long P.sum(java.util.List)", '"[1,2]","3"',
+                 f"out_new_{t}_{s}", 1.0, None, None, FIXED_TS,
+                 None, None, None, False))
+            rows.append(
+                ("DSA", "p_900", "impl_00_original_0", f"t_{t:02d}()", "", "",
+                 "run-0001", "env-0001", s,
+                 "public static long P.sum(java.util.List)", '"[1,2]","3"',
+                 f"out_900_{t}_{s}", 1.0, None, None, FIXED_TS,
+                 None, None, None, False))
+    return rows
+
+
+@pytest.fixture()
+def mv_setup(spark, observations, code_implementations, tests_table, tmp_path):
+    mvs = {
+        "srm": ProblemResultMV(spark, str(tmp_path / "srm_mv"), srm_map_mv_compute),
+        "clu": ProblemResultMV(spark, str(tmp_path / "clu_mv"), clustering_mv_compute),
+        "twj": ProblemResultMV(
+            spark,
+            str(tmp_path / "twj_mv"),
+            three_way_join_mv_compute(code_implementations, tests_table),
+        ),
+    }
+    for mv in mvs.values():
+        mv.refresh_full(observations)
+    return mvs
+
+
+def _direct(name, observations, code_implementations, tests_table, pid):
+    if name == "srm":
+        return srm_output_map(observations, problem_id=pid, data_set_id="DSA")
+    if name == "clu":
+        return behavioral_clustering(observations, problem_id=pid, data_set_id="DSA")
+    return three_way_join(
+        observations, code_implementations, tests_table,
+        data_set_id="DSA", problem_id=pid,
+    )
+
+
+def _assert_serve_matches(mvs, observations, code_implementations, tests_table, pids):
+    for pid in pids:
+        for name, mv in mvs.items():
+            direct = _direct(name, observations, code_implementations, tests_table, pid)
+            served = mv.serve("DSA", pid)
+            assert rows_of(served, drop=("data_set_id", "problem_id")) == rows_of(
+                direct, drop=("data_set_id", "problem_id")
+            ), (name, pid)
+
+
+def test_full_build_serves_direct_results(
+    spark, observations, code_implementations, tests_table, mv_setup
+):
+    pids = [f"p_{p:03d}" for p in range(N_PROBLEMS)]
+    _assert_serve_matches(
+        mv_setup, observations, code_implementations, tests_table, pids
+    )
+    # the serve plan is scan-only: no aggregate, no join, no exchange
+    plan = (
+        mv_setup["srm"].serve("DSA", "p_000")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    for op in ("Aggregate", "Exchange", "Join"):
+        assert op not in plan, plan
+
+
+def test_incremental_refresh_after_append(
+    spark, observations, code_implementations, tests_table, mv_setup
+):
+    appended = spark.createDataFrame(_appended_rows(), OBSERVATIONS_SCHEMA)
+    source2 = observations.unionByName(appended)
+
+    # untouched-partition isolation: p_000's files must not be rewritten
+    def p000_stat(mv):
+        base = Path(mv.path) / "data_set_id=DSA" / "problem_id=p_000"
+        return sorted(
+            (f.name, os.stat(f).st_mtime_ns)
+            for f in base.glob("*.parquet")
+        )
+
+    before = {n: p000_stat(mv) for n, mv in mv_setup.items()}
+    for mv in mv_setup.values():
+        mv.refresh_after_append(source2, appended)
+    after = {n: p000_stat(mv) for n, mv in mv_setup.items()}
+    assert before == after  # dynamic overwrite left p_000 alone
+    assert all(before[n] for n in before)  # ...and it actually has files
+
+    # served results equal direct queries on the post-append source for the
+    # touched existing problem, the new problem, and an untouched one
+    _assert_serve_matches(
+        mv_setup, source2, code_implementations, tests_table,
+        ["p_000", "p_001", "p_900"],
+    )
+
+
+def test_refresh_problems_empty_is_noop(spark, observations, mv_setup):
+    mv = mv_setup["srm"]
+    before = rows_of(mv.read())
+    mv.refresh_problems(observations, [])
+    assert rows_of(mv.read()) == before
