@@ -928,10 +928,28 @@ def remove_dup_spans(
     Gram identity is xxhash64 (collisions ~(distinct grams)²/2⁻⁶⁴ — the
     string-counting oracle agrees at any realistic corpus).
     """
+    base, g = span_grams(df, text_col, id_col, ngram)
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    # persist: one covered-positions array per affected doc — lets a rerun
+    # (bench steady state) skip the count + explode chain entirely.
+    cov = covered_positions(
+        g, counts.filter(F.col("_n") >= 2).select("gram"), ngram
+    ).persist()
+    out = rebuild_clean_text(base, cov)
+    return _with_cached_deps(out, base, g, cov)
+
+
+def span_grams(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> tuple[DataFrame, DataFrame]:
+    """(base, grams) for span-level dedup — shared by the batch operator and
+    the streaming twin (streaming/dedup.remove_dup_spans_stream). ``base`` is
+    (doc_id, toks, wins) PERSISTED; ``grams`` is the PERSISTED positional
+    table (doc_id, start, gram): index i holds the xxhash64 of the window
+    STARTING at token i (1-based); tails where the window would run off the
+    end stay NULL and are dropped AFTER posexplode so surviving positions
+    are the true starts."""
     toks = lower_tokens(text_col)
-    # Positional (non-distinct) windows: index i holds the window STARTING at
-    # token i; tails where the window would run off the end stay NULL and are
-    # dropped AFTER posexplode so surviving positions are the true starts.
     acc = toks
     for k in range(1, ngram):
         shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
@@ -945,23 +963,34 @@ def remove_dup_spans(
         .select("doc_id", (F.col("p0") + 1).alias("start"), F.xxhash64("w").alias("gram"))
         .persist()
     )
-    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
-    # persist: one covered-positions array per affected doc — lets a rerun
-    # (bench steady state) skip the count + explode chain entirely.
-    cov = (
-        g.join(counts.filter(F.col("_n") >= 2), "gram")
-        .select("doc_id", F.explode(F.sequence("start", F.col("start") + ngram - 1)).alias("pos"))
+    return base, g
+
+
+def covered_positions(g: DataFrame, dup_grams: DataFrame, ngram: int) -> DataFrame:
+    """(doc_id, cov): the set of token positions covered by any duplicated
+    window start — one array row per affected doc."""
+    return (
+        g.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("start", F.col("start") + ngram - 1)).alias("pos"),
+        )
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("cov"))
-        .persist()
     )
-    # Reconstruction is array-native, not a per-token membership lambda:
-    # kept positions = sequence(1..n) MINUS covered (one hash set-difference
-    # per row; array_except preserves the left array's order, so positions
-    # stay ascending), then one element_at per survivor.
-    # sequence(1, 0) would yield a DESCENDING [1, 0] (negative default step)
-    # for a zero-token doc, so the position list must be guarded empty
-    # (property test caught it: docs=[[], []]).
+
+
+def rebuild_clean_text(base: DataFrame, cov: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): covered tokens removed,
+    survivors re-joined with single spaces, ordered by doc_id.
+
+    Reconstruction is array-native, not a per-token membership lambda:
+    kept positions = sequence(1..n) MINUS covered (one hash set-difference
+    per row; array_except preserves the left array's order, so positions
+    stay ascending), then one element_at per survivor.
+    sequence(1, 0) would yield a DESCENDING [1, 0] (negative default step)
+    for a zero-token doc, so the position list must be guarded empty
+    (property test caught it: docs=[[], []])."""
     positions = F.when(
         F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
     ).otherwise(F.array().cast("array<int>"))
@@ -969,7 +998,7 @@ def remove_dup_spans(
         F.array_except(positions, F.coalesce("cov", F.array().cast("array<int>"))),
         lambda p: F.element_at(F.col("toks"), p),
     )
-    out = (
+    return (
         base.join(cov, "doc_id", "left")
         .select("doc_id", F.size("toks").alias("n_tokens"), kept.alias("_kept"))
         .select(
@@ -980,4 +1009,3 @@ def remove_dup_spans(
         )
         .orderBy("doc_id")
     )
-    return _with_cached_deps(out, base, g, cov)

@@ -119,3 +119,93 @@ def near_dedup_admit_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def remove_dup_spans_stream(
+    stream: DataFrame,
+    gram_table,
+    out_table,
+    checkpoint: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    available_now: bool = False,
+):
+    """Continuous duplicated-span REMOVAL — the streaming twin of
+    :func:`~observation_lakehouse_spark.operators.dedup.remove_dup_spans`
+    (the cleaning half of ExactSubstr, Lee et al. 2021), completing the
+    streaming cleaning surface next to exact (:func:`dedup_stream`) and
+    near-dup (:func:`near_dedup_admit_stream`) admission.
+
+    Each micro-batch computes its positional ``ngram``-token window hashes
+    (the SAME ``span_grams`` expressions the batch operator uses), then a
+    window is *duplicated* when its occurrences in THIS batch plus the
+    standing gram-count table reach 2 — so both within-batch repetition and
+    boilerplate already seen by earlier batches are cut. Covered tokens are
+    removed, the cleaned docs append to ``out_table`` and the batch's gram
+    counts append to ``gram_table`` (read-your-writes through the atomic
+    snapshot: batch N+1 sees batch N's grams).
+
+    Admission-time semantics, stated trade: a doc is cleaned against the
+    corpus PREFIX seen so far — a later duplicate cleans itself but does not
+    retro-clean the earlier occurrence (retro-cleaning is the batch
+    operator's job at materialization time). Consequently ONE batch over an
+    empty standing table is exactly the batch operator — the batch-twin
+    agreement tests/test_stream_span_removal.py pins.
+
+    Exactly-once: both appends commit under (checkpoint, batch_id)
+    idempotency keys, so a replayed batch re-commits neither cleaned rows
+    nor gram counts (a gram double-count would silently turn unique text
+    into "duplicated" spans for every later batch — worse than duplicate
+    rows). A crash between the two appends replays safely: the committed
+    append is recognized and skipped, the missing one commits.
+
+    At 100 TB the standing state is the gram-count table — O(distinct grams)
+    8-byte keys with map-side-combined maintenance (production compacts it
+    periodically by re-aggregating; the read path SUMs per gram either way),
+    and the per-batch cost is batch-token-linear plus one join against it.
+    Nothing is pair-quadratic: a hot gram costs its occurrence count.
+    """
+    import uuid as _uuid
+
+    from observation_lakehouse_spark.operators.dedup import (
+        covered_positions,
+        rebuild_clean_text,
+        span_grams,
+    )
+
+    ckpt = checkpoint or f"/tmp/span_removal_ckpt_{_uuid.uuid4().hex}"
+    ckpt_id = _uuid.uuid5(_uuid.NAMESPACE_URL, ckpt).hex
+
+    def clean(batch_df: DataFrame, batch_id: int) -> None:
+        base, g = span_grams(batch_df, text_col, id_col, ngram)
+        try:
+            batch_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+            standing = gram_table.read().groupBy("gram").agg(
+                F.sum("n").alias("n_prior")
+            )
+            dup_grams = (
+                batch_counts.join(standing, "gram", "left")
+                .filter(
+                    F.col("n") + F.coalesce(F.col("n_prior"), F.lit(0)) >= 2
+                )
+                .select("gram")
+            )
+            cov = covered_positions(g, dup_grams, ngram)
+            cleaned = rebuild_clean_text(base, cov)
+            out_table.append(
+                cleaned, idempotency_key=f"spanclean:{ckpt_id}:{batch_id}"
+            )
+            gram_table.append(
+                batch_counts, idempotency_key=f"spangrams:{ckpt_id}:{batch_id}"
+            )
+        finally:
+            # blocking: async unpersist leaves columnar blocks resident while
+            # the next batch allocates (the repo's standing 1g-session rule)
+            g.unpersist(True)
+            base.unpersist(True)
+
+    writer = stream.writeStream.foreachBatch(clean).option("checkpointLocation", ckpt)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
