@@ -94,6 +94,7 @@ HEADLINE = [
     "unpivot",
     "range_join",
     "data_profile",
+    "data_profile_approx",
     "histogram",
     "transition_matrix",
     "anomaly_zscore",
