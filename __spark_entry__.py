@@ -1896,57 +1896,51 @@ FROM picked ORDER BY vec_id
     )
 
 
-def _ivf_cell_sql_parts() -> tuple[str, str, int]:
-    """(sims_select, argmax_case, K) over a row variable exposing ``v`` —
-    the literal normalized-centroid dot products and numpy's first-max
-    argmax, shared by the IVF-flat and IVFADC oracles so both replay
-    ivf_assign's cell decision identically."""
-    import numpy as np
+def _ivf_int_glit_values() -> tuple[str, int]:
+    """(dim, cell, g) VALUES rows of the micro-unit normalized-centroid
+    matrix — the same integers operators.similarity._ivf_cn_micro feeds the
+    Spark side, computed once here so neither engine rounds anything."""
+    from observation_lakehouse_spark.operators.similarity import _ivf_cn_micro
 
-    C = np.array(_ivf_centroids(), dtype=np.float64)
-    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]  # the matrix ivf_assign uses
-    sims = ",\n           ".join(
-        "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
-        for i, row in enumerate(Cn)
+    cn = _ivf_cn_micro(_ivf_centroids())
+    rows = ", ".join(
+        f"({j}, {i}, {cn[i][j]})" for i in range(len(cn)) for j in range(len(cn[0]))
     )
-    best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
-    # np.argmax keeps the FIRST max -> ascending CASE order.
-    argmax = (
-        "(CASE "
-        + " ".join(f"WHEN s_{i} = mm THEN {i}" for i in range(len(Cn)))
-        + " END)"
-    )
-    sims_select = f"SELECT vec_id, v, {sims}"
-    argmax_over = f"(SELECT *, {best} AS mm FROM __SIMSRC__)"
-    return sims_select, f"SELECT vec_id, v, {argmax} AS cell FROM {argmax_over}", len(Cn)
+    return rows, len(cn)
 
 
 def _pq_topk_oracle() -> str:
-    """IVFADC twin of q_ann_pq_topk: same literal cell argmax (nearest-first
-    nprobe probes), same exact int64 micro-unit ADC over cell-bounded
-    candidates, same top-``_PQ_RERANK`` cut (dsq_micro, neighbor tie-break),
-    same 6-dp cosine re-rank."""
-    sims_select, argmax_select, K = _ivf_cell_sql_parts()
-    qprobe = "\n    UNION ALL ".join(
-        f"SELECT vec_id, {i} AS cell, s_{i} AS sim FROM cs WHERE vec_id % 100 = 0"
-        for i in range(K)
-    )
+    """IVFADC twin of q_ann_pq_topk: same exact-INTEGER cell rule (micro-unit
+    normalized-centroid dot argmax, first-max ties; nprobe nearest cells per
+    query by dot DESC, cell ASC — operators.similarity.ivf_assign_exact),
+    same exact int64 micro-unit ADC over cell-bounded candidates, same
+    top-``_PQ_RERANK`` cut (dsq_micro, neighbor tie-break), same 6-dp cosine
+    re-rank."""
+    glit_rows, _K = _ivf_int_glit_values()
     return (
         _pq_base_ctes()
         + f""",
-cs AS (
-    {sims_select} FROM base
+glit(dim, cell, g) AS (
+    VALUES {glit_rows}
+),
+dots AS MATERIALIZED (
+    SELECT e.vec_id, g.cell, CAST(SUM(e.x_micro * g.g) AS BIGINT) AS dot
+    FROM ex e JOIN glit g ON g.dim = e.dim
+    GROUP BY e.vec_id, g.cell
 ),
 cellassign AS (
-    {argmax_select.replace("__SIMSRC__", "cs")}
-),
-qprobe AS (
-    {qprobe}
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+        FROM dots
+    ) WHERE rn = 1
 ),
 qcells AS (
-    SELECT vec_id AS query_id, cell
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS cr FROM qprobe)
-    WHERE cr <= {_PQ_NPROBE}
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+        FROM dots WHERE vec_id % 100 = 0
+    ) WHERE rn <= {_PQ_NPROBE}
 ),
 encc AS (
     SELECT e.vec_id AS neighbor_id, e.m, e.code, a.cell

@@ -266,6 +266,24 @@ def lsh_ann_topk(
     )
 
 
+# Broadcast handles memoized per (application, centroid values): a FRESH
+# sc.broadcast per plan build pickles a different broadcast id into the
+# mapInPandas closure, so two builds of the same query never canonicalize
+# equal and CacheManager can't match a persisted intermediate across them
+# (the round-5 "per-call broadcast closure" lesson). Reusing the handle makes
+# repeated builds byte-identical AND skips re-serializing the matrix. Keyed
+# by applicationId so a restarted session (new JVM state) re-broadcasts.
+_CENTROID_BC_CACHE: dict = {}
+
+
+def _centroid_broadcast(sc, Cn):
+    key = (sc.applicationId, Cn.shape, Cn.tobytes())
+    bc = _CENTROID_BC_CACHE.get(key)
+    if bc is None:
+        bc = _CENTROID_BC_CACHE[key] = sc.broadcast(Cn)
+    return bc
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -297,7 +315,7 @@ def ivf_assign(
     C = np.array(centroids, dtype=np.float64)
     Cn = (C / np.sqrt((C * C).sum(axis=1))[:, None]).T  # d x K
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(Cn)
+    bc = _centroid_broadcast(sc, Cn)
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     # NB: StructType.add() mutates in place — mutating corpus.schema would
@@ -329,6 +347,68 @@ def ivf_assign(
                 yield rep
 
     return corpus.mapInPandas(assign, out_schema)
+
+
+def _ivf_glit_table(spark, centroids: list[list[float]]):
+    """(dim, g0..g{K-1}): per input dimension, every normalized centroid's
+    micro-unit component — the broadcast literal behind the exact-integer
+    cell assignment (1:1 with the exploded input, like _pq_wide_lit_table)."""
+    cn = _ivf_cn_micro(centroids)
+    K, d = len(cn), len(cn[0])
+    rows = [(j, *[cn[i][j] for i in range(K)]) for j in range(d)]
+    cols = ", ".join(f"g{i} long" for i in range(K))
+    return spark.createDataFrame(rows, f"dim int, {cols}")
+
+
+def ivf_assign_exact(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Relational exact-integer twin of :func:`ivf_assign`: cell = argmax of
+    the micro-unit dot products with the row-normalized centroids (a
+    positive per-row scale never changes a cosine argmax), first-max ties
+    (smaller cell id wins), ``nprobe`` nearest cells emitted when > 1. All
+    int64 — order-independent across shuffles and replayable bit-for-bit in
+    SQL, unlike the float matmul of :func:`ivf_assign` whose summation order
+    an oracle can't pin. This is the cell rule :func:`ivfadc_topk` fuses
+    into its encode aggregate; this standalone form serves tests, oracles
+    and cell-layout maintenance. Returns (id_col, centroid_id)."""
+    K = len(centroids)
+    if not 1 <= nprobe <= K:
+        raise ValueError(f"nprobe must be in [1, {K}], got {nprobe}")
+    glit = _ivf_glit_table(corpus.sparkSession, centroids)
+    ex = corpus.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("dim", "xf")
+    ).select(
+        "_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("xf").cast("double") * 1_000_000.0).cast("long").alias("x_micro"),
+    )
+    dots = (
+        ex.join(F.broadcast(glit), "dim")
+        .groupBy("_id")
+        .agg(
+            *[
+                F.sum(F.col("x_micro") * F.col(f"g{i}")).alias(f"dot_{i}")
+                for i in range(K)
+            ]
+        )
+    )
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct((-F.col(f"dot_{i}")).alias("nd"), F.lit(i).alias("cell"))
+                for i in range(K)
+            ]
+        )
+    )
+    return dots.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
+    ).select(id_col, F.col("pr")["cell"].alias("centroid_id"))
 
 
 def train_ivf_centroids(
@@ -555,32 +635,77 @@ def _pq_slices(dim: int, m: int) -> list[tuple[int, int]]:
     return [(i * w, w) for i in range(m)]
 
 
-def _pq_lit_table(spark, codebooks: list[list[list[float]]]):
-    """(m, code, j, c_micro) literal sub-centroid table — m*k*subdim rows
-    (512 at the 4x8x16 default), broadcast everywhere PQ math happens.
-    Components are INTEGER MICRO-UNITS: all distance arithmetic below is
-    exact int64, therefore order-independent — shuffle aggregates cannot
-    drift ulps and the SQL oracle agrees bit-for-bit (the repo's standard
-    determinism discipline)."""
-    rows = [
-        (m, code, j, int(round(c * 1_000_000)))
-        for m, cb in enumerate(codebooks)
-        for code, cent in enumerate(cb)
-        for j, c in enumerate(cent)
-    ]
-    return spark.createDataFrame(rows, "m int, code int, j int, c_micro long")
+def _ivf_cn_micro(centroids: list[list[float]]) -> list[list[int]]:
+    """The row-normalized coarse-centroid matrix in INTEGER MICRO-UNITS —
+    the literal constants every exact-integer cell-assignment consumer
+    (Spark plan, SQL oracle, tests) shares, so cosine-argmax decisions are
+    bit-identical across engines (a positive per-row scale never changes an
+    argmax, so normalizing only the centroid side suffices)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]
+    return [[int(round(x * 1_000_000)) for x in row] for row in Cn]
 
 
-def _pq_sub_dists(df: DataFrame, codebooks, vec_col: str, id_col: str) -> DataFrame:
-    """(id, m, code, dsq) — exact integer squared distance of every
-    sub-vector to every sub-centroid, at 1e-6 input quantization. Shape:
-    posexplode -> broadcast join with the literal table -> hash aggregate
-    (map-side combinable). No giant unrolled expressions: the first PQ cut
-    generated 512-term projection trees that fell out of whole-stage
-    codegen and measured 4.7-7.6 s at sf0.1; this aggregate shape is the
-    same numbers in ~1 s and is the form that scales."""
+def _pq_wide_lit_table(
+    spark, codebooks: list[list[list[float]]], centroids: list[list[float]] | None = None
+):
+    """(m, j, c0..c{k-1}[, g0..g{K-1}]) literal table — one row per exploded
+    DIMENSION (m*subdim rows, 64 at the 8x16 default), each carrying all k
+    sub-centroid components for that (sub-vector, dim) slot, plus (when
+    ``centroids`` is given) that dimension's component of every normalized
+    coarse IVF centroid. The wide layout keeps the broadcast join 1:1 with
+    the exploded input (N*d rows) instead of multiplying it by k, so the
+    whole PQ distance field AND the coarse-cell dot products fit in ONE hash
+    aggregate downstream. Components are INTEGER MICRO-UNITS: all distance
+    arithmetic below is exact int64, therefore order-independent — shuffle
+    aggregates cannot drift ulps and the SQL oracle agrees bit-for-bit (the
+    repo's standard determinism discipline)."""
+    k = len(codebooks[0])
     sub = len(codebooks[0][0])
-    lit = _pq_lit_table(df.sparkSession, codebooks)
+    cn = _ivf_cn_micro(centroids) if centroids is not None else []
+    rows = [
+        (
+            m,
+            j,
+            *[int(round(cb[code][j] * 1_000_000)) for code in range(k)],
+            *[row[m * sub + j] for row in cn],
+        )
+        for m, cb in enumerate(codebooks)
+        for j in range(len(cb[0]))
+    ]
+    cols = ", ".join(
+        [f"c{c} long" for c in range(k)] + [f"g{i} long" for i in range(len(cn))]
+    )
+    return spark.createDataFrame(rows, f"m int, j int, {cols}")
+
+
+def _pq_code_sums(
+    df: DataFrame, codebooks, vec_col: str, id_col: str, centroids=None
+) -> DataFrame:
+    """(_id, m, s_0..s_{k-1}[, p_0..p_{K-1}]): per (vector, sub-vector), the
+    exact integer squared-distance sum to EVERY sub-centroid as k wide
+    columns — plus, when ``centroids`` is given, this sub-vector's PARTIAL
+    integer dot product with every normalized coarse centroid (summing the
+    m partials per vector yields the full dot, so the coarse IVF cell
+    argmax rides the SAME aggregate and the corpus is read exactly once) —
+    the full PQ distance field through ONE shuffling aggregate. Shape:
+    posexplode (N*d rows) -> broadcast join with the 1:1 wide literal table
+    -> one groupBy(id, m) with unconditional int64 sums (map-side
+    combinable).
+    Two earlier shapes measured worse at sf0.1: a giant unrolled projection
+    (512+ literal terms) fell out of whole-stage codegen at 4.7-7.6 s, and a
+    long-form (id, m, code) aggregate multiplied the exploded input by k
+    rows and chained three shuffling aggregates at ~2.3 s. A third — one
+    groupBy(id) with m*k CONDITIONAL sums — halved the shuffles but paid
+    ~2 s of driver-side analysis on the 128-column plan; grouping by the m
+    key instead of encoding it in when() keeps the plan k expressions wide,
+    which is what actually dominates at bench scale."""
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    K = len(centroids) if centroids is not None else 0
+    lit = _pq_wide_lit_table(df.sparkSession, codebooks, centroids)
     ex = df.select(
         F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("dim", "xf")
     ).select(
@@ -589,11 +714,37 @@ def _pq_sub_dists(df: DataFrame, codebooks, vec_col: str, id_col: str) -> DataFr
         (F.col("dim") % sub).cast("int").alias("j"),
         F.round(F.col("xf").cast("double") * 1_000_000.0).cast("long").alias("x_micro"),
     )
-    diff = F.col("x_micro") - F.col("c_micro")
+    d = [
+        (F.col("x_micro") - F.col(f"c{c}")) * (F.col("x_micro") - F.col(f"c{c}"))
+        for c in range(k)
+    ]
     return (
         ex.join(F.broadcast(lit), ["m", "j"])
-        .groupBy("_id", "m", "code")
-        .agg(F.sum(diff * diff).alias("dsq"))
+        .groupBy("_id", "m")
+        .agg(
+            *[F.sum(d[c]).alias(f"s_{c}") for c in range(k)],
+            *[
+                F.sum(F.col("x_micro") * F.col(f"g{i}")).alias(f"p_{i}")
+                for i in range(K)
+            ],
+        )
+    )
+
+
+def _pq_sub_best(df: DataFrame, codebooks, vec_col: str, id_col: str) -> DataFrame:
+    """(_id, m, code, dsq): each sub-vector's argmin over the wide sums —
+    least() of (dsq, code) structs compares lexicographically, exactly the
+    oracle's ROW_NUMBER() ORDER BY dsq, code tie-break (smallest code wins
+    ties). A post-aggregate projection: no shuffle beyond _pq_code_sums'."""
+    k = len(codebooks[0])
+    best = F.least(
+        *[
+            F.struct(F.col(f"s_{c}").alias("dsq"), F.lit(c).alias("code"))
+            for c in range(k)
+        ]
+    )
+    return _pq_code_sums(df, codebooks, vec_col, id_col).select(
+        "_id", "m", best["code"].alias("code"), best["dsq"].alias("dsq")
     )
 
 
@@ -616,16 +767,16 @@ def pq_encode(
     order-independent across any partitioning, oracle-identical.
     """
     m = len(codebooks)
-    dists = _pq_sub_dists(df, codebooks, vec_col, id_col)
-    picked = dists.groupBy("_id", "m").agg(
-        F.min(F.struct("dsq", "code")).alias("best")
-    )
-    per_m = picked.groupBy("_id").agg(
-        *[
-            F.max(F.when(F.col("m") == i, F.col("best")["code"])).alias(f"_c{i}")
-            for i in range(m)
-        ],
-        F.sum(F.col("best")["dsq"]).alias("_dsq_micro"),
+    per_m = (
+        _pq_sub_best(df, codebooks, vec_col, id_col)
+        .groupBy("_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("code"))).alias(f"_c{i}")
+                for i in range(m)
+            ],
+            F.sum("dsq").alias("_dsq_micro"),
+        )
     )
     return per_m.select(
         F.col("_id").alias(id_col),
@@ -717,17 +868,11 @@ def pq_codes(
 ) -> DataFrame:
     """(neighbor_id, m, code): each vector's nearest sub-centroid per
     sub-vector — the long-form PQ code table :func:`ivfadc_topk` scans.
-    Same exact integer argmin as :func:`pq_encode` ((dsq, code) min struct,
-    ties to the smallest code)."""
-    return (
-        _pq_sub_dists(corpus, codebooks, vec_col, id_col)
-        .groupBy("_id", "m")
-        .agg(F.min(F.struct("dsq", "code")).alias("best"))
-        .select(
-            F.col("_id").alias("neighbor_id"),
-            "m",
-            F.col("best")["code"].alias("code"),
-        )
+    Same exact integer argmin as :func:`pq_encode` (least() of (dsq, code)
+    structs, ties to the smallest code); already long-form after the single
+    shuffle of :func:`_pq_sub_best` — a projection, no extra aggregate."""
+    return _pq_sub_best(corpus, codebooks, vec_col, id_col).select(
+        F.col("_id").alias("neighbor_id"), "m", "code"
     )
 
 
@@ -741,6 +886,7 @@ def ivfadc_topk(
     rerank: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 1000,
 ) -> DataFrame:
     """IVFADC ANN (Jégou et al., TPAMI'11 — the composition FAISS calls
     ``IVFx,PQy``): the coarse IVF quantizer prunes candidates to the query's
@@ -753,38 +899,137 @@ def ivfadc_topk(
       join keyed by its single IVF cell, queries fan out to ``nprobe`` cell
       keys — per-query candidate count is the occupancy of its probed cells
       (~``nprobe/K`` of the corpus), not N. No window ever sees the corpus.
-    - **the pruned scan reads codes, not floats**: ADC looks distances up
-      by (m, code) from the query-side LUT (Q·m·k rows, broadcast); corpus
-      floats are touched only for the ``rerank`` survivors per query.
+    - **the corpus is read ONCE**: PQ codes and the coarse cell come out of
+      the same fused aggregate (:func:`_pq_code_sums` with centroids) — no
+      separate assignment pass, no assign-to-codes join, no Python worker.
+      The pruned ADC scan then reads codes, not floats; corpus floats are
+      touched only for the ``rerank`` survivors per query.
+    - **the query side never touches the cluster**: per-request work (the
+      (m, code) -> distance lookup table, the nprobe cell probes) is computed
+      driver-side from a guarded collect (``max_queries``, the cosine_topk
+      contract) with the same exact integer math, and ships as literal
+      relations — the FAISS client-side-LUT layout.
     - **exact refinement**: the final top-k orders by true cosine over raw
       vectors, so ADC quantization error can demote but not corrupt — the
       result is exact within the candidate set, and recall is bounded by
       cell recall (the IVF knob), not code resolution.
 
-    Deterministic end to end: the ADC cut orders by the EXACT int64
-    micro-unit distance sum (order-independent across any shuffle), ties on
-    neighbor id; the re-rank orders by 6-dp-rounded cosine (sequential
-    fold, the SQL-oracle expression tree), ties on neighbor id. Self-pairs
-    are excluded. Output matches the other ANN families:
-    (query_id, neighbor_id, cosine_sim, rank).
+    Deterministic end to end, in exact int64 micro-units: the cell rule is
+    :func:`ivf_assign_exact`'s (normalized-centroid integer dot argmax,
+    first-max ties; probes ordered dot DESC, cell ASC), the ADC cut orders
+    by the exact integer distance sum (order-independent across any
+    shuffle), ties on neighbor id; the re-rank orders by 6-dp-rounded
+    cosine (sequential fold, the SQL-oracle expression tree), ties on
+    neighbor id. Self-pairs are excluded. Output matches the other ANN
+    families: (query_id, neighbor_id, cosine_sim, rank).
     """
     if rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
-    # Corpus: one cell per row + m PQ codes. The cell join shuffles only
-    # (id, m, code, cell) rows — at scale both are computed once at encode
-    # time and stored cell-partitioned, so this is ingest cost, not query
-    # cost (the serving layout ivf_assign's docstring describes).
-    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    m_n, k_codes, K = len(codebooks), len(codebooks[0]), len(centroids)
+    best = F.least(
+        *[
+            F.struct(F.col(f"s_{c}").alias("dsq"), F.lit(c).alias("code"))
+            for c in range(k_codes)
+        ]
     )
-    enc = pq_codes(corpus, codebooks, vec_col, id_col).join(cells, "neighbor_id")
-    # Queries: nprobe nearest cells each (nearest-first stable order) + the
-    # ADC lookup table of exact query-to-sub-centroid micro distances.
-    qcells = ivf_assign(
-        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("query_id"), "centroid_id")
-    lut = _pq_sub_dists(queries, codebooks, vec_col, id_col).select(
-        F.col("_id").alias("query_id"), "m", "code", "dsq"
+    cellpick = F.least(
+        *[
+            F.struct((-F.col(f"dot_{i}")).alias("nd"), F.lit(i).alias("cell"))
+            for i in range(K)
+        ]
+    )
+    # Corpus: PQ codes AND the coarse IVF cell from ONE read + two bounded
+    # aggregates — the per-(vector, sub-vector) aggregate carries both the
+    # sub-centroid distances and the partial centroid dot products (see
+    # _pq_code_sums), the per-vector fold picks codes (exact integer argmin)
+    # and the cell (exact integer cosine argmax, first-max tie like
+    # ivf_assign). No Python worker and no assign-to-codes join: at scale
+    # this IS the ingest-time encode pass whose output lands cell-partitioned.
+    per_vec = (
+        _pq_code_sums(corpus, codebooks, vec_col, id_col, centroids)
+        .select(
+            "_id",
+            "m",
+            best["code"].alias("code"),
+            *[f"p_{i}" for i in range(K)],
+        )
+        .groupBy("_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == mi, F.col("code"))).alias(f"_c{mi}")
+                for mi in range(m_n)
+            ],
+            *[F.sum(f"p_{i}").alias(f"dot_{i}") for i in range(K)],
+        )
+    )
+    # Persisted: the (id, cell, m, code) table is the serving-layout artifact
+    # a deployment computes once at ingest — persisting it makes the ADC join
+    # and a repeat run of the same plan (CacheManager canonicalized matching)
+    # read codes instead of re-encoding the corpus. m small-int codes + a
+    # cell int per vector: ~N*12 bytes, trivially bounded.
+    enc = per_vec.select(
+        F.col("_id").alias("neighbor_id"),
+        cellpick["cell"].alias("centroid_id"),
+        F.posexplode(F.array(*[F.col(f"_c{i}") for i in range(m_n)])).alias(
+            "m", "code"
+        ),
+    ).persist()
+    # Queries: computed DRIVER-SIDE (guarded collect, same fail-fast contract
+    # as cosine_topk) — the query side is the small per-request side by
+    # definition, and FAISS likewise builds per-query ADC tables client-side.
+    # The SAME exact integer math as the corpus aggregate (micro-quantized
+    # components, int64 sums, HALF_UP like Spark's ROUND) produces the nprobe
+    # nearest cells (dot DESC, cell ASC ties) and the (m, code) -> dsq lookup
+    # table as literal relations, so the SQL oracle replays them bit-for-bit
+    # and no Spark subtree (scans, aggregates, persists) runs per query.
+    import math
+
+    def half_up(v: float) -> int:
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfadc_topk computes query LUTs driver-side: got > {max_queries} "
+            "queries; raise max_queries deliberately or batch the query set"
+        )
+    cn = _ivf_cn_micro(centroids)
+    sub = len(codebooks[0][0])
+    cmicro = [
+        [[int(round(c * 1_000_000)) for c in cent] for cent in cb] for cb in codebooks
+    ]
+    qcell_rows: list[tuple] = []
+    lut_rows: list[tuple] = []
+    qvec_rows: list[tuple] = []
+    for r in q_rows:
+        qid = r["_qid"]
+        xm = [half_up(float(x) * 1_000_000.0) for x in r["_qv"]]
+        dots = [
+            sum(xm[d] * cn[i][d] for d in range(len(xm))) for i in range(K)
+        ]
+        for cell in sorted(range(K), key=lambda i: (-dots[i], i))[:nprobe]:
+            qcell_rows.append((qid, cell))
+        for mi in range(m_n):
+            for c in range(k_codes):
+                dsq = sum(
+                    (xm[mi * sub + j] - cmicro[mi][c][j]) ** 2 for j in range(sub)
+                )
+                lut_rows.append((qid, mi, c, dsq))
+        qvec_rows.append((qid, [float(x) for x in r["_qv"]]))
+    spark = corpus.sparkSession
+    id_type = queries.schema[id_col].dataType.simpleString()
+    qcells = spark.createDataFrame(
+        qcell_rows, f"query_id {id_type}, centroid_id int"
+    )
+    lut = spark.createDataFrame(
+        lut_rows, f"query_id {id_type}, m int, code int, dsq long"
+    )
+    qvecs = spark.createDataFrame(
+        qvec_rows, f"query_id {id_type}, q_vec array<double>"
     )
     adc = (
         enc.join(F.broadcast(qcells), "centroid_id")
@@ -801,18 +1046,16 @@ def ivfadc_topk(
         .filter(F.col("_ar") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    # Exact re-rank: raw floats for `rerank` survivors per query only.
+    # Exact re-rank: raw floats for `rerank` survivors per query only. The
+    # shortlist is Q*rerank rows BY CONSTRUCTION (the one bounded side at any
+    # corpus size), so it broadcasts and the corpus is hash-probed in place —
+    # no corpus shuffle for the refinement step.
     rer = (
-        shortlist.join(
+        F.broadcast(shortlist).join(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
             "neighbor_id",
         )
-        .join(
-            F.broadcast(
-                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-            ),
-            "query_id",
-        )
+        .join(F.broadcast(qvecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -820,8 +1063,12 @@ def ivfadc_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         rer.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+    # Same release contract as the dedup operators: the caller frees the
+    # persisted code table via release_cached(result) once consumed.
+    out._cached_deps = (enc,)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out

@@ -337,7 +337,7 @@ def test_ivfadc_candidates_bounded_by_probed_cells(spark):
 
     import __spark_entry__ as e
     from observation_lakehouse_spark.operators.similarity import (
-        ivf_assign,
+        ivf_assign_exact,
         ivfadc_topk,
     )
 
@@ -364,16 +364,18 @@ def test_ivfadc_candidates_bounded_by_probed_cells(spark):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    # Expectations from the standalone exact-integer cell rule the operator
+    # fuses into its encode aggregate (ivf_assign_exact is its plain twin).
     occ = {
         r["centroid_id"]: r["cnt"]
-        for r in ivf_assign(emb, cents)
+        for r in ivf_assign_exact(emb, cents)
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    own = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(q, cents).collect()}
+    own = {r["vec_id"]: r["centroid_id"] for r in ivf_assign_exact(q, cents).collect()}
     probed = defaultdict(list)
-    for r in ivf_assign(q, cents, nprobe=e._PQ_NPROBE).collect():
+    for r in ivf_assign_exact(q, cents, nprobe=e._PQ_NPROBE).collect():
         probed[r["vec_id"]].append(r["centroid_id"])
     assert probed
     for qid, cells in probed.items():
