@@ -4167,6 +4167,207 @@ GROUP BY 1 ORDER BY n_occurrences DESC, doc_id
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    (operators/retrieval.py:hybrid_rrf_search — Cormack et al., SIGIR'09):
+    BM25 top-20 for {spark, join, stream} and exact-cosine top-20 for the
+    vec_id=0 query vector, each rank contributing floor(1e6/(60+rank))
+    integer micro-points; top-10 by summed RRF, ties on doc id. Both legs
+    bound their output BEFORE fusion, so no window sees more than 20 rows."""
+    from observation_lakehouse_spark.operators.retrieval import hybrid_rrf_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_rrf_search(
+        docs, emb, ["spark", "join", "stream"], query_vec_id=0, k_each=20, k=10, rrf_k=60
+    )
+
+
+_ORACLE_HYBRID = """
+WITH tk0 AS MATERIALIZED (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS dl FROM tk0
+), stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM base
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM tk0)
+    WHERE term IN ('spark', 'join', 'stream')
+    GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), contrib AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6)) AS w
+    FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+), scored AS (
+    SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score FROM contrib GROUP BY 1
+), lex AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+    FROM scored QUALIFY lex_rank <= 20
+), q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), sem0 AS (
+    SELECT vec_id AS doc_id,
+           ROUND(list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0)
+    CROSS JOIN q
+), sem AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS INT) AS sem_rank
+    FROM sem0 QUALIFY sem_rank <= 20
+), fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+           COALESCE(CAST(FLOOR(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+           + COALESCE(CAST(FLOOR(1000000.0 / (60 + s.sem_rank)) AS BIGINT), 0) AS rrf_micro
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank,
+       doc_id, lex_rank, sem_rank, rrf_micro
+FROM fused QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders
+    (operators/audit.py:constraint_audit — the Deequ batch-of-analyzers
+    shape): six constraints (row count, key uniqueness, completeness,
+    status/date conformance, price bound) computed in ONE aggregate pass,
+    metrics in exact integer parts-per-million. The date-range check FAILS
+    on this corpus (orders run past 1999) — the audit reports it, the
+    pipeline decides. Exact countDistinct = the audit path; the profiling
+    family's HLL twin is the 100 TB default."""
+    from observation_lakehouse_spark.operators.audit import (
+        MICRO,
+        constraint_audit,
+        ratio_micro,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    checks = [
+        ("row_count", (n * F.lit(MICRO)).cast("long"), lambda m: m > 0),
+        (
+            "orderkey_unique",
+            ratio_micro(F.countDistinct("o_orderkey"), n),
+            lambda m: m == MICRO,
+        ),
+        (
+            "custkey_complete",
+            ratio_micro(F.count("o_custkey"), n),
+            lambda m: m == MICRO,
+        ),
+        (
+            "status_in_domain",
+            ratio_micro(
+                F.sum(
+                    F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+                ),
+                n,
+            ),
+            lambda m: m == MICRO,
+        ),
+        (
+            "orderdate_before_1999",
+            ratio_micro(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"), 1
+                    ).otherwise(0)
+                ),
+                n,
+            ),
+            lambda m: m == MICRO,
+        ),
+        (
+            "totalprice_min_positive",
+            F.round(F.min("o_totalprice") * F.lit(1_000_000.0)).cast("long"),
+            lambda m: m > 0,
+        ),
+    ]
+    return constraint_audit(o, checks)
+
+
+_ORACLE_CONSTRAINT_AUDIT = """
+WITH a AS (
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT o_orderkey) AS nd,
+           COUNT(o_custkey) AS nc,
+           SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS ns,
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS ndate,
+           MIN(o_totalprice) AS minp
+    FROM orders
+)
+SELECT * FROM (
+    SELECT 'row_count' AS "check", CAST(n * 1000000 AS BIGINT) AS metric_micro, n > 0 AS passed FROM a
+    UNION ALL SELECT 'orderkey_unique', CAST((1000000 * nd) // n AS BIGINT), (1000000 * nd) // n = 1000000 FROM a
+    UNION ALL SELECT 'custkey_complete', CAST((1000000 * nc) // n AS BIGINT), (1000000 * nc) // n = 1000000 FROM a
+    UNION ALL SELECT 'status_in_domain', CAST((1000000 * ns) // n AS BIGINT), (1000000 * ns) // n = 1000000 FROM a
+    UNION ALL SELECT 'orderdate_before_1999', CAST((1000000 * ndate) // n AS BIGINT), (1000000 * ndate) // n = 1000000 FROM a
+    UNION ALL SELECT 'totalprice_min_positive', CAST(ROUND(minp * 1000000.0) AS BIGINT), ROUND(minp * 1000000.0) > 0 FROM a
+) ORDER BY "check"
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer quasi-identifiers
+    (operators/audit.py:k_anonymity_profile, Sweeney IJUFKS'02): QI tuple
+    (nation, market segment, account-balance kilo-band), k=5, drop-last
+    generalization ladder — groups under k climb a level with the last QI
+    starred out; still-failing level-2 groups are the suppression set.
+    Each level is one hash aggregate over only the previous level's
+    failing-group rows (broadcast semi-join pruned)."""
+    from observation_lakehouse_spark.operators.audit import k_anonymity_profile
+
+    c = _t(spark, sf_dir, "customer")
+    quasi = [
+        ("nation", F.col("c_nationkey")),
+        ("segment", F.col("c_mktsegment")),
+        ("bal_kband", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")),
+    ]
+    return k_anonymity_profile(c, quasi, k=5)
+
+
+_ORACLE_K_ANONYMITY = """
+WITH w AS MATERIALIZED (
+    SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+           CAST(c_mktsegment AS VARCHAR) AS segment,
+           CAST(CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR) AS bal_kband
+    FROM customer
+), g0 AS MATERIALIZED (
+    SELECT nation, segment, bal_kband, COUNT(*) AS group_n FROM w GROUP BY 1, 2, 3
+), w1 AS MATERIALIZED (
+    SELECT w.* FROM w
+    WHERE (nation, segment, bal_kband) IN
+          (SELECT (nation, segment, bal_kband) FROM g0 WHERE group_n < 5)
+), g1 AS MATERIALIZED (
+    SELECT nation, segment, COUNT(*) AS group_n FROM w1 GROUP BY 1, 2
+), w2 AS (
+    SELECT w1.* FROM w1
+    WHERE (nation, segment) IN (SELECT (nation, segment) FROM g1 WHERE group_n < 5)
+), g2 AS (
+    SELECT nation, COUNT(*) AS group_n FROM w2 GROUP BY 1
+)
+SELECT * FROM (
+    SELECT 0 AS level, nation || '|' || segment || '|' || bal_kband AS qi, group_n, TRUE AS anonymous
+    FROM g0 WHERE group_n >= 5
+    UNION ALL
+    SELECT 1, nation || '|' || segment || '|*', group_n, TRUE FROM g1 WHERE group_n >= 5
+    UNION ALL
+    SELECT 2, nation || '|*|*', group_n, group_n >= 5 FROM g2
+) ORDER BY level, qi
+"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (operators/text.py:
     winnowing_fingerprints, Schleimer et al. SIGMOD'03): k=3-token shingle
@@ -5103,6 +5304,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
+        "hybrid_search": q_hybrid_search,
+        "constraint_audit": q_constraint_audit,
+        "k_anonymity": q_k_anonymity,
         "winnowing": q_winnowing,
         "domain_mixture": q_domain_mixture,
         "gap_fill": q_gap_fill,
@@ -5214,6 +5418,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _ORACLE_CMS,
         "bm25_search": _ORACLE_BM25,
         "phrase_search": _ORACLE_PHRASE,
+        "hybrid_search": _ORACLE_HYBRID,
+        "constraint_audit": _ORACLE_CONSTRAINT_AUDIT,
+        "k_anonymity": _ORACLE_K_ANONYMITY,
         "winnowing": _ORACLE_WINNOW,
         "domain_mixture": _ORACLE_DOMAIN_MIX,
         "gap_fill": _ORACLE_GAP_FILL,

@@ -107,6 +107,9 @@ HEADLINE = [
     "domain_mixture",
     "phrase_search",
     "bm25_search",
+    "hybrid_search",
+    "constraint_audit",
+    "k_anonymity",
     "winnowing",
     "cms_heavy_hitters",
     "decontaminate",

@@ -213,3 +213,92 @@ def phrase_search(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
     )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR'09): BM25 top-``k_each`` for the
+    term query and exact-cosine top-``k_each`` for the query vector, each
+    contributing ``floor(1e6 / (rrf_k + rank))`` integer micro-points; final
+    top-``k`` orders by the summed RRF score (ties on doc id). The standard
+    first-stage retriever of a RAG / retrieval-curation pipeline — lexical
+    recall catches exact-term matches embeddings blur, dense recall catches
+    paraphrases BM25 misses, and RRF needs no score calibration between the
+    two scales (rank-only fusion).
+
+    At 100 TB: both legs bound their output BEFORE fusion — BM25's corpus
+    work collapses to query-term postings at the explode and pre-prunes with
+    TakeOrderedAndProject (retrieval.py:bm25_rank), the dense leg is one
+    broadcast query row against the embedding scan with the same
+    distributed top-k — so fusion is a ``k_each``-row full-outer join and
+    no window ever sees more than ``k_each`` rows. The dense leg here is
+    the exact scan (one query); at corpus scale it swaps for the bucketed
+    ANN paths (lsh_ann_topk / ivfadc_topk) with the same (doc, rank)
+    contract. Kept fully relational (zip_with/aggregate dot fold — the SQL
+    oracle's exact expression tree) so repeated runs CacheManager-match.
+
+    Returns (rank, doc_id, lex_rank, sem_rank, rrf_micro); ``lex_rank`` /
+    ``sem_rank`` are NULL for docs the other leg alone surfaced.
+    """
+    from observation_lakehouse_spark.operators.similarity import cosine_similarity
+
+    lex = bm25_rank(docs, query_terms, text_col=text_col, id_col=doc_id_col, k=k_each)
+    lex_sel = lex.select(F.col("doc_id"), F.col("rank").alias("lex_rank"))
+    qrow = emb.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    sem_scored = (
+        emb.filter(F.col(vec_id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    sem_top = sem_scored.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(k_each)
+    ws = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    sem = (
+        sem_top.withColumn("sem_rank", F.row_number().over(ws).cast("int"))
+        .select("doc_id", "sem_rank")
+    )
+
+    def _contrib(rank_col: Column) -> Column:
+        # floor() of an identical IEEE double ratio in both engines — the
+        # repo's derived-value discipline (never ROUND a value computed from
+        # other computed values).
+        return F.coalesce(
+            F.floor(
+                F.lit(1_000_000.0) / (F.lit(float(rrf_k)) + rank_col.cast("double"))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = lex_sel.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (_contrib(F.col("lex_rank")) + _contrib(F.col("sem_rank"))).alias("rrf_micro"),
+    )
+    topk = fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    out = (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
+        .orderBy("rank")
+    )
+    out._cached_deps = getattr(lex, "_cached_deps", ())  # type: ignore[attr-defined]  # noqa: SLF001
+    return out

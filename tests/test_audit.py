@@ -1,0 +1,115 @@
+"""Audit operators: constraint_audit (one-pass Deequ-style checks),
+k_anonymity_profile (generalization ladder), hybrid_rrf_search (RRF fusion).
+Semantic properties on planted fixtures; exact value parity is covered by
+the DuckDB oracles (check_correctness: constraint_audit, k_anonymity,
+hybrid_search)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.operators.audit import (
+    MICRO,
+    constraint_audit,
+    k_anonymity_profile,
+    ratio_micro,
+)
+from observation_lakehouse_spark.operators.retrieval import hybrid_rrf_search
+
+
+def test_constraint_audit_mixed_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (4, "d")], "k long, v string"
+    )
+    n = F.count(F.lit(1))
+    out = {
+        r["check"]: (r["metric_micro"], r["passed"])
+        for r in constraint_audit(
+            df,
+            [
+                ("k_unique", ratio_micro(F.countDistinct("k"), n), lambda m: m == MICRO),
+                ("v_complete", ratio_micro(F.count("v"), n), lambda m: m == MICRO),
+                ("row_count", (n * F.lit(MICRO)).cast("long"), lambda m: m > 0),
+            ],
+        ).collect()
+    }
+    assert out["k_unique"] == (750_000, False)  # 3 distinct / 4 rows
+    assert out["v_complete"] == (750_000, False)  # 1 NULL of 4
+    assert out["row_count"] == (4 * MICRO, True)
+
+
+def test_constraint_audit_is_single_scan(spark):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)], "k long, v string")
+    n = F.count(F.lit(1))
+    plan = constraint_audit(
+        df,
+        [
+            ("v_complete", ratio_micro(F.count("v"), n), lambda m: m == MICRO),
+            ("row_count", (n * F.lit(MICRO)).cast("long"), lambda m: m > 0),
+        ],
+    )._jdf.queryExecution().executedPlan().toString()
+    # Without countDistinct (no Expand), every added check rides ONE scan.
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+
+
+def test_k_anonymity_ladder_partitions_all_rows(spark):
+    # 12 rows: one big group passes at level 0; the rest are singletons that
+    # must climb. Every input row lands in exactly one emitted group.
+    rows = [("US", "A")] * 6 + [("US", "B"), ("DE", "C"), ("DE", "D"), ("FR", "E")]
+    df = spark.createDataFrame(rows, "country string, job string")
+    out = k_anonymity_profile(
+        df, [("country", F.col("country")), ("job", F.col("job"))], k=3
+    ).collect()
+    assert sum(r["group_n"] for r in out) == len(rows)
+    lvl0 = [r for r in out if r["level"] == 0]
+    assert lvl0 == [r for r in lvl0 if r["anonymous"]]  # level 0 only emits passers
+    assert {r["qi"] for r in lvl0} == {"US|A"}
+    top = {r["qi"]: (r["group_n"], r["anonymous"]) for r in out if r["level"] == 1}
+    # US|B alone -> 1 row at level 1 under k=3 -> flagged not anonymous.
+    assert top["US|*"] == (1, False)
+    assert top["DE|*"] == (2, False)
+    assert top["FR|*"] == (1, False)
+
+
+def test_k_anonymity_all_pass_is_level0_only(spark):
+    df = spark.createDataFrame([("X", "Y")] * 5, "a string, b string")
+    out = k_anonymity_profile(df, [("a", F.col("a")), ("b", F.col("b"))], k=5).collect()
+    assert [(r["level"], r["qi"], r["group_n"], r["anonymous"]) for r in out] == [
+        (0, "X|Y", 5, True)
+    ]
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    # doc 1: lexical-only hit; doc 2: both legs (embedded AND matches terms);
+    # doc 3: semantic-only. RRF must rank doc 2 first (two contributions).
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join stream spark join"),
+            (2, "spark join stream"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),  # the query vector
+            (2, [0.9, 0.1]),
+            (3, [0.8, 0.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_search(
+        docs, emb, ["spark", "join", "stream"], query_vec_id=0, k_each=5, k=5
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert out[0]["doc_id"] == 2  # only doc present in both legs
+    assert by_doc[2]["lex_rank"] is not None and by_doc[2]["sem_rank"] is not None
+    assert by_doc[1]["sem_rank"] is None  # lexical-only
+    assert by_doc[3]["lex_rank"] is None  # semantic-only
+    # Contribution formula: floor(1e6 / (60 + rank)) per present leg.
+    for r in out:
+        expect = 0
+        for rk in (r["lex_rank"], r["sem_rank"]):
+            if rk is not None:
+                expect += int(1_000_000 // (60 + rk))
+        assert r["rrf_micro"] == expect
