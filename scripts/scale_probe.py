@@ -90,6 +90,27 @@ def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def replicate_customer(cust: DataFrame, k: int) -> DataFrame:
+    """K disjoint quasi-identifier shards: keys offset, nation ids shifted
+    per replica and segments suffixed so QI groups replicate (same size
+    distribution) instead of merging across shards."""
+    n = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(r * n)).alias("c_custkey"),
+            "c_name",
+            (F.col("c_nationkey") + F.lit(r * 1000)).alias("c_nationkey"),
+            "c_acctbal",
+            F.concat(F.col("c_mktsegment"), F.lit(f"_{r}")).alias("c_mktsegment"),
+        )
+        for r in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
     """K disjoint id shards; vector VALUES replicate unchanged — the ANN
     probes time distance math + candidate generation, whose cost depends on
@@ -135,12 +156,14 @@ def main() -> None:
     ev = entrymod._t(spark, sf_dir, "events").persist()
     li = entrymod._t(spark, sf_dir, "lineitem").persist()
     emb = entrymod._t(spark, sf_dir, "embeddings").persist()
-    docs.count(), ev.count(), li.count(), emb.count()
+    cust = entrymod._t(spark, sf_dir, "customer").persist()
+    docs.count(), ev.count(), li.count(), emb.count(), cust.count()
     docs_k = replicate_docs(docs, k).persist()
     ev_k = replicate_events(ev, k).persist()
     li_k = replicate_lineitem(li, k).persist()
     emb_k = replicate_embeddings(emb, k).persist()
-    docs_k.count(), ev_k.count(), li_k.count(), emb_k.count()
+    cust_k = replicate_customer(cust, k).persist()
+    docs_k.count(), ev_k.count(), li_k.count(), emb_k.count(), cust_k.count()
 
     from observation_lakehouse_spark.operators.dedup import (
         bloom_decontaminate,
@@ -198,6 +221,13 @@ def main() -> None:
             .drop("_rn")
         )
 
+    from observation_lakehouse_spark.operators.audit import (
+        MICRO,
+        constraint_audit,
+        k_anonymity_profile,
+        ratio_micro,
+    )
+    from observation_lakehouse_spark.operators.retrieval import hybrid_rrf_search
     from observation_lakehouse_spark.operators.text import (
         bigram_xent,
         pack_sequences,
@@ -264,6 +294,35 @@ def main() -> None:
          lambda d: ivfadc_topk(
              d, emb.filter(F.col("vec_id") % 100 == 0), _PQ_CBS, _IVF_CENTS,
              k=10, nprobe=entrymod._PQ_NPROBE, rerank=entrymod._PQ_RERANK)),
+        # --- r6-round additions ---
+        # one-pass audit aggregate: map-side-combinable sums/min — the alpha
+        # should be scan-linear with near-total overhead amortization
+        ("constraint_audit (single-pass checks)", li, li_k,
+         lambda d: constraint_audit(d, [
+             ("qty_positive", ratio_micro(F.sum(
+                 F.when(F.col("l_quantity") > 0, 1).otherwise(0)), F.count(F.lit(1))),
+              lambda m: m == MICRO),
+             ("price_min_positive",
+              F.round(F.min("l_extendedprice") * F.lit(1e6)).cast("long"),
+              lambda m: m > 0),
+             ("row_count", (F.count(F.lit(1)) * F.lit(MICRO)).cast("long"),
+              lambda m: m > 0),
+         ])),
+        # QI ladder: one hash aggregate per level, each level re-aggregating
+        # only failing-group rows — alpha tracks the level-0 group count
+        ("k_anonymity (QI generalization ladder)", cust, cust_k,
+         lambda d: k_anonymity_profile(d, [
+             ("nation", F.col("c_nationkey")),
+             ("segment", F.col("c_mktsegment")),
+             ("bal_kband", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")),
+         ], k=5)),
+        # hybrid RRF: corpus side (tokenize + postings filter + dl stats)
+        # scales; the query panel, both top-k cuts and the fusion join stay
+        # k-bounded — alpha tracks the BM25 corpus scan
+        ("hybrid_search (RRF fusion, fixed query)", docs, docs_k,
+         lambda d: hybrid_rrf_search(
+             d, emb if d is docs else emb_k, ["spark", "join", "stream"],
+             query_vec_id=0, k_each=20, k=10)),
     ]
 
     lines = [
