@@ -4442,6 +4442,75 @@ FROM per CROSS JOIN tot ORDER BY domain
 """
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (tau = 0.5) domain sampling weights from token
+    mass (operators/text.py:mixture_temperature — Arivazhagan 2019 / mT5
+    mixing). The power is IEEE sqrt (correctly rounded in both engines,
+    unlike libm pow), floored to micro-units BEFORE the normalizing integer
+    sum, so weights are exact integer division end to end."""
+    from observation_lakehouse_spark.operators.text import mixture_temperature
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_temperature(docs, by="source", tau=0.5)
+
+
+_ORACLE_MIXTURE_TEMP = """
+WITH per AS (
+    SELECT source AS domain,
+           CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+), p AS (
+    SELECT domain, n_tokens,
+           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+    FROM per
+), tot AS (
+    SELECT CAST(SUM(s) AS BIGINT) AS tot_s FROM p
+)
+SELECT domain, n_tokens, CAST((1000000 * s) // tot_s AS BIGINT) AS weight_micro
+FROM p CROSS JOIN tot ORDER BY domain
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (functions/sampling.py:
+    cluster_safe_split): near-dup clusters from the SAME persisted pair plan
+    as dup_clusters/canonical_docs (CacheManager-shared), then the split
+    side decided by a content hash of the CLUSTER id — every member of a
+    near-duplicate cluster lands on one side, so no near-dup pair straddles
+    train/eval (the benchmark-contamination channel Lee et al. 2021
+    measure; a doc-id hash split leaks each cross-cluster pair with
+    p = 2f(1-f))."""
+    from observation_lakehouse_spark.functions.sampling import cluster_safe_split
+    from observation_lakehouse_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pair_plan = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", block_col=None,
+        shingle_size=3, threshold=0.5,
+    )
+    pairs = pair_plan.select("id_a", "id_b").persist()
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    out = cluster_safe_split(clusters, train_frac=0.9).orderBy("doc_id")
+    out._cached_deps = tuple(  # noqa: SLF001
+        getattr(pair_plan, "_cached_deps", ())
+    ) + (pairs,)
+    return out
+
+
+_ORACLE_LEAKAGE_SPLIT = (
+    _DUP_CLUSTERS_CTES
+    + """
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < 900000
+            THEN 'train' ELSE 'eval' END AS split
+FROM assigned
+ORDER BY doc_id
+"""
+)
+
+
 _GAP_STEP_US = 6 * 3600 * 1_000_000  # 6-hour epoch-aligned buckets
 
 
@@ -5192,6 +5261,7 @@ _HEAVY_FIRST = [
     "bloom_decontaminate",
     "dup_clusters",
     "canonical_docs",
+    "leakage_safe_split",
     "remove_dup_spans",
     "minhash_admit",
     "dup_span_stats",
@@ -5309,6 +5379,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "winnowing": q_winnowing,
         "domain_mixture": q_domain_mixture,
+        "mixture_temperature": q_mixture_temperature,
+        "leakage_safe_split": q_leakage_safe_split,
         "gap_fill": q_gap_fill,
         "time_weighted_avg": q_time_weighted_avg,
         "counter_increase": q_counter_increase,
@@ -5423,6 +5495,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _ORACLE_K_ANONYMITY,
         "winnowing": _ORACLE_WINNOW,
         "domain_mixture": _ORACLE_DOMAIN_MIX,
+        "mixture_temperature": _ORACLE_MIXTURE_TEMP,
+        "leakage_safe_split": _ORACLE_LEAKAGE_SPLIT,
         "gap_fill": _ORACLE_GAP_FILL,
         "time_weighted_avg": _ORACLE_TWA,
         "counter_increase": _ORACLE_COUNTER_INCREASE,

@@ -110,6 +110,8 @@ HEADLINE = [
     "hybrid_search",
     "constraint_audit",
     "k_anonymity",
+    "mixture_temperature",
+    "leakage_safe_split",
     "winnowing",
     "cms_heavy_hitters",
     "decontaminate",

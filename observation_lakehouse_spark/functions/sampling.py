@@ -105,3 +105,34 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.col(key_col))
         .limit(k)
     )
+
+
+def cluster_safe_split(
+    clusters: DataFrame,
+    train_frac: float,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/eval split: the side is a content hash of the
+    CLUSTER id, so every member of a near-duplicate cluster lands on the
+    same side and no near-dup pair ever straddles the split — the
+    train→test contamination Lee et al. (2021, "Deduplicating Training
+    Data Makes Language Models Better") measure in benchmark leakage.
+    Splitting on hash(doc_id) has no such guarantee: two near-identical
+    docs hash independently and leak one into eval with p = 2·f·(1−f).
+
+    Composes downstream of any cluster assignment
+    (operators.graph.dedup_clusters over the repo's candidate-pair
+    generators). The decision is the same repartition-proof content-hash
+    predicate as :func:`hash_sample` — a scan-level projection on the
+    (doc, cluster) table, zero additional shuffles, identical in any
+    engine. Returns (id_col, cluster_col, split) with split in
+    {'train', 'eval'}.
+    """
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in [0, 1], got {train_frac}")
+    side = F.when(
+        hash_bucket(F.col(cluster_col).cast("string")) < int(train_frac * _D),
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return clusters.select(id_col, cluster_col, side.alias("split"))

@@ -509,6 +509,56 @@ def domain_mixture(
     ).orderBy("domain")
 
 
+def mixture_temperature(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    tau: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened domain sampling weights: sample domain ``d``
+    with probability ∝ (token mass of d)^tau — tau = 1 is proportional
+    sampling, tau → 0 uniform; 0.3–0.7 is the standard band that keeps
+    low-resource domains from vanishing while not drowning the corpus in
+    them (Arivazhagan et al. 2019 §5; mT5 uses 0.3). The companion of
+    :func:`domain_mixture`, which targets an EXPLICIT mixture — this one
+    derives the mixture from the mass distribution itself.
+
+    Cross-engine float discipline: the default tau = 0.5 computes the power
+    as IEEE ``sqrt`` — correctly rounded by spec in BOTH engines, unlike
+    libm ``pow`` whose last ulp is implementation-defined — then floors to
+    integer micro-units BEFORE the normalizing sum, so the weight ratio is
+    exact integer division and no float sum or pow result crosses the
+    output. Non-default tau uses ``pow`` and is pytest-gated, not
+    oracle-gated. Shape: one explode-free domain aggregate + a single-row
+    broadcast total. Returns (domain, n_tokens, weight_micro), weights
+    summing to ≤ 1e6 (floor slack), ordered by domain.
+    """
+    per = df.groupBy(F.col(by).alias("domain")).agg(
+        F.sum(F.size(lower_tokens(text_col))).alias("n_tokens")
+    )
+    powed = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if tau == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(tau)))
+    )
+    p = per.select(
+        "domain",
+        "n_tokens",
+        F.floor(powed * F.lit(1_000_000.0)).cast("long").alias("_s"),
+    )
+    tot = p.agg(F.sum("_s").alias("_tot"))
+    wide = (
+        F.col("_s").cast("decimal(38,0)")
+        * F.lit(1_000_000).cast("decimal(38,0)")
+        / F.col("_tot").cast("decimal(38,0)")
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select("domain", "n_tokens", F.floor(wide).cast("long").alias("weight_micro"))
+        .orderBy("domain")
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str = "text",

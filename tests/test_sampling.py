@@ -112,3 +112,44 @@ def test_mixture_resample_moves_token_mass_toward_uniform(spark):
     # the deterministic sample is a fixed subset: re-running yields same count
     again = {r["domain"]: r["n_sampled"] for r in mixture_resample(df, target_frac=0.5).collect()}
     assert again["A"] == out["A"]["n_sampled"]
+
+
+def test_cluster_safe_split_never_splits_a_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.functions.sampling import cluster_safe_split
+
+    clusters = spark.createDataFrame(
+        [(i, i // 3) for i in range(60)], "doc_id long, cluster_id long"
+    )
+    out = cluster_safe_split(clusters, train_frac=0.5).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["cluster_id"], set()).add(r["split"])
+    # every cluster lands entirely on one side
+    assert all(len(s) == 1 for s in sides.values())
+    got = {r["split"] for r in out}
+    assert got == {"train", "eval"}  # 0.5 over 20 clusters hits both sides
+    # deterministic: a repartitioned input produces the identical split
+    again = {
+        (r["doc_id"], r["split"])
+        for r in cluster_safe_split(clusters.repartition(7), 0.5).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.text import mixture_temperature
+
+    rows = [(i, "w " * 900, "big") for i in range(9)] + [(100, "w " * 100, "small")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["domain"]: r for r in mixture_temperature(docs, tau=0.5).collect()}
+    w_big, w_small = out["big"]["weight_micro"], out["small"]["weight_micro"]
+    mass_big, mass_small = out["big"]["n_tokens"], out["small"]["n_tokens"]
+    # temperature pulls the ratio from mass ratio (81x) toward sqrt (9x)
+    assert mass_big / mass_small == 81
+    assert 8.5 < w_big / w_small < 9.5
+    assert w_big + w_small <= 1_000_000  # floor slack only
+    assert 1_000_000 - (w_big + w_small) <= 2
