@@ -273,6 +273,27 @@ def main() -> None:
     ivf_recall = len(exact & pairs(entrymod.q_ann_ivf_topk(spark, sf_dir))) / len(exact)
     pq_recall = len(exact & pairs(entrymod.q_ann_pq_topk(spark, sf_dir))) / len(exact)
 
+    # Near-dup pair recall: MinHash-LSH's verified pairs vs the EXACT
+    # prefix-filtered set-similarity join at the MinHash threshold (0.7).
+    # Both verify Jaccard on the same word-trigram shingle sets, so the
+    # exact join (provably lossless, see ngram_jaccard_pairs) is ground
+    # truth and any miss is banding recall — the probability a pair with
+    # J >= 0.7 shares no band, (1 - J^rows)^bands.
+    from observation_lakehouse_spark.operators.dedup import release_cached as _rel
+
+    _ex_df = entrymod.q_ngram_jaccard(spark, sf_dir)
+    exact_nd = {
+        (r["id_a"], r["id_b"])
+        for r in _ex_df.filter("jaccard_sim >= 0.7").collect()
+    }
+    _rel(_ex_df)
+    _mh_df = entrymod.q_minhash_lsh_dedup(spark, sf_dir)
+    mh_nd = {(r["id_a"], r["id_b"]) for r in _mh_df.collect()}
+    _rel(_mh_df)
+    minhash_pair_recall = (
+        len(exact_nd & mh_nd) / len(exact_nd) if exact_nd else 1.0
+    )
+
     # Trained-IVF recall on a CLUSTERED corpus (IVF's design assumption):
     # plant 8 strong clusters on the same embeddings, train the codebook with
     # Lloyd iterations, probe ONE cell. Shows what the trained pipeline buys
@@ -408,6 +429,10 @@ def main() -> None:
                 # are its adversarial case like IVF's (floor in
                 # tests/test_ann_recall.py::test_pq_adc_recall_floor)
                 "ann_pq_recall_at_10": round(pq_recall, 4),
+                # Verified near-dup pairs found by banded MinHash vs the
+                # exact set-similarity join at the same J >= 0.7 threshold
+                # (misses = banding-probability tail, not verification)
+                "minhash_lsh_pair_recall": round(minhash_pair_recall, 4),
                 "hll_count_distinct_rel_err": round(hll_rel_err, 4),
                 "profile_kmv_distinct_rel_err": round(kmv_rel_err, 4),
                 "approx_p50_rel_err": round(p50_rel_err, 6),
