@@ -54,6 +54,16 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic commit loop exhausts its retries."""
 
 
+class CheckViolation(RuntimeError):
+    """An append batch violated the table's CHECK constraints; nothing was
+    committed. ``violations`` maps constraint name → violating-row count."""
+
+    def __init__(self, table: str, violations: dict[str, int]) -> None:
+        detail = ", ".join(f"{n}: {c} rows" for n, c in sorted(violations.items()))
+        super().__init__(f"CHECK constraint violation on {table}: {detail}")
+        self.violations = violations
+
+
 class AtomicParquetTable:
     """A parquet directory with manifest-committed snapshots (see module doc)."""
 
@@ -75,18 +85,82 @@ class AtomicParquetTable:
             meta = json.loads(schema_file.read_text())
             self.schema = StructType.fromJson(meta["schema"])
             self.partition_by = tuple(meta["partition_by"])
+            # back-compat: tables created before CHECK support have no key
+            self.check_constraints: dict[str, str] = dict(
+                meta.get("check_constraints", {})
+            )
         elif schema is not None:
             self.manifest_dir.mkdir(parents=True, exist_ok=True)
             self.data_dir.mkdir(parents=True, exist_ok=True)
             self.schema = schema
             self.partition_by = tuple(partition_by)
-            tmp = schema_file.with_suffix(f".{uuid.uuid4().hex}.tmp")
-            tmp.write_text(
-                json.dumps({"schema": schema.jsonValue(), "partition_by": list(partition_by)})
-            )
-            tmp.rename(schema_file)
+            self.check_constraints = {}
+            self._write_schema_file()
         else:
             raise ValueError(f"no table at {location} and no schema given to create one")
+
+    def _write_schema_file(self) -> None:
+        schema_file = self.location / "_schema.json"
+        tmp = schema_file.with_suffix(f".{uuid.uuid4().hex}.tmp")
+        tmp.write_text(
+            json.dumps(
+                {
+                    "schema": self.schema.jsonValue(),
+                    "partition_by": list(self.partition_by),
+                    "check_constraints": self.check_constraints,
+                }
+            )
+        )
+        tmp.rename(schema_file)
+
+    # -- CHECK constraints ----------------------------------------------------
+
+    def add_check_constraint(self, name: str, predicate_sql: str) -> None:
+        """Declare a row-level CHECK (Delta-style): every future ``append``
+        batch is validated in ONE aggregate pass before anything commits,
+        and a violating batch raises :class:`CheckViolation` with the table
+        untouched. ANSI CHECK semantics: only rows where the predicate is
+        FALSE violate — NULL passes (constrain nullability explicitly with
+        ``x IS NOT NULL``). Existing data is validated first, so a declared
+        constraint is always a true table invariant, not a from-now-on hope.
+        Scope: ``append`` (the row-ingest path, batch + streaming); state
+        REWRITES (``commit_replace`` — MV refresh, CDC merge, compaction)
+        carry their own aggregate-level semantics and are exempt.
+        """
+        if name in self.check_constraints:
+            raise ValueError(f"constraint {name!r} already declared")
+        bad = self._check_violations(self.read(), {name: predicate_sql})
+        if bad:
+            raise CheckViolation(str(self.location), bad)
+        self.check_constraints[name] = predicate_sql
+        self._write_schema_file()
+
+    def drop_check_constraint(self, name: str) -> None:
+        del self.check_constraints[name]
+        self._write_schema_file()
+
+    def _check_violations(
+        self, df: DataFrame, constraints: dict[str, str]
+    ) -> dict[str, int]:
+        """name → FALSE-row count, all constraints in one aggregate pass."""
+        if not constraints:
+            return {}
+        from pyspark.sql import functions as F
+
+        names = sorted(constraints)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(constraints[n]) == F.lit(False), 1).otherwise(0)
+                ).alias(f"_c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        return {
+            n: int(row[f"_c{i}"])
+            for i, n in enumerate(names)
+            if row[f"_c{i}"] not in (None, 0)
+        }
 
     # -- snapshot log ---------------------------------------------------------
 
@@ -118,6 +192,17 @@ class AtomicParquetTable:
             head = self._manifest(self.latest_version())
             if idempotency_key in head["commits"]:
                 return head["commits"][idempotency_key]
+
+        # CHECK constraints gate the commit: one aggregate pass over the
+        # batch (cast to table types first, so the predicate sees what would
+        # land on disk); a violation raises with NOTHING staged.
+        if self.check_constraints:
+            typed = df.select(
+                [df[f.name].cast(f.dataType).alias(f.name) for f in self.schema.fields]
+            )
+            bad = self._check_violations(typed, self.check_constraints)
+            if bad:
+                raise CheckViolation(str(self.location), bad)
 
         # Stage + move, then commit: optimistic create-if-absent of the next
         # manifest version.

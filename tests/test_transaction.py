@@ -376,3 +376,63 @@ def test_stats_survive_decimal_columns(spark, tmp_path):
     hit = t.scan("run_id", lower=100)
     assert hit.count() == 10
     assert len(hit.inputFiles()) < all_files  # run_id stats still recorded
+
+
+def test_check_constraint_blocks_violating_append_atomically(spark, table):
+    from observation_lakehouse_spark.transaction import CheckViolation
+
+    table.append(_batch(spark, "d1", 0, 3))
+    table.add_check_constraint("score_nonneg", "score >= 0")
+    table.add_check_constraint("run_id_set", "run_id IS NOT NULL")
+    v = table.latest_version()
+    before = table.read().count()
+
+    bad = _batch(spark, "d1", 0, 4).withColumn(
+        "score", F.when(F.col("run_id") % 2 == 0, -1.0).otherwise(F.col("score"))
+    )
+    with pytest.raises(CheckViolation) as ei:
+        table.append(bad)
+    assert ei.value.violations == {"score_nonneg": 2}
+    # nothing staged, nothing committed
+    assert table.latest_version() == v
+    assert table.read().count() == before
+
+    # a conforming batch still lands
+    table.append(_batch(spark, "d1", 10, 2))
+    assert table.read().count() == before + 2
+
+
+def test_check_constraint_null_passes_and_persists_across_reopen(spark, tmp_path):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from observation_lakehouse_spark.transaction import CheckViolation
+
+    loc = str(tmp_path / "ck")
+    t = AtomicParquetTable(spark, loc, schema=_parse_datatype_string(SCHEMA))
+    t.add_check_constraint("score_nonneg", "score >= 0")
+    # ANSI CHECK: NULL predicate result passes (constrain with IS NOT NULL)
+    t.append(
+        spark.createDataFrame([("d", "p", 1, None)], SCHEMA)
+    )
+    assert t.read().count() == 1
+
+    # the constraint is table metadata: a fresh handle enforces it
+    t2 = AtomicParquetTable(spark, loc)
+    assert t2.check_constraints == {"score_nonneg": "score >= 0"}
+    with pytest.raises(CheckViolation):
+        t2.append(spark.createDataFrame([("d", "p", 2, -5.0)], SCHEMA))
+    t2.drop_check_constraint("score_nonneg")
+    t2.append(spark.createDataFrame([("d", "p", 2, -5.0)], SCHEMA))
+    assert t2.read().count() == 2
+
+
+def test_check_constraint_rejects_when_existing_data_violates(spark, table):
+    from observation_lakehouse_spark.transaction import CheckViolation
+
+    table.append(
+        spark.createDataFrame([("d", "p", 1, -1.0), ("d", "p", 2, 3.0)], SCHEMA)
+    )
+    with pytest.raises(CheckViolation) as ei:
+        table.add_check_constraint("score_nonneg", "score >= 0")
+    assert ei.value.violations == {"score_nonneg": 1}
+    assert "score_nonneg" not in table.check_constraints
