@@ -159,3 +159,87 @@ def zorder_partitions(
     if keys:
         writer = writer.partitionBy(*[c for c in PARTITION_COLUMNS if c in df.columns])
     writer.parquet(output_path)
+
+
+def layout_report(
+    table,
+    columns: list[str],
+    small_file_bytes: int = 32 << 20,
+) -> dict:
+    """Table-layout health from manifest metadata alone — the advisor that
+    tells a 100 TB deployment WHEN the S11 maintenance jobs are worth their
+    rewrite cost, the decision Delta's `OPTIMIZE` planner and Iceberg's
+    rewrite strategies make from the same inputs. Reads ONLY the manifest
+    (file list + min/max column stats) and file sizes: cost is O(files),
+    never a data scan.
+
+    Per requested column (from the commit-time footer stats the manifests
+    already carry):
+
+    - ``stats_coverage`` — fraction of files with usable [min, max];
+      uncovered files are always scanned, capping what clustering can buy.
+    - ``max_overlap_depth`` — the most files whose ranges overlap any single
+      point (endpoint sweep; works for any ordered type incl. strings).
+      1 = perfectly clustered (disjoint files — a point lookup touches one
+      file); = n_files means every file overlaps: sorting/z-ordering this
+      column would cut point/range scans by ~that factor.
+    - ``expected_files_per_point_lookup`` (numeric stats only) — the average
+      number of files a uniform point probe in the global domain must scan:
+      sum of each file's range fraction, + files without stats.
+
+    Plus the file-size profile (``n_small_files`` under ``small_file_bytes``)
+    and assembled ``recommendations``: "compact" when small files dominate,
+    "sort_or_zorder(col)" when overlap depth says clustering pays.
+    """
+    m = table._manifest(table.latest_version())  # noqa: SLF001 — same package
+    files = list(m["files"])
+    stats = m.get("stats", {})
+    sizes = []
+    for f in files:
+        p = table.data_dir / f
+        if p.exists():
+            sizes.append(p.stat().st_size)
+    n_small = sum(1 for s in sizes if s < small_file_bytes)
+    report: dict = {
+        "n_files": len(files),
+        "total_bytes": int(sum(sizes)),
+        "n_small_files": n_small,
+        "small_file_bytes": small_file_bytes,
+        "columns": {},
+        "recommendations": [],
+    }
+    if len(files) >= 4 and n_small / max(len(files), 1) > 0.5:
+        report["recommendations"].append("compact")
+    for col in columns:
+        ranges = [
+            (stats[f][col][0], stats[f][col][1])
+            for f in files
+            if col in stats.get(f, {})
+        ]
+        info: dict = {"stats_coverage": round(len(ranges) / len(files), 4) if files else 0.0}
+        if ranges:
+            # endpoint sweep: starts sort before ends at equal values so
+            # inclusive [min, max] ranges touching at a point count as
+            # overlapping there
+            events = sorted(
+                [(mn, 0) for mn, _ in ranges] + [(mx, 1) for _, mx in ranges]
+            )
+            depth = peak = 0
+            for _, kind in events:
+                depth += 1 if kind == 0 else -1
+                peak = max(peak, depth)
+            info["max_overlap_depth"] = peak
+            mns, mxs = zip(*ranges)
+            if all(isinstance(v, (int, float)) for v in mns + mxs):
+                gmin, gmax = min(mns), max(mxs)
+                span = float(gmax) - float(gmin)
+                uncovered = len(files) - len(ranges)
+                if span > 0:
+                    exp = sum((float(b) - float(a)) / span for a, b in ranges)
+                else:
+                    exp = float(len(ranges))  # all files at one point
+                info["expected_files_per_point_lookup"] = round(exp + uncovered, 4)
+            if len(ranges) >= 4 and peak > max(2, len(ranges) // 2):
+                report["recommendations"].append(f"sort_or_zorder({col})")
+        report["columns"][col] = info
+    return report
