@@ -69,7 +69,12 @@ def test_refresh_cost_reads_only_delta_and_state(spark, tmp_path):
     delta = _batch(spark, 30, 10)
     merged = mv._merge(mv.read(), mv._partial(delta))
     plan = merged._jdf.queryExecution().toString()
-    assert "mv2" in plan  # state table scan
+    # state table scan: check via inputFiles(), NOT the plan string — Spark
+    # truncates FileScan's Location at 100 chars, so a long enough tmp_path
+    # prefix (e.g. pytest-of-root/pytest-101/...) cuts the path mid-"mv2"
+    assert any("mv2" in f for f in merged.inputFiles())
+    # the only non-file leg is THIS delta's Range; batch 0's source is gone
+    assert "Range (30, 40" in plan and "Range (0, 30" not in plan
     # state is keys-sized: 3 rows regardless of appended volume
     assert mv.read().count() == 3
 
