@@ -5199,6 +5199,50 @@ ORDER BY r.domain
 """
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (operators/selection.py): keep the
+    quality-maximal documents whose cumulative token mass fits 3/5 of the
+    corpus's total tokens. The naive rule is a GLOBAL running-total window
+    (the oracle runs exactly that); the operator computes the identical set
+    via a two-phase bin-histogram threshold so no corpus-sized window ever
+    exists in the plan — the shape that survives 100 TB. Quality is the
+    text_quality composite in exact integer micro-units."""
+    from observation_lakehouse_spark.operators.selection import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * F.lit(10000000.0)).cast("long").alias(
+            "quality_micro"
+        ),
+        "n_tokens",
+    )
+    return token_budget_select(scored)
+
+
+_ORACLE_TOKEN_BUDGET = f"""
+WITH scored AS (
+{_ORACLE_TEXT_QUALITY}
+), f AS (
+    SELECT doc_id,
+           CAST(ROUND(quality_score * 10000000.0) AS BIGINT) AS quality_micro,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM scored
+), b AS (
+    SELECT (3 * SUM(n_tokens)) // 5 AS budget FROM f
+), c AS (
+    SELECT doc_id, quality_micro, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY quality_micro DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM f
+)
+SELECT doc_id, quality_micro, n_tokens
+FROM c CROSS JOIN b
+WHERE cum <= budget
+ORDER BY quality_micro DESC, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -5396,6 +5440,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "mixture_resample": q_mixture_resample,
+        "token_budget_select": q_token_budget_select,
     }
 
 
@@ -5512,4 +5557,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "mixture_resample": _ORACLE_MIXTURE_RESAMPLE,
+        "token_budget_select": _ORACLE_TOKEN_BUDGET,
     }
