@@ -2201,6 +2201,78 @@ SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def _rp_signs() -> list[list[float]]:
+    from observation_lakehouse_spark.operators.similarity import rademacher_signs
+
+    return rademacher_signs(n_proj=32, dim=64, seed=13)
+
+
+_RP_CANDIDATES = 300
+
+
+def q_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth ANN family: Johnson–Lindenstrauss random projection (64 → 32
+    dims via a seeded ±1 Rademacher matrix — Achlioptas JCSS'03) generates
+    each query's top-300 candidates by PROJECTED cosine at 2× less FLOPs/IO
+    per comparison, then re-ranks exactly those candidates against the raw
+    vectors. (This corpus is unstructured — near-random directions — so the
+    distortion is at the JL worst case; recall 0.81 at sf0.1 still beats the
+    IVF family's 0.66 here, and on clustered corpora smaller m/candidates
+    suffice.) The sign matrix is a literal, so the oracle recomputes identical
+    projections, candidate sets and final ranks in SQL. Recall vs the exact
+    baseline is bench-reported (ann_rp_recall_at_10) and floor-locked in
+    test_ann_recall."""
+    from observation_lakehouse_spark.operators.similarity import rp_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return rp_ann_topk(emb, queries, _rp_signs(), k=10, candidates=_RP_CANDIDATES)
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    proj_terms = ",\n           ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in h) + "])"
+        for h in signs
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+    SELECT vec_id, v,
+           [{proj_terms}] AS pv
+    FROM e
+),
+q AS (SELECT vec_id AS query_id, pv AS qpv FROM p WHERE vec_id % 100 = 0),
+pscored AS (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(qpv, c.pv)
+                 / (sqrt(list_dot_product(qpv, qpv)) * sqrt(list_dot_product(c.pv, c.pv))), 6) AS ps
+    FROM q JOIN p c ON c.vec_id <> q.query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ps DESC, neighbor_id ASC) AS rn
+        FROM pscored
+    ) WHERE rn <= {_RP_CANDIDATES}
+),
+rer AS (
+    SELECT query_id, neighbor_id,
+           ROUND(list_dot_product(qe.v, ce.v)
+                 / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine_sim
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM rer
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def q_srm_output_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRM map-column twin (SURVEY §7.5): same information as the dynamic
     pivot with no schema explosion — entity → map<event_type, max value> on
@@ -5441,6 +5513,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "mixture_resample": q_mixture_resample,
         "token_budget_select": q_token_budget_select,
+        "ann_rp_topk": q_ann_rp_topk,
     }
 
 
@@ -5558,4 +5631,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         "mixture_resample": _ORACLE_MIXTURE_RESAMPLE,
         "token_budget_select": _ORACLE_TOKEN_BUDGET,
+        "ann_rp_topk": _rp_oracle(),
     }

@@ -272,6 +272,7 @@ def main() -> None:
     lsh_recall = len(exact & pairs(entrymod.q_ann_lsh_topk(spark, sf_dir))) / len(exact)
     ivf_recall = len(exact & pairs(entrymod.q_ann_ivf_topk(spark, sf_dir))) / len(exact)
     pq_recall = len(exact & pairs(entrymod.q_ann_pq_topk(spark, sf_dir))) / len(exact)
+    rp_recall = len(exact & pairs(entrymod.q_ann_rp_topk(spark, sf_dir))) / len(exact)
 
     # Near-dup pair recall: MinHash-LSH's verified pairs vs the EXACT
     # prefix-filtered set-similarity join at the MinHash threshold (0.7).
@@ -415,6 +416,7 @@ def main() -> None:
                 "queries_adj": queries_adj,
                 "sf": sf,
                 "ann_lsh_recall_at_10": round(lsh_recall, 4),
+                "ann_rp_recall_at_10": round(rp_recall, 4),
                 "ann_ivf_recall_at_10": round(ivf_recall, 4),
                 # The testdata embeddings are uniform random (verified: no
                 # within-label cosine structure), so IVF recall ~= the probed

@@ -97,7 +97,13 @@ def cosine_topk(
         empty = "query_id long, neighbor_id long, cosine_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], empty)
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float32).astype(np.float64)
+    # Schema-driven element width: an array<float> corpus round-trips through
+    # float32 exactly (the stored values ARE float32); an array<double> input
+    # (e.g. random-projection vectors) must NOT be squeezed through float32 —
+    # that would silently change values vs the SQL oracle's doubles.
+    elem_t = queries.select(F.col(vec_col)).schema[0].dataType.elementType.typeName()
+    q_dtype = np.float64 if elem_t == "double" else np.float32
+    Q = np.array([r["q_vec"] for r in q_rows], dtype=q_dtype).astype(np.float64)
     dim = Q.shape[1]
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Q))
@@ -1090,3 +1096,102 @@ def ivfadc_topk(
     # persisted code table via release_cached(result) once consumed.
     out._cached_deps = (enc,)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
+
+
+def rademacher_signs(n_proj: int = 16, dim: int = 64, seed: int = 13) -> list[list[float]]:
+    """Seeded ±1 (Rademacher) projection matrix for :func:`rp_ann_topk`.
+
+    Achlioptas (JCSS'03) showed ±1 entries satisfy the Johnson–Lindenstrauss
+    lemma with the same distortion bounds as Gaussian projections — and a
+    literal sign matrix reproduces exactly in ANSI SQL, which Gaussians
+    (engine-specific RNGs) cannot. Returned as floats so the dot folds stay
+    a double expression tree identical to the oracle's."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[float(rnd.choice((-1, 1))) for _ in range(dim)] for _ in range(n_proj)]
+
+
+def rp_project(
+    df: DataFrame,
+    signs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project ``vec_col`` onto the rows of ``signs``: (id, proj array<double>).
+
+    Each coordinate is a sequential zip_with/aggregate dot fold (the
+    :func:`hyperplane_signature` codegen trick: ONE SQL string, not m·d
+    ``F.lit`` Py4J round trips), so the double accumulation order is exactly
+    DuckDB's ``list_dot_product`` loop — projections agree bit-for-bit with
+    the SQL oracle. Per-row cost is O(m·d); no shuffle, no UDF."""
+    dots = []
+    for h in signs:
+        arr = "array(" + ", ".join(repr(float(x)) + "D" for x in h) + ")"
+        dots.append(
+            f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), {arr}, "
+            "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    proj = F.expr("array(" + ", ".join(dots) + ")")
+    return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def rp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    signs: list[list[float]],
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via Johnson–Lindenstrauss random projection + exact re-rank.
+
+    The fourth ANN family next to brute force / sign-LSH / IVF(ADC): project
+    the corpus to ``len(signs)`` dimensions (64 → 16 = 4× less FLOPs and IO
+    per comparison), take each query's top-``candidates`` by PROJECTED cosine
+    (the JL lemma bounds the distortion, so the true top-k survive into a
+    modest candidate set with high probability), then re-rank exactly those
+    ``candidates`` rows per query against the raw vectors.
+
+    Scale shape: the projection is a per-row map (no shuffle); candidate
+    generation reuses :func:`cosine_topk`'s Arrow-batched scorer on the
+    REDUCED vectors, inheriting its per-partition local top-k pre-prune —
+    the rank window never sees more than ~candidates rows per query per
+    partition; the exact re-rank touches ``Q × candidates`` rows only. It
+    also composes with the bucketed families (project inside each LSH/IVF
+    bucket) when a full scan is off the table entirely.
+
+    Cross-engine determinism: projected AND exact cosines are sequential
+    double folds rounded to 6 dp with ties broken by neighbor id — the SQL
+    oracle reproduces candidate sets and final ranks exactly.
+    """
+    pc = rp_project(corpus, signs, id_col=id_col, vec_col=vec_col)
+    pq = rp_project(queries, signs, id_col=id_col, vec_col=vec_col)
+    cand = cosine_topk(
+        pc, pq, k=candidates, id_col=id_col, vec_col="proj"
+    ).select("query_id", "neighbor_id")
+    e = corpus.select(F.col(id_col), F.col(vec_col))
+    rer = (
+        e.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(
+            F.broadcast(
+                e.withColumnsRenamed({id_col: "query_id", vec_col: "q_vec"})
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
