@@ -73,6 +73,7 @@ HEADLINE = [
     "pq_encode",
     "ann_pq_topk",
     "ann_lsh_topk",
+    "ann_rp_topk",
     "srm_output_map",
     "text_quality",
     "token_stats",
@@ -82,6 +83,7 @@ HEADLINE = [
     "chunk_documents",
     "incremental_dedup",
     "quality_filter",
+    "token_budget_select",
     "funnel",
     "cohort_retention",
     "multires_rollup",
