@@ -3638,6 +3638,68 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): importance-resample
+    the non-English candidate pool toward the English target distribution —
+    per-doc log importance weight = sum over hashed unigram+bigram feature
+    buckets of count x (ln p_target - ln p_raw), add-one smoothed, top-100
+    kept. Log-ratios are integer micro-nats (exact long dot product); the
+    feature hash is cross-engine-deterministic character algebra. Shape:
+    two explodes -> one (doc, feature) hash aggregate, 2B-row model
+    broadcast, TakeOrderedAndProject top-k. (operators/text.py:dsir_select)"""
+    from observation_lakehouse_spark.operators.text import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_DSIR_SELECT = """
+WITH tk AS (
+    SELECT doc_id, lang = 'en' AS is_t,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), uni AS (
+    SELECT doc_id, is_t,
+           (ascii(s) * 131 + length(s) * 7 + ascii(reverse(s))) % 64 AS f
+    FROM (SELECT doc_id, is_t, unnest(toks) AS s FROM tk)
+), bg AS (
+    SELECT doc_id, is_t,
+           64 + (ascii(s) * 131 + length(s) * 7 + ascii(reverse(s))) % 64 AS f
+    FROM (SELECT doc_id, is_t,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS s
+          FROM tk WHERE len(toks) >= 2)
+), tf AS (
+    SELECT doc_id, is_t, f, COUNT(*) AS tf
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg) GROUP BY 1, 2, 3
+), tot AS (
+    SELECT SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS n_t,
+           SUM(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS n_r
+    FROM tf
+), model AS (
+    SELECT f,
+           SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS c_t,
+           SUM(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS c_r
+    FROM tf GROUP BY 1
+), lr AS (
+    SELECT f,
+           CAST(ROUND((ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 128 AS DOUBLE))
+                     - ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + 128 AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS lr_micro
+    FROM model CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_feats,
+       CAST(SUM(tf * lr_micro) AS BIGINT) AS logw_micro
+FROM tf JOIN lr USING (f)
+WHERE NOT is_t
+GROUP BY doc_id
+ORDER BY logw_micro DESC, doc_id
+LIMIT 100
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding store (operators/similarity
     .py:quantize_embeddings) — per-vector symmetric SQ8 codes + exact integer
@@ -5383,6 +5445,7 @@ _HEAVY_FIRST = [
     "dup_span_stats",
     "ngram_jaccard",
     "bigram_xent",
+    "dsir_select",
     "unigram_xent",
     "minhash_lsh_dedup",
     "simhash_dedup",
@@ -5476,6 +5539,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "salted_join": q_salted_join,
         "bigram_xent": q_bigram_xent,
+        "dsir_select": q_dsir_select,
         "embedding_centroids": q_embedding_centroids,
         "embedding_quantize": q_embedding_quantize,
         "pq_encode": q_pq_encode,
@@ -5594,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": _ORACLE_REGIONAL_REVENUE,
         "salted_join": _ORACLE_SALTED_JOIN,
         "bigram_xent": _ORACLE_BIGRAM_XENT,
+        "dsir_select": _ORACLE_DSIR_SELECT,
         "embedding_centroids": _ORACLE_EMB_CENTROIDS,
         "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
         "pq_encode": _pq_encode_oracle(),

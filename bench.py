@@ -84,6 +84,7 @@ HEADLINE = [
     "incremental_dedup",
     "quality_filter",
     "token_budget_select",
+    "dsir_select",
     "funnel",
     "cohort_retention",
     "multires_rollup",

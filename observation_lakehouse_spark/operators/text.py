@@ -904,6 +904,127 @@ def mixture_resample(
     )
 
 
+def _feature_bucket(s: Column, n_buckets: int) -> Column:
+    """Deterministic cross-engine hashed-feature bucket for a token/ngram
+    string: (ascii(first) * 131 + length * 7 + ascii(last)) % n_buckets.
+
+    Spark's ``hash()`` (Murmur3) and DuckDB's ``hash()`` disagree, so the
+    oracle-checkable feature hash is built from primitives both engines
+    define identically (``ascii`` = code point of the first character in
+    both; verified on the real corpus incl. CJK text). At 100 TB the bucket
+    is one codegen'd expression on an already-exploded column — no UDF.
+    """
+    return (
+        F.ascii(s) * F.lit(131) + F.length(s) * F.lit(7) + F.ascii(F.reverse(s))
+    ) % F.lit(n_buckets)
+
+
+def dsir_select(
+    df: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR — Xie et al., NeurIPS
+    2023): score every CANDIDATE document by how target-like its hashed
+    n-gram feature counts are under two bag-of-features unigram models, and
+    keep the top-k.
+
+        log w(x) = sum_f  c_f(x) * ( ln p_target[f] - ln p_raw[f] )
+
+    Features are hashed unigrams (buckets [0, B)) plus hashed bigrams
+    (buckets [B, 2B)) via :func:`_feature_bucket`; both models are add-one
+    smoothed over the 2B-bucket space. The target model is fit on documents
+    with ``target_col == target_value`` (the curated set); the raw model on
+    every other document (the crawl), which is also the candidate pool.
+
+    Determinism: the per-feature log-ratio is rounded to integer MICRO-NATS
+    once per feature, so each doc's score is an exact long dot product —
+    no cross-engine float accumulation. Ties at the k boundary break on
+    ``doc_id``.
+
+    Scale shape (linear in tokens): two explodes (unigram, bigram) into one
+    (doc, feature) map-side-combinable hash aggregate; the two models are
+    2B rows each (tiny broadcast); one per-doc aggregate; global top-k is
+    TakeOrderedAndProject (per-partition top-k, k rows to the driver-side
+    merge — never a full sort).
+    """
+    docs = parallelize_scan(df)
+    toks = lower_tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == F.lit(target_value)).alias("is_t"),
+        toks.alias("_toks"),
+        bigrams.alias("_bgs"),
+    )
+    uni = base.select("doc_id", "is_t", F.explode("_toks").alias("s")).select(
+        "doc_id", "is_t", _feature_bucket(F.col("s"), n_buckets).alias("f")
+    )
+    bg = base.select("doc_id", "is_t", F.explode("_bgs").alias("s")).select(
+        "doc_id",
+        "is_t",
+        (_feature_bucket(F.col("s"), n_buckets) + F.lit(n_buckets)).alias("f"),
+    )
+    # persist: the exploded (doc, feature) aggregate feeds BOTH models and
+    # the final candidate scoring join — the boundary stops three re-explodes.
+    tf = (
+        uni.unionByName(bg)
+        .groupBy("doc_id", "is_t", "f")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    # Both models in ONE per-feature conditional aggregate (no full-outer
+    # join of per-side counts — that's a second shuffle for the same rows),
+    # and both totals in one single-row aggregate broadcast everywhere.
+    t_side = F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))
+    r_side = F.when(~F.col("is_t"), F.col("tf")).otherwise(F.lit(0))
+    model = tf.groupBy("f").agg(
+        F.sum(t_side).alias("c_t"), F.sum(r_side).alias("c_r")
+    )
+    tot = tf.agg(F.sum(t_side).alias("n_t"), F.sum(r_side).alias("n_r"))
+    denom = 2 * n_buckets
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("n_t") + F.lit(denom)).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1).cast("double")
+                    / (F.col("n_r") + F.lit(denom)).cast("double")
+                )
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    out = (
+        tf.filter("NOT is_t")
+        .join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("logw_micro"),
+        )
+        .orderBy(F.desc("logw_micro"), "doc_id")
+        .limit(k)
+    )
+    out._cached_deps = (tf,)  # noqa: SLF001 — released by the caller
+    return out
+
+
 def unigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc unigram cross-entropy under the corpus's own unigram model —
     the classic LM-based pre-training quality filter (lower = more typical
