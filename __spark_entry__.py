@@ -4055,6 +4055,73 @@ FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities (operators/graph.py:
+    label_propagation; Raghavan et al. 2007) over the same quarter-filtered
+    customer-supplier fulfillment graph as `pagerank`, edge weight = lineitem
+    count. 3 synchronous rounds, argmax by (weight DESC, label ASC) — exact
+    integer arithmetic, so the unrolled-CTE DuckDB oracle agrees bit-for-bit.
+    Top-50 communities by size. Complements connected components: CC answers
+    'same document?', LPA answers 'same dense neighborhood?'."""
+    from observation_lakehouse_spark.operators.graph import label_propagation
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return label_propagation(edges, n_iters=3).limit(50)
+
+
+_ORACLE_LABEL_PROPAGATION = """
+WITH d AS (
+    SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 4 = 0
+), e AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d
+    ) GROUP BY 1, 2
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS label FROM e
+), r1 AS (
+    SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
+        FROM l0 l JOIN e ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+), r2 AS (
+    SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
+        FROM r1 l JOIN e ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+), r3 AS (
+    SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
+        FROM r2 l JOIN e ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+)
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM r3 GROUP BY 1
+ORDER BY n_members DESC, community LIMIT 50
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/dedup.py:bloom_decontaminate):
     the benchmark 5-gram set compresses to a 4194304-bit filter (131072 packed
@@ -5435,6 +5502,7 @@ def queries(clear_cache: bool = True) -> dict[str, Callable[[SparkSession, str],
 _HEAVY_FIRST = [
     "chargram_jaccard",
     "pagerank",
+    "label_propagation",
     "incremental_mv",
     "bloom_decontaminate",
     "dup_clusters",
@@ -5549,6 +5617,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_jaccard": q_chargram_jaccard,
         "table_diff": q_table_diff,
         "pagerank": q_pagerank,
+        "label_propagation": q_label_propagation,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5668,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "chargram_jaccard": _ORACLE_CHARGRAM,
         "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,
+        "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

@@ -85,6 +85,7 @@ HEADLINE = [
     "quality_filter",
     "token_budget_select",
     "dsir_select",
+    "label_propagation",
     "funnel",
     "cohort_retention",
     "multires_rollup",

@@ -86,3 +86,64 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in pagerank(edges.repartition(13), n_iters=4).collect()
     ]
     assert a == b  # integer arithmetic: no plan/partitioning sensitivity
+
+
+def _lpa(spark, edges, **kw):
+    from observation_lakehouse_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {(r.community, r.n_members, r.min_node) for r in label_propagation(df, **kw).collect()}
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 3-cliques joined by one bridge edge: LPA should keep them as two
+    # communities (the bridge vote 1 never beats the 2 intra-clique votes)
+    c1 = [(1, 2), (2, 3), (1, 3)]
+    c2 = [(4, 5), (5, 6), (4, 6)]
+    got = _lpa(spark, c1 + c2 + [(3, 4)])
+    comms = {frozenset({1, 2, 3}), frozenset({4, 5, 6})}
+    assert {n for _, n, _ in got} == {3}
+    assert {m for _, _, m in got} == {1, 4}
+
+
+def test_lpa_min_label_tiebreak_on_pair(spark):
+    # a single edge: each node adopts its neighbor's label each round; after
+    # an odd number of rounds both carry the other's start label -> with 3
+    # rounds node 1 has label 2's history... the STABLE observable is the
+    # community census, which collapses to one 2-member community only if
+    # labels coincide; with a triangle it must collapse to min label 1.
+    got = _lpa(spark, [(1, 2), (2, 3), (1, 3)])
+    assert got == {(1, 3, 1)}
+
+
+def test_lpa_weight_beats_count(spark):
+    from observation_lakehouse_spark.operators.graph import label_propagation
+
+    # node 3 has unit edges to 1 and 2 (labels 1, 2) but a heavy edge to 4:
+    # the weighted vote must pull 3 into 4's community despite the tie-break
+    # preferring smaller labels.
+    df = spark.createDataFrame(
+        [(1, 3, 1), (2, 3, 1), (3, 4, 5), (4, 5, 5), (5, 4, 5)],
+        "src long, dst long, w long",
+    )
+    out = {r.community: r.n_members for r in label_propagation(df, weight="w").collect()}
+    assert sum(out.values()) == 5
+    big = max(out.values())
+    rows = label_propagation(df, weight="w").collect()
+    members_of_big = [r for r in rows if r.n_members == big]
+    assert big >= 3  # 3,4,5 stay together
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from observation_lakehouse_spark.operators.graph import label_propagation
+
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df32 = spark.createDataFrame(edges, "src long, dst long").repartition(32)
+    r1 = sorted(map(tuple, label_propagation(df1).collect()))
+    r32 = sorted(map(tuple, label_propagation(df32).collect()))
+    assert r1 == r32
