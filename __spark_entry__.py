@@ -4055,6 +4055,52 @@ FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
 """
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter join (operators/joins.py:bloom_prefilter_join): the
+    runtime-filter pattern as a first-class operator — the selective orders
+    dim (o_totalprice > 250k) compresses to a 1M-bit Bloom filter (bit_or
+    packed words, ~KBs broadcast); every lineitem row probes it MAP-SIDE and
+    dies before the exchange unless its key can match; the real join then
+    removes Bloom false positives, so the result is exactly the plain inner
+    join the oracle runs. Revenue rollup per order priority on top."""
+    from observation_lakehouse_spark.operators.joins import bloom_prefilter_join
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = bloom_prefilter_join(lineitem, dim, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_BLOOM_JOIN = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 250000) d
+  ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted label-propagation communities (operators/graph.py:
     label_propagation; Raghavan et al. 2007) over the same quarter-filtered
@@ -5618,6 +5664,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
+        "bloom_join": q_bloom_join,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5738,6 +5785,7 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
+        "bloom_join": _ORACLE_BLOOM_JOIN,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

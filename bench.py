@@ -86,6 +86,7 @@ HEADLINE = [
     "token_budget_select",
     "dsir_select",
     "label_propagation",
+    "bloom_join",
     "funnel",
     "cohort_retention",
     "multires_rollup",

@@ -198,3 +198,94 @@ def range_join(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 1_048_576,
+    depth: int = 2,
+) -> DataFrame:
+    """Exact inner join with an explicit Bloom semi-join reduction of the big
+    side — the runtime-filter pattern (Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``, Trino's dynamic
+    filtering) expressed as a first-class operator so it works in ANY
+    session and its plan can be pinned by tests.
+
+    The 100 TB problem it solves: when the dimension side is selective but
+    too large to broadcast as a hash relation, a shuffle join moves the
+    ENTIRE fact side through the exchange — including the (often >90%) rows
+    whose keys match nothing. Here the dimension's key set compresses to an
+    ``m_bits``-bit Bloom filter (``m_bits/32`` packed bigint words via a
+    ``bit_or`` aggregate — mergeable, a few hundred KiB broadcast no matter
+    how many keys fed it); every fact row probes the broadcast words
+    MAP-SIDE and non-matching rows die before the exchange. The real join
+    then runs on the survivors, so Bloom false positives are removed and
+    the result is EXACTLY the plain inner join (the oracle is the plain
+    join — the filter is semantics-invisible).
+
+    Bit positions are ``depth`` disjoint 32-bit lanes of one md5 of the key
+    rendered as a string — deterministic and reproducible cross-engine
+    (same trick as dedup.bloom_decontaminate). NULL keys probe to NULL and
+    are dropped, matching inner-join semantics.
+    """
+    if depth > 4:
+        raise ValueError("depth > 4 needs more digest bits than one md5 carries")
+    words_per = 32
+
+    def key_pos(col, i):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1 + 8 * i, 8), 16, 10).cast(
+                "long"
+            )
+            % m_bits
+        )
+
+    lanes = [
+        small.select(key_pos(F.col(small_key), i).alias("pos")) for i in range(depth)
+    ]
+    allpos = lanes[0]
+    for lane in lanes[1:]:
+        allpos = allpos.unionAll(lane)
+    # persist: the packed filter words feed `depth` broadcast probe joins.
+    bloom = (
+        allpos.select(
+            F.expr(f"pos DIV {words_per}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {words_per} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("w"))
+        .persist()
+    )
+    probe = big
+    all_set = F.lit(True)
+    for i in range(depth):
+        wi, mi, bi = f"_w{i}", f"_m{i}", f"_b{i}"
+        probe = (
+            probe.withColumn(f"_p{i}", key_pos(F.col(big_key), i))
+            .withColumn(wi, F.expr(f"_p{i} DIV {words_per}"))
+            .withColumn(
+                mi,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {words_per} AS INT))"
+                ),
+            )
+            .join(
+                F.broadcast(bloom.select(F.col("word").alias(wi), F.col("w").alias(bi))),
+                wi,
+                "left",
+            )
+        )
+        all_set = all_set & (
+            F.coalesce(F.col(bi), F.lit(0)).bitwiseAND(F.col(mi)) != 0
+        )
+    survivors = probe.filter(all_set).drop(
+        *[c for i in range(depth) for c in (f"_p{i}", f"_w{i}", f"_m{i}", f"_b{i}")]
+    )
+    out = survivors.join(small, survivors[big_key] == small[small_key])
+    out._cached_deps = (bloom,)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out
