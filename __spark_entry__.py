@@ -3326,6 +3326,32 @@ FROM c ORDER BY from_type, to_type
 """
 
 
+def q_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step event paths across per-user sequences
+    (operators/behavior.py:frequent_paths) — the n-gram sequel to
+    transition_matrix's first-order pairs. One LEAD window pass (partitioned
+    by user, never global), a path-keyed hash aggregate, TakeOrdered top-k
+    with a total (count DESC, path ASC) tie-break."""
+    from observation_lakehouse_spark.operators.behavior import frequent_paths
+
+    return frequent_paths(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_FREQUENT_PATHS = """
+WITH seq AS (
+    SELECT user_id, event_type AS e1,
+           LEAD(event_type, 1) OVER w AS e2,
+           LEAD(event_type, 2) OVER w AS e3
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20
+"""
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outlier flagging per event_type with EXACT-decimal moments:
     mean and variance derive from DECIMAL sum / sum-of-squares (associative,
@@ -5665,6 +5691,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
+        "frequent_paths": q_frequent_paths,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5786,6 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _ORACLE_PAGERANK,
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
+        "frequent_paths": _ORACLE_FREQUENT_PATHS,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

@@ -87,6 +87,7 @@ HEADLINE = [
     "dsir_select",
     "label_propagation",
     "bloom_join",
+    "frequent_paths",
     "funnel",
     "cohort_retention",
     "multires_rollup",

@@ -174,3 +174,51 @@ def multires_rollup(
             "event_type",
         )
     )
+
+
+def frequent_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent ``depth``-step event paths across per-user event
+    sequences — the sequential-pattern census behind "what do users do right
+    before X?" analyses (the n-gram view of :func:`transition_matrix`'s
+    first-order pairs).
+
+    A path is ``depth`` CONSECUTIVE events of one user in time order,
+    rendered ``a>b>c``. Output: (path, n_occurrences — sliding-window
+    occurrences, n_users — distinct users who ever follow it), ordered by
+    (n_occurrences DESC, path ASC) with a total tie-break, LIMIT k.
+
+    Scale shape: ONE window pass (the sessionization shuffle, partitioned by
+    user — never global) emits each row's next ``depth-1`` types via LEAD;
+    the path census is then a map-side-combinable hash aggregate over
+    |event_type|^depth keys (small), and top-k is TakeOrderedAndProject.
+    Nothing materializes per-user arrays — a collect_list path would hold a
+    user's whole history in one row; LEAD holds ``depth`` columns.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    paths = (
+        events.select(user_col, *order_cols, type_col)
+        .withColumn("path", F.concat_ws(">", *steps))
+        .withColumn("_last", steps[-1])
+        .filter(F.col("_last").isNotNull())
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+    )

@@ -101,3 +101,40 @@ def test_multires_rollup_grains_and_sums(spark):
     assert cells[("all", None, None, "view")] == (1, 8.0)
     # one Expand + one aggregate: exactly 3 grains, no duplicate cells
     assert len(out) == len(cells) == 7
+
+
+def test_frequent_paths_counts_sliding_windows(spark):
+    from observation_lakehouse_spark.operators.behavior import frequent_paths
+
+    rows = [
+        # user 1: a b a b a  -> a>b>a x2, b>a>b x1
+        (1, 1, 1, "a"), (2, 2, 1, "b"), (3, 3, 1, "a"), (4, 4, 1, "b"), (5, 5, 1, "a"),
+        # user 2: a b a      -> a>b>a x1
+        (6, 1, 2, "a"), (7, 2, 2, "b"), (8, 3, 2, "a"),
+        # user 3: too short for depth 3
+        (9, 1, 3, "a"), (10, 2, 3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
+    got = {(r.path, r.n_occurrences, r.n_users) for r in frequent_paths(df).collect()}
+    assert got == {("a>b>a", 3, 2), ("b>a>b", 1, 1)}
+
+
+def test_frequent_paths_tiebreak_and_k(spark):
+    from observation_lakehouse_spark.operators.behavior import frequent_paths
+
+    rows = [
+        (1, 1, 1, "c"), (2, 2, 1, "b"), (3, 3, 1, "a"),
+        (4, 1, 2, "a"), (5, 2, 2, "b"), (6, 3, 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
+    out = frequent_paths(df, k=1).collect()
+    # equal counts -> lexicographically smaller path wins the k cut
+    assert [(r.path, r.n_occurrences) for r in out] == [("a>b>c", 1)]
+
+
+def test_frequent_paths_never_crosses_users(spark):
+    from observation_lakehouse_spark.operators.behavior import frequent_paths
+
+    rows = [(1, 1, 1, "a"), (2, 2, 1, "b"), (3, 3, 2, "c")]
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
+    assert frequent_paths(df).count() == 0
