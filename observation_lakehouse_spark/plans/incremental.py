@@ -58,7 +58,7 @@ class IncrementalAggregate:
         location: str,
         keys: list[str],
         aggs: dict[str, tuple[str, str]],
-        key_types: str = "string",
+        key_types: str | list[str] = "string",
         agg_types: dict[str, str] | None = None,
         max_refresh_retries: int = 5,
     ) -> None:
@@ -70,7 +70,12 @@ class IncrementalAggregate:
         self.max_refresh_retries = max_refresh_retries
         if agg_types is None:
             agg_types = {}
-        fields = [f"`{k}` {key_types}" for k in keys] + [
+        ktypes = (
+            [key_types] * len(keys) if isinstance(key_types, str) else list(key_types)
+        )
+        if len(ktypes) != len(keys):
+            raise ValueError("key_types list must match keys")
+        fields = [f"`{k}` {t}" for k, t in zip(keys, ktypes)] + [
             f"`{name}` {agg_types.get(name, 'decimal(38,6)' if fn in ('sum', 'min', 'max') else 'bigint')}"
             for name, (fn, _) in aggs.items()
         ]
