@@ -382,14 +382,20 @@ class AtomicParquetTable:
 
     # -- reads ----------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (latest by default; pass ``version`` to time-travel).
+    def read(self, version: int | None = None, ref: str | None = None) -> DataFrame:
+        """Snapshot read (latest by default; pass ``version`` to time-travel,
+        or ``ref`` to read a named tag/branch — Iceberg's ``VERSION AS OF``
+        by name).
 
         Scans exactly the manifest's file list: concurrent appends never tear,
         uncommitted/orphan files are never seen. ``basePath`` keeps the hive
         partition directories parsed as columns, so partition pruning still
         applies; the explicit schema keeps their declared types.
         """
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version OR ref, not both")
+            version = self.resolve_ref(ref)
         v = self.latest_version() if version is None else version
         files = self._manifest(v)["files"]
         if not files:
@@ -572,17 +578,118 @@ class AtomicParquetTable:
         target_files = self._manifest(version)["files"]
         return self._commit([], None, replace_files=list(target_files))
 
+    # -- named refs (Iceberg-style tags & branches) -----------------------------
+
+    _REF_NAME_OK = staticmethod(
+        lambda name: bool(name) and all(c.isalnum() or c in "_-." for c in name)
+    )
+
+    def _refs_dir(self) -> Path:
+        d = self.location / "_refs"
+        d.mkdir(exist_ok=True)
+        return d
+
+    def _ref_file(self, name: str) -> Path:
+        if not self._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        return self._refs_dir() / f"{name}.json"
+
+    def _check_ref_version(self, version: int | None) -> int:
+        v = self.latest_version() if version is None else int(version)
+        if v != 0 and v not in self._versions():
+            raise ValueError(f"no snapshot v{v} to reference")
+        return v
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg tag). Tagged
+        versions survive :meth:`expire_snapshots` (and therefore keep their
+        data files through :meth:`vacuum`) until the tag is deleted — the
+        audit/repro use case: ``create_tag('train-corpus-2026q3')`` freezes
+        exactly what a training run read. Creation is an ``os.link``
+        create-if-absent claim, so two racing creators of one name cannot
+        both win (same primitive as the manifest commit)."""
+        v = self._check_ref_version(version)
+        target = self._ref_file(name)
+        tmp = self._refs_dir() / f".{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps({"type": "tag", "version": v}))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(f"ref {name!r} already exists") from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return v
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """A MOVABLE named pointer (Iceberg branch ref). Honest scope note:
+        commits still serialize on the table's single version sequence —
+        there is no divergent write lineage; a branch here is a protected,
+        advanceable pointer (create at a version, :meth:`advance_branch` as
+        work lands, :meth:`read` with ``ref=`` to serve it), which covers
+        the audit/staging workflow without a second commit log."""
+        v = self._check_ref_version(version)
+        target = self._ref_file(name)
+        tmp = self._refs_dir() / f".{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps({"type": "branch", "version": v}))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(f"ref {name!r} already exists") from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return v
+
+    def advance_branch(self, name: str, version: int | None = None) -> int:
+        """Move a branch pointer (defaults to the current head). Atomic
+        replace — readers resolve either the old or the new target, never a
+        torn ref. Tags refuse to move (immutability is their contract)."""
+        f = self._ref_file(name)
+        if not f.exists():
+            raise ValueError(f"no ref {name!r}")
+        if json.loads(f.read_text())["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag (immutable)")
+        v = self._check_ref_version(version)
+        tmp = self._refs_dir() / f".{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps({"type": "branch", "version": v}))
+        os.replace(tmp, f)
+        return v
+
+    def delete_ref(self, name: str) -> None:
+        f = self._ref_file(name)
+        if not f.exists():
+            raise ValueError(f"no ref {name!r}")
+        f.unlink()
+
+    def refs(self) -> dict[str, dict]:
+        """All named refs: name -> {"type": "tag"|"branch", "version": N}."""
+        d = self.location / "_refs"
+        if not d.exists():
+            return {}
+        return {
+            p.stem: json.loads(p.read_text())
+            for p in sorted(d.glob("*.json"))
+        }
+
+    def resolve_ref(self, name: str) -> int:
+        f = self._ref_file(name)
+        if not f.exists():
+            raise ValueError(f"no ref {name!r}")
+        return int(json.loads(f.read_text())["version"])
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifest history older than the newest ``keep_last`` versions.
 
         Time travel to expired versions stops working; data files they alone
         referenced become orphans that the next :meth:`vacuum` reclaims. The
-        head manifest is never expired.
+        head manifest is never expired, and neither is any version a named
+        ref (tag or branch) pins — delete the ref first if you really want
+        its history gone (the Iceberg retention rule).
         """
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        pinned = {int(r["version"]) for r in self.refs().values()}
         vs = self._versions()
-        expired = vs[:-keep_last]
+        expired = [v for v in vs[:-keep_last] if v not in pinned]
         for v in expired:
             (self.manifest_dir / f"v{v}.json").unlink()
         return expired

@@ -436,3 +436,77 @@ def test_check_constraint_rejects_when_existing_data_violates(spark, table):
         table.add_check_constraint("score_nonneg", "score >= 0")
     assert ei.value.violations == {"score_nonneg": 1}
     assert "score_nonneg" not in table.check_constraints
+
+
+# -- named refs (tags & branches) ---------------------------------------------
+
+
+def _mk_refs(spark, tmp_path, name="refs_t"):
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / name), schema=StructType([StructField("x", LongType())])
+    )
+    return t
+
+
+def test_tag_pins_snapshot_and_survives_expiry(spark, tmp_path):
+    t = _mk_refs(spark, tmp_path)
+    t.append(spark.createDataFrame([(1,)], "x long"))
+    v1 = t.latest_version()
+    t.create_tag("train-2026q3")  # defaults to head
+    t.append(spark.createDataFrame([(2,)], "x long"))
+    t.append(spark.createDataFrame([(3,)], "x long"))
+
+    assert t.resolve_ref("train-2026q3") == v1
+    assert {r.x for r in t.read(ref="train-2026q3").collect()} == {1}
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert v1 not in expired  # the tag pinned it
+    assert {r.x for r in t.read(ref="train-2026q3").collect()} == {1}
+    t.vacuum()  # pinned version's files must survive vacuum too
+    assert {r.x for r in t.read(ref="train-2026q3").collect()} == {1}
+
+    # delete the tag -> the version becomes expirable
+    t.delete_ref("train-2026q3")
+    assert v1 in t.expire_snapshots(keep_last=1)
+
+
+def test_tag_is_immutable_and_unique(spark, tmp_path):
+    import pytest
+
+    t = _mk_refs(spark, tmp_path, "refs_u")
+    t.append(spark.createDataFrame([(1,)], "x long"))
+    t.create_tag("rel")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("rel")
+    with pytest.raises(ValueError, match="immutable"):
+        t.advance_branch("rel")
+
+
+def test_branch_advances_and_reads(spark, tmp_path):
+    t = _mk_refs(spark, tmp_path, "refs_b")
+    t.append(spark.createDataFrame([(1,)], "x long"))
+    t.create_branch("staging")
+    v1 = t.resolve_ref("staging")
+    t.append(spark.createDataFrame([(2,)], "x long"))
+    assert {r.x for r in t.read(ref="staging").collect()} == {1}  # pointer stayed
+    t.advance_branch("staging")  # -> head
+    assert t.resolve_ref("staging") == t.latest_version() > v1
+    assert {r.x for r in t.read(ref="staging").collect()} == {1, 2}
+    assert t.refs()["staging"]["type"] == "branch"
+
+
+def test_ref_validation(spark, tmp_path):
+    import pytest
+
+    t = _mk_refs(spark, tmp_path, "refs_v")
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.create_tag("bad", version=99)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_tag("../escape")
+    with pytest.raises(ValueError, match="no ref"):
+        t.resolve_ref("ghost")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, ref="x")
