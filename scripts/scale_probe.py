@@ -227,9 +227,13 @@ def main() -> None:
         k_anonymity_profile,
         ratio_micro,
     )
+    from observation_lakehouse_spark.operators.behavior import frequent_paths
+    from observation_lakehouse_spark.operators.graph import label_propagation
+    from observation_lakehouse_spark.operators.joins import bloom_prefilter_join
     from observation_lakehouse_spark.operators.retrieval import hybrid_rrf_search
     from observation_lakehouse_spark.operators.text import (
         bigram_xent,
+        dsir_select,
         pack_sequences,
         unigram_xent,
     )
@@ -323,6 +327,31 @@ def main() -> None:
          lambda d: hybrid_rrf_search(
              d, emb if d is docs else emb_k, ["spark", "join", "stream"],
              query_vec_id=0, k_each=20, k=10)),
+        # --- r6 late additions ---
+        # DSIR: two explodes -> (doc, feature) agg, 2B-row model broadcast,
+        # TakeOrdered top-k — alpha should track token mass like the xents
+        ("dsir_select (hashed-ngram importance weights)", docs, docs_k,
+         lambda d: dsir_select(d)),
+        # LPA on a replicated bipartite customer-nation graph (both endpoint
+        # id spaces offset per replica, so shards stay disjoint): per-round
+        # join + two hash aggregates — alpha tracks edge count
+        ("label_propagation (3 rounds)", cust, cust_k,
+         lambda d: label_propagation(
+             d.select((F.col("c_custkey") * 2).alias("src"),
+                      (F.col("c_nationkey") * 2 + 1).alias("dst")),
+             n_iters=3)),
+        # Bloom-prefilter join: dim FIXED (replica-0 keys), fact side scales
+        # Kx — the map-side probe + survivor join should stay scan-linear
+        ("bloom_join (fixed dim, scaling fact)", li, li_k,
+         lambda d: bloom_prefilter_join(
+             d, li.filter(F.col("l_orderkey") % 50 == 0)
+                  .select("l_orderkey").distinct()
+                  .withColumnRenamed("l_orderkey", "dk"),
+             "l_orderkey", "dk")
+         .groupBy().agg(F.count(F.lit(1)).alias("n"))),
+        # path census: one LEAD window per user + path-keyed agg
+        ("frequent_paths (3-step census)", ev, ev_k,
+         lambda d: frequent_paths(d)),
     ]
 
     lines = [
