@@ -4411,6 +4411,97 @@ SELECT rank, doc_id, score, n_terms_hit FROM ranked WHERE rank <= 20 ORDER BY ra
 """
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (operators/retrieval.py:ndcg_eval):
+    nDCG@10 of the BM25 ranking against graded term-presence relevance
+    (rel = how many of {spark, join, stream} the doc contains, gain =
+    2^rel - 1). The one float in nDCG — the 1/log2(rank+1) discount — is
+    precomputed driver-side as micro-unit integer literals, so DCG, IDCG
+    and ndcg_ppm = dcg*1e6 DIV idcg are EXACT integer arithmetic in both
+    engines. Eval-sized inputs: the ranking is 10 rows, the ideal ranking
+    windows over qrels only."""
+    from observation_lakehouse_spark.functions.text import lower_tokens
+    from observation_lakehouse_spark.operators.retrieval import bm25_rank, ndcg_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    ranking = bm25_rank(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=10).select(
+        F.lit(1).cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    toks = lower_tokens("text")
+    rel = (
+        F.array_contains(toks, "spark").cast("int")
+        + F.array_contains(toks, "join").cast("int")
+        + F.array_contains(toks, "stream").cast("int")
+    )
+    qrels = (
+        docs.select(
+            F.lit(1).cast("long").alias("query_id"), "doc_id", rel.alias("rel")
+        )
+        .filter(F.col("rel") > 0)
+    )
+    return ndcg_eval(ranking, qrels, k=10)
+
+
+_NDCG_DISCOUNTS = "[1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464, 301029, 289064]"
+
+_ORACLE_NDCG_EVAL = f"""
+WITH tk0 AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS dl FROM tk0
+), stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM base
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM tk0)
+    WHERE term IN ('spark', 'join', 'stream')
+    GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), contrib AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           6) AS DECIMAL(18,6)) AS w
+    FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+), ranked AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY CAST(SUM(w) AS DOUBLE) DESC, doc_id) AS INT) AS rank
+    FROM contrib GROUP BY doc_id
+), qr AS (
+    SELECT doc_id,
+           CAST(list_contains(toks, 'spark') AS INT)
+         + CAST(list_contains(toks, 'join') AS INT)
+         + CAST(list_contains(toks, 'stream') AS INT) AS rel
+    FROM tk0
+    WHERE list_contains(toks, 'spark') OR list_contains(toks, 'join')
+       OR list_contains(toks, 'stream')
+), dcg AS (
+    SELECT CAST(SUM(((1 << COALESCE(q.rel, 0)) - 1)
+                    * ({_NDCG_DISCOUNTS}[r.rank])) AS BIGINT) AS dcg_micro
+    FROM ranked r LEFT JOIN qr q USING (doc_id)
+    WHERE r.rank <= 10
+), ideal AS (
+    SELECT CAST(SUM(((1 << rel) - 1) * ({_NDCG_DISCOUNTS}[ir])) AS BIGINT) AS idcg_micro
+    FROM (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS ir FROM qr)
+    WHERE ir <= 10
+)
+SELECT CAST(1 AS BIGINT) AS query_id,
+       COALESCE(dcg_micro, 0) AS dcg_micro,
+       COALESCE(idcg_micro, 0) AS idcg_micro,
+       CASE WHEN COALESCE(idcg_micro, 0) > 0
+            THEN (COALESCE(dcg_micro, 0) * 1000000) // idcg_micro END AS ndcg_ppm
+FROM dcg CROSS JOIN ideal
+"""
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase lookup for "table hash"
     (operators/retrieval.py:phrase_search): shifted-slice zip builds the
@@ -5692,6 +5783,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
         "frequent_paths": q_frequent_paths,
+        "ndcg_eval": q_ndcg_eval,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5814,6 +5906,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
         "frequent_paths": _ORACLE_FREQUENT_PATHS,
+        "ndcg_eval": _ORACLE_NDCG_EVAL,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

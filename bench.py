@@ -88,6 +88,7 @@ HEADLINE = [
     "label_propagation",
     "bloom_join",
     "frequent_paths",
+    "ndcg_eval",
     "funnel",
     "cohort_retention",
     "multires_rollup",

@@ -302,3 +302,81 @@ def hybrid_rrf_search(
     )
     out._cached_deps = getattr(lex, "_cached_deps", ())  # type: ignore[attr-defined]  # noqa: SLF001
     return out
+
+
+def ndcg_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k per query — the standard graded retrieval-quality metric
+    (Järvelin & Kekäläinen, TOIS 2002), computed as exact integer
+    arithmetic so the score is engine- and partitioning-independent.
+
+    Inputs: ``ranking`` (query_col, doc_col, rank_col with rank 1-based) and
+    graded ``qrels`` (query_col, doc_col, rel_col, integer grades ≥ 0).
+
+    Determinism: the per-rank discount 1/log2(rank+1) is the one float in
+    nDCG — it is precomputed DRIVER-SIDE as ``floor(1e6 / log2(r+1))``
+    micro-units for r = 1..k and folded into the plan as literals, so both
+    engines (and the SQL oracle) multiply identical integer constants.
+    gain = 2^rel − 1 (exact shift), DCG/IDCG are integer sums, and
+    ndcg_ppm = (dcg × 1e6) DIV idcg — never a float division that could
+    round differently. IDCG ranks each query's qrels by (rel DESC, doc ASC).
+
+    Scale shape: ranking is already ≤ k rows per query; qrels joins on
+    (query, doc) and the ideal ranking windows over each query's qrels only
+    — nothing touches a corpus. Queries with no positive qrels get NULL
+    ndcg (0/0 is undefined, not zero).
+    """
+    import math
+
+    disc = F.array(
+        *[F.lit(int(math.floor(1_000_000 / math.log2(r + 1)))) for r in range(1, k + 1)]
+    )
+    # SQL shiftleft takes a column bit count; the DataFrame fn only a literal
+    gain = lambda c: F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c} AS INT)) - 1")  # noqa: E731
+
+    topk = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(rank_col).cast("int").alias("r"),
+    )
+    hits = topk.join(
+        qrels.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rel_col).alias("rel"),
+        ),
+        ["q", "d"],
+        "left",
+    ).withColumn("rel", F.coalesce("rel", F.lit(0)))
+    dcg = hits.groupBy("q").agg(
+        F.sum(gain("rel") * F.element_at(disc, F.col("r"))).alias("dcg_micro")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc(rel_col), F.asc("d"))
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .select(F.col(query_col).alias("q"), F.col(doc_col).alias("d"), rel_col)
+        .withColumn("ir", F.row_number().over(w))
+        .filter(F.col("ir") <= k)
+        .groupBy("q")
+        .agg(F.sum(gain(rel_col) * F.element_at(disc, F.col("ir"))).alias("idcg_micro"))
+    )
+    return (
+        dcg.join(ideal, "q", "full_outer")
+        .select(
+            F.col("q").alias(query_col),
+            F.coalesce("dcg_micro", F.lit(0)).alias("dcg_micro"),
+            F.coalesce("idcg_micro", F.lit(0)).alias("idcg_micro"),
+            F.when(
+                F.coalesce("idcg_micro", F.lit(0)) > 0,
+                F.expr("(COALESCE(dcg_micro, 0) * 1000000) DIV idcg_micro"),
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy(query_col)
+    )

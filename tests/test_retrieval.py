@@ -117,3 +117,58 @@ def test_domain_mixture_explicit_target(spark):
     ).collect()}
     assert abs(out["a"]["mix_weight"] - 1.8) < 1e-6
     assert abs(out["b"]["mix_weight"] - 0.2) < 1e-6
+
+
+# -- nDCG evaluation ------------------------------------------------------------
+
+
+def _ndcg(spark, ranking, qrels, **kw):
+    from observation_lakehouse_spark.operators.retrieval import ndcg_eval
+
+    r = spark.createDataFrame(ranking, "query_id long, doc_id long, rank int")
+    q = spark.createDataFrame(qrels, "query_id long, doc_id long, rel int")
+    return {row.query_id: row for row in ndcg_eval(r, q, **kw).collect()}
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    # ranking = ideal order -> ndcg_ppm == 1_000_000 exactly
+    qrels = [(1, 10, 3), (1, 20, 2), (1, 30, 1)]
+    ranking = [(1, 10, 1), (1, 20, 2), (1, 30, 3)]
+    out = _ndcg(spark, ranking, qrels)
+    assert out[1].ndcg_ppm == 1_000_000
+    assert out[1].dcg_micro == out[1].idcg_micro
+
+
+def test_ndcg_exact_integer_value(spark):
+    import math
+
+    # reversed ranking of rels (1, 3): hand-compute with the operator's rule
+    qrels = [(1, 10, 3), (1, 20, 1)]
+    ranking = [(1, 20, 1), (1, 10, 2)]
+    d = [int(math.floor(1_000_000 / math.log2(r + 1))) for r in (1, 2)]
+    dcg = (2**1 - 1) * d[0] + (2**3 - 1) * d[1]
+    idcg = (2**3 - 1) * d[0] + (2**1 - 1) * d[1]
+    out = _ndcg(spark, ranking, qrels)
+    assert (out[1].dcg_micro, out[1].idcg_micro) == (dcg, idcg)
+    assert out[1].ndcg_ppm == (dcg * 1_000_000) // idcg
+
+
+def test_ndcg_unjudged_docs_gain_zero_and_k_cuts(spark):
+    qrels = [(1, 10, 2)]
+    ranking = [(1, 99, 1), (1, 10, 2), (1, 10, 11)]  # rank 11 ignored at k=10
+    out = _ndcg(spark, ranking, qrels)
+    assert out[1].dcg_micro == 3 * 630929  # only the judged doc at rank 2
+    assert out[1].idcg_micro == 3 * 1_000_000
+
+
+def test_ndcg_no_positive_qrels_is_null(spark):
+    out = _ndcg(spark, [(1, 5, 1)], [(1, 5, 0)])
+    assert out[1].ndcg_ppm is None
+
+
+def test_ndcg_multi_query_independence(spark):
+    qrels = [(1, 10, 1), (2, 10, 3), (2, 20, 1)]
+    ranking = [(1, 10, 1), (2, 20, 1), (2, 10, 2)]
+    out = _ndcg(spark, ranking, qrels)
+    assert out[1].ndcg_ppm == 1_000_000
+    assert 0 < out[2].ndcg_ppm < 1_000_000
