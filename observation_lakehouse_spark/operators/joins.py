@@ -226,22 +226,18 @@ def bloom_prefilter_join(
     the result is EXACTLY the plain inner join (the oracle is the plain
     join — the filter is semantics-invisible).
 
-    Bit positions are ``depth`` disjoint 32-bit lanes of one md5 of the key
-    rendered as a string — deterministic and reproducible cross-engine
-    (same trick as dedup.bloom_decontaminate). NULL keys probe to NULL and
-    are dropped, matching inner-join semantics.
+    Bit positions are seeded ``xxhash64`` lanes — the CHEAP hash, one
+    codegen'd call per lane per fact row. Unlike ``bloom_decontaminate``
+    (whose bloom HITS are output and must reproduce bit-for-bit in the SQL
+    oracle's md5 arithmetic), this filter is semantics-invisible: the
+    verifying join erases every false positive, so the hash only needs to
+    be uniform, not cross-engine. NULL keys probe to NULL and are dropped,
+    matching inner-join semantics.
     """
-    if depth > 4:
-        raise ValueError("depth > 4 needs more digest bits than one md5 carries")
     words_per = 32
 
     def key_pos(col, i):
-        return (
-            F.conv(F.substring(F.md5(col.cast("string")), 1 + 8 * i, 8), 16, 10).cast(
-                "long"
-            )
-            % m_bits
-        )
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
 
     lanes = [
         small.select(key_pos(F.col(small_key), i).alias("pos")) for i in range(depth)
