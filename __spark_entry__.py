@@ -3326,6 +3326,39 @@ FROM c ORDER BY from_type, to_type
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (operators/behavior.py:
+    last_touch_attribution): every purchase credits the user's most recent
+    non-purchase event within 7 days. One user-partitioned RANGE window
+    (value-based frame on epoch-micro longs — engine-independent) + one
+    touch-type aggregate; timestamp ties break lexicographically on type,
+    never on physical row order; revenue sums are DECIMAL-exact."""
+    from observation_lakehouse_spark.operators.behavior import last_touch_attribution
+
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_ATTRIBUTION = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+), t AS (
+    SELECT user_id, event_type, ts_us, value,
+           MAX(CASE WHEN event_type <> 'purchase'
+                    THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || '|' || event_type
+               END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS touch
+    FROM e
+)
+SELECT CASE WHEN touch IS NULL THEN 'unattributed'
+            ELSE split_part(touch, '|', 2) END AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY touch_type
+"""
+
+
 def q_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most frequent 3-step event paths across per-user sequences
     (operators/behavior.py:frequent_paths) — the n-gram sequel to
@@ -4601,6 +4634,46 @@ FROM fused QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK audit (operators/audit.py:referential_audit):
+    lineitem.l_orderkey checked against a DELIBERATELY holed parent key set
+    (orders minus every o_orderkey % 4 == 1) so orphan detection is
+    exercised, not vacuous. One left join against the distinct parent keys
+    + one conditional aggregate; coverage/null/orphan metrics in exact
+    integer ppm, same row shape as constraint_audit."""
+    from observation_lakehouse_spark.operators.audit import referential_audit
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    parent = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 != 1)
+    return referential_audit(lineitem, parent, "l_orderkey", "o_orderkey")
+
+
+_ORACLE_REFERENTIAL_AUDIT = """
+WITH keys AS (
+    SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 4 <> 1
+), j AS (
+    SELECT l.l_orderkey AS ck, k.o_orderkey AS pk
+    FROM lineitem l LEFT JOIN keys k ON l.l_orderkey = k.o_orderkey
+), a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           CAST(SUM(CASE WHEN ck IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+    FROM j
+)
+SELECT * FROM (
+    SELECT 'fk_coverage' AS "check",
+           (1000000 * (n - nulls - orphans)) // GREATEST(n - nulls, 1) AS metric_micro,
+           orphans = 0 AS passed
+    FROM a
+    UNION ALL
+    SELECT 'fk_nulls', nulls * 1000000, nulls = 0 FROM a
+    UNION ALL
+    SELECT 'fk_orphans', orphans * 1000000, orphans = 0 FROM a
+)
+ORDER BY "check"
+"""
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over orders
     (operators/audit.py:constraint_audit — the Deequ batch-of-analyzers
@@ -5783,7 +5856,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
         "frequent_paths": q_frequent_paths,
+        "attribution": q_attribution,
         "ndcg_eval": q_ndcg_eval,
+        "referential_audit": q_referential_audit,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5906,7 +5981,9 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
         "frequent_paths": _ORACLE_FREQUENT_PATHS,
+        "attribution": _ORACLE_ATTRIBUTION,
         "ndcg_eval": _ORACLE_NDCG_EVAL,
+        "referential_audit": _ORACLE_REFERENTIAL_AUDIT,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

@@ -88,7 +88,9 @@ HEADLINE = [
     "label_propagation",
     "bloom_join",
     "frequent_paths",
+    "attribution",
     "ndcg_eval",
+    "referential_audit",
     "funnel",
     "cohort_retention",
     "multires_rollup",

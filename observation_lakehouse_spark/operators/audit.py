@@ -128,3 +128,67 @@ def k_anonymity_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("level", "qi")
+
+
+def referential_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Cross-table referential-integrity audit: how many child rows point at
+    a parent key that does not exist (FK orphans), plus the NULL-key count —
+    the two ways a foreign key goes bad (Deequ's Referential Integrity
+    analyzer; :func:`constraint_audit` is single-table by design, so this
+    is its cross-table sibling).
+
+    Output, one row per metric: (check, metric_micro, passed) in the same
+    shape as :func:`constraint_audit` — `fk_orphans` / `fk_nulls` report
+    raw counts × MICRO (so a dashboard treats every audit row uniformly),
+    `fk_coverage` reports matched/non-null parts-per-million.
+
+    Scale shape: ONE left-semi-style join decides existence — expressed as
+    a left join against the DISTINCT parent keys (keys-sized right side;
+    broadcastable when the parent key set fits, AQE decides) — then a
+    single-row conditional aggregate. Child payload columns are pruned at
+    the scan; only the key column shuffles.
+    """
+    keys = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    flagged = (
+        child.select(F.col(child_key).alias("_ck"))
+        .join(keys, F.col("_ck") == F.col("_pk"), "left")
+        .select(
+            F.col("_ck").isNull().alias("_is_null"),
+            (F.col("_ck").isNotNull() & F.col("_pk").isNull()).alias("_is_orphan"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_is_null").cast("long")).alias("_nulls"),
+        F.sum(F.col("_is_orphan").cast("long")).alias("_orphans"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("fk_coverage").alias("check"),
+                    ratio_micro(
+                        F.col("_n") - F.col("_nulls") - F.col("_orphans"),
+                        F.greatest(F.col("_n") - F.col("_nulls"), F.lit(1)),
+                    ).alias("metric_micro"),
+                    (F.col("_orphans") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("fk_nulls").alias("check"),
+                    (F.col("_nulls") * F.lit(MICRO)).alias("metric_micro"),
+                    (F.col("_nulls") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("fk_orphans").alias("check"),
+                    (F.col("_orphans") * F.lit(MICRO)).alias("metric_micro"),
+                    (F.col("_orphans") == 0).alias("passed"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.check", "r.metric_micro", "r.passed").orderBy("check")

@@ -222,3 +222,70 @@ def frequent_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_us: int = 7 * US_PER_DAY,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch revenue attribution: each conversion credits the user's
+    most recent NON-conversion event within ``window_us`` before it (the
+    marketing-analytics staple; conversions with no in-window touch report
+    as ``unattributed``).
+
+    Output per touch type: (touch_type, n_conversions, revenue) with
+    DECIMAL-exact revenue sums rounded once at 2dp.
+
+    Determinism: the "most recent touch" inside the range frame is a MAX
+    over ``zero-padded-ts || '|' || type`` strings — timestamp ties break
+    lexicographically on the type instead of physical row order (a bare
+    ``last()`` would be partition-order-dependent). The range frame is
+    VALUE-based (``RANGE BETWEEN window PRECEDING AND 1 PRECEDING`` on
+    epoch-microsecond longs), identical semantics in any engine.
+
+    Scale shape: ONE user-partitioned range window (the sessionization
+    shuffle again) + one touch-type hash aggregate; nothing joins, nothing
+    is per-pair.
+    """
+    from pyspark.sql import Window
+
+    touch_key = F.when(
+        F.col(type_col) != conversion_type,
+        F.concat(F.lpad(F.col(ts_col).cast("string"), 20, "0"), F.lit("|"), F.col(type_col)),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_us, -1)
+    )
+    attributed = (
+        events.select(
+            user_col,
+            type_col,
+            F.col(ts_col).cast("long").alias(ts_col),
+            value_col,
+        )
+        .withColumn("_touch", F.max(touch_key).over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.coalesce(
+                F.substring_index("_touch", "|", -1), F.lit("unattributed")
+            ).alias("touch_type"),
+            value_col,
+        )
+    )
+    return (
+        attributed.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("touch_type")
+    )

@@ -113,3 +113,32 @@ def test_hybrid_rrf_fuses_both_legs(spark):
             if rk is not None:
                 expect += int(1_000_000 // (60 + rk))
         assert r["rrf_micro"] == expect
+
+
+def test_referential_audit_counts_orphans_and_nulls(spark):
+    from observation_lakehouse_spark.operators.audit import MICRO, referential_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = {r.check: (r.metric_micro, r.passed) for r in
+           referential_audit(child, parent, "fk", "pk").collect()}
+    assert out["fk_orphans"] == (1 * MICRO, False)   # key 99
+    assert out["fk_nulls"] == (1 * MICRO, False)
+    # coverage = matched / non-null = 3/4
+    assert out["fk_coverage"] == ((MICRO * 3) // 4, False)
+
+
+def test_referential_audit_clean_fk_passes(spark):
+    from observation_lakehouse_spark.operators.audit import MICRO, referential_audit
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = {r.check: (r.metric_micro, r.passed) for r in
+           referential_audit(child, parent, "fk", "pk").collect()}
+    assert out == {
+        "fk_coverage": (MICRO, True),
+        "fk_nulls": (0, True),
+        "fk_orphans": (0, True),
+    }

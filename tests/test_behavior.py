@@ -138,3 +138,52 @@ def test_frequent_paths_never_crosses_users(spark):
     rows = [(1, 1, 1, "a"), (2, 2, 1, "b"), (3, 3, 2, "c")]
     df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
     assert frequent_paths(df).count() == 0
+
+
+def _attr(spark, rows, **kw):
+    from observation_lakehouse_spark.operators.behavior import last_touch_attribution
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    return {
+        r.touch_type: (r.n_conversions, r.revenue)
+        for r in last_touch_attribution(df, window_us=100, **kw).collect()
+    }
+
+
+def test_attribution_credits_most_recent_touch(spark):
+    rows = [
+        (1, 10, 1, "view", 0.0),
+        (2, 20, 1, "click", 0.0),
+        (3, 30, 1, "purchase", 50.0),   # last touch = click@20
+        (4, 500, 1, "purchase", 10.0),  # nothing within 100us -> unattributed
+    ]
+    assert _attr(spark, rows) == {
+        "click": (1, 50.0),
+        "unattributed": (1, 10.0),
+    }
+
+
+def test_attribution_prior_purchase_is_not_a_touch(spark):
+    rows = [
+        (1, 10, 1, "purchase", 5.0),    # unattributed (no prior)
+        (2, 20, 1, "purchase", 7.0),    # prior event is a purchase -> not a touch
+    ]
+    assert _attr(spark, rows) == {"unattributed": (2, 12.0)}
+
+
+def test_attribution_ts_tie_breaks_on_type_not_row_order(spark):
+    rows = [
+        (1, 10, 1, "click", 0.0),
+        (2, 10, 1, "view", 0.0),        # same ts: 'view' > 'click' lexicographically
+        (3, 30, 1, "purchase", 9.0),
+    ]
+    assert _attr(spark, rows) == {"view": (1, 9.0)}
+
+
+def test_attribution_equal_ts_touch_excluded_by_range_frame(spark):
+    # a touch at EXACTLY the conversion ts is not "before" it (frame ends
+    # at 1 PRECEDING on the value axis)
+    rows = [(1, 30, 1, "click", 0.0), (2, 30, 1, "purchase", 4.0)]
+    assert _attr(spark, rows) == {"unattributed": (1, 4.0)}
