@@ -5197,6 +5197,60 @@ ORDER BY a.vec_id
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked kNN graph (operators/similarity.py:knn_graph): every
+    vector's 5 nearest cluster-mates by cosine — the batch primitive under
+    SemDeDup-style curation and embedding-graph methods. Pairs form only
+    within IVF cells (work = sum |cell|^2, never N^2); decisive ranking is
+    Spark-side row_number over (round(cos,6) DESC, id ASC), so rank order
+    is float-round-off- and partition-independent."""
+    from observation_lakehouse_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph(emb, _ivf_centroids(), k=5)
+
+
+def _knn_graph_oracle(k: int = 5) -> str:
+    import numpy as np
+
+    C = np.array(_ivf_centroids(), dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]  # the matrix ivf_assign uses
+    sims = ",\n           ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
+        for i, row in enumerate(Cn)
+    )
+    best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
+    argmax = " ".join(f"WHEN s_{i} = m THEN {i}" for i in range(len(Cn)))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           {sims}
+    FROM e
+),
+a AS (
+    SELECT vec_id, v, (CASE {argmax} END) AS cell
+    FROM (SELECT *, {best} AS m FROM s)
+),
+cand AS (
+    SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+           ROUND(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                 6) AS cos_sim
+    FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM cand
+)
+SELECT vec_id, neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {k}
+ORDER BY vec_id, rank
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-duplication profiling (operators/dedup.py:dup_span_stats):
     per-doc share of 8-token windows that also occur in other documents —
@@ -5876,6 +5930,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase": q_counter_increase,
         "fuzzy_match": q_fuzzy_match,
         "semantic_dedup": q_semantic_dedup,
+        "knn_graph": q_knn_graph,
         "dup_span_stats": q_dup_span_stats,
         "remove_dup_spans": q_remove_dup_spans,
         "rolling_active": q_rolling_active,
@@ -6001,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
         "counter_increase": _ORACLE_COUNTER_INCREASE,
         "fuzzy_match": _ORACLE_FUZZY_MATCH,
         "semantic_dedup": _semantic_dedup_oracle(),
+        "knn_graph": _knn_graph_oracle(),
         "dup_span_stats": _ORACLE_DUP_SPANS,
         "remove_dup_spans": _remove_dup_spans_oracle(),
         "rolling_active": _ORACLE_ROLLING_ACTIVE,

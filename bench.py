@@ -132,6 +132,7 @@ HEADLINE = [
     "counter_increase",
     "fuzzy_match",
     "semantic_dedup",
+    "knn_graph",
     "dup_span_stats",
     "remove_dup_spans",
     "rolling_active",

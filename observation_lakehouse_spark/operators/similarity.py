@@ -1195,3 +1195,77 @@ def rp_ann_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-blocked kNN-graph construction: for every vector, its ``k``
+    nearest CLUSTER-mATES by cosine — the batch primitive under SemDeDup-
+    style curation, graph-based label propagation over embeddings, and
+    hard-negative mining.
+
+    Same scale mechanism (and the same recall trade) as
+    :func:`semantic_dedup`: vectors are assigned to their nearest centroid
+    (:func:`ivf_assign`) and pairs are only formed WITHIN a cluster, so
+    pairwise work is sum-over-clusters |c|^2 — bounded by the codebook
+    sizing, never corpus N^2 — and each vector shuffles exactly once.
+
+    Determinism contract: the per-cluster ``applyInPandas`` emits RAW
+    cosines from the same sequential dim-order accumulation the SQL
+    oracle's ``list_dot_product`` uses; the DECISIVE ranking happens
+    Spark-side — ``row_number`` over (round(cos, 6) DESC, neighbor id ASC)
+    — so rank order never depends on float round-off or partition order.
+    The rank window partitions by source vector and only ever sees that
+    vector's cluster-mates.
+
+    Output: (id_col, neighbor_id, rank, cos_sim) with rank 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(centroids[0])
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    narrow = assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "centroid_id"
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"_src": [], "_dst": [], "cos_raw": []}).astype(
+                {"_src": "int64", "_dst": "int64", "cos_raw": "float64"}
+            )
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        # Sequential k-order accumulation == the oracle's list_dot_product.
+        S = np.multiply.outer(V[:, 0], V[:, 0])
+        n2 = V[:, 0] * V[:, 0]
+        for d in range(1, dim):
+            S += np.multiply.outer(V[:, d], V[:, d])
+            n2 += V[:, d] * V[:, d]
+        norms = np.sqrt(n2)
+        cos = S / (norms[:, None] * norms[None, :])
+        i, j = np.nonzero(ids[None, :] != ids[:, None])
+        return pd.DataFrame({"_src": ids[i], "_dst": ids[j], "cos_raw": cos[i, j]})
+
+    cand = narrow.groupBy("centroid_id").applyInPandas(
+        pairs, "_src long, _dst long, cos_raw double"
+    )
+    w = Window.partitionBy("_src").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("_dst")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_src").alias(id_col),
+            F.col("_dst").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+        .orderBy(id_col, "rank")
+    )

@@ -85,3 +85,37 @@ def test_auto_default_is_lsh_blocked_and_finds_identicals(spark):
         for r in embedding_near_dup(df, threshold=0.999).collect()
     }
     assert (4, 100) in got and (9, 101) in got
+
+
+def test_knn_graph_ranks_within_cluster_only(spark):
+    from observation_lakehouse_spark.operators.similarity import knn_graph
+
+    # two well-separated clusters on axes 0 and 1; vectors inside a cluster
+    # are slight perturbations so the nearest neighbor is unambiguous
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.98, 0.0, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.99, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {(r.vec_id, r.rank): r.neighbor_id for r in knn_graph(df, cents, k=2).collect()}
+    # no edge ever crosses clusters
+    assert got[(1, 1)] in (2, 3) and got[(1, 2)] in (2, 3)
+    assert got[(10, 1)] == 11 and got[(11, 1)] == 10
+    assert (10, 2) not in got  # only one cluster-mate available
+    # 2 is closer to 1 than 3 is (cos(1,2) > cos(1,3))
+    assert got[(1, 1)] == 2
+
+
+def test_knn_graph_tie_breaks_on_neighbor_id(spark):
+    from observation_lakehouse_spark.operators.similarity import knn_graph
+
+    # 2 and 3 are IDENTICAL vectors -> cosine ties at 1.0; smaller id first
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.rank): r.neighbor_id for r in knn_graph(df, [[1.0, 0.0]], k=2).collect()}
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 3
+    assert got[(2, 1)] == 1 and got[(3, 1)] == 1
