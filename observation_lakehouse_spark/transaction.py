@@ -578,6 +578,84 @@ class AtomicParquetTable:
         target_files = self._manifest(version)["files"]
         return self._commit([], None, replace_files=list(target_files))
 
+    def optimize(
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_input_files: int = 2,
+    ) -> dict:
+        """Compact small files into right-sized ones as a NEW snapshot —
+        Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files``, the maintenance
+        command :func:`~observation_lakehouse_spark.plans.maintenance.
+        layout_report`'s small-file findings feed.
+
+        Files under ``target_file_bytes / 2`` are compaction candidates,
+        grouped BY PARTITION DIRECTORY (a rewrite never crosses partition
+        boundaries); a partition rewrites only when it has at least
+        ``min_input_files`` candidates. Right-sized files carry over
+        untouched — their manifest stats keep skipping scans, and the
+        rewrite job reads only the small-file tail, not the table. The
+        result commits as a serializable full-replacement snapshot
+        (``expected_version`` pins the head this plan was computed from);
+        prior snapshots stay time-travelable and the replaced small files
+        become reclaimable by :meth:`vacuum` once their snapshots expire.
+
+        Returns {"rewritten", "produced", "carried", "version"}; a no-op
+        (nothing to compact) returns with version = current head and no
+        commit.
+        """
+        head_v = self.latest_version()
+        files = self._manifest(head_v)["files"]
+        small_cut = target_file_bytes // 2
+        by_part: dict[str, list[str]] = {}
+        carried: list[str] = []
+        for f in files:
+            p = self.data_dir / f
+            if p.stat().st_size < small_cut:
+                by_part.setdefault(str(Path(f).parent), []).append(f)
+            else:
+                carried.append(f)
+        to_rewrite: list[str] = []
+        for part, group in by_part.items():
+            if len(group) >= min_input_files:
+                to_rewrite.extend(group)
+            else:
+                carried.extend(group)
+        if not to_rewrite:
+            return {
+                "rewritten": 0,
+                "produced": 0,
+                "carried": len(carried),
+                "version": head_v,
+            }
+        total = sum((self.data_dir / f).stat().st_size for f in to_rewrite)
+        reader = self.spark.read.schema(self.schema).option(
+            "basePath", str(self.data_dir)
+        )
+        df = reader.parquet(*[str(self.data_dir / f) for f in to_rewrite]).select(
+            [f.name for f in self.schema.fields]
+        )
+        if self.partition_by:
+            from pyspark.sql import functions as F
+
+            # one write task per partition key (hash may co-locate several
+            # keys in a task; the partitioned writer still splits by dir)
+            df = df.repartition(*[F.col(c) for c in self.partition_by])
+        else:
+            df = df.coalesce(max(1, -(-total // target_file_bytes)))
+        new_files = self.stage(df)
+        version = self._commit(
+            [],
+            None,
+            replace_files=carried + new_files,
+            expected_version=head_v,
+        )
+        return {
+            "rewritten": len(to_rewrite),
+            "produced": len(new_files),
+            "carried": len(carried),
+            "version": version,
+        }
+
     # -- named refs (Iceberg-style tags & branches) -----------------------------
 
     _REF_NAME_OK = staticmethod(
