@@ -4634,6 +4634,32 @@ FROM fused QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def q_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-ratio-mismatch detection (operators/audit.py:
+    sample_ratio_check, Fabijan KDD'19): per event_type, arm counts under a
+    deterministic user_id%2 assignment and the 1-dof chi-square vs a 50/50
+    design — ((n_a-n_b)^2 * 1e6) DIV n, exact integers, flagged against the
+    literal chi2(0.95,1) threshold. One conditional-count aggregate."""
+    from observation_lakehouse_spark.operators.audit import sample_ratio_check
+
+    ev = _t(spark, sf_dir, "events")
+    return sample_ratio_check(ev, F.col("user_id") % 2 == 0)
+
+
+_ORACLE_SAMPLE_RATIO = """
+WITH c AS (
+    SELECT event_type AS grp,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+    FROM events GROUP BY 1
+)
+SELECT grp, n_a, n_b,
+       ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS chi2_micro,
+       ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) > 3841459 AS srm
+FROM c ORDER BY grp
+"""
+
+
 def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table FK audit (operators/audit.py:referential_audit):
     lineitem.l_orderkey checked against a DELIBERATELY holed parent key set
@@ -5913,6 +5939,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "ndcg_eval": q_ndcg_eval,
         "referential_audit": q_referential_audit,
+        "sample_ratio_check": q_sample_ratio_check,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -6039,6 +6066,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ORACLE_ATTRIBUTION,
         "ndcg_eval": _ORACLE_NDCG_EVAL,
         "referential_audit": _ORACLE_REFERENTIAL_AUDIT,
+        "sample_ratio_check": _ORACLE_SAMPLE_RATIO,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

@@ -91,6 +91,7 @@ HEADLINE = [
     "attribution",
     "ndcg_eval",
     "referential_audit",
+    "sample_ratio_check",
     "funnel",
     "cohort_retention",
     "multires_rollup",

@@ -192,3 +192,46 @@ def referential_audit(
         ).alias("r")
     )
     return rows.select("r.check", "r.metric_micro", "r.passed").orderBy("check")
+
+
+def sample_ratio_check(
+    df: DataFrame,
+    variant: Column,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) detection for 50/50 experiment splits —
+    the first health check an A/B platform runs (Fabijan et al., KDD'19
+    "Diagnosing Sample Ratio Mismatch"): if the traffic split differs from
+    the assignment design, every downstream metric is suspect.
+
+    Per group: observed counts per arm and the 1-dof chi-square statistic
+    against equal expected counts, which for two arms reduces to
+    ``(n_a - n_b)^2 / n`` — computed here as EXACT integer micro-units
+    ``((n_a - n_b)^2 * 1e6) DIV n``, flagged against the literal
+    chi2(0.95, 1df) = 3.841459 threshold. No float ever crosses the
+    pass/fail comparison, so the verdict is engine- and partitioning-
+    independent.
+
+    Scale shape: ONE conditional-count hash aggregate over the scan (the
+    arm indicator is a column expression, not a join against an assignment
+    table), |groups| rows out.
+    """
+    arm_a = F.when(variant, 1).otherwise(0)
+    out = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.sum(arm_a).alias("n_a"),
+            F.sum(1 - arm_a).alias("n_b"),
+        )
+        .select(
+            "grp",
+            "n_a",
+            "n_b",
+            F.expr(
+                "((n_a - n_b) * (n_a - n_b) * 1000000) DIV (n_a + n_b)"
+            ).alias("chi2_micro"),
+        )
+        .withColumn("srm", F.col("chi2_micro") > F.lit(3_841_459))
+        .orderBy("grp")
+    )
+    return out

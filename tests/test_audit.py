@@ -142,3 +142,37 @@ def test_referential_audit_clean_fk_passes(spark):
         "fk_nulls": (0, True),
         "fk_orphans": (0, True),
     }
+
+
+def test_sample_ratio_check_flags_skewed_split(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.audit import sample_ratio_check
+
+    rows = [(i, "ok") for i in range(200)] + [(2 * i, "bad") for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.grp: r for r in sample_ratio_check(df, F.col("user_id") % 2 == 0).collect()}
+    # 'ok': 100/100 even split -> chi2 = 0, no SRM
+    assert (out["ok"].n_a, out["ok"].n_b, out["ok"].chi2_micro, out["ok"].srm) == (
+        100, 100, 0, False,
+    )
+    # 'bad': all even user_ids -> 200/0 -> chi2 = 200 >> 3.84
+    assert (out["bad"].n_a, out["bad"].n_b, out["bad"].srm) == (200, 0, True)
+    assert out["bad"].chi2_micro == (200 * 200 * 1_000_000) // 200
+
+
+def test_sample_ratio_check_threshold_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.audit import sample_ratio_check
+
+    # n_a=62, n_b=38: chi2 = 24^2/100 = 5.76 > 3.841459 -> SRM
+    # n_a=59, n_b=41: chi2 = 18^2/100 = 3.24 < 3.841459 -> ok
+    rows = [(2 * i, "srm") for i in range(62)] + [(2 * i + 1, "srm") for i in range(38)]
+    rows += [(2 * i, "fine") for i in range(59)] + [(2 * i + 1, "fine") for i in range(41)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.grp: r for r in sample_ratio_check(
+        df, F.col("user_id") % 2 == 0
+    ).collect()}
+    assert (out["srm"].chi2_micro, out["srm"].srm) == (5_760_000, True)
+    assert (out["fine"].chi2_micro, out["fine"].srm) == (3_240_000, False)
