@@ -4634,6 +4634,30 @@ FROM fused QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key equi-width value histogram with edge clamping
+    (streaming/quantile.py:value_histogram) — the BATCH TWIN of the
+    streaming quantile monitor's state, registered so the shared bin rule
+    (floor((v-lo)/step) clamped into [0, n_bins)) is oracle-checked, not
+    just pytest-pinned. One hash aggregate; values outside [lo, hi) land
+    in the edge bins instead of dropping."""
+    from observation_lakehouse_spark.streaming.quantile import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, "event_type", "value", 0.0, 400.0, 40).orderBy(
+        "k", "bin"
+    )
+
+
+_ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type AS k,
+       LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS BIGINT), 0), 39) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM events
+GROUP BY 1, 2 ORDER BY k, bin
+"""
+
+
 def q_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B sample-ratio-mismatch detection (operators/audit.py:
     sample_ratio_check, Fabijan KDD'19): per event_type, arm counts under a
@@ -5940,6 +5964,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "referential_audit": q_referential_audit,
         "sample_ratio_check": q_sample_ratio_check,
+        "value_histogram": q_value_histogram,
         "bloom_decontaminate": q_bloom_decontaminate,
         "incremental_mv": q_incremental_mv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -6067,6 +6092,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": _ORACLE_NDCG_EVAL,
         "referential_audit": _ORACLE_REFERENTIAL_AUDIT,
         "sample_ratio_check": _ORACLE_SAMPLE_RATIO,
+        "value_histogram": _ORACLE_VALUE_HISTOGRAM,
         "bloom_decontaminate": _ORACLE_BLOOM_DECON,
         "incremental_mv": _ORACLE_INCREMENTAL_MV,
         "cms_heavy_hitters": _ORACLE_CMS,

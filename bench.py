@@ -92,6 +92,7 @@ HEADLINE = [
     "ndcg_eval",
     "referential_audit",
     "sample_ratio_check",
+    "value_histogram",
     "funnel",
     "cohort_retention",
     "multires_rollup",
