@@ -112,3 +112,56 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path):
 
     release_cached(pair_plan)
     release_cached(packed)
+
+
+def test_selection_pipeline_end_to_end(spark):
+    """The round-6 SELECTION flow chains: DSIR target-likeness scoring →
+    quality gating → token-budget cut → packing, with conservation
+    invariants at each stage. Individual oracles prove each stage; this
+    proves the HANDOFFS (column contracts, id preservation, budget math)."""
+    from observation_lakehouse_spark.operators.selection import token_budget_select
+    from observation_lakehouse_spark.operators.text import dsir_select, token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (i,
+             ("the quick brown fox jumps over the lazy dog " * (1 + i % 3)).strip(),
+             "en" if i % 3 == 0 else "fr",
+             f"src{i % 2}",
+             10)
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    # 1. DSIR: score every non-target doc, keep the 15 most target-like
+    selected = dsir_select(docs, k=15)
+    assert selected.count() == 15
+    sel_ids = {r.doc_id for r in selected.collect()}
+    target_ids = {r.doc_id for r in docs.filter("lang = 'en'").collect()}
+    assert sel_ids.isdisjoint(target_ids)  # never selects the target set
+    release_cached(selected)
+
+    # 2. token stats on the selected slice (id handoff)
+    slice_df = docs.join(
+        spark.createDataFrame([(i,) for i in sorted(sel_ids)], "doc_id long"),
+        "doc_id",
+    )
+    stats = token_stats(slice_df).select(
+        "doc_id", "n_tokens", F.lit(0).alias("quality_micro")
+    )
+
+    # 3. budget cut: keep top docs whose token mass fits 60% of the total
+    kept = token_budget_select(stats, budget_num=3, budget_den=5)
+    total = stats.agg(F.sum("n_tokens")).collect()[0][0]
+    kept_total = kept.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    assert kept_total <= (3 * total) // 5  # never exceeds the budget
+    assert kept.count() > 0
+
+    # 4. pack the survivors into fixed-length sequences; token conservation
+    from observation_lakehouse_spark.operators.text import pack_sequences
+
+    packed = pack_sequences(
+        slice_df.join(kept.select("doc_id"), "doc_id"), "text", "doc_id", 32
+    )
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == kept_total
