@@ -286,6 +286,30 @@ def main() -> None:
     pq_recall = len(exact & pairs(entrymod.q_ann_pq_topk(spark, sf_dir))) / len(exact)
     rp_recall = len(exact & pairs(entrymod.q_ann_rp_topk(spark, sf_dir))) / len(exact)
 
+    # kNN-graph recall@5: cell-blocked neighbors vs the GLOBAL exact top-5
+    # (driver-side numpy baseline — the corpus is bench-bounded; on random
+    # embeddings a same-cell hit rate ~ 1/n_cells is the information-
+    # theoretic bound, the same adversarial case the IVF note documents).
+    import numpy as np
+
+    erows = entrymod._t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    eids = np.array([r["vec_id"] for r in erows])
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in erows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2.0)
+    top5 = np.argsort(-S, axis=1)[:, :5]
+    knn_exact = {
+        (int(eids[i]), int(eids[j])) for i in range(len(eids)) for j in top5[i]
+    }
+    knn_got = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in entrymod.q_knn_graph(spark, sf_dir).collect()
+    }
+    knn_recall = len(knn_exact & knn_got) / len(knn_exact)
+
     # Near-dup pair recall: MinHash-LSH's verified pairs vs the EXACT
     # prefix-filtered set-similarity join at the MinHash threshold (0.7).
     # Both verify Jaccard on the same word-trigram shingle sets, so the
@@ -443,6 +467,10 @@ def main() -> None:
                 # are its adversarial case like IVF's (floor in
                 # tests/test_ann_recall.py::test_pq_adc_recall_floor)
                 "ann_pq_recall_at_10": round(pq_recall, 4),
+                # Cell-blocked kNN graph vs global exact top-5: on these
+                # RANDOM embeddings the same-cell bound (~1/8) applies —
+                # the honest price of the SemDeDup cluster-blocking trade
+                "knn_graph_recall_at_5": round(knn_recall, 4),
                 # Verified near-dup pairs found by banded MinHash vs the
                 # exact set-similarity join at the same J >= 0.7 threshold
                 # (misses = banding-probability tail, not verification)

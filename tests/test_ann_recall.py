@@ -133,3 +133,27 @@ def test_pq_ivfadc_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_knn_graph_recall_floor(spark):
+    """Cell-blocked kNN graph vs GLOBAL exact top-5. On unstructured random
+    embeddings the same-cell probability (~1/8 cells) bounds recall — the
+    SemDeDup blocking trade; the floor just pins that the blocking isn't
+    accidentally worse than its own bound's ballpark (measured ~0.12-0.2)."""
+    import numpy as np
+
+    rows = entrymod._t(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2.0)
+    top5 = np.argsort(-S, axis=1)[:, :5]
+    exact = {(int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in top5[i]}
+    got = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in entrymod.q_knn_graph(spark, SF_DIR).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.05
