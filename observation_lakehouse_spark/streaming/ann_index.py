@@ -58,6 +58,10 @@ class StreamingIvfIndex:
             spark,
             f"{location}/assignments",
             schema=_parse_datatype_string(f"`{id_col}` bigint, `centroid_id` int"),
+            # identity-partitioned by cell: a query-time probe of nprobe
+            # cells reads exactly those partitions (hive pruning), never
+            # the whole assignment table
+            partition_by=("centroid_id",),
         )
         self.occ = IncrementalAggregate(
             spark,

@@ -64,3 +64,16 @@ def test_stream_index_matches_batch_and_replays_safely(spark, tmp_path):
     assert all_assign == _batch_assign(spark, ROWS1 + ROWS2 + ROWS3)
     occ3 = {r.centroid_id: r.n_vectors for r in idx.cell_stats().collect()}
     assert sum(occ3.values()) == 6
+
+
+def test_cell_probe_is_partition_pruned(spark, tmp_path):
+    idx = StreamingIvfIndex(spark, str(tmp_path / "state2"), CENTS)
+    landing = tmp_path / "landing2"
+    spark.createDataFrame(ROWS1 + ROWS2, SCHEMA).write.parquet(str(landing / "f1"))
+    _run(spark, idx, landing, tmp_path / "ckpt2")
+    probe = idx.assignments().filter("centroid_id = 1")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the cell predicate must land in PartitionFilters (hive pruning), not
+    # as a post-scan data filter
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:160]
