@@ -4114,6 +4114,49 @@ FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers'
+    1995 orders whose lineitems shipped in 1996, revenue per order, top-10.
+    The classic selective fact-fact join: customer dim leg broadcasts,
+    orders-lineitem shuffles on the fact key with both date filters pushed
+    to the scans, revenue in exact decimal, TakeOrderedAndProject top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND EXTRACT(year FROM o_orderdate) = 1995
+  AND EXTRACT(year FROM l_shipdate) = 1996
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter join (operators/joins.py:bloom_prefilter_join): the
     runtime-filter pattern as a first-class operator — the selective orders
@@ -5959,6 +6002,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
+        "shipping_priority": q_shipping_priority,
         "frequent_paths": q_frequent_paths,
         "attribution": q_attribution,
         "ndcg_eval": q_ndcg_eval,
@@ -6087,6 +6131,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _ORACLE_PAGERANK,
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
+        "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
         "frequent_paths": _ORACLE_FREQUENT_PATHS,
         "attribution": _ORACLE_ATTRIBUTION,
         "ndcg_eval": _ORACLE_NDCG_EVAL,

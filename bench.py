@@ -87,6 +87,7 @@ HEADLINE = [
     "dsir_select",
     "label_propagation",
     "bloom_join",
+    "shipping_priority",
     "frequent_paths",
     "attribution",
     "ndcg_eval",
