@@ -582,6 +582,8 @@ class AtomicParquetTable:
         self,
         target_file_bytes: int = 128 << 20,
         min_input_files: int = 2,
+        zorder_by: tuple[str, ...] = (),
+        zorder_bits: int = 8,
     ) -> dict:
         """Compact small files into right-sized ones as a NEW snapshot —
         Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files``, the maintenance
@@ -610,13 +612,15 @@ class AtomicParquetTable:
         carried: list[str] = []
         for f in files:
             p = self.data_dir / f
-            if p.stat().st_size < small_cut:
+            # a ZORDER pass reclusters EVERYTHING in scope (Delta's OPTIMIZE
+            # ZORDER BY semantics): right-sized files still need reordering
+            if zorder_by or p.stat().st_size < small_cut:
                 by_part.setdefault(str(Path(f).parent), []).append(f)
             else:
                 carried.append(f)
         to_rewrite: list[str] = []
         for part, group in by_part.items():
-            if len(group) >= min_input_files:
+            if zorder_by or len(group) >= min_input_files:
                 to_rewrite.extend(group)
             else:
                 carried.extend(group)
@@ -642,6 +646,34 @@ class AtomicParquetTable:
             df = df.repartition(*[F.col(c) for c in self.partition_by])
         else:
             df = df.coalesce(max(1, -(-total // target_file_bytes)))
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from observation_lakehouse_spark.plans.maintenance import zorder_value
+
+            # Delta OPTIMIZE ZORDER BY: rank-bucket each z column with a
+            # global approx-quantile sketch, Morton-interleave, sort within
+            # the write tasks — row groups become min/max-prunable on EVERY
+            # z dimension (plans/maintenance.zorder_partitions, same math).
+            n_buckets = 1 << zorder_bits
+            bucketed = []
+            for c in zorder_by:
+                qs = df.stat.approxQuantile(
+                    c, [i / n_buckets for i in range(1, n_buckets)], 0.001
+                )
+                arr = F.array(*[F.lit(float(q)) for q in qs])
+                bucketed.append(
+                    F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double"))).cast(
+                        "long"
+                    )
+                )
+            # partition cols lead the sort: the partitioned writer requires
+            # rows grouped by partition within a task, and a sort it injects
+            # itself would destroy the z clustering
+            df = df.sortWithinPartitions(
+                *[F.col(c) for c in self.partition_by],
+                zorder_value(bucketed, bits=zorder_bits),
+            )
         new_files = self.stage(df)
         version = self._commit(
             [],

@@ -73,3 +73,55 @@ def test_optimize_skips_partitions_below_min_input(spark, tmp_path):
     t.append(spark.createDataFrame([("solo", 1)], SCHEMA))
     out = t.optimize(target_file_bytes=64 << 20, min_input_files=2)
     assert out["rewritten"] == 0  # single small file per partition: carried
+
+
+def test_optimize_zorder_clusters_row_groups(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY on the atomic table: data identical, and the
+    rewritten row groups are min/max-tight on BOTH z columns (checked on
+    parquet footer stats, the same property test_plans pins for the
+    plain-layout rewrite)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("x", LongType()), StructField("y", LongType()),
+         StructField("payload", LongType())]
+    )
+    t = AtomicParquetTable(spark, str(tmp_path / "zopt"), schema=schema)
+    df = spark.range(200_000).selectExpr(
+        "cast(id % 100 as long) as x",
+        "cast(pmod(hash(id), 100) as long) as y",
+        "id as payload",
+    )
+    t.append(df)
+    before = t.read().agg({"payload": "sum"}).collect()[0][0]
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 256 * 1024)
+    try:
+        out = t.optimize(target_file_bytes=1 << 30, zorder_by=("x", "y"), zorder_bits=6)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+    assert out["rewritten"] >= 1 and out["produced"] >= 1
+    assert t.read().agg({"payload": "sum"}).collect()[0][0] == before
+
+    # row-group tightness on BOTH dims: mean span well under the global span
+    spans = {"x": [], "y": []}
+    files = t._manifest(t.latest_version())["files"]
+    for f in files:
+        md = pq.ParquetFile(str(t.data_dir / f)).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in spans and col.statistics is not None:
+                    spans[name].append(col.statistics.max - col.statistics.min)
+    for dim in ("x", "y"):
+        assert spans[dim], dim
+        mean_span = sum(spans[dim]) / len(spans[dim])
+        assert mean_span < 99 * 0.7, (dim, mean_span)  # global span is 99
