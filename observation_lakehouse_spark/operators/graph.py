@@ -358,7 +358,11 @@ def label_propagation(
     directed = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
     )
-    # symmetrize: LPA is over the undirected graph
+    # symmetrize: LPA is over the undirected graph. The weight aggregate
+    # leaves the frame partitioned by (src, dst); re-partition by src ALONE
+    # before persisting so the per-round label join reuses the cached
+    # layout instead of re-shuffling the (much larger) edge side every
+    # iteration — only the 16-byte label table moves per round.
     e = (
         directed.unionByName(
             directed.select(
@@ -367,6 +371,7 @@ def label_propagation(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .repartition(F.col("src"))
         .persist()
     )
     lab = e.select(F.col("src").alias("node")).distinct().withColumn(

@@ -227,7 +227,11 @@ def main() -> None:
         k_anonymity_profile,
         ratio_micro,
     )
-    from observation_lakehouse_spark.operators.behavior import frequent_paths
+    from observation_lakehouse_spark.operators.behavior import (
+        frequent_paths,
+        last_touch_attribution,
+    )
+    from observation_lakehouse_spark.operators.similarity import knn_graph
     from observation_lakehouse_spark.operators.graph import label_propagation
     from observation_lakehouse_spark.operators.joins import bloom_prefilter_join
     from observation_lakehouse_spark.operators.retrieval import hybrid_rrf_search
@@ -352,6 +356,16 @@ def main() -> None:
         # path census: one LEAD window per user + path-keyed agg
         ("frequent_paths (3-step census)", ev, ev_k,
          lambda d: frequent_paths(d)),
+        # kNN graph: cluster-blocked pairs — work is sum |cell|^2, and cells
+        # grow Kx with the corpus, so alpha is expected ~2 on the WITHIN-CELL
+        # pair mass at fixed codebook size; at real scale the codebook is
+        # sized UP with the corpus to keep cells bounded (SemDeDup's k=50k
+        # on LAION) — the probe documents the fixed-codebook worst case
+        ("knn_graph (cell-blocked pairs, fixed codebook)", emb, emb_k,
+         lambda d: knn_graph(d, _IVF_CENTS, k=5)),
+        # attribution: one user-keyed RANGE window + touch-type aggregate
+        ("attribution (last-touch range window)", ev, ev_k,
+         lambda d: last_touch_attribution(d)),
     ]
 
     lines = [
