@@ -284,9 +284,14 @@ def pagerank(
     # chained plan (for a handful of rounds one composite plan beats per-round
     # materialization) and is lineage-truncated every 4th round so deep
     # iteration counts can't grow the plan unboundedly.
+    # distinct() leaves the frame partitioned by (src, dst); re-partition by
+    # src ALONE before persisting so each round's contribution join reuses
+    # the cached layout — only the 16-byte rank table moves per round (the
+    # same layout rule label_propagation applies).
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition(F.col("src"))
         .persist()
     )
     nodes = (
