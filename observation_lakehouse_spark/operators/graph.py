@@ -353,11 +353,17 @@ def label_propagation(
     reproducible, and (in practice) already community-shaped.
 
     Scale shape, per round: one equi-join of the 16-byte (node, label)
-    table against the edge list + one (dst, label) hash aggregate + one
-    per-dst argmax aggregate (`max(struct(w, -label))` — an aggregate, not
-    a window, so it combines map-side and never sorts). Labels shortcut
-    nothing here (unlike CC's pointer jumping) because the argmax is over
-    weights, but the per-round cost is the same two codegen shuffles.
+    table against the edge list (persisted pre-partitioned on src, so only
+    the label table moves per round) + one (dst, label) hash aggregate +
+    one per-dst argmax via `max(struct(w, -label))`. The struct max is an
+    AGGREGATE, not a window — it combines map-side, so the final stage sees
+    one partial per (partition, dst) — though honestly: Spark plans
+    struct-typed max as SortAggregate (immutable buffer), so that stage
+    sorts its partials rather than hashing; with bounded weights the
+    hash-aggregate form is one packed BIGINT, `max(w * 2^32 + (2^32-1 -
+    label))`, but unbounded weight sums make the struct form the safe
+    default. Labels shortcut nothing here (unlike CC's pointer jumping)
+    because the argmax is over weights.
     """
     w_col = F.col(weight).cast("long") if weight else F.lit(1)
     directed = edges.select(
