@@ -4114,6 +4114,91 @@ FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation (operators/graph.py:triangle_participation —
+    Suri & Vassilvitskii WWW'11 kernel, id-orientation): top-10 parts by
+    triangles in the strong co-order graph (pairs co-ordered >= 2 times,
+    the association_rules support floor). Oriented wedge join + closing
+    left-semi join — each triangle found exactly once; per-node census via
+    one corner explode + hash aggregate."""
+    from observation_lakehouse_spark.operators.graph import triangle_participation
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return triangle_participation(edges, "pa", "pb", k=10)
+
+
+_ORACLE_TRIANGLE_COUNT = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    FROM lineitem WHERE l_orderkey % 2 = 0
+), e AS (
+    SELECT a.pk AS pa, b.pk AS pb
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), w AS (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+), t AS (
+    SELECT a, b, c FROM w
+    WHERE EXISTS (SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.c)
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 10
+"""
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/mining.py:
+    association_rules — Agrawal-Srikant support/confidence/lift) over the
+    half-order-book baskets part_cooccurrence mines: top-20 part pairs by
+    lift among pairs co-ordered >= 2 times. Every metric an exact integer
+    ppm ratio (lift = n_ab*N*1e6 DIV n_a*n_b), per-item counts broadcast
+    (items are the bounded catalog side), total lift/id tie-break."""
+    from observation_lakehouse_spark.operators.mining import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    return association_rules(li, basket_col="l_orderkey", item_col="l_partkey")
+
+
+_ORACLE_ASSOCIATION_RULES = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+    FROM lineitem WHERE l_orderkey % 2 = 0
+), nb AS (
+    SELECT COUNT(DISTINCT b) AS n FROM op
+), itn AS (
+    SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM op GROUP BY 1
+), p AS (
+    SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM op a JOIN op b ON a.b = b.b AND a.i < b.i
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, n_ab,
+       CAST((n_ab * 1000000) // n AS BIGINT) AS support_ppm,
+       CAST((n_ab * 1000000) // na.n_i AS BIGINT) AS confidence_a_to_b_ppm,
+       CAST((n_ab * n * 1000000) // (na.n_i * nbc.n_i) AS BIGINT) AS lift_ppm
+FROM p
+JOIN itn na ON na.i = item_a
+JOIN itn nbc ON nbc.i = item_b
+CROSS JOIN nb
+ORDER BY lift_ppm DESC, item_a, item_b
+LIMIT 20
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): BUILDING-segment customers'
     1995 orders whose lineitems shipped in 1996, revenue per order, top-10.
@@ -6003,6 +6088,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
         "shipping_priority": q_shipping_priority,
+        "association_rules": q_association_rules,
+        "triangle_count": q_triangle_count,
         "frequent_paths": q_frequent_paths,
         "attribution": q_attribution,
         "ndcg_eval": q_ndcg_eval,
@@ -6132,6 +6219,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
+        "association_rules": _ORACLE_ASSOCIATION_RULES,
+        "triangle_count": _ORACLE_TRIANGLE_COUNT,
         "frequent_paths": _ORACLE_FREQUENT_PATHS,
         "attribution": _ORACLE_ATTRIBUTION,
         "ndcg_eval": _ORACLE_NDCG_EVAL,

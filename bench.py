@@ -88,6 +88,8 @@ HEADLINE = [
     "label_propagation",
     "bloom_join",
     "shipping_priority",
+    "association_rules",
+    "triangle_count",
     "frequent_paths",
     "attribution",
     "ndcg_eval",

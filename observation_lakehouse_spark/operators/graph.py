@@ -409,3 +409,52 @@ def label_propagation(
     )
     out._cached_deps = (e,)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
+
+
+def triangle_participation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k nodes by triangle participation — the clustering-structure
+    census (triangle counting is the canonical distributed-graph kernel;
+    this is the id-ordering formulation of Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    Algorithm: canonicalize each undirected edge as (lo, hi) with lo < hi
+    (dedup + orientation in one pass), join oriented edges (a<b) x (b<c)
+    into open wedges, then LEFT-SEMI join the closing edge (a, c) — each
+    triangle a<b<c is found exactly once. Per-node participation explodes
+    the triangle's three corners into one hash aggregate.
+
+    Scale: wedge count is sum-over-nodes deg_out(v)^2 under the id
+    orientation; orienting by DEGREE then id (the paper's fix for the
+    last-reducer curse) caps it at m^1.5 — worth it when hubs dominate; the
+    id orientation keeps the plan join-only and is right for the bounded
+    co-occurrence graphs here. Output: (node, n_triangles), ordered
+    (n_triangles DESC, node), LIMIT k.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    out = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(k)
+    )
+    out._cached_deps = (canon,)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out

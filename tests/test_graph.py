@@ -147,3 +147,38 @@ def test_lpa_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, label_propagation(df1).collect()))
     r32 = sorted(map(tuple, label_propagation(df32).collect()))
     assert r1 == r32
+
+
+def test_triangle_participation_counts_exactly(spark):
+    from observation_lakehouse_spark.operators.graph import triangle_participation
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant edge (5)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+    got = {(r.node, r.n_triangles) for r in triangle_participation(df).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}  # node 5 in no triangle
+
+
+def test_triangle_participation_orientation_and_dups_irrelevant(spark):
+    from observation_lakehouse_spark.operators.graph import triangle_participation
+
+    # one triangle given with mixed orientations and duplicate edges
+    edges = [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.n_triangles) for r in triangle_participation(df).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_association_rules_exact_metrics(spark):
+    from observation_lakehouse_spark.operators.mining import MICRO, association_rules
+
+    # 4 baskets: {a,b} x3, {a} x1 -> n_a=4, n_b=3, n_ab=3, N=4
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 10)]
+    df = spark.createDataFrame(rows, "basket_id long, item_id long")
+    out = association_rules(df, min_pair_support=2, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_ab) == (10, 20, 3)
+    assert r.support_ppm == (3 * MICRO) // 4
+    assert r.confidence_a_to_b_ppm == (3 * MICRO) // 4
+    assert r.lift_ppm == (3 * 4 * MICRO) // (4 * 3)  # exactly 1.0 lift
