@@ -2474,6 +2474,46 @@ FROM b
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the language-ID heuristic: the confusion
+    matrix of predicted vs LABELED lang, with exact-ppm row shares — the
+    quality report a pipeline publishes before trusting a filter that gates
+    documents by language. One join-free composition: per-doc predictions
+    (the oracle-checked language_id plan) + the labeled column from the
+    same scan, a matrix-sized aggregate, a per-label window over <= |langs|
+    rows."""
+    from observation_lakehouse_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    labeled = docs.select("doc_id", F.col("lang").alias("labeled_lang"))
+    cells = (
+        labeled.join(pred, "doc_id")
+        .groupBy("labeled_lang", F.col("lang_pred").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        cells.withColumn("_tot", F.sum("n_docs").over(w))
+        .withColumn("row_share_ppm", F.expr("(n_docs * 1000000) DIV _tot"))
+        .drop("_tot")
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle()})
+SELECT d.lang AS labeled_lang, p.lang_pred AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER (PARTITION BY d.lang)
+            AS BIGINT) AS row_share_ppm
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash + content-sha256 fingerprints, fully oracle-checked (the
     md5-prefix token family reproduces in DuckDB). The git-blob-sha1 identity
@@ -6049,6 +6089,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "language_id": q_language_id,
+        "langid_confusion": q_langid_confusion,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6174,6 +6215,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_TEXT_QUALITY,
         "token_stats": _ORACLE_TOKEN_STATS,
         "language_id": _lang_oracle(),
+        "langid_confusion": _langid_confusion_oracle(),
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

@@ -78,6 +78,7 @@ HEADLINE = [
     "text_quality",
     "token_stats",
     "language_id",
+    "langid_confusion",
     "doc_fingerprints",
     "clean_text",
     "chunk_documents",
