@@ -6022,6 +6022,9 @@ _HEAVY_FIRST = [
     "ngram_jaccard",
     "bigram_xent",
     "dsir_select",
+    "association_rules",
+    "triangle_count",
+    "knn_graph",
     "unigram_xent",
     "minhash_lsh_dedup",
     "simhash_dedup",
