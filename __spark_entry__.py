@@ -4163,20 +4163,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corner explode + hash aggregate."""
     from observation_lakehouse_spark.operators.graph import triangle_participation
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 2 == 0)
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-    )
-    return triangle_participation(edges, "pa", "pb", k=10)
+    return triangle_participation(_strong_coorder_edges(spark, sf_dir), "pa", "pb", k=10)
 
 
 _ORACLE_TRIANGLE_COUNT = """
@@ -4197,6 +4184,119 @@ WITH op AS (
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
 GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 10
+"""
+
+
+def _strong_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared graph fixture for the graph-analytics family: part pairs
+    co-ordered >= 2 times in the half order book (canonical pa < pb)."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+_SQL_STRONG_COORDER = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    FROM lineitem WHERE l_orderkey % 2 = 0
+), e AS (
+    SELECT a.pk AS pa, b.pk AS pb
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction (operators/graph.py:link_prediction
+    — the Liben-Nowell/Kleinberg baseline) on the strong co-order graph:
+    top-20 NON-adjacent part pairs sharing the most neighbors ("always
+    bought alongside the same parts, never together yet"). Wedge join +
+    pair aggregate + edge anti-join; integer scores, total tie-break."""
+    from observation_lakehouse_spark.operators.graph import link_prediction
+
+    return link_prediction(_strong_coorder_edges(spark, sf_dir), "pa", "pb", k=20)
+
+
+_ORACLE_LINK_PREDICTION = f"""{_SQL_STRONG_COORDER},
+sym AS (
+    SELECT pa AS n, pb AS x FROM e UNION ALL SELECT pb, pa FROM e
+), w AS (
+    SELECT a.x AS node_a, b.x AS node_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+    FROM sym a JOIN sym b ON a.n = b.n AND a.x < b.x
+    GROUP BY 1, 2
+)
+SELECT node_a, node_b, common_neighbors
+FROM w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.node_a AND e.pb = w.node_b)
+ORDER BY common_neighbors DESC, node_a, node_b LIMIT 20
+"""
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 3-core peeling (operators/graph.py:k_core) on the strong
+    FULL co-order graph: 3 peels of degree-<30 nodes, surviving nodes with
+    residual degree. Fixed rounds keep the unrolled-CTE oracle exact (each
+    peel only shrinks the graph, so the result is a well-defined superset
+    of the true core)."""
+    from observation_lakehouse_spark.operators.graph import k_core
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+    ).select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+    return k_core(edges, "pa", "pb", k=30, n_rounds=3)
+
+
+_ORACLE_K_CORE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    FROM lineitem WHERE l_orderkey % 2 = 0
+),
+e0 AS (
+    SELECT DISTINCT a.pk AS lo, b.pk AS hi
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+),
+d1 AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1
+), e1 AS (
+    SELECT lo, hi FROM e0
+    WHERE lo IN (SELECT node FROM d1 WHERE d >= 30)
+      AND hi IN (SELECT node FROM d1 WHERE d >= 30)
+), d2 AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT lo AS node FROM e1 UNION ALL SELECT hi FROM e1) GROUP BY 1
+), e2 AS (
+    SELECT lo, hi FROM e1
+    WHERE lo IN (SELECT node FROM d2 WHERE d >= 30)
+      AND hi IN (SELECT node FROM d2 WHERE d >= 30)
+), d3 AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT lo AS node FROM e2 UNION ALL SELECT hi FROM e2) GROUP BY 1
+), e3 AS (
+    SELECT lo, hi FROM e2
+    WHERE lo IN (SELECT node FROM d3 WHERE d >= 30)
+      AND hi IN (SELECT node FROM d3 WHERE d >= 30)
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT lo AS node FROM e3 UNION ALL SELECT hi FROM e3)
+GROUP BY 1 ORDER BY degree DESC, node
 """
 
 
@@ -6025,6 +6125,8 @@ _HEAVY_FIRST = [
     "association_rules",
     "triangle_count",
     "knn_graph",
+    "k_core",
+    "link_prediction",
     "unigram_xent",
     "minhash_lsh_dedup",
     "simhash_dedup",
@@ -6134,6 +6236,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "association_rules": q_association_rules,
         "triangle_count": q_triangle_count,
+        "link_prediction": q_link_prediction,
+        "k_core": q_k_core,
         "frequent_paths": q_frequent_paths,
         "attribution": q_attribution,
         "ndcg_eval": q_ndcg_eval,
@@ -6266,6 +6370,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "triangle_count": _ORACLE_TRIANGLE_COUNT,
+        "link_prediction": _ORACLE_LINK_PREDICTION,
+        "k_core": _ORACLE_K_CORE,
         "frequent_paths": _ORACLE_FREQUENT_PATHS,
         "attribution": _ORACLE_ATTRIBUTION,
         "ndcg_eval": _ORACLE_NDCG_EVAL,

@@ -91,6 +91,8 @@ HEADLINE = [
     "shipping_priority",
     "association_rules",
     "triangle_count",
+    "link_prediction",
+    "k_core",
     "frequent_paths",
     "attribution",
     "ndcg_eval",

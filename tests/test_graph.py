@@ -182,3 +182,42 @@ def test_association_rules_exact_metrics(spark):
     assert r.support_ppm == (3 * MICRO) // 4
     assert r.confidence_a_to_b_ppm == (3 * MICRO) // 4
     assert r.lift_ppm == (3 * 4 * MICRO) // (4 * 3)  # exactly 1.0 lift
+
+
+def test_link_prediction_scores_common_neighbors(spark):
+    from observation_lakehouse_spark.operators.graph import link_prediction
+
+    # path graph 1-2-3-4 plus 1-5, 3-5: non-adjacent (1,3) share {2,5} and
+    # (2,5) share {1,3}; (2,4) and (4,5) share one; (1,4) share nothing
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = [(r.node_a, r.node_b, r.common_neighbors) for r in link_prediction(df).collect()]
+    assert out[0] == (1, 3, 2) and out[1] == (2, 5, 2)  # score then id order
+    assert (2, 4, 1) in out and (4, 5, 1) in out
+    got_pairs = {(a, b) for a, b, _ in out}
+    assert (1, 2) not in got_pairs  # existing edges never proposed
+    assert (1, 4) not in got_pairs  # no common neighbor
+
+
+def test_k_core_peels_cascade(spark):
+    from observation_lakehouse_spark.operators.graph import k_core
+
+    # K4 core {1,2,3,4} + a tail 4-5-6: one peel drops 6 (deg 1), the next
+    # drops 5 (residual deg 1) — the cascade needs MULTIPLE rounds
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "src long, dst long")
+    got = {(r.node, r.degree) for r in k_core(df, k=2, n_rounds=3).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_k_core_fixed_rounds_superset(spark):
+    from observation_lakehouse_spark.operators.graph import k_core
+
+    # a 6-node path at k=2 peels one endpoint pair per round: after only 2
+    # rounds the middle survives (fixed-round = superset of the true core)
+    path = [(i, i + 1) for i in range(1, 6)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    two = {r.node for r in k_core(df, k=2, n_rounds=2).collect()}
+    assert two == {3, 4}  # true 2-core is empty; 2 rounds leave the middle
+    none = {r.node for r in k_core(df, k=2, n_rounds=3).collect()}
+    assert none == set()
