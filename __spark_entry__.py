@@ -6088,6 +6088,25 @@ def _cache_bounded(fn: Callable[[SparkSession, str], DataFrame]):
 
             gc.collect()
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            # Right-size the shuffle width of an UNTUNED default session.
+            # At the 200-partition default every no-map-side-combine exchange
+            # (all the join shuffles) takes the BypassMergeSortShuffleWriter
+            # path (200 == spark.shuffle.sort.bypassMergeThreshold), which
+            # opens one 32 KB-buffered DiskBlockObjectWriter PER REDUCE
+            # PARTITION PER RUNNING TASK — 32 concurrent tasks × 200 writers
+            # ≈ 200+ MB of pure buffer on a 1 g heap. That, not data, was the
+            # observed OOM site (BypassMergeSortShuffleWriter.write) when the
+            # sf0.1 sweep ran heap-capped. Width == core count caps the
+            # writer grid at cores², and AQE (on by default) still coalesces
+            # below it. Deliberately-tuned sessions (anything ≠ the 200
+            # default) are left alone; the conf is intentionally NOT restored
+            # here — the caller's action executes after this wrapper returns,
+            # and Spark reads the width at execution time.
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(spark.sparkContext.defaultParallelism),
+                )
         except Exception:  # noqa: BLE001 — never fail a query over cache hygiene
             pass
         return fn(spark, sf_dir)

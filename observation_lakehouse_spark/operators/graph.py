@@ -284,46 +284,71 @@ def pagerank(
     # chained plan (for a handful of rounds one composite plan beats per-round
     # materialization) and is lineage-truncated every 4th round so deep
     # iteration counts can't grow the plan unboundedly.
-    # distinct() leaves the frame partitioned by (src, dst); re-partition by
-    # src ALONE before persisting so each round's contribution join reuses
-    # the cached layout — only the 16-byte rank table moves per round (the
-    # same layout rule label_propagation applies).
-    e = (
+    e0 = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .repartition(F.col("src"))
         .persist()
     )
+    n_edges = e0.count()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
     n = nodes.count()
     base = (scale * (100 - damping_pct)) // (100 * n)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    pr = nodes.withColumn("pr", F.lit(scale // n))
-    for i in range(n_iters):
-        contrib = (
-            pr.join(outdeg, pr["node"] == outdeg["src"])
-            .join(e, "src")
-            .select("dst", F.expr("pr DIV outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        pr = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
-            "node",
-            (
-                F.lit(base) + F.expr(f"(COALESCE(in_sum, 0) * {damping_pct}) DIV 100")
-            ).alias("pr"),
-        )
-        if (i + 1) % 4 == 0 and i + 1 < n_iters:
-            pr = pr.localCheckpoint(eager=True)
+    # In-loop tuning, scoped and restored on exit (the connected_components
+    # discipline): AQE off for the fixed-shape rounds, shuffle width from the
+    # measured edge count, and the edge table re-persisted keyed by src ALONE
+    # at that width so each round's contribution join reuses the cached
+    # layout — only the 16-byte rank table moves per round. The rounds are
+    # materialized by the eager checkpoint below, INSIDE the scope; without
+    # an in-scope action the sizing would be a no-op (Spark reads these
+    # confs at execution, not at plan construction).
+    spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 1_000_000)))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    e = None
+    try:
+        e = e0.repartition(loop_parts, F.col("src")).persist()
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+        pr = nodes.withColumn("pr", F.lit(scale // n))
+        for i in range(n_iters):
+            contrib = (
+                pr.join(outdeg, pr["node"] == outdeg["src"])
+                .join(e, "src")
+                .select("dst", F.expr("pr DIV outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            pr = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(COALESCE(in_sum, 0) * {damping_pct}) DIV 100")
+                ).alias("pr"),
+            )
+            if (i + 1) % 4 == 0 and i + 1 < n_iters:
+                pr = pr.localCheckpoint(eager=True)
+        pr = pr.localCheckpoint(eager=True)
+    except BaseException:
+        if e is not None:
+            e.unpersist()
+        e0.unpersist()
+        nodes.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     out = pr.select("node", F.col("pr").alias("pr_pico")).orderBy(
         F.desc("pr_pico"), F.asc("node")
     )
-    out._cached_deps = (e, nodes, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
+    out._cached_deps = (e0, e, nodes, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
 
 
@@ -353,28 +378,31 @@ def label_propagation(
     reproducible, and (in practice) already community-shaped.
 
     Scale shape, per round: one equi-join of the 16-byte (node, label)
-    table against the edge list (persisted pre-partitioned on src, so only
-    the label table moves per round) + one (dst, label) hash aggregate +
-    one per-dst argmax via `max(struct(w, -label))`. The struct max is an
-    AGGREGATE, not a window — it combines map-side, so the final stage sees
-    one partial per (partition, dst) — though honestly: Spark plans
-    struct-typed max as SortAggregate (immutable buffer), so that stage
-    sorts its partials rather than hashing; with bounded weights the
-    hash-aggregate form is one packed BIGINT, `max(w * 2^32 + (2^32-1 -
-    label))`, but unbounded weight sums make the struct form the safe
-    default. Labels shortcut nothing here (unlike CC's pointer jumping)
-    because the argmax is over weights.
+    table against the edge list (persisted pre-partitioned on src at the
+    loop's own shuffle width, so only the label table moves per round) +
+    one (dst, label) hash aggregate + one per-dst argmax. The argmax is a
+    single packed-BIGINT ``max(lw * 2^L + (2^L - 1 - label))`` whenever a
+    one-pass pre-loop bounds aggregate proves it exact (labels are drawn
+    from the node-id set, the per-(dst,label) weight sum is bounded by the
+    max weighted degree — both measured, not assumed), which Spark plans
+    as a HashAggregate with fixed 8-byte buffers; graphs whose ids or
+    weighted degrees overflow the 63-bit pack fall back to
+    ``max(struct(lw, -label))``, which is exact for any bigint domain but
+    plans as SortAggregate (immutable buffer — this was the peak-heap
+    driver before the packed form, ~200 B/group of object overhead vs 8).
+    The same bounds pass also measures the edge count, which sizes the
+    in-loop shuffle width (one partition per ~1M edges, the
+    :func:`connected_components` rule) instead of inheriting the session
+    default — fewer, fuller partitions means fewer concurrent aggregate
+    buffers at peak. Labels shortcut nothing here (unlike CC's pointer
+    jumping) because the argmax is over weights.
     """
     w_col = F.col(weight).cast("long") if weight else F.lit(1)
     directed = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
     )
-    # symmetrize: LPA is over the undirected graph. The weight aggregate
-    # leaves the frame partitioned by (src, dst); re-partition by src ALONE
-    # before persisting so the per-round label join reuses the cached
-    # layout instead of re-shuffling the (much larger) edge side every
-    # iteration — only the 16-byte label table moves per round.
-    e = (
+    # symmetrize: LPA is over the undirected graph.
+    e0 = (
         directed.unionByName(
             directed.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -382,33 +410,116 @@ def label_propagation(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .repartition(F.col("src"))
         .persist()
     )
-    lab = e.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for i in range(n_iters):
-        votes = (
-            lab.join(e, lab["node"] == e["src"])
-            .groupBy("dst", "label")
-            .agg(F.sum("w").alias("lw"))
+    # ONE pre-loop pass over the (cached) edge table measures everything the
+    # loop needs: edge count (shuffle width), max node id + max weighted
+    # degree (packed-argmax bounds), min node id (packing needs non-negative
+    # labels). lw(dst, label) <= wdeg(dst) <= max_wdeg for every round, since
+    # per-label vote mass is a subset of the full weighted degree.
+    b = (
+        e0.groupBy("dst")
+        .agg(F.sum("w").alias("wdeg"), F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.max("wdeg").alias("max_wdeg"),
+            F.max("dst").alias("max_node"),
+            F.min("dst").alias("min_node"),
+            F.sum("deg").alias("n_edges"),
         )
-        lab = (
-            votes.groupBy("dst")
-            .agg(F.max(F.struct(F.col("lw"), (-F.col("label")).alias("neg"))).alias("m"))
-            .select(F.col("dst").alias("node"), (-F.col("m.neg")).alias("label"))
-        )
-        if (i + 1) % 4 == 0 and i + 1 < n_iters:
-            lab = lab.localCheckpoint(eager=True)
-    out = (
-        lab.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("min_node"))
-        .select(F.col("label").alias("community"), "n_members", "min_node")
-        .orderBy(F.desc("n_members"), F.asc("community"))
+        .collect()[0]
     )
-    out._cached_deps = (e,)  # type: ignore[attr-defined]  # noqa: SLF001
-    return out
+    if b["n_edges"] is None or b["n_edges"] == 0:
+        out = e0.sparkSession.createDataFrame(
+            [], "community long, n_members long, min_node long"
+        )
+        out._cached_deps = (e0,)  # noqa: SLF001
+        return out
+    label_bits = max(1, int(b["max_node"]).bit_length())
+    mask = (1 << label_bits) - 1
+    packable = (
+        b["min_node"] >= 0
+        and b["max_wdeg"] * (mask + 1) + mask <= (1 << 63) - 1
+    )
+
+    # In-loop tuning, scoped and restored on exit (the connected_components
+    # discipline): AQE off (fixed-shape known-cardinality rounds — adaptive
+    # re-planning is pure scheduler latency here) and shuffle width from the
+    # MEASURED edge count, so a 100k-edge graph runs a handful of full
+    # partitions per stage instead of 200 near-empty aggregate buffers.
+    spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(parallelism * 4, -(-int(b["n_edges"]) // 1_000_000)))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    e = None
+    try:
+        # re-partition by src ALONE at the loop width before persisting so
+        # the per-round label join reuses the cached layout instead of
+        # re-shuffling the (much larger) edge side every iteration — only
+        # the 16-byte label table moves per round.
+        e = e0.repartition(loop_parts, F.col("src")).persist()
+        lab = e.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+        for i in range(n_iters):
+            # labels are the (node-sized) small side — pin them as the
+            # shuffle-hash build side; SMJ would re-sort the cached edge
+            # partitions every round for nothing.
+            votes = (
+                lab.hint("shuffle_hash")
+                .join(e, lab["node"] == e["src"])
+                .groupBy("dst", "label")
+                .agg(F.sum("w").alias("lw"))
+            )
+            if packable:
+                packed = votes.groupBy("dst").agg(
+                    F.max(
+                        F.col("lw") * F.lit(mask + 1)
+                        + (F.lit(mask) - F.col("label"))
+                    ).alias("m")
+                )
+                lab = packed.select(
+                    F.col("dst").alias("node"),
+                    (F.lit(mask) - F.expr(f"m & {mask}")).alias("label"),
+                )
+            else:
+                lab = (
+                    votes.groupBy("dst")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("lw"), (-F.col("label")).alias("neg"))
+                        ).alias("m")
+                    )
+                    .select(
+                        F.col("dst").alias("node"), (-F.col("m.neg")).alias("label")
+                    )
+                )
+            if (i + 1) % 4 == 0 and i + 1 < n_iters:
+                lab = lab.localCheckpoint(eager=True)
+        # Materialize the rounds HERE, while the loop confs are live — a
+        # fixed-round loop has no in-scope action of its own, and Spark reads
+        # shuffle width / AQE at EXECUTION time, so without this the whole
+        # iteration would run later under the caller's session confs and the
+        # sizing above would be a no-op.
+        lab = lab.localCheckpoint(eager=True)
+        out = (
+            lab.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("min_node"))
+            .select(F.col("label").alias("community"), "n_members", "min_node")
+            .orderBy(F.desc("n_members"), F.asc("community"))
+        )
+        out._cached_deps = (e, e0)  # type: ignore[attr-defined]  # noqa: SLF001
+        return out
+    except BaseException:
+        if e is not None:
+            e.unpersist()
+        e0.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
 
 
 def triangle_participation(
@@ -529,7 +640,11 @@ def k_core(
     fixed-round result is a well-defined SUPERSET of the true k-core that
     the next maintenance run tightens. Per round: one degree aggregate +
     two semi-joins (edge endpoints against surviving nodes) — all hash
-    shuffles on 8-byte node keys.
+    shuffles on 8-byte node keys, at a shuffle width sized from the
+    MEASURED edge count (the :func:`connected_components` rule) with AQE
+    off for the fixed-shape rounds, both scoped to the loop and restored
+    on exit — the peels run HERE (each round is an eager checkpoint), so
+    the scoped confs govern every in-loop shuffle.
     """
     e = (
         edges.select(
@@ -540,25 +655,40 @@ def k_core(
         .distinct()
         .persist()
     )
-    cur = e
-    for i in range(n_rounds):
-        deg = (
-            cur.select(F.col("lo").alias("node"))
-            .unionByName(cur.select(F.col("hi").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        cur = (
-            cur.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
-            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
-            .select("lo", "hi")
-        )
-        # materialize EVERY round: cur is consumed three times per round
-        # (degree build + both semi-joins reference it through keep), so an
-        # un-truncated lineage re-executes earlier rounds multiplicatively —
-        # measured 120 s -> ~6 s on the 115k-edge co-order graph.
-        cur = cur.localCheckpoint(eager=True)
+    n_edges = e.count()
+    spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 1_000_000)))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        cur = e
+        for i in range(n_rounds):
+            deg = (
+                cur.select(F.col("lo").alias("node"))
+                .unionByName(cur.select(F.col("hi").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+            keep = deg.filter(F.col("degree") >= k).select("node")
+            cur = (
+                cur.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+                .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+                .select("lo", "hi")
+            )
+            # materialize EVERY round: cur is consumed three times per round
+            # (degree build + both semi-joins reference it through keep), so an
+            # un-truncated lineage re-executes earlier rounds multiplicatively —
+            # measured 120 s -> ~6 s on the 115k-edge co-order graph.
+            cur = cur.localCheckpoint(eager=True)
+    except BaseException:
+        e.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     out = (
         cur.select(F.col("lo").alias("node"))
         .unionByName(cur.select(F.col("hi").alias("node")))

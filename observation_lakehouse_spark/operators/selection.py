@@ -1,9 +1,10 @@
 """Budget-constrained corpus selection — "fill a token budget with the best
 documents".
 
-The canonical training-data operation the reference's corpus queries stop
-short of (its quality gates are per-row filters; /root/reference/olake/
-queries/documents.sql:1 has no global-budget notion): given a per-document
+The canonical training-data operation the reference stops short of — it has
+no corpus-selection queries at all; the closest surface is its per-table
+aggregate accounting (/root/reference/olake/lakehouse.py:365–401, plain SQL
+pass-throughs with no global-budget notion). Given a per-document
 quality score and token count, keep the highest-quality documents whose
 cumulative token mass fits a budget B — the "data selection under a compute
 budget" step every LLM pretraining pipeline runs (the selection rule in

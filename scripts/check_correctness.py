@@ -92,11 +92,17 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.appName("correctness-check")
-        .master(f"local[{cpus}]")
-        .getOrCreate()
+    builder = SparkSession.builder.appName("correctness-check").master(
+        f"local[{cpus}]"
     )
+    # Stress knob (NOT set by the driver — the bare-session contract holds):
+    # SPARK_GRAFT_DRIVER_MEM=768m runs the sweep with the JVM heap capped
+    # BELOW the driver's 1g default, proving every query fits with margin
+    # (VERDICT r6 #1's done-criterion).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
