@@ -5517,15 +5517,22 @@ ORDER BY a.vec_id
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-blocked kNN graph (operators/similarity.py:knn_graph): every
-    vector's 5 nearest cluster-mates by cosine — the batch primitive under
-    SemDeDup-style curation and embedding-graph methods. Pairs form only
-    within IVF cells (work = sum |cell|^2, never N^2); decisive ranking is
-    Spark-side row_number over (round(cos,6) DESC, id ASC), so rank order
-    is float-round-off- and partition-independent."""
+    vector's 5 nearest cell-mates by cosine — the batch primitive under
+    SemDeDup-style curation and embedding-graph methods. Multi-assignment
+    (n_assign=2, the standard IVF recall lever): each vector joins its TWO
+    nearest cells, so a true neighbor is missed only when neither of one
+    side's cells appears in the other's — measured recall@5 roughly doubles
+    vs single assignment for 4x the (still sum |cell|^2-bounded) pair work.
+    Decisive ranking is Spark-side row_number over (round(cos,6) DESC, id
+    ASC), so rank order is float-round-off- and partition-independent. The
+    fixture pins the FROZEN refreeze-trained codebook so the oracle can
+    replay assignment from literals; production callers pass centroids=None
+    and get an auto_ivf_k-sized codebook trained from the measured corpus
+    (the fixed-codebook quadratic trap is warned against in-API)."""
     from observation_lakehouse_spark.operators.similarity import knn_graph
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_graph(emb, _ivf_centroids(), k=5)
+    return knn_graph(emb, _ivf_centroids(), k=5, n_assign=2)
 
 
 def _knn_graph_oracle(k: int = 5) -> str:
@@ -5537,8 +5544,12 @@ def _knn_graph_oracle(k: int = 5) -> str:
         "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
         for i, row in enumerate(Cn)
     )
-    best = "GREATEST(" + ", ".join(f"s_{i}" for i in range(len(Cn))) + ")"
-    argmax = " ".join(f"WHEN s_{i} = m THEN {i}" for i in range(len(Cn)))
+    # 2-nearest-cell assignment (ivf_assign nprobe=2): rank every cell's
+    # sim descending, ties toward the lower cell id — the numpy stable
+    # argsort rule, replayed as one ROW_NUMBER over the unnested sims.
+    structs = ", ".join(
+        f"{{'cell': {i}, 'sim': s_{i}}}" for i in range(len(Cn))
+    )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (
@@ -5546,16 +5557,26 @@ s AS (
            {sims}
     FROM e
 ),
-a AS (
-    SELECT vec_id, v, (CASE {argmax} END) AS cell
-    FROM (SELECT *, {best} AS m FROM s)
+cells AS (
+    SELECT vec_id, cell FROM (
+        SELECT s.vec_id, u.cell AS cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY u.sim DESC, u.cell ASC) AS rn
+        FROM s, UNNEST([{structs}]) AS t(u)
+    ) WHERE rn <= 2
+),
+mates AS (
+    SELECT DISTINCT cx.vec_id AS id_x, cy.vec_id AS id_y
+    FROM cells cx JOIN cells cy ON cx.cell = cy.cell AND cx.vec_id <> cy.vec_id
 ),
 cand AS (
-    SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+    SELECT p.id_x AS vec_id, p.id_y AS neighbor_id,
            ROUND(list_dot_product(x.v, y.v)
                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
                  6) AS cos_sim
-    FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    FROM mates p
+    JOIN e x ON x.vec_id = p.id_x
+    JOIN e y ON y.vec_id = p.id_y
 ),
 ranked AS (
     SELECT vec_id, neighbor_id, cos_sim,

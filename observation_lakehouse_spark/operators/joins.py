@@ -231,8 +231,11 @@ def bloom_prefilter_join(
     (whose bloom HITS are output and must reproduce bit-for-bit in the SQL
     oracle's md5 arithmetic), this filter is semantics-invisible: the
     verifying join erases every false positive, so the hash only needs to
-    be uniform, not cross-engine. NULL keys probe to NULL and are dropped,
-    matching inner-join semantics.
+    be uniform, not cross-engine. NULL big-side keys are dropped by an
+    explicit IS NOT NULL prefilter — ``xxhash64`` SKIPS null inputs (it
+    hashes only the seed literal), so without the prefilter a NULL key
+    would get a valid bit position and could survive to the verifying join;
+    dropping it up front is both cheaper and exactly inner-join semantics.
     """
     words_per = 32
 
@@ -257,7 +260,7 @@ def bloom_prefilter_join(
         .agg(F.bit_or("mask").alias("w"))
         .persist()
     )
-    probe = big
+    probe = big.filter(F.col(big_key).isNotNull())
     all_set = F.lit(True)
     for i in range(depth):
         wi, mi, bi = f"_w{i}", f"_m{i}", f"_b{i}"

@@ -281,11 +281,27 @@ def lsh_ann_topk(
 # by applicationId so a restarted session (new JVM state) re-broadcasts.
 _CENTROID_BC_CACHE: dict = {}
 
+# Bound for each module-level memo (entries, not bytes). Entries are small
+# (codebook-sized literals / broadcast handles) but a long-lived driver
+# serving varied query panels would otherwise grow them without limit
+# (r6 advice) — on overflow the OLDEST entry is dropped (dict preserves
+# insertion order), and entries from dead applications are swept on every
+# insert since their JVM-side broadcasts/plans are unusable anyway.
+_MEMO_MAX_ENTRIES = 64
+
+
+def _evict_memo(cache: dict, app_id: str) -> None:
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+    while len(cache) >= _MEMO_MAX_ENTRIES:
+        del cache[next(iter(cache))]
+
 
 def _centroid_broadcast(sc, Cn):
     key = (sc.applicationId, Cn.shape, Cn.tobytes())
     bc = _CENTROID_BC_CACHE.get(key)
     if bc is None:
+        _evict_memo(_CENTROID_BC_CACHE, sc.applicationId)
         bc = _CENTROID_BC_CACHE[key] = sc.broadcast(Cn)
     return bc
 
@@ -307,6 +323,7 @@ def _memo_local_df(spark, rows: list[tuple], schema: str):
     key = (spark.sparkContext.applicationId, schema, tuple(rows))
     df = _LOCAL_DF_CACHE.get(key)
     if df is None:
+        _evict_memo(_LOCAL_DF_CACHE, spark.sparkContext.applicationId)
         df = _LOCAL_DF_CACHE[key] = spark.createDataFrame(rows, schema)
     return df
 
@@ -501,12 +518,67 @@ def train_ivf_centroids(
     return [[float(x) for x in row] for row in C]
 
 
+def auto_ivf_k(n_vectors: int, target_cell_size: int = 256, n_assign: int = 1) -> int:
+    """The codebook-sizing rule for the Σ|cell|²-bounded operators:
+    ``K = ⌈N·n_assign / target_cell_size⌉``.
+
+    SemDeDup's scale mechanism (and :func:`knn_graph`'s) is that pairwise
+    work is sum-over-cells |c|² — which is only bounded if cell occupancy is
+    bounded, i.e. if K GROWS with the corpus (the paper sized k=50k for
+    LAION). Reusing a fixed codebook as the corpus grows re-introduces the
+    quadratic: the scale probe measured α = 1.30 with a fixed codebook vs
+    0.28 with this rule (SCALE_PROBE.md). ``n_assign`` accounts for
+    multi-cell assignment, which multiplies occupancy.
+    """
+    if n_vectors <= 0:
+        return 1
+    return max(1, -(-n_vectors * max(1, n_assign) // max(1, target_cell_size)))
+
+
+def auto_codebook(
+    corpus: DataFrame,
+    target_cell_size: int = 256,
+    n_assign: int = 1,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train an IVF codebook sized by :func:`auto_ivf_k` from the measured
+    corpus count — the default path for :func:`knn_graph` /
+    :func:`semantic_dedup` when no explicit codebook is passed, so the
+    sizing rule is ENFORCED by the API rather than left to the caller.
+    One count job + the Lloyd rounds of :func:`train_ivf_centroids`."""
+    n = corpus.count()
+    k = min(auto_ivf_k(n, target_cell_size, n_assign), max(1, n))
+    return train_ivf_centroids(corpus, k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
+
+
+def _warn_oversized_cells(
+    n_vectors: int, k: int, n_assign: int, target_cell_size: int, op: str
+) -> None:
+    """Fixed-codebook guard: warn when mean cell occupancy exceeds 4× the
+    target — the point where a reused codebook has drifted into the
+    quadratic regime the auto-sizing rule exists to prevent."""
+    mean_cell = n_vectors * max(1, n_assign) / max(1, k)
+    if mean_cell > 4 * target_cell_size:
+        import warnings
+
+        warnings.warn(
+            f"{op}: mean IVF cell occupancy {mean_cell:.0f} exceeds "
+            f"4x target_cell_size ({target_cell_size}); pairwise work is "
+            f"sum-over-cells |c|^2 — retrain with auto_codebook "
+            f"(K = ceil(N*n_assign/target)) or pass a larger codebook",
+            stacklevel=3,
+        )
+
+
 def semantic_dedup(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-dedup.
 
@@ -528,11 +600,22 @@ def semantic_dedup(
     Output: ``(id, centroid_id, is_duplicate)``, one row per input vector.
     At 100 TB: k is sized so clusters fit one task's memory (SemDeDup used
     k=50k on LAION); the groupBy shuffles each vector once, and no stage is
-    corpus-quadratic.
+    corpus-quadratic — PROVIDED the codebook scales with the corpus. Pass
+    ``centroids=None`` to train one sized by :func:`auto_ivf_k` (the
+    default enforces the rule); an explicit codebook is checked against the
+    measured corpus and warns past 4× ``target_cell_size`` mean occupancy.
     """
     import numpy as np
     import pandas as pd
 
+    if centroids is None:
+        centroids = auto_codebook(
+            corpus, target_cell_size=target_cell_size, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        _warn_oversized_cells(
+            corpus.count(), len(centroids), 1, target_cell_size, "semantic_dedup"
+        )
     dim = len(centroids[0])
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
     narrow = assigned.select(
@@ -1172,12 +1255,17 @@ def rp_ann_topk(
         pc, pq, k=candidates, id_col=id_col, vec_col="proj"
     ).select("query_id", "neighbor_id")
     e = corpus.select(F.col(id_col), F.col(vec_col))
+    # Re-rank against the QUERY frame's own vectors, not a corpus lookup by
+    # id: queries need not be a subset of the corpus, and an id collision
+    # with a different corpus vector would silently mis-score (r6 advice).
     rer = (
         e.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
         .join(F.broadcast(cand), "neighbor_id")
         .join(
             F.broadcast(
-                e.withColumnsRenamed({id_col: "query_id", vec_col: "q_vec"})
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+                )
             ),
             "query_id",
         )
@@ -1199,10 +1287,12 @@ def rp_ann_topk(
 
 def knn_graph(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 1,
+    target_cell_size: int = 256,
 ) -> DataFrame:
     """Cluster-blocked kNN-graph construction: for every vector, its ``k``
     nearest CLUSTER-mATES by cosine — the batch primitive under SemDeDup-
@@ -1210,10 +1300,20 @@ def knn_graph(
     hard-negative mining.
 
     Same scale mechanism (and the same recall trade) as
-    :func:`semantic_dedup`: vectors are assigned to their nearest centroid
-    (:func:`ivf_assign`) and pairs are only formed WITHIN a cluster, so
-    pairwise work is sum-over-clusters |c|^2 — bounded by the codebook
-    sizing, never corpus N^2 — and each vector shuffles exactly once.
+    :func:`semantic_dedup`: vectors are assigned to their ``n_assign``
+    nearest centroids (:func:`ivf_assign`) and pairs are only formed
+    between vectors SHARING a cell, so pairwise work is sum-over-clusters
+    |c|^2 — bounded by the codebook sizing, never corpus N^2 — and each
+    vector shuffles ``n_assign`` times. ``n_assign=2`` (multi-assignment,
+    the standard IVF recall lever) roughly squares the miss probability —
+    a pair is missed only if NEITHER of one side's two cells appears in
+    the other's — for 4× the pair work, still |c|²-bounded. A pair found
+    in both shared cells produces bit-identical cosines (the per-pair dim
+    accumulation is independent of cell membership), deduped by one hash
+    aggregate before ranking. Pass ``centroids=None`` to train a codebook
+    sized by :func:`auto_ivf_k` from the measured corpus (the default
+    enforces the scaling rule); explicit codebooks warn past 4×
+    ``target_cell_size`` mean occupancy.
 
     Determinism contract: the per-cluster ``applyInPandas`` emits RAW
     cosines from the same sequential dim-order accumulation the SQL
@@ -1228,8 +1328,22 @@ def knn_graph(
     import numpy as np
     import pandas as pd
 
+    if centroids is None:
+        centroids = auto_codebook(
+            corpus,
+            target_cell_size=target_cell_size,
+            n_assign=n_assign,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        _warn_oversized_cells(
+            corpus.count(), len(centroids), n_assign, target_cell_size, "knn_graph"
+        )
     dim = len(centroids[0])
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=n_assign
+    )
     narrow = assigned.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "centroid_id"
     )
@@ -1255,6 +1369,12 @@ def knn_graph(
     cand = narrow.groupBy("centroid_id").applyInPandas(
         pairs, "_src long, _dst long, cos_raw double"
     )
+    if n_assign > 1:
+        # a pair sharing two cells is emitted twice with IDENTICAL doubles
+        # (per-pair accumulation doesn't depend on cell membership) — one
+        # map-side-combining hash aggregate dedupes before the rank window
+        # (duplicates inside the window would eat two ranks).
+        cand = cand.groupBy("_src", "_dst").agg(F.max("cos_raw").alias("cos_raw"))
     w = Window.partitionBy("_src").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("_dst")
     )

@@ -82,7 +82,7 @@ class AtomicParquetTable:
         self.max_commit_retries = max_commit_retries
         schema_file = self.location / "_schema.json"
         if schema_file.exists():
-            meta = json.loads(schema_file.read_text())
+            _, meta = self._read_schema_meta()
             self.schema = StructType.fromJson(meta["schema"])
             self.partition_by = tuple(meta["partition_by"])
             # back-compat: tables created before CHECK support have no key
@@ -113,6 +113,45 @@ class AtomicParquetTable:
         )
         tmp.rename(schema_file)
 
+    # -- schema metadata (versioned, create-if-absent — mirrors _commit) ------
+
+    def _read_schema_meta(self) -> tuple[int, dict]:
+        """Latest schema metadata: the highest ``_schema.v{N}.json`` if any
+        metadata edit has ever happened, else the creation-time
+        ``_schema.json`` (version 0)."""
+        best_v, best_p = 0, None
+        for p in self.location.glob("_schema.v*.json"):
+            tail = p.stem.rsplit(".v", 1)
+            if len(tail) == 2 and tail[1].isdigit() and int(tail[1]) >= best_v:
+                best_v, best_p = int(tail[1]), p
+        if best_p is None:
+            return 0, json.loads((self.location / "_schema.json").read_text())
+        return best_v, json.loads(best_p.read_text())
+
+    def _mutate_schema_meta(self, mutate) -> dict:
+        """Serialize schema-metadata edits through the same ``os.link``
+        create-if-absent versioned protocol the manifest and refs use
+        (r6 advice): re-read the LATEST metadata, apply ``mutate`` to it,
+        claim the next version. A racing edit loses the claim and re-applies
+        onto the winner's state — two concurrent constraint declarations
+        both land instead of last-writer-wins silently dropping one."""
+        for _ in range(self.max_commit_retries):
+            v, meta = self._read_schema_meta()
+            meta = mutate(dict(meta))
+            target = self.location / f"_schema.v{v + 1}.json"
+            tmp = self.location / f".{uuid.uuid4().hex}.tmp"
+            tmp.write_text(json.dumps(meta))
+            try:
+                os.link(tmp, target)  # atomic claim of metadata version v+1
+                return meta
+            except FileExistsError:
+                continue  # another editor won; rebase onto their state
+            finally:
+                tmp.unlink(missing_ok=True)
+        raise CommitConflict(
+            f"gave up after {self.max_commit_retries} schema-metadata attempts"
+        )
+
     # -- CHECK constraints ----------------------------------------------------
 
     def add_check_constraint(self, name: str, predicate_sql: str) -> None:
@@ -132,12 +171,30 @@ class AtomicParquetTable:
         bad = self._check_violations(self.read(), {name: predicate_sql})
         if bad:
             raise CheckViolation(str(self.location), bad)
-        self.check_constraints[name] = predicate_sql
-        self._write_schema_file()
+
+        def declare(meta: dict) -> dict:
+            cons = dict(meta.get("check_constraints", {}))
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already declared")
+            cons[name] = predicate_sql
+            meta["check_constraints"] = cons
+            return meta
+
+        meta = self._mutate_schema_meta(declare)
+        self.check_constraints = dict(meta["check_constraints"])
 
     def drop_check_constraint(self, name: str) -> None:
-        del self.check_constraints[name]
-        self._write_schema_file()
+        if name not in self.check_constraints:
+            raise KeyError(name)
+
+        def drop(meta: dict) -> dict:
+            cons = dict(meta.get("check_constraints", {}))
+            cons.pop(name, None)  # racing double-drop: second is a no-op
+            meta["check_constraints"] = cons
+            return meta
+
+        meta = self._mutate_schema_meta(drop)
+        self.check_constraints = dict(meta["check_constraints"])
 
     def _check_violations(
         self, df: DataFrame, constraints: dict[str, str]
@@ -518,13 +575,22 @@ class AtomicParquetTable:
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         dt = _parse_datatype_string(spark_type)
-        self.schema = StructType(list(self.schema.fields) + [StructField(column, dt, True)])
-        schema_file = self.location / "_schema.json"
-        tmp = schema_file.with_suffix(f".{uuid.uuid4().hex}.tmp")
-        tmp.write_text(
-            json.dumps({"schema": self.schema.jsonValue(), "partition_by": list(self.partition_by)})
-        )
-        tmp.rename(schema_file)  # atomic replace
+
+        def widen(meta: dict) -> dict:
+            # rebase onto the LATEST on-disk schema (a racing evolve/DDL may
+            # have advanced it) and preserve every other metadata key — the
+            # old tmp+rename rewrite dropped check_constraints outright.
+            cur = StructType.fromJson(meta["schema"])
+            if column in cur.fieldNames():
+                return meta  # racing duplicate evolve: idempotent
+            meta["schema"] = StructType(
+                list(cur.fields) + [StructField(column, dt, True)]
+            ).jsonValue()
+            return meta
+
+        meta = self._mutate_schema_meta(widen)
+        self.schema = StructType.fromJson(meta["schema"])
+        self.check_constraints = dict(meta.get("check_constraints", {}))
 
     def committed_keys(self) -> dict[str, int]:
         """Idempotency keys recorded so far → committing version."""
@@ -612,6 +678,14 @@ class AtomicParquetTable:
         carried: list[str] = []
         for f in files:
             p = self.data_dir / f
+            # A manifest entry whose file a concurrent vacuum reclaimed (or a
+            # manifest/disk mismatch) must not abort the whole plan mid-way —
+            # carry it untouched, mirroring layout_report's handling; the
+            # read below only scans the to_rewrite set, so a carried-missing
+            # file degrades exactly as it would on any read of that snapshot.
+            if not p.exists():
+                carried.append(f)
+                continue
             # a ZORDER pass reclusters EVERYTHING in scope (Delta's OPTIMIZE
             # ZORDER BY semantics): right-sized files still need reordering
             if zorder_by or p.stat().st_size < small_cut:

@@ -119,3 +119,96 @@ def test_knn_graph_tie_breaks_on_neighbor_id(spark):
     got = {(r.vec_id, r.rank): r.neighbor_id for r in knn_graph(df, [[1.0, 0.0]], k=2).collect()}
     assert got[(1, 1)] == 2 and got[(1, 2)] == 3
     assert got[(2, 1)] == 1 and got[(3, 1)] == 1
+
+
+def test_knn_graph_multi_assign_bridges_cells_and_dedupes(spark):
+    from observation_lakehouse_spark.operators.similarity import knn_graph
+
+    # 1 sits BETWEEN the two centroid directions; with n_assign=2 it joins
+    # both cells, so it can reach both 2 (cell 0) and 10 (cell 1) — with
+    # single assignment it would see only its nearest cell's mates. 2 and 10
+    # also land in both of their own two cells, so the (2, 10) pair would be
+    # emitted twice without the dedupe aggregate — rank must stay 1..k with
+    # no repeated neighbor.
+    rows = [
+        (1, [0.7, 0.7, 0.0, 0.0]),
+        (2, [1.0, 0.05, 0.0, 0.0]),
+        (10, [0.05, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = [
+        (r.vec_id, r.rank, r.neighbor_id)
+        for r in knn_graph(df, cents, k=3, n_assign=2).collect()
+    ]
+    by_src = {}
+    for src, rank, nbr in got:
+        by_src.setdefault(src, []).append((rank, nbr))
+    # every vector reaches BOTH others exactly once, ranks contiguous
+    for src, pairs in by_src.items():
+        nbrs = [n for _, n in sorted(pairs)]
+        assert len(nbrs) == len(set(nbrs)) == 2, (src, pairs)
+        assert [r for r, _ in sorted(pairs)] == [1, 2]
+
+
+def test_knn_graph_auto_codebook_default(spark):
+    """centroids=None trains an auto_ivf_k-sized codebook from the corpus:
+    with target_cell_size >= N everything lands in one cell and the graph
+    equals the exact kNN graph."""
+    from observation_lakehouse_spark.operators.similarity import auto_ivf_k, knn_graph
+
+    assert auto_ivf_k(1000, target_cell_size=256) == 4
+    assert auto_ivf_k(1000, target_cell_size=256, n_assign=2) == 8
+    assert auto_ivf_k(0) == 1
+    rows = [(i, [1.0 + 0.01 * i, 0.01 * (i % 3), 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = knn_graph(df, None, k=5, target_cell_size=16).collect()
+    # one cell of 6 vectors -> complete graph: every vector has 5 neighbors
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    assert all(len(v) == 5 for v in per_src.values())
+
+
+def test_knn_graph_oversized_cell_warning(spark):
+    import warnings
+
+    from observation_lakehouse_spark.operators.similarity import knn_graph
+
+    rows = [(i, [1.0, 0.01 * i]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        knn_graph(df, [[1.0, 0.0]], k=1, target_cell_size=2).collect()
+    assert any("cell occupancy" in str(x.message) for x in w)
+
+
+def test_rp_rerank_uses_query_frame_vectors(spark):
+    """r6 advice: the exact re-rank must score against the QUERY frame's own
+    vectors — a query whose id collides with a DIFFERENT corpus vector (or
+    is absent from the corpus) must still rank by its true similarity."""
+    from observation_lakehouse_spark.operators.similarity import (
+        rademacher_signs,
+        rp_ann_topk,
+    )
+
+    corpus_rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    # query id 3 carries a vector near axis 0 — NOT corpus row 3's axis-2
+    # vector. Under the old corpus-lookup re-rank it would be scored as
+    # axis-2 and rank 3 first; correctly it must rank 1 then 2.
+    queries = spark.createDataFrame(
+        [(3, [1.0, 0.05, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    signs = rademacher_signs(4, 4)
+    got = [
+        (r.rank, r.neighbor_id)
+        for r in rp_ann_topk(
+            corpus, queries, signs, k=2, candidates=3
+        ).collect()
+    ]
+    assert sorted(got) == [(1, 1), (2, 2)], got

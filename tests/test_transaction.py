@@ -510,3 +510,48 @@ def test_ref_validation(spark, tmp_path):
         t.resolve_ref("ghost")
     with pytest.raises(ValueError, match="not both"):
         t.read(version=1, ref="x")
+
+
+def test_racing_constraint_ddl_both_land(spark, table):
+    """r6 advice: constraint DDL goes through the versioned os.link protocol,
+    so two writers editing through SEPARATE handles (each having read the
+    same starting state) both land — no last-writer-wins drop."""
+    table.append(_batch(spark, "dsA", 0, 10))
+    a = table
+    b = AtomicParquetTable(spark, str(table.location))
+    a.add_check_constraint("score_nonneg", "score >= 0")
+    # b's in-memory view predates a's edit — its declare must rebase onto
+    # a's published metadata, not overwrite it
+    b.add_check_constraint("run_nonneg", "run_id >= 0")
+    fresh = AtomicParquetTable(spark, str(table.location))
+    assert set(fresh.check_constraints) == {"score_nonneg", "run_nonneg"}
+
+
+def test_evolve_schema_preserves_constraints(spark, table):
+    table.append(_batch(spark, "dsA", 0, 5))
+    table.add_check_constraint("score_nonneg", "score >= 0")
+    table.add_column("note", "string")
+    fresh = AtomicParquetTable(spark, str(table.location))
+    assert "note" in fresh.schema.fieldNames()
+    assert set(fresh.check_constraints) == {"score_nonneg"}
+    # the constraint still enforces on the evolved table
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.transaction import CheckViolation
+
+    bad = _batch(spark, "dsA", 100, 3).withColumn(
+        "score", F.lit(-1.0)
+    ).withColumn("note", F.lit("x"))
+    with _pytest.raises(CheckViolation):
+        table.append(bad)
+
+
+def test_duplicate_constraint_name_rejected_across_handles(spark, table):
+    table.append(_batch(spark, "dsA", 0, 5))
+    a = table
+    b = AtomicParquetTable(spark, str(table.location))
+    a.add_check_constraint("c1", "score >= 0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        b.add_check_constraint("c1", "run_id >= 0")
