@@ -2514,6 +2514,36 @@ ORDER BY labeled_lang, predicted_lang
 """
 
 
+def _cohens_kappa_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle()}),
+pairs AS (
+    SELECT d.lang AS a, p.lang_pred AS b
+    FROM documents d JOIN pred p USING (doc_id)
+),
+counts AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+ma AS (SELECT a, SUM(c) AS na FROM counts GROUP BY 1),
+mb AS (SELECT b, SUM(c) AS nb FROM counts GROUP BY 1),
+pe AS (SELECT SUM(na * nb) AS pe_num FROM ma JOIN mb ON ma.a = mb.b),
+ag AS (
+    SELECT SUM(c) AS n_items,
+           SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+    FROM counts
+),
+r AS (
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST((agree * 1000000) // n_items AS BIGINT) AS po_ppm,
+           CAST((pe_num * 1000000) // (n_items * n_items) AS BIGINT) AS pe_ppm
+    FROM ag, pe
+)
+SELECT n_items, po_ppm, pe_ppm,
+       CASE WHEN pe_ppm < 1000000
+            THEN CAST(((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm) AS BIGINT)
+       END AS kappa_ppm
+FROM r
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash + content-sha256 fingerprints, fully oracle-checked (the
     md5-prefix token family reproduces in DuckDB). The git-blob-sha1 identity
@@ -6083,6 +6113,154 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_srm_pivot(spark, SF_SMALL)
 
 
+_M4_BUCKET_US = 21_600_000_000  # 6 hours
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (operators/timeseries.py:m4_downsample;
+    Jugel et al. VLDB'14): per (event_type, 6h bucket) the min/max/first/last
+    values a pixel-perfect line chart needs — the serving-layer shape for
+    dashboards over billion-point series. One map-side-combined hash
+    aggregate; first/last are deterministic lexicographic struct extremes
+    the oracle replays with (ts, value)-ordered ROW_NUMBERs."""
+    from observation_lakehouse_spark.operators.timeseries import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return m4_downsample(ev, "event_type", "ts", "value", _M4_BUCKET_US)
+
+
+_ORACLE_M4 = f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v FROM events
+), r AS (
+    SELECT event_type, t // {_M4_BUCKET_US} AS b, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type, t // {_M4_BUCKET_US}
+                              ORDER BY t, v) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY event_type, t // {_M4_BUCKET_US}
+                              ORDER BY t DESC, v DESC) AS rl
+    FROM e
+)
+SELECT event_type, b * {_M4_BUCKET_US} AS bucket_us,
+       MIN(v) AS v_min, MAX(v) AS v_max,
+       MAX(CASE WHEN rf = 1 THEN v END) AS v_first,
+       MAX(CASE WHEN rl = 1 THEN v END) AS v_last,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_SD_BUCKET_US = 86_400_000_000  # 1 day
+_SD_PERIOD = 7
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/timeseries.py:
+    seasonal_decompose): per event_type daily means split into trend
+    (7-bucket centered moving average) + weekly seasonal + residual, all in
+    exact integer micro-units with truncating div — bit-replayable by the
+    windowed SQL oracle. The deterministic batch sibling of STL."""
+    from observation_lakehouse_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_decompose(
+        ev, "event_type", "ts", "value", _SD_BUCKET_US, period=_SD_PERIOD
+    )
+
+
+_ORACLE_SEASONAL = f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) // {_SD_BUCKET_US} AS b,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+    FROM events
+), m AS (
+    SELECT event_type, b,
+           CAST(SUM(vm) // COUNT(*) AS BIGINT) AS value_micro
+    FROM e GROUP BY 1, 2
+), tr AS (
+    SELECT event_type, b, b % {_SD_PERIOD} AS phase, value_micro,
+           CASE WHEN COUNT(*) OVER w = {_SD_PERIOD}
+                THEN CAST(SUM(value_micro) OVER w // {_SD_PERIOD} AS BIGINT)
+           END AS trend_micro
+    FROM m
+    WINDOW w AS (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN {_SD_PERIOD // 2} PRECEDING
+                          AND {_SD_PERIOD // 2} FOLLOWING)
+), sr AS (
+    SELECT event_type, phase,
+           CAST(SUM(value_micro - trend_micro) // COUNT(*) AS BIGINT) AS s_raw
+    FROM tr WHERE trend_micro IS NOT NULL GROUP BY 1, 2
+), g AS (
+    SELECT event_type, CAST(SUM(s_raw) // {_SD_PERIOD} AS BIGINT) AS gm
+    FROM sr GROUP BY 1
+), s AS (
+    SELECT sr.event_type, sr.phase,
+           CAST(sr.s_raw - g.gm AS BIGINT) AS seasonal_micro
+    FROM sr JOIN g ON sr.event_type = g.event_type
+)
+SELECT tr.event_type, tr.b * {_SD_BUCKET_US} AS bucket_us, tr.phase,
+       tr.value_micro, tr.trend_micro, s.seasonal_micro,
+       CAST(tr.value_micro - tr.trend_micro - s.seasonal_micro AS BIGINT)
+           AS residual_micro
+FROM tr LEFT JOIN s ON tr.event_type = s.event_type AND tr.phase = s.phase
+ORDER BY 1, 2
+"""
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE decomposition (operators/evaluation.py:
+    calibration_report; Naeini et al. AAAI'15) for a value-derived click
+    predictor: confidence = min(value/500, 1), outcome = event_type='click'.
+    10 equi-width bins; per bin the mean confidence vs empirical positive
+    rate and the population-weighted gap whose sum is the ECE — exact
+    integer ppm, no float ratio anywhere."""
+    from observation_lakehouse_spark.operators.evaluation import calibration_report
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.least(F.col("value") / F.lit(500.0), F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "click").cast("int").alias("y"),
+    )
+    return calibration_report(scored, "p", "y", n_bins=10)
+
+
+_ORACLE_CALIBRATION = """
+WITH s AS (
+    SELECT CAST(CAST(LEAST(CAST(value AS DOUBLE) / 500.0, 1.0)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS p,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+    FROM events
+), b AS (
+    SELECT LEAST(999999, p) // 100000 AS bin, p, y FROM s
+), pb AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_conf_ppm,
+           CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_ppm
+    FROM b GROUP BY 1
+)
+SELECT bin, n, mean_conf_ppm, pos_rate_ppm,
+       CAST(ABS(mean_conf_ppm - pos_rate_ppm) AS BIGINT) AS gap_ppm,
+       CAST((n * ABS(mean_conf_ppm - pos_rate_ppm)) // (SELECT SUM(n) FROM pb)
+            AS BIGINT) AS ece_contrib_ppm
+FROM pb ORDER BY bin
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (operators/evaluation.py:cohens_kappa;
+    Cohen 1960) between the language-ID heuristic and the labeled lang
+    column — the one-scalar companion to `langid_confusion`: how much of
+    the observed agreement survives after discounting what the raters'
+    marginal label distributions produce by chance. Exact integer ppm with
+    truncating div in both engines."""
+    from observation_lakehouse_spark.operators.evaluation import cohens_kappa
+    from observation_lakehouse_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    both = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohens_kappa(both, "lang", "lang_pred")
+
+
 def _cache_bounded(fn: Callable[[SparkSession, str], DataFrame]):
     """Clear the session's cache before building a query plan.
 
@@ -6235,6 +6413,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "language_id": q_language_id,
         "langid_confusion": q_langid_confusion,
+        "m4_downsample": q_m4_downsample,
+        "seasonal_decompose": q_seasonal_decompose,
+        "calibration": q_calibration,
+        "cohens_kappa": q_cohens_kappa,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6363,6 +6545,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _ORACLE_TOKEN_STATS,
         "language_id": _lang_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
+        "m4_downsample": _ORACLE_M4,
+        "seasonal_decompose": _ORACLE_SEASONAL,
+        "calibration": _ORACLE_CALIBRATION,
+        "cohens_kappa": _cohens_kappa_oracle(),
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

@@ -1,0 +1,136 @@
+"""Model-evaluation aggregates: calibration and inter-rater agreement.
+
+The reference's evaluation surface is per-problem consensus counting (its
+clustering notebook tallies cluster sizes, README.md:134-148); a
+training-data pipeline also needs CLASSIFIER-level evaluation — is the
+quality/language/toxicity scorer that gates millions of documents actually
+trustworthy? Two standard measures, both single-aggregate shapes in exact
+integer parts-per-million so a SQL oracle bit-agrees:
+
+- :func:`calibration_report` — reliability diagram + Expected Calibration
+  Error (Naeini et al., AAAI'15 ECE; the binned form of DeGroot &
+  Fienberg's reliability diagram): bucket predictions by confidence,
+  compare each bucket's mean confidence to its empirical positive rate.
+- :func:`cohens_kappa` — chance-corrected agreement between two labelers
+  (Cohen 1960): the sanity check before one heuristic labeler is used to
+  train/filter against another.
+
+Scale: both are one map-side-combined hash aggregate over the scored
+corpus (the kappa marginals are a second aggregate over the tiny label
+set), nothing pair-wise or corpus-global beyond the aggregate itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["calibration_report", "cohens_kappa"]
+
+PPM = 1_000_000
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram rows + the running ECE, all integer ppm.
+
+    Confidence in [0, 1] is taken to exact ppm (``round(p * 1e6)``, the
+    decimal-cast discipline) and binned equi-width; the top edge clamps
+    into the last bin. Per bin: count, mean confidence (ppm, floor div),
+    empirical positive rate (ppm), absolute gap. ``ece_contrib_ppm`` is
+    the bin's population-weighted gap contribution ``n_b·|gap_b| div N``
+    — their sum IS the ECE, emitted per row so the oracle checks the
+    whole decomposition, not one scalar.
+
+    Output: (bin, n, mean_conf_ppm, pos_rate_ppm, gap_ppm,
+    ece_contrib_ppm), ordered by bin.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    span = PPM // n_bins
+    p_ppm = F.round(F.col(prob_col).cast("decimal(18,6)") * PPM).cast("long")
+    binned = df.select(
+        F.floor(F.least(F.lit(PPM - 1), p_ppm) / F.lit(span)).alias("bin"),
+        p_ppm.alias("_p"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(_p) div COUNT(*)").alias("mean_conf_ppm"),
+        F.expr(f"(SUM(_y) * {PPM}) div COUNT(*)").alias("pos_rate_ppm"),
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_bin.withColumn(
+            "gap_ppm", F.abs(F.col("mean_conf_ppm") - F.col("pos_rate_ppm"))
+        )
+        .withColumn("_N", F.sum("n").over(total))
+        .select(
+            "bin",
+            "n",
+            "mean_conf_ppm",
+            "pos_rate_ppm",
+            "gap_ppm",
+            F.expr("(n * gap_ppm) div _N").alias("ece_contrib_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two labelers over the same items, exact ppm.
+
+    ``po`` = observed agreement rate; ``pe`` = chance agreement from the
+    raters' marginal label distributions (Σ_k nA_k·nB_k / N²);
+    ``kappa = (po − pe) / (1 − pe)``. All ratios are integer ppm with
+    floor division — ``kappa_ppm = ((po_ppm − pe_ppm) · 1e6) div
+    (1e6 − pe_ppm)`` — so any engine reproduces the bits. Degenerate
+    pe = 1 (both raters constant and equal) returns kappa_ppm NULL.
+
+    Output: one row (n_items, po_ppm, pe_ppm, kappa_ppm).
+    """
+    lab = df.select(
+        F.col(rater_a_col).cast("string").alias("_a"),
+        F.col(rater_b_col).cast("string").alias("_b"),
+    )
+    counts = lab.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("c"))
+    # marginals over the (tiny) label set, then one driver-free combine:
+    # pe's numerator Σ nA_k·nB_k via an inner join on the label value.
+    ma = counts.groupBy("_a").agg(F.sum("c").alias("na"))
+    mb = counts.groupBy("_b").agg(F.sum("c").alias("nb"))
+    pe_num = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    agg = counts.agg(
+        F.sum("c").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c")).otherwise(0)).alias(
+            "_agree"
+        ),
+    )
+    return (
+        agg.crossJoin(pe_num)
+        .select(
+            "n_items",
+            F.expr(f"(_agree * {PPM}) div n_items").alias("po_ppm"),
+            F.expr(f"(pe_num * {PPM}) div (n_items * n_items)").alias("pe_ppm"),
+            "_agree",
+        )
+        .select(
+            "n_items",
+            "po_ppm",
+            "pe_ppm",
+            F.when(
+                F.col("pe_ppm") < PPM,
+                F.expr(f"((po_ppm - pe_ppm) * {PPM}) div ({PPM} - pe_ppm)"),
+            ).alias("kappa_ppm"),
+        )
+    )

@@ -290,3 +290,150 @@ def rolling_active_entities(
     )
     out._cached_deps = (pairs,)  # noqa: SLF001 — release_cached contract
     return out
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel, Fischer, Markl & Sattler,
+    "M4: A Visualization-Oriented Time Series Data Aggregation", VLDB'14):
+    per (key, time bucket) keep exactly the four values a pixel-perfect line
+    rendering needs — min, max, first and last — so a dashboard serves a
+    billion-point series from ~4·width rows with zero visual error.
+
+    One hash aggregate per (key, bucket): min/max over the raw DOUBLE
+    value (selection, not arithmetic — no accumulation order to pin, so
+    doubles are exact cross-engine), first/last via lexicographic
+    ``min/max(struct(ts, value))`` — the (ts, value) tie-break makes both
+    ends deterministic under any partitioning, and a SQL oracle reproduces
+    them with ROW_NUMBER over (ts, value) / (ts DESC, value DESC). The
+    reference has no downsampling
+    surface (its events queries are plain aggregates,
+    /root/reference/olake/lakehouse.py:365-377); this is the standard
+    serving-layer companion to the rollup operators above.
+
+    Scale: ONE shuffle keyed (key, bucket) with full map-side combine — the
+    exchange carries 4 values + 2 struct anchors per group, never samples.
+    Output: (key, bucket_us, v_min, v_max, v_first, v_last, n_samples).
+    """
+    g = df.select(
+        F.col(key_col),
+        F.expr(f"CAST({ts_col} AS BIGINT) div {int(bucket_us)}").alias("_b"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return (
+        g.groupBy(key_col, "_b")
+        .agg(
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+            F.min(F.struct("_ts", "_v")).getField("_v").alias("v_first"),
+            F.max(F.struct("_ts", "_v")).getField("_v").alias("v_last"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            key_col,
+            (F.col("_b") * F.lit(int(bucket_us))).alias("bucket_us"),
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+            "n_samples",
+        )
+        .orderBy(key_col, "bucket_us")
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition over per-key bucket means:
+    ``value = trend + seasonal + residual`` (the moving-average method of
+    classical decomposition; the deterministic batch sibling of STL).
+
+    Per (key, bucket): the bucket mean in exact integer micro-units
+    (``sum(value·1e6) div n`` — no float division anywhere, so a SQL oracle
+    bit-agrees). Trend: centered moving average over ``period`` consecutive
+    OBSERVED buckets (row frame, ``period`` odd required; NULL at the edges
+    where the window is incomplete — the classical convention). Phase:
+    ``bucket mod period``. Seasonal: per (key, phase) mean of the detrended
+    values where trend exists, re-centered so the seasonal components sum
+    to ~0 over a period (grand-mean subtraction, integer div). Residual:
+    ``value − trend − seasonal``.
+
+    Scale shape: one (key, bucket) hash aggregate, one per-key ordered
+    window (row-based, sees ``period`` rows), one (key, phase) hash
+    aggregate joined back — all keyed shuffles, nothing corpus-global.
+    Gaps: the row-frame window treats the observed bucket sequence as
+    contiguous; resample through :func:`gap_fill` first when true
+    calendar adjacency matters.
+
+    Output: (key, bucket_us, phase, value_micro, trend_micro,
+    seasonal_micro, residual_micro).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    means = (
+        df.select(
+            F.col(key_col),
+            F.expr(f"CAST({ts_col} AS BIGINT) div {int(bucket_us)}").alias("_b"),
+            (_dec6(value_col) * F.lit(1_000_000)).cast("long").alias("_vm"),
+        )
+        .groupBy(key_col, "_b")
+        .agg(F.expr("SUM(_vm) div COUNT(*)").alias("value_micro"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(-half, half)
+    )
+    trended = means.select(
+        key_col,
+        "_b",
+        F.pmod(F.col("_b"), F.lit(period)).alias("phase"),
+        "value_micro",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.expr(f"SUM(value_micro) OVER (PARTITION BY {key_col} ORDER BY _b "
+                   f"ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING) div {period}"),
+        ).alias("trend_micro"),
+    )
+    detr = trended.withColumn(
+        "_d", F.col("value_micro") - F.col("trend_micro")
+    )
+    seas_raw = (
+        detr.filter(F.col("_d").isNotNull())
+        .groupBy(key_col, "phase")
+        .agg(F.expr("SUM(_d) div COUNT(*)").alias("_s_raw"))
+    )
+    grand = seas_raw.groupBy(key_col).agg(
+        F.expr(f"SUM(_s_raw) div {period}").alias("_g")
+    )
+    seas = seas_raw.join(grand, key_col).select(
+        key_col, "phase", (F.col("_s_raw") - F.col("_g")).alias("seasonal_micro")
+    )
+    return (
+        trended.join(seas, [key_col, "phase"], "left")
+        .select(
+            key_col,
+            (F.col("_b") * F.lit(int(bucket_us))).alias("bucket_us"),
+            "phase",
+            "value_micro",
+            "trend_micro",
+            "seasonal_micro",
+            (
+                F.col("value_micro") - F.col("trend_micro") - F.col("seasonal_micro")
+            ).alias("residual_micro"),
+        )
+        .orderBy(key_col, "bucket_us")
+    )

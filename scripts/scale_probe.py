@@ -241,7 +241,12 @@ def main() -> None:
         pack_sequences,
         unigram_xent,
     )
+    from observation_lakehouse_spark.operators.evaluation import calibration_report
     from observation_lakehouse_spark.operators.timeseries import (
+        m4_downsample,
+        seasonal_decompose,
+    )
+    from observation_lakehouse_spark.operators.timeseries import (  # noqa: F811
         gap_fill,
         rolling_active_entities,
     )
@@ -372,6 +377,21 @@ def main() -> None:
         # attribution: one user-keyed RANGE window + touch-type aggregate
         ("attribution (last-touch range window)", ev, ev_k,
          lambda d: last_touch_attribution(d)),
+        # M4: one (key, bucket) hash aggregate — pure map-side-combine shape
+        ("m4_downsample (4-anchor viz aggregate)", ev, ev_k,
+         lambda d: m4_downsample(d, "event_type", "ts", "value", 21_600_000_000)),
+        # seasonal decomposition: bucket agg + period-row window + phase agg
+        ("seasonal_decompose (trend/seasonal split)", ev, ev_k,
+         lambda d: seasonal_decompose(
+             d, "event_type", "ts", "value", 86_400_000_000, period=7)),
+        # calibration: one corpus aggregate to n_bins rows
+        ("calibration_report (ECE bins)", ev, ev_k,
+         lambda d: calibration_report(
+             d.select(
+                 F.least(F.col("value") / F.lit(500.0), F.lit(1.0)).alias("p"),
+                 (F.col("event_type") == "click").cast("int").alias("y"),
+             ),
+             "p", "y", n_bins=10)),
     ]
 
     lines = [

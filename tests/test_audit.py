@@ -176,3 +176,42 @@ def test_sample_ratio_check_threshold_boundary(spark):
     ).collect()}
     assert (out["srm"].chi2_micro, out["srm"].srm) == (5_760_000, True)
     assert (out["fine"].chi2_micro, out["fine"].srm) == (3_240_000, False)
+
+
+def test_calibration_report_exact_bins(spark):
+    from observation_lakehouse_spark.operators.evaluation import calibration_report
+
+    # bin 0 (p in [0, 0.1)): p=0.05 x4, one positive -> mean 50000, rate 250000
+    # bin 9 (p >= 0.9 incl. clamped 1.0): p=1.0 x2, both positive -> gap 0
+    rows = [(0.05, 1), (0.05, 0), (0.05, 0), (0.05, 0), (1.0, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r.bin: r for r in calibration_report(df, "p", "y", n_bins=10).collect()}
+    assert got[0].n == 4 and got[0].mean_conf_ppm == 50_000
+    assert got[0].pos_rate_ppm == 250_000 and got[0].gap_ppm == 200_000
+    assert got[0].ece_contrib_ppm == (4 * 200_000) // 6
+    assert got[9].n == 2 and got[9].mean_conf_ppm == 1_000_000
+    assert got[9].gap_ppm == 0 and got[9].ece_contrib_ppm == 0
+
+
+def test_cohens_kappa_known_values(spark):
+    from observation_lakehouse_spark.operators.evaluation import cohens_kappa
+
+    # classic 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10 (N=50)
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15 + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n_items == 50
+    assert r.po_ppm == 700_000  # 35/50
+    # pe = (25*30 + 25*20)/2500 = 0.5
+    assert r.pe_ppm == 500_000
+    assert r.kappa_ppm == 400_000  # (0.7-0.5)/(1-0.5)
+
+
+def test_cohens_kappa_degenerate_constant_raters(spark):
+    from observation_lakehouse_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.pe_ppm == 1_000_000 and r.kappa_ppm is None

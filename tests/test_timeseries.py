@@ -162,3 +162,71 @@ def test_rolling_active_approx_tracks_exact(spark):
     assert set(exact) == set(approx)
     for b, n in exact.items():
         assert abs(approx[b] - n) <= max(2, 0.15 * n)  # 3x rsd margin
+
+
+def test_m4_downsample_four_anchors(spark):
+    from observation_lakehouse_spark.operators.timeseries import m4_downsample
+
+    rows = [
+        ("k", 10, 5.0),   # first (min ts)
+        ("k", 20, 1.0),   # min
+        ("k", 30, 9.0),   # max
+        ("k", 40, 7.0),   # last (max ts)
+        ("k", 110, 3.0),  # second bucket, single sample = all four anchors
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {
+        r.bucket_us: (r.v_min, r.v_max, r.v_first, r.v_last, r.n_samples)
+        for r in m4_downsample(df, "k", "ts", "v", 100).collect()
+    }
+    assert got[0] == (1.0, 9.0, 5.0, 7.0, 4)
+    assert got[100] == (3.0, 3.0, 3.0, 3.0, 1)
+
+
+def test_m4_downsample_tie_breaks_on_value(spark):
+    from observation_lakehouse_spark.operators.timeseries import m4_downsample
+
+    # two samples at the SAME ts: first = smaller value, last = larger value
+    rows = [("k", 10, 8.0), ("k", 10, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    r = m4_downsample(df, "k", "ts", "v", 100).collect()[0]
+    assert (r.v_first, r.v_last) == (2.0, 8.0)
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    from observation_lakehouse_spark.operators.timeseries import seasonal_decompose
+
+    # value = 100 + 10*phase (pure weekly pattern, no trend slope): trend
+    # (7-bucket centered MA) is the constant phase-mean; the seasonal
+    # component must recover the planted phase offsets re-centered to ~0
+    period, n = 7, 28
+    rows = [("k", b * 1000, float(100 + 10 * (b % period))) for b in range(n)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = seasonal_decompose(df, "k", "ts", "v", 1000, period=period).collect()
+    by_bucket = {r.bucket_us // 1000: r for r in out}
+    assert len(by_bucket) == n
+    # edges: first/last half-window rows have NULL trend
+    assert by_bucket[0].trend_micro is None
+    assert by_bucket[n - 1].trend_micro is None
+    mid = by_bucket[10]
+    # centered MA over one full period of 100 + 10*phase = 100 + 10*3 = 130
+    assert mid.trend_micro == 130_000_000
+    # seasonal at phase p: 10*(p-3) in micro (recentered around the mean)
+    for b in range(3, n - 3):
+        r = by_bucket[b]
+        assert r.seasonal_micro == 10_000_000 * ((b % period) - 3), (b, r)
+        assert r.residual_micro == 0, (b, r)
+    # decomposition identity where complete
+    for r in out:
+        if r.trend_micro is not None and r.seasonal_micro is not None:
+            assert r.value_micro == r.trend_micro + r.seasonal_micro + r.residual_micro
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    import pytest
+
+    from observation_lakehouse_spark.operators.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame([("k", 0, 1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "k", "ts", "v", 1000, period=4)
