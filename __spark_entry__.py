@@ -6206,6 +6206,67 @@ ORDER BY 1, 2
 """
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round multi-source BFS (operators/graph.py:bfs_distances) over
+    the quarter-filtered customer-supplier fulfillment graph (the pagerank /
+    label_propagation fixture): hop distance from every 50th customer to
+    everything within 3 hops — frontier join + MIN hash aggregate per round,
+    unrolled-CTE oracle, exact integers throughout."""
+    from observation_lakehouse_spark.operators.graph import bfs_distances
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    seeds = customer.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    return bfs_distances(edges, seeds, n_rounds=3)
+
+
+_ORACLE_BFS = """
+WITH d AS (
+    SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 4 = 0
+), e AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d
+    )
+), d0 AS (
+    SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS distance
+    FROM customer WHERE c_custkey % 50 = 0
+), d1 AS (
+    SELECT node, MIN(distance) AS distance FROM (
+        SELECT node, distance FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d0.distance + 1 FROM d0 JOIN e ON e.src = d0.node
+    ) GROUP BY node
+), d2 AS (
+    SELECT node, MIN(distance) AS distance FROM (
+        SELECT node, distance FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d1.distance + 1 FROM d1 JOIN e ON e.src = d1.node
+    ) GROUP BY node
+), d3 AS (
+    SELECT node, MIN(distance) AS distance FROM (
+        SELECT node, distance FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d2.distance + 1 FROM d2 JOIN e ON e.src = d2.node
+    ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(distance AS BIGINT) AS distance
+FROM d3 ORDER BY distance, node
+"""
+
+
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram + ECE decomposition (operators/evaluation.py:
     calibration_report; Naeini et al. AAAI'15) for a value-derived click
@@ -6329,6 +6390,7 @@ _HEAVY_FIRST = [
     "chargram_jaccard",
     "pagerank",
     "label_propagation",
+    "bfs_distances",
     "incremental_mv",
     "bloom_decontaminate",
     "dup_clusters",
@@ -6417,6 +6479,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "calibration": q_calibration,
         "cohens_kappa": q_cohens_kappa,
+        "bfs_distances": q_bfs_distances,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6549,6 +6612,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": _ORACLE_SEASONAL,
         "calibration": _ORACLE_CALIBRATION,
         "cohens_kappa": _cohens_kappa_oracle(),
+        "bfs_distances": _ORACLE_BFS,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

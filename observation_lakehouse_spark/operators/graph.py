@@ -698,3 +698,78 @@ def k_core(
     )
     out._cached_deps = (e,)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round multi-source BFS over the undirected graph: hop distance
+    from the nearest seed, for every node within ``n_rounds`` hops — the
+    frontier-expansion kernel under "how far is every customer from a
+    flagged account" reachability/propagation questions (the Pregel
+    hello-world, expressed as per-round join + MIN hash aggregates).
+
+    FIXED rounds, not converge-tested — the determinism rationale of
+    :func:`label_propagation`: an unrolled-CTE oracle replays exactly
+    ``n_rounds`` expansions, and a fixed-round result is the exact
+    distance function restricted to the n_rounds-hop ball (distances are
+    discovered in order, so truncation never mis-labels a reached node).
+
+    Per round: one equi-join of the (node, dist) frontier table against
+    the edge list (persisted pre-partitioned on src at the loop's measured
+    shuffle width — only the 16-byte distance table moves per round) + one
+    MIN hash aggregate; the loop materializes in-scope so the sized width
+    and AQE-off actually govern execution (fixed-round loops have no
+    action of their own). Output: (node, distance), distance in [0,
+    n_rounds], total (distance, node) order.
+    """
+    directed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e0 = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e0.count()
+    spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 1_000_000)))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    e = None
+    try:
+        e = e0.repartition(loop_parts, F.col("src")).persist()
+        dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+            "distance", F.lit(0).cast("long")
+        )
+        for _ in range(n_rounds):
+            reached = (
+                dist.hint("shuffle_hash")
+                .join(e, dist["node"] == e["src"])
+                .select(F.col("dst").alias("node"), (F.col("distance") + 1).alias("distance"))
+            )
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("node")
+                .agg(F.min("distance").alias("distance"))
+            )
+        dist = dist.localCheckpoint(eager=True)
+        out = dist.orderBy("distance", "node")
+        out._cached_deps = (e, e0)  # type: ignore[attr-defined]  # noqa: SLF001
+        return out
+    except BaseException:
+        if e is not None:
+            e.unpersist()
+        e0.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)

@@ -232,7 +232,10 @@ def main() -> None:
         last_touch_attribution,
     )
     from observation_lakehouse_spark.operators.similarity import knn_graph
-    from observation_lakehouse_spark.operators.graph import label_propagation
+    from observation_lakehouse_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+    )
     from observation_lakehouse_spark.operators.joins import bloom_prefilter_join
     from observation_lakehouse_spark.operators.retrieval import hybrid_rrf_search
     from observation_lakehouse_spark.operators.text import (
@@ -349,6 +352,15 @@ def main() -> None:
              d.select((F.col("c_custkey") * 2).alias("src"),
                       (F.col("c_nationkey") * 2 + 1).alias("dst")),
              n_iters=3)),
+        # BFS: frontier join + MIN aggregate per round on the same graph —
+        # alpha tracks edge count like LPA
+        ("bfs_distances (3 rounds)", cust, cust_k,
+         lambda d: bfs_distances(
+             d.select((F.col("c_custkey") * 2).alias("src"),
+                      (F.col("c_nationkey") * 2 + 1).alias("dst")),
+             d.filter(F.col("c_custkey") % 50 == 0).select(
+                 (F.col("c_custkey") * 2).alias("node")),
+             n_rounds=3)),
         # Bloom-prefilter join: dim FIXED (replica-0 keys), fact side scales
         # Kx — the map-side probe + survivor join should stay scan-linear
         ("bloom_join (fixed dim, scaling fact)", li, li_k,

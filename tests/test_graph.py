@@ -221,3 +221,29 @@ def test_k_core_fixed_rounds_superset(spark):
     assert two == {3, 4}  # true 2-core is empty; 2 rounds leave the middle
     none = {r.node for r in k_core(df, k=2, n_rounds=3).collect()}
     assert none == set()
+
+
+def test_bfs_distances_fixed_rounds(spark):
+    from observation_lakehouse_spark.operators.graph import bfs_distances
+
+    # path graph 1-2-3-4-5-6, seed at 1; plus isolated seed 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {r.node: r.distance for r in bfs_distances(edges, seeds, n_rounds=3).collect()}
+    # 3 rounds reach nodes at distance <= 3; 5 and 6 remain undiscovered
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from observation_lakehouse_spark.operators.graph import bfs_distances
+
+    # two seeds converge on node 3: distance is the MIN over sources
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r.distance for r in bfs_distances(edges, seeds, n_rounds=3).collect()}
+    assert got[3] == 1  # via 5, not 2 via 1
+    assert got[2] == 1 and got[1] == 0 and got[5] == 0
