@@ -6206,6 +6206,44 @@ ORDER BY 1, 2
 """
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flagging (operators/behavior.py:mad_anomalies;
+    Leys et al. 2013) per event_type — the breakdown-resistant twin of
+    `anomaly_zscore` (whose mean/stddev the outliers themselves drag).
+    Median and MAD carried as exact 2x/4x integers so the flag rule is a
+    pure integer comparison replayed bit-for-bit by quantile_cont."""
+    from observation_lakehouse_spark.operators.behavior import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_anomalies(ev, "event_type", "value", "event_id", k_times_100=300)
+
+
+_ORACLE_ANOMALY_MAD = """
+WITH b AS (
+    SELECT event_id AS _id, event_type AS _k,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS _v
+    FROM events
+), med AS (
+    SELECT _k, CAST(ROUND(quantile_cont(_v, 0.5) * 2) AS BIGINT) AS med_x2
+    FROM b GROUP BY 1
+), dev AS (
+    SELECT b._id, b._k, b._v, ABS(2 * b._v - med.med_x2) AS dev_x2, med.med_x2
+    FROM b JOIN med ON b._k = med._k
+), mad AS (
+    SELECT _k, CAST(ROUND(quantile_cont(dev_x2, 0.5) * 2) AS BIGINT) AS mad_x4
+    FROM dev GROUP BY 1
+)
+SELECT dev._id AS event_id, dev._k AS event_type,
+       dev._v AS value_micro,
+       dev.dev_x2 AS abs_dev_x2_micro,
+       dev.med_x2 AS med_x2_micro,
+       mad.mad_x4 AS mad_x4_micro
+FROM dev JOIN mad ON dev._k = mad._k
+WHERE 200 * dev.dev_x2 > 300 * mad.mad_x4
+ORDER BY event_type, event_id
+"""
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round multi-source BFS (operators/graph.py:bfs_distances) over
     the quarter-filtered customer-supplier fulfillment graph (the pagerank /
@@ -6480,6 +6518,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "cohens_kappa": q_cohens_kappa,
         "bfs_distances": q_bfs_distances,
+        "anomaly_mad": q_anomaly_mad,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6613,6 +6652,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration": _ORACLE_CALIBRATION,
         "cohens_kappa": _cohens_kappa_oracle(),
         "bfs_distances": _ORACLE_BFS,
+        "anomaly_mad": _ORACLE_ANOMALY_MAD,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

@@ -154,6 +154,7 @@ HEADLINE = [
     "calibration",
     "cohens_kappa",
     "bfs_distances",
+    "anomaly_mad",
 ]
 
 

@@ -289,3 +289,62 @@ def last_touch_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k_times_100: int = 300,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation — the
+    breakdown-resistant twin of the z-score detector (Leys et al., JESP
+    2013: median ± k·MAD; a z-score's mean/stddev are themselves dragged by
+    the outliers they're meant to find, MAD has a 50% breakdown point).
+
+    Exactness across engines: values go to integer micro-units; per-key
+    median and MAD are exact interpolated medians of integers, so they are
+    integers in HALF-unit precision — carried as ``med_x2`` (2·median) and
+    ``mad_x4`` (4·MAD), both exact bigints. The flag rule
+    ``|v − med| > (k/100)·MAD`` is cleared of denominators:
+    ``200·|2v − med_x2| > k_times_100 · mad_x4`` — pure integer comparison,
+    no float boundary anywhere (the one float op, the percentile
+    interpolation, lands on .0/.5 exactly in ANY engine — the same parity
+    the `percentiles` query pins).
+
+    Scale shape: one per-key percentile aggregate (two passes: median,
+    then MAD of deviations — each a map-side-combinable sort-based
+    aggregate over the key), broadcast of the keys-sized threshold table,
+    scan-side filter. Output: one row per flagged outlier —
+    (id, key, value_micro, abs_dev_x2_micro, med_x2_micro, mad_x4_micro),
+    total (key, id) order.
+    """
+    v_micro = (F.col(value_col).cast("decimal(18,6)") * 1_000_000).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_k"),
+        v_micro.alias("_v"),
+    )
+    med = base.groupBy("_k").agg(
+        F.round(F.expr("percentile(_v, 0.5) * 2")).cast("long").alias("med_x2")
+    )
+    dev = base.join(F.broadcast(med), "_k").withColumn(
+        "dev_x2", F.abs(F.lit(2) * F.col("_v") - F.col("med_x2"))
+    )
+    mad = dev.groupBy("_k").agg(
+        F.round(F.expr("percentile(dev_x2, 0.5) * 2")).cast("long").alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "_k")
+        .filter(F.lit(200) * F.col("dev_x2") > F.lit(int(k_times_100)) * F.col("mad_x4"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_k").alias(key_col),
+            F.col("_v").alias("value_micro"),
+            F.col("dev_x2").alias("abs_dev_x2_micro"),
+            F.col("med_x2").alias("med_x2_micro"),
+            F.col("mad_x4").alias("mad_x4_micro"),
+        )
+        .orderBy(key_col, id_col)
+    )

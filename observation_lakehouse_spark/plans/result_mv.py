@@ -88,6 +88,9 @@ class ProblemResultMV:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(*PARTITION_COLS).parquet(self.path)
         self.spark.catalog.refreshByPath(self.path)
+        # a refresh invalidates any pinned copy — a pinned serve must never
+        # return pre-refresh rows; callers re-pin() to re-warm
+        self.unpin()
 
     def refresh_problems(
         self, source: DataFrame, problems: Iterable[tuple[str, str]]
@@ -123,6 +126,25 @@ class ProblemResultMV:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def pin(self) -> None:
+        """Pin the result table in executor memory — the hot-serving
+        configuration: lookups become InMemoryTableScan over cached columnar
+        batches with per-batch min/max pruning on the partition columns, no
+        file open or parquet decode on the lookup path. Refreshes unpin
+        (``_write`` invalidates), so a pinned serve never returns stale
+        rows; call ``pin()`` again after a refresh to re-warm. At scale this
+        is the standard serving tier for the HOT problem set — the cold
+        path below (partition-directory read) remains the general case."""
+        self.unpin()
+        self._pinned = self.read().persist()
+        self._pinned.count()  # materialize now, not on the first lookup
+
+    def unpin(self) -> None:
+        pinned = getattr(self, "_pinned", None)
+        if pinned is not None:
+            pinned.unpersist(blocking=True)
+        self._pinned = None
+
     def serve(self, data_set_id: str, problem_id: str) -> DataFrame:
         """One problem's materialized result: a scan-only plan — no
         aggregation, no join, no exchange.
@@ -136,7 +158,15 @@ class ProblemResultMV:
         identical; the saving is plan/iterator overhead proportional to the
         table's partition count, which a 100 TB table has a lot of). A
         problem with no materialized partition returns an empty frame with
-        the table schema, matching the old filter semantics."""
+        the table schema, matching the old filter semantics. When the table
+        is pinned (:meth:`pin`), the lookup filters the cached frame
+        instead — same rows, no file IO."""
+        pinned = getattr(self, "_pinned", None)
+        if pinned is not None:
+            return pinned.where(
+                (F.col("data_set_id") == data_set_id)
+                & (F.col("problem_id") == problem_id)
+            )
         part_dir = (
             f"{self.path}/data_set_id={self._esc(data_set_id)}"
             f"/problem_id={self._esc(problem_id)}"

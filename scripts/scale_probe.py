@@ -230,6 +230,7 @@ def main() -> None:
     from observation_lakehouse_spark.operators.behavior import (
         frequent_paths,
         last_touch_attribution,
+        mad_anomalies,
     )
     from observation_lakehouse_spark.operators.similarity import knn_graph
     from observation_lakehouse_spark.operators.graph import (
@@ -404,6 +405,9 @@ def main() -> None:
                  (F.col("event_type") == "click").cast("int").alias("y"),
              ),
              "p", "y", n_bins=10)),
+        # MAD outliers: two per-key percentile aggregates + broadcast filter
+        ("mad_anomalies (robust outliers)", ev, ev_k,
+         lambda d: mad_anomalies(d, "event_type", "value", "event_id")),
     ]
 
     lines = [

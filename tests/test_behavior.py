@@ -187,3 +187,29 @@ def test_attribution_equal_ts_touch_excluded_by_range_frame(spark):
     # at 1 PRECEDING on the value axis)
     rows = [(1, 30, 1, "click", 0.0), (2, 30, 1, "purchase", 4.0)]
     assert _attr(spark, rows) == {"unattributed": (1, 4.0)}
+
+
+def test_mad_anomalies_flags_only_outliers(spark):
+    from observation_lakehouse_spark.operators.behavior import mad_anomalies
+
+    # tight cluster around 10 plus one wild point; a z-score with the
+    # outlier included would inflate sigma — MAD must still flag it
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(20)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = mad_anomalies(df, "event_type", "value", "event_id", k_times_100=300).collect()
+    assert [r.event_id for r in got] == [99]
+    r = got[0]
+    # median of the 21 values = 10.1 -> med_x2 = 20_200_000 micro
+    assert r.med_x2_micro == 20_200_000
+    assert r.value_micro == 1_000_000_000
+
+
+def test_mad_anomalies_constant_series_flags_any_deviation(spark):
+    from observation_lakehouse_spark.operators.behavior import mad_anomalies
+
+    # constant series: MAD = 0, so ANY deviation is an outlier (the
+    # documented degenerate behavior of the MAD rule)
+    rows = [(i, "k", 5.0) for i in range(10)] + [(50, "k", 5.001)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = mad_anomalies(df, "event_type", "value", "event_id").collect()
+    assert [r.event_id for r in got] == [50]

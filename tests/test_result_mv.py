@@ -149,3 +149,23 @@ def test_refresh_problems_empty_is_noop(spark, observations, mv_setup):
     before = rows_of(mv.read())
     mv.refresh_problems(observations, [])
     assert rows_of(mv.read()) == before
+
+
+def test_pinned_serve_matches_and_refresh_invalidates(
+    spark, observations, code_implementations, tests_table, mv_setup
+):
+    """pin() must not change served rows, and a refresh must invalidate the
+    pin (a pinned serve may never return pre-refresh state)."""
+    for mv in mv_setup.values():
+        mv.pin()
+    _assert_serve_matches(
+        mv_setup, observations, code_implementations, tests_table, ["p_000", "p_001"]
+    )
+    # refresh invalidates the pin (a pinned serve may never go stale)
+    for mv in mv_setup.values():
+        assert getattr(mv, "_pinned", None) is not None
+    mv = mv_setup["srm"]
+    mv.refresh_problems(observations, [("DSA", "p_000")])
+    assert getattr(mv, "_pinned", None) is None  # pin dropped on write
+    for m in mv_setup.values():
+        m.unpin()
