@@ -1015,6 +1015,52 @@ ORDER BY id_a, id_b
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py:containment_pairs):
+    |A∩B|/|A| ≥ 0.8 over word-trigram sets — the doc-in-doc relation Jaccard
+    structurally misses (a short doc quoted inside a long one has containment
+    ~1, Jaccard ~0). Only the CONTAINED side is prefix-filtered (lossless by
+    the pigeonhole bound on its ⌈t·|A|⌉ required matches); the naive-shape
+    oracle proves the filter loses nothing."""
+    from observation_lakehouse_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_size=3, threshold=0.8
+    )
+
+
+_ORACLE_CONTAINMENT = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM tk WHERE len(toks) > 0
+), ex AS (
+    SELECT doc_id, unnest(sh) AS s FROM base
+), inter AS (
+    SELECT l.doc_id AS id_contained, r.doc_id AS id_container, COUNT(*) AS n_inter
+    FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id <> r.doc_id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, len(sh) AS n FROM base
+)
+SELECT id_contained, id_container,
+       ROUND(CAST(n_inter AS DOUBLE) / a.n, 6) AS containment
+FROM inter JOIN sizes a ON a.doc_id = id_contained
+WHERE CAST(n_inter AS DOUBLE) / a.n >= 0.8
+ORDER BY id_contained, id_container
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup PAIRS (token-set Jaccard ≥ 0.9,
     blocked on lang|source) → connected components → per-doc cluster id +
@@ -6519,6 +6565,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "bfs_distances": q_bfs_distances,
         "anomaly_mad": q_anomaly_mad,
+        "containment": q_containment,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6653,6 +6700,7 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa": _cohens_kappa_oracle(),
         "bfs_distances": _ORACLE_BFS,
         "anomaly_mad": _ORACLE_ANOMALY_MAD,
+        "containment": _ORACLE_CONTAINMENT,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

@@ -155,6 +155,7 @@ HEADLINE = [
     "cohens_kappa",
     "bfs_distances",
     "anomaly_mad",
+    "containment",
 ]
 
 

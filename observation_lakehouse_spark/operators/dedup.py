@@ -694,6 +694,103 @@ def ngram_jaccard_pairs(
     return _with_cached_deps(out, cached, pref, verified)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    hot_vocab_k: int = 1 << 20,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: ``c(A, B) = |A∩B| / |A|`` over
+    word-``shingle_size``-gram sets — "document A's content is (mostly)
+    inside document B". This is the doc-in-doc relation Jaccard structurally
+    MISSES: a full quote of a short document inside a long one has
+    containment ~1 but Jaccard ~|A|/|B| → 0, so a symmetric near-dup pass
+    keeps both copies. Containment is the set-level cousin of ExactSubstr
+    (:func:`dup_span_stats` profiles the span level; this flags the
+    whole-document relation a curation pipeline deduplicates on).
+
+    Candidate generation is the AllPairs prefix filter adapted to the
+    asymmetric measure: if ``|A∩B| ≥ ⌈t·|A|⌉`` then the matches cannot all
+    hide in A's ``⌈t·|A|⌉ − 1`` most frequent shingles, so A's prefix — its
+    ``|A| − ⌈t·|A|⌉ + 1`` RAREST shingles under the bounded-hot-vocab global
+    df order (same order machinery as :func:`ngram_jaccard_pairs`) — must
+    share a shingle with B. Only the CONTAINED side is prefix-filtered (the
+    container side has no size constraint, so all its shingles stay join
+    keys); join-key frequency is still bounded by the df of PREFIX shingles,
+    which are globally rare by construction — hot boilerplate never becomes
+    a key. Candidates verify exactly via one ``array_intersect`` over the
+    cached hash sets; recall is 100% (lossless filter + exact verify).
+
+    Returns DIRECTIONAL rows (id_contained, id_container, containment ≥ t),
+    rounded 6dp, total order. Mutual containment (near-identical docs)
+    yields both directions — that is the honest semantics.
+    """
+    cached = parallelize_scan(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingle_xxhashes(text_col, shingle_size).alias("sh"),
+    ).persist()
+    base = cached.filter(F.size("sh") > 0)
+    docs = base.select("doc_id", F.col("sh").alias("hs"), F.size("sh").alias("n_sh"))
+    t = float(threshold)
+    tok = docs.select("doc_id", "n_sh", F.explode("hs").alias("shingle"))
+    hot = (
+        docs.select(F.explode("hs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > F.lit(1))
+        .orderBy(F.desc("_df"), "shingle")
+        .limit(int(hot_vocab_k))
+    )
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = (
+        tok.join(F.broadcast(hot), "shingle", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(1)))
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    # contained-side prefix: the |A| - ceil(t*|A|) + 1 rarest shingles
+    pref = ranked.filter(
+        F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
+    ).select(F.col("doc_id").alias("id_contained"), "shingle")
+    full = tok.select(F.col("doc_id").alias("id_container"), "shingle")
+    cand = (
+        pref.join(full, "shingle")
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .select("id_contained", "id_container")
+        .distinct()
+    )
+    out = (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("id_contained"),
+                F.col("hs").alias("hs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_contained",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_container"), F.col("hs").alias("hs_b")
+            ),
+            "id_container",
+        )
+        .withColumn(
+            "_c",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+            / F.col("n_a").cast("double"),
+        )
+        .filter(F.col("_c") >= t)
+        .select(
+            "id_contained",
+            "id_container",
+            F.round("_c", 6).alias("containment"),
+        )
+        .orderBy("id_contained", "id_container")
+    )
+    return _with_cached_deps(out, cached)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -167,6 +167,7 @@ def main() -> None:
 
     from observation_lakehouse_spark.operators.dedup import (
         bloom_decontaminate,
+        containment_pairs,
         dup_span_stats,
         exact_dedup,
         minhash_lsh_admit,
@@ -408,6 +409,11 @@ def main() -> None:
         # MAD outliers: two per-key percentile aggregates + broadcast filter
         ("mad_anomalies (robust outliers)", ev, ev_k,
          lambda d: mad_anomalies(d, "event_type", "value", "event_id")),
+        # containment: contained-side-only prefix filter — join-key freq is
+        # bounded by PREFIX-shingle df (rare by construction), so candidate
+        # mass tracks true pair mass, not corpus^2
+        ("containment_pairs (doc-in-doc)", docs, docs_k,
+         lambda d: containment_pairs(d, threshold=0.8)),
     ]
 
     lines = [

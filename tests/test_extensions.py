@@ -433,3 +433,50 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
     # zero vector: scale 0, all-zero codes, zero error
     r2 = got[2]
     assert r2["scale"] == 0.0 and r2["qvec"] == "0,0,0,0" and r2["max_abs_err"] == 0.0
+
+
+def test_containment_finds_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ~1 in the
+    contained->container direction, while Jaccard is far below any useful
+    threshold — the relation this operator exists to catch."""
+    from observation_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        release_cached,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler),
+        (3, "completely different content with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, threshold=0.8)
+    pairs = {(r.id_contained, r.id_container): r.containment for r in got.collect()}
+    release_cached(got)
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (2, 1) not in pairs  # direction matters: the long doc is NOT in the short
+    assert not any(3 in p for p in pairs)
+    # ...and the symmetric Jaccard pass misses it entirely at any near-dup threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.5)
+    jpairs = {(r.id_a, r.id_b) for r in jac.collect()}
+    release_cached(jac)
+    assert (1, 2) not in jpairs and (2, 1) not in jpairs
+
+
+def test_containment_mutual_for_identical_docs(spark):
+    from observation_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        release_cached,
+    )
+
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = containment_pairs(df, threshold=0.8)
+    pairs = {(r.id_contained, r.id_container): r.containment for r in got.collect()}
+    release_cached(got)
+    assert pairs == {(1, 2): 1.0, (2, 1): 1.0}
