@@ -6252,6 +6252,81 @@ ORDER BY 1, 2
 """
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection (operators/timeseries.py:cusum_drift;
+    Page 1954) per event_type over daily bucket means: the recursion
+    s_t = max(0, s_{t-1} + dev) closed-form'd as running-sum minus
+    running-min — two ordered windows, no recursion, no UDF, exact integer
+    micro-units end to end so the SQL oracle replays every bit."""
+    from observation_lakehouse_spark.operators.timeseries import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_drift(
+        ev, "event_type", "ts", "value", 86_400_000_000, threshold_micro=20_000_000
+    )
+
+
+_ORACLE_CUSUM = """
+WITH e AS (
+    SELECT event_type AS k, epoch_us(ts) // 86400000000 AS _b,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+    FROM events
+), m AS (
+    SELECT k, _b, CAST(SUM(vm) // COUNT(*) AS BIGINT) AS value_micro
+    FROM e GROUP BY 1, 2
+), r AS (
+    SELECT k, CAST(SUM(value_micro) // COUNT(*) AS BIGINT) AS _ref
+    FROM m GROUP BY 1
+), d AS (
+    SELECT m.k, m._b, m.value_micro,
+           CAST(m.value_micro - r._ref AS BIGINT) AS dev_micro
+    FROM m JOIN r ON m.k = r.k
+), c AS (
+    SELECT k, _b, value_micro, dev_micro,
+           SUM(dev_micro) OVER (PARTITION BY k ORDER BY _b
+                                ROWS UNBOUNDED PRECEDING) AS _cum
+    FROM d
+), s AS (
+    SELECT k, _b, value_micro, dev_micro,
+           CAST(_cum - MIN(LEAST(_cum, 0)) OVER (PARTITION BY k ORDER BY _b
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cusum_micro
+    FROM c
+)
+SELECT k AS event_type, _b * 86400000000 AS bucket_us, value_micro,
+       dev_micro, cusum_micro, cusum_micro > 20000000 AS drifted
+FROM s ORDER BY event_type, bucket_us
+"""
+
+
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (functions/sampling.py:kfold_assign):
+    fold = md5-family content hash of doc_id mod 5 — repartition-proof and
+    engine-portable, the zero-state cross-validation partition; per-fold
+    doc/char mass shows the hash balances. The cluster_col mode (leakage-safe
+    k-fold, the k-way cluster_safe_split) is pytest-pinned."""
+    from observation_lakehouse_spark.functions.sampling import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        kfold_assign(docs, "doc_id", 5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("n_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+_ORACLE_KFOLD = """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1 ORDER BY fold
+"""
+
+
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outlier flagging (operators/behavior.py:mad_anomalies;
     Leys et al. 2013) per event_type — the breakdown-resistant twin of
@@ -6566,6 +6641,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "anomaly_mad": q_anomaly_mad,
         "containment": q_containment,
+        "kfold": q_kfold,
+        "cusum_drift": q_cusum_drift,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6701,6 +6778,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _ORACLE_BFS,
         "anomaly_mad": _ORACLE_ANOMALY_MAD,
         "containment": _ORACLE_CONTAINMENT,
+        "kfold": _ORACLE_KFOLD,
+        "cusum_drift": _ORACLE_CUSUM,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

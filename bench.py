@@ -156,6 +156,8 @@ HEADLINE = [
     "bfs_distances",
     "anomaly_mad",
     "containment",
+    "kfold",
+    "cusum_drift",
 ]
 
 

@@ -136,3 +136,33 @@ def cluster_safe_split(
         F.lit("train"),
     ).otherwise(F.lit("eval"))
     return clusters.select(id_col, cluster_col, side.alias("split"))
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    content-hash(key) mod k — repartition-proof, engine-portable
+    (:func:`hash_bucket`'s md5 family), and stable across runs, so every
+    training job in a sweep sees the identical partition without any
+    shared state or RNG seed plumbing.
+
+    ``cluster_col`` makes it LEAKAGE-SAFE k-fold (the k-way generalization
+    of :func:`cluster_safe_split`): the fold is hashed from the near-dup
+    CLUSTER id instead of the row key, so no near-duplicate pair ever
+    splits across a train/validation boundary in ANY of the k rotations —
+    per-fold contamination otherwise happens with probability
+    ~2·(1/k)·(1−1/k) per near-dup pair.
+
+    Scan-level projection, zero shuffles. Returns the input columns plus
+    ``fold`` in [0, k).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    basis = F.col(cluster_col if cluster_col else key_col).cast("string")
+    return df.withColumn(
+        "fold", F.pmod(tok_hash60(basis), F.lit(int(k)).cast("long"))
+    )

@@ -437,3 +437,91 @@ def seasonal_decompose(
         )
         .orderBy(key_col, "bucket_us")
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+    threshold_micro: int,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key (Page 1954's cumulative-sum
+    chart — the standard "has this metric's level shifted?" monitor):
+    over per-bucket means, accumulate deviations from the key's own global
+    mean and flag when the accumulation exceeds ``threshold_micro``.
+
+    The textbook recursion ``s_t = max(0, s_{t-1} + dev_t)`` is not a
+    window function — but it has a closed form: with ``cum_t = Σ_{j≤t}
+    dev_j``, ``s_t = cum_t − min_{j≤t} cum_j`` (the running sum minus its
+    running minimum; the min acts as the last reset point). That makes
+    CUSUM two ordered windows per key — running SUM and running MIN —
+    both single-shuffle, no recursion, no UDF, and exactly replayable in
+    SQL. All arithmetic in integer micro-units: bucket mean = ``sum div
+    n``; the reference level is the key's mean-of-bucket-means (``div``
+    again), so both engines see identical integers end to end.
+
+    Output: (key, bucket_us, value_micro, dev_micro, cusum_micro,
+    drifted), ordered (key, bucket) — ``drifted`` marks every bucket whose
+    CUSUM exceeds the threshold (the alert condition; the FIRST such
+    bucket per key is the detected change point).
+    """
+    means = (
+        df.select(
+            F.col(key_col),
+            F.expr(f"CAST({ts_col} AS BIGINT) div {int(bucket_us)}").alias("_b"),
+            (F.col(value_col).cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("_vm"),
+        )
+        .groupBy(key_col, "_b")
+        .agg(F.expr("SUM(_vm) div COUNT(*)").alias("value_micro"))
+    )
+    ref = means.groupBy(key_col).agg(
+        F.expr("SUM(value_micro) div COUNT(*)").alias("_ref")
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    devs = means.join(ref, key_col).select(
+        key_col,
+        "_b",
+        "value_micro",
+        (F.col("value_micro") - F.col("_ref")).alias("dev_micro"),
+    )
+    out = devs.select(
+        key_col,
+        "_b",
+        "value_micro",
+        "dev_micro",
+        F.sum("dev_micro").over(w_cum).alias("_cum"),
+    ).select(
+        key_col,
+        "_b",
+        "value_micro",
+        "dev_micro",
+        (
+            F.col("_cum")
+            - F.min(F.least(F.col("_cum"), F.lit(0))).over(w_cum)
+            # the reset floor includes the virtual s_0 = 0 start: min over
+            # (0, cum_1..cum_t) — otherwise an initial positive run would
+            # measure from cum_1 instead of 0
+        ).alias("cusum_micro"),
+    )
+    return (
+        out.withColumn(
+            "drifted", F.col("cusum_micro") > F.lit(int(threshold_micro))
+        )
+        .select(
+            key_col,
+            (F.col("_b") * F.lit(int(bucket_us))).alias("bucket_us"),
+            "value_micro",
+            "dev_micro",
+            "cusum_micro",
+            "drifted",
+        )
+        .orderBy(key_col, "bucket_us")
+    )

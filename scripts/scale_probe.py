@@ -248,6 +248,7 @@ def main() -> None:
     )
     from observation_lakehouse_spark.operators.evaluation import calibration_report
     from observation_lakehouse_spark.operators.timeseries import (
+        cusum_drift,
         m4_downsample,
         seasonal_decompose,
     )
@@ -414,6 +415,10 @@ def main() -> None:
         # mass tracks true pair mass, not corpus^2
         ("containment_pairs (doc-in-doc)", docs, docs_k,
          lambda d: containment_pairs(d, threshold=0.8)),
+        # CUSUM: bucket agg + two ordered windows per key — keyed shuffles only
+        ("cusum_drift (running-sum minus running-min)", ev, ev_k,
+         lambda d: cusum_drift(
+             d, "event_type", "ts", "value", 86_400_000_000, 20_000_000)),
     ]
 
     lines = [

@@ -153,3 +153,43 @@ def test_mixture_temperature_flattens_toward_uniform(spark):
     assert 8.5 < w_big / w_small < 9.5
     assert w_big + w_small <= 1_000_000  # floor slack only
     assert 1_000_000 - (w_big + w_small) <= 2
+
+
+def test_kfold_assign_stable_and_in_range(spark):
+    from observation_lakehouse_spark.functions.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: r.fold for r in kfold_assign(df, "doc_id", 5).collect()}
+    b = {
+        r.doc_id: r.fold
+        for r in kfold_assign(df.repartition(7), "doc_id", 5).collect()
+    }
+    assert a == b  # repartition-proof
+    assert set(a.values()) <= set(range(5))
+    # roughly balanced (hash-uniform): every fold populated
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert len(c) == 5 and min(c.values()) >= 20
+
+
+def test_kfold_assign_cluster_mode_keeps_clusters_together(spark):
+    from observation_lakehouse_spark.functions.sampling import kfold_assign
+
+    rows = [(i, f"c{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id string")
+    got = kfold_assign(df, "doc_id", 4, cluster_col="cluster_id").collect()
+    folds_per_cluster = {}
+    for r in got:
+        folds_per_cluster.setdefault(r.cluster_id, set()).add(r.fold)
+    assert all(len(v) == 1 for v in folds_per_cluster.values())
+
+
+def test_kfold_assign_rejects_k_below_2(spark):
+    import pytest
+
+    from observation_lakehouse_spark.functions.sampling import kfold_assign
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        kfold_assign(df, "doc_id", 1)

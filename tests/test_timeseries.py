@@ -230,3 +230,42 @@ def test_seasonal_decompose_rejects_even_period(spark):
     df = spark.createDataFrame([("k", 0, 1.0)], "k string, ts long, v double")
     with pytest.raises(ValueError):
         seasonal_decompose(df, "k", "ts", "v", 1000, period=4)
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    from observation_lakehouse_spark.operators.timeseries import cusum_drift
+
+    # level 10 for 10 buckets, then a shift to 20: CUSUM must stay near 0
+    # before the shift and accumulate past it; a z-score-style global view
+    # would dilute a late small shift — CUSUM's point
+    rows = [("k", b * 1000, 10.0) for b in range(10)] + [
+        ("k", b * 1000, 20.0) for b in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {
+        r.bucket_us // 1000: (r.cusum_micro, r.drifted)
+        for r in cusum_drift(df, "k", "ts", "v", 1000, 8_000_000).collect()
+    }
+    # ref = mean of means = 15; pre-shift dev = -5e6/bucket -> cusum pinned 0
+    assert all(out[b][0] == 0 for b in range(10))
+    # post-shift dev = +5e6/bucket -> cusum ramps 5e6, 10e6, ...
+    assert out[10][0] == 5_000_000 and out[11][0] == 10_000_000
+    assert not out[10][1] and out[11][1]  # crosses the 8e6 threshold at b=11
+    assert out[19][0] == 50_000_000 and out[19][1]
+
+
+def test_cusum_initial_positive_run_measures_from_zero(spark):
+    from observation_lakehouse_spark.operators.timeseries import cusum_drift
+
+    # first deviations are positive: the virtual s_0 = 0 floor must apply
+    # (min over (0, cum...)), not the first cum value
+    rows = [("k", 0, 30.0), ("k", 1000, 30.0), ("k", 2000, 0.0), ("k", 3000, 0.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {
+        r.bucket_us // 1000: r.cusum_micro
+        for r in cusum_drift(df, "k", "ts", "v", 1000, 10**12).collect()
+    }
+    # ref = 15; devs: +15, +15, -15, -15 (micro x1e6)
+    assert out[0] == 15_000_000  # NOT 0 — measured from the s_0=0 floor
+    assert out[1] == 30_000_000
+    assert out[3] == 0
