@@ -126,17 +126,29 @@ class ProblemResultMV:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
-    def pin(self) -> None:
+    def pin(self, n_batches: int = 1) -> None:
         """Pin the result table in executor memory — the hot-serving
         configuration: lookups become InMemoryTableScan over cached columnar
-        batches with per-batch min/max pruning on the partition columns, no
-        file open or parquet decode on the lookup path. Refreshes unpin
-        (``_write`` invalidates), so a pinned serve never returns stale
-        rows; call ``pin()`` again after a refresh to re-warm. At scale this
-        is the standard serving tier for the HOT problem set — the cold
-        path below (partition-directory read) remains the general case."""
+        batches, no file open or parquet decode on the lookup path.
+
+        The table is COALESCED to ``n_batches`` cache partitions first: a
+        raw read carries one RDD partition per table partition, and a
+        pinned lookup then launches that many near-empty tasks per query —
+        fine on an idle box, but each task is a scheduler round trip, so
+        under load the task fan-out DOMINATES (measured: pinned lookups
+        slower than the cold single-file read on a busy host). One batch =
+        one task scanning a few thousand columnar rows — microseconds —
+        and the task count is independent of how many problems the table
+        holds. Size ``n_batches`` so each batch stays a few MB when the
+        result table is large (per-batch min/max pruning re-engages across
+        batches).
+
+        Refreshes unpin (``_write`` invalidates), so a pinned serve never
+        returns stale rows; call ``pin()`` again after a refresh to
+        re-warm. The cold path (partition-directory read) remains the
+        general case."""
         self.unpin()
-        self._pinned = self.read().persist()
+        self._pinned = self.read().coalesce(max(1, int(n_batches))).persist()
         self._pinned.count()  # materialize now, not on the first lookup
 
     def unpin(self) -> None:
