@@ -6252,6 +6252,37 @@ ORDER BY 1, 2
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (operators/behavior.py:rfm_segments): per-user
+    recency/frequency/monetary quintile scores and the concatenated segment
+    code. NTILE over TOTAL (metric, user) orders — tie splits at tile
+    boundaries are deterministic and engine-identical; monetary is an exact
+    integer-micro sum."""
+    from observation_lakehouse_spark.operators.behavior import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev, "user_id", "ts", "value", n_tiles=5)
+
+
+_ORACLE_RFM = """
+WITH u AS (
+    SELECT user_id AS _u, MAX(epoch_us(ts)) AS recency_ts,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS monetary_micro
+    FROM events GROUP BY 1
+)
+SELECT _u AS user_id, recency_ts, frequency, monetary_micro,
+       CAST(NTILE(5) OVER (ORDER BY recency_ts, _u) AS INTEGER) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, _u) AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_micro, _u) AS INTEGER) AS m_score,
+       CAST(NTILE(5) OVER (ORDER BY recency_ts, _u) AS VARCHAR)
+       || CAST(NTILE(5) OVER (ORDER BY frequency, _u) AS VARCHAR)
+       || CAST(NTILE(5) OVER (ORDER BY monetary_micro, _u) AS VARCHAR) AS segment
+FROM u ORDER BY user_id
+"""
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection (operators/timeseries.py:cusum_drift;
     Page 1954) per event_type over daily bucket means: the recursion
@@ -6643,6 +6674,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "kfold": q_kfold,
         "cusum_drift": q_cusum_drift,
+        "rfm_segments": q_rfm_segments,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6780,6 +6812,7 @@ def oracle_sql() -> dict[str, str]:
         "containment": _ORACLE_CONTAINMENT,
         "kfold": _ORACLE_KFOLD,
         "cusum_drift": _ORACLE_CUSUM,
+        "rfm_segments": _ORACLE_RFM,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

@@ -158,6 +158,7 @@ HEADLINE = [
     "containment",
     "kfold",
     "cusum_drift",
+    "rfm_segments",
 ]
 
 

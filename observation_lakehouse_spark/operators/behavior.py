@@ -15,7 +15,7 @@ back to long can land one bucket off at exact boundaries).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 US_PER_DAY = 86_400_000_000
@@ -347,4 +347,69 @@ def mad_anomalies(
             F.col("mad_x4").alias("mad_x4_micro"),
         )
         .orderBy(key_col, id_col)
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes' recency/frequency/monetary scoring — the
+    classic behavioral-cohort operator): per user, recency = max event ts,
+    frequency = event count, monetary = exact DECIMAL value sum; each
+    dimension scored 1..``n_tiles`` by NTILE over a TOTAL order (metric,
+    then user id — ties would otherwise split nondeterministically across
+    tile boundaries and differ between engines), and the three digits
+    concatenated into the familiar segment code ("555" = best).
+
+    Scale shape: one user-keyed hash aggregate (corpus → one row per
+    user) FIRST, so a 100 TB event log reduces to its user cardinality
+    before any window runs. The NTILE passes are global (unpartitioned)
+    windows over that user table — fine to tens of millions of users in
+    one task's sort; past that, swap each for the distributed-rank form
+    (range-partition on the metric + per-partition row_number + one
+    partial-count offset pass — the :mod:`functions.prefix` machinery
+    ``pack_sequences`` uses) and map ``tile = (rank−1)·n div N + 1``,
+    which reproduces NTILE's first-buckets-larger sizing exactly. Output:
+    (user, recency_ts, frequency, monetary_micro, r_score, f_score,
+    m_score, segment), total user order.
+    """
+    per_user = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).cast("long").alias("_t"),
+            (F.col(value_col).cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("_vm"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.max("_t").alias("recency_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("_vm").alias("monetary_micro"),
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_ts"), F.asc("_u"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("_u"))
+    w_m = Window.orderBy(F.asc("monetary_micro"), F.asc("_u"))
+    return (
+        per_user.withColumn("r_score", F.ntile(n_tiles).over(w_r))
+        .withColumn("f_score", F.ntile(n_tiles).over(w_f))
+        .withColumn("m_score", F.ntile(n_tiles).over(w_m))
+        .select(
+            F.col("_u").alias(user_col),
+            "recency_ts",
+            "frequency",
+            "monetary_micro",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+        )
+        .orderBy(user_col)
     )

@@ -232,6 +232,7 @@ def main() -> None:
         frequent_paths,
         last_touch_attribution,
         mad_anomalies,
+        rfm_segments,
     )
     from observation_lakehouse_spark.operators.similarity import knn_graph
     from observation_lakehouse_spark.operators.graph import (
@@ -419,6 +420,9 @@ def main() -> None:
         ("cusum_drift (running-sum minus running-min)", ev, ev_k,
          lambda d: cusum_drift(
              d, "event_type", "ts", "value", 86_400_000_000, 20_000_000)),
+        # RFM: corpus reduces to the user table before the NTILE windows run
+        ("rfm_segments (user quintiles)", ev, ev_k,
+         lambda d: rfm_segments(d, "user_id", "ts", "value")),
     ]
 
     lines = [

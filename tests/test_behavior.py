@@ -213,3 +213,19 @@ def test_mad_anomalies_constant_series_flags_any_deviation(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     got = mad_anomalies(df, "event_type", "value", "event_id").collect()
     assert [r.event_id for r in got] == [50]
+
+
+def test_rfm_segments_scores_and_ties(spark):
+    from observation_lakehouse_spark.operators.behavior import rfm_segments
+
+    # 5 users, clearly ordered metrics; user 5 is best on all three
+    rows = []
+    for u in range(1, 6):
+        for k in range(u):  # frequency = u
+            rows.append((u, 1000 * u + k, float(10 * u)))
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = {r.user_id: r for r in rfm_segments(df, "user_id", "ts", "value", n_tiles=5).collect()}
+    assert got[5].segment == "555" and got[1].segment == "111"
+    assert got[3].frequency == 3 and got[3].monetary_micro == 3 * 30_000_000
+    # ntile over 5 rows with 5 tiles: strictly ordered metrics -> scores 1..5
+    assert [got[u].m_score for u in range(1, 6)] == [1, 2, 3, 4, 5]
