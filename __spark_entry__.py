@@ -6496,6 +6496,50 @@ FROM pb ORDER BY bin
 """
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/evaluation.py:roc_auc; Mann-Whitney U with
+    2x-precision integer midranks) of the value-derived click predictor —
+    the ranking-quality scalar beside `calibration`'s probability-honesty
+    report. The corpus collapses to its distinct-score table before the
+    one rank window runs."""
+    from observation_lakehouse_spark.operators.evaluation import roc_auc
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("value") / F.lit(500.0)).alias("p"),
+        (F.col("event_type") == "click").cast("int").alias("y"),
+    )
+    return roc_auc(scored, "p", "y")
+
+
+_ORACLE_ROC_AUC = """
+WITH s AS (
+    SELECT CAST(CAST(CAST(value AS DOUBLE) / 500.0 AS DECIMAL(18,6)) * 1000000
+                AS BIGINT) AS _s,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS _y
+    FROM events
+), per AS (
+    SELECT _s, COUNT(*) AS _n, SUM(_y) AS _np FROM s GROUP BY 1
+), r AS (
+    SELECT _s, _n, _np,
+           2 * (SUM(_n) OVER (ORDER BY _s ROWS UNBOUNDED PRECEDING) - _n + 1)
+               + (_n - 1) AS _mr2
+    FROM per
+), a AS (
+    SELECT CAST(SUM(_np) AS BIGINT) AS n_pos,
+           CAST(SUM(_n - _np) AS BIGINT) AS n_neg,
+           SUM(_np * _mr2) AS _sum_mr2
+    FROM r
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(((_sum_mr2 - n_pos * (n_pos + 1)) * 1000000)
+                      // (2 * n_pos * n_neg) AS BIGINT)
+       END AS auc_ppm
+FROM a
+"""
+
+
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chance-corrected agreement (operators/evaluation.py:cohens_kappa;
     Cohen 1960) between the language-ID heuristic and the labeled lang
@@ -6675,6 +6719,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "cusum_drift": q_cusum_drift,
         "rfm_segments": q_rfm_segments,
+        "roc_auc": q_roc_auc,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6813,6 +6858,7 @@ def oracle_sql() -> dict[str, str]:
         "kfold": _ORACLE_KFOLD,
         "cusum_drift": _ORACLE_CUSUM,
         "rfm_segments": _ORACLE_RFM,
+        "roc_auc": _ORACLE_ROC_AUC,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

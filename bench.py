@@ -159,6 +159,7 @@ HEADLINE = [
     "kfold",
     "cusum_drift",
     "rfm_segments",
+    "roc_auc",
 ]
 
 

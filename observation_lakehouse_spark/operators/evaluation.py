@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["calibration_report", "cohens_kappa"]
+__all__ = ["calibration_report", "cohens_kappa", "roc_auc"]
 
 PPM = 1_000_000
 
@@ -133,4 +133,63 @@ def cohens_kappa(
                 F.expr(f"((po_ppm - pe_ppm) * {PPM}) div ({PPM} - pe_ppm)"),
             ).alias("kappa_ppm"),
         )
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney U identity (Hanley & McNeil 1982:
+    AUC = P(score⁺ > score⁻) + ½·P(tie)) — the ranking-quality scalar for
+    the scorers that gate documents, completing the evaluation suite
+    (calibration answers "are the probabilities honest?", kappa "do two
+    labelers agree?", AUC "does the score rank positives above
+    negatives?").
+
+    Ties are handled exactly with midranks carried at 2× precision so the
+    whole computation is integer: scores collapse to exact micro-units;
+    per distinct score, ``2·midrank = 2·(rank_before + 1) + (n_tied − 1)``
+    (an integer even when the midrank is x.5); then
+    ``2U = Σ_{positives} 2·midrank − n⁺(n⁺+1)`` and
+    ``auc_ppm = (2U·1e6) div (2·n⁺·n⁻)`` — order-independent, replayable
+    bit-for-bit in SQL. Degenerate single-class inputs return NULL.
+
+    Scale shape: one (score, label) hash aggregate collapses the corpus to
+    its distinct-score table, one ordered window over THAT (distinct
+    scores, not rows) assigns midranks, one final aggregate. Output: one
+    row (n_pos, n_neg, auc_ppm).
+    """
+    s_micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast("long")
+    per_score = (
+        df.select(s_micro.alias("_s"), F.col(label_col).cast("long").alias("_y"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_np"))
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_score.select(
+        "_s",
+        "_n",
+        "_np",
+        # 2*midrank of this score group: 2*(rows strictly below + 1) + (n-1)
+        (2 * (F.sum("_n").over(w) - F.col("_n") + 1) + (F.col("_n") - 1)).alias(
+            "_mr2"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum(F.col("_n") - F.col("_np")).alias("n_neg"),
+        F.sum(F.col("_np") * F.col("_mr2")).alias("_sum_mr2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                f"((_sum_mr2 - n_pos * (n_pos + 1)) * {PPM})"
+                " div (2 * n_pos * n_neg)"
+            ),
+        ).alias("auc_ppm"),
     )

@@ -247,7 +247,10 @@ def main() -> None:
         pack_sequences,
         unigram_xent,
     )
-    from observation_lakehouse_spark.operators.evaluation import calibration_report
+    from observation_lakehouse_spark.operators.evaluation import (
+        calibration_report,
+        roc_auc,
+    )
     from observation_lakehouse_spark.operators.timeseries import (
         cusum_drift,
         m4_downsample,
@@ -423,6 +426,12 @@ def main() -> None:
         # RFM: corpus reduces to the user table before the NTILE windows run
         ("rfm_segments (user quintiles)", ev, ev_k,
          lambda d: rfm_segments(d, "user_id", "ts", "value")),
+        # AUC: corpus collapses to its distinct-score table before the rank
+        ("roc_auc (integer midranks)", ev, ev_k,
+         lambda d: roc_auc(
+             d.select((F.col("value") / F.lit(500.0)).alias("p"),
+                      (F.col("event_type") == "click").cast("int").alias("y")),
+             "p", "y")),
     ]
 
     lines = [

@@ -215,3 +215,34 @@ def test_cohens_kappa_degenerate_constant_raters(spark):
     df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r.pe_ppm == 1_000_000 and r.kappa_ppm is None
+
+
+def test_roc_auc_known_values(spark):
+    from observation_lakehouse_spark.operators.evaluation import roc_auc
+
+    # perfect separation -> AUC 1.0; ties at the boundary -> 0.5 credit
+    perfect = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "p double, y int"
+    )
+    assert roc_auc(perfect, "p", "y").collect()[0].auc_ppm == 1_000_000
+
+    # one inversion in 2x2: pairs = 4, concordant 3, discordant 1 -> 0.75
+    one_inv = spark.createDataFrame(
+        [(0.1, 0), (0.8, 0), (0.5, 1), (0.9, 1)], "p double, y int"
+    )
+    assert one_inv.count() == 4
+    assert roc_auc(one_inv, "p", "y").collect()[0].auc_ppm == 750_000
+
+    # all scores tied -> every +/- pair is a tie -> exactly 0.5
+    tied = spark.createDataFrame(
+        [(0.5, 0), (0.5, 0), (0.5, 1)], "p double, y int"
+    )
+    assert roc_auc(tied, "p", "y").collect()[0].auc_ppm == 500_000
+
+
+def test_roc_auc_single_class_is_null(spark):
+    from observation_lakehouse_spark.operators.evaluation import roc_auc
+
+    df = spark.createDataFrame([(0.5, 1), (0.7, 1)], "p double, y int")
+    r = roc_auc(df, "p", "y").collect()[0]
+    assert r.auc_ppm is None and r.n_neg == 0
