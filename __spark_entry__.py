@@ -6457,6 +6457,71 @@ FROM d3 ORDER BY distance, node
 """
 
 
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round weighted shortest paths (operators/graph.py:bfs_distances
+    with weight — textbook Bellman-Ford relaxation, 3 rounds) over the
+    customer-supplier graph with integer edge cost = lineitem count per leg:
+    min total cost of any <= 3-edge path from every 50th customer. Same
+    frontier join + MIN aggregate as BFS, +w instead of +1; unrolled-CTE
+    oracle, exact integers."""
+    from observation_lakehouse_spark.operators.graph import bfs_distances
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = customer.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    return bfs_distances(edges, seeds, n_rounds=3, weight="w")
+
+
+_ORACLE_BELLMAN_FORD = """
+WITH d AS (
+    SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 4 = 0
+    GROUP BY 1, 2
+), e AS (
+    SELECT src, dst, MIN(w) AS w FROM (
+        SELECT src, dst, w FROM d UNION ALL SELECT dst, src, w FROM d
+    ) GROUP BY 1, 2
+), d0 AS (
+    SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS distance
+    FROM customer WHERE c_custkey % 50 = 0
+), d1 AS (
+    SELECT node, MIN(distance) AS distance FROM (
+        SELECT node, distance FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d0.distance + e.w FROM d0 JOIN e ON e.src = d0.node
+    ) GROUP BY node
+), d2 AS (
+    SELECT node, MIN(distance) AS distance FROM (
+        SELECT node, distance FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d1.distance + e.w FROM d1 JOIN e ON e.src = d1.node
+    ) GROUP BY node
+), d3 AS (
+    SELECT node, MIN(distance) AS distance FROM (
+        SELECT node, distance FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d2.distance + e.w FROM d2 JOIN e ON e.src = d2.node
+    ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(distance AS BIGINT) AS distance
+FROM d3 ORDER BY distance, node
+"""
+
+
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram + ECE decomposition (operators/evaluation.py:
     calibration_report; Naeini et al. AAAI'15) for a value-derived click
@@ -6720,6 +6785,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "rfm_segments": q_rfm_segments,
         "roc_auc": q_roc_auc,
+        "bellman_ford": q_bellman_ford,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6859,6 +6925,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": _ORACLE_CUSUM,
         "rfm_segments": _ORACLE_RFM,
         "roc_auc": _ORACLE_ROC_AUC,
+        "bellman_ford": _ORACLE_BELLMAN_FORD,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

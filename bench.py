@@ -160,6 +160,7 @@ HEADLINE = [
     "cusum_drift",
     "rfm_segments",
     "roc_auc",
+    "bellman_ford",
 ]
 
 

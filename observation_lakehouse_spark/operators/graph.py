@@ -707,12 +707,23 @@ def bfs_distances(
     dst: str = "dst",
     seed_col: str = "node",
     n_rounds: int = 3,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-round multi-source BFS over the undirected graph: hop distance
     from the nearest seed, for every node within ``n_rounds`` hops — the
     frontier-expansion kernel under "how far is every customer from a
     flagged account" reachability/propagation questions (the Pregel
     hello-world, expressed as per-round join + MIN hash aggregates).
+
+    ``weight`` generalizes it to fixed-round BELLMAN-FORD: per round,
+    ``dist' = min(dist, min over in-edges (dist_u + w(u,v)))`` with
+    integer weights (cast to long; parallel edges collapse to their MIN
+    weight up front). ``n_rounds`` bounds the number of EDGES on any
+    returned path — after r rounds every node's value is exactly the
+    cheapest ≤ r-edge path from a seed, a well-defined partial that the
+    next maintenance run tightens (negative weights are not rejected, but
+    with them the fixed-round value is just that partial, as in textbook
+    Bellman-Ford before round |V|−1).
 
     FIXED rounds, not converge-tested — the determinism rationale of
     :func:`label_propagation`: an unrolled-CTE oracle replays exactly
@@ -728,12 +739,18 @@ def bfs_distances(
     action of their own). Output: (node, distance), distance in [0,
     n_rounds], total (distance, node) order.
     """
-    directed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    directed = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
+    )
     e0 = (
         directed.unionByName(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
         )
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
         .persist()
     )
     n_edges = e0.count()
@@ -754,7 +771,10 @@ def bfs_distances(
             reached = (
                 dist.hint("shuffle_hash")
                 .join(e, dist["node"] == e["src"])
-                .select(F.col("dst").alias("node"), (F.col("distance") + 1).alias("distance"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("distance") + F.col("w")).alias("distance"),
+                )
             )
             dist = (
                 dist.unionByName(reached)

@@ -247,3 +247,28 @@ def test_bfs_distances_multi_source_min(spark):
     got = {r.node: r.distance for r in bfs_distances(edges, seeds, n_rounds=3).collect()}
     assert got[3] == 1  # via 5, not 2 via 1
     assert got[2] == 1 and got[1] == 0 and got[5] == 0
+
+
+def test_bellman_ford_weighted_min_cost(spark):
+    from observation_lakehouse_spark.operators.graph import bfs_distances
+
+    # 1->3 direct cost 10 vs 1->2->3 cost 2+3=5: weighted min must pick the
+    # 2-edge path; unweighted BFS would say distance 1
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.distance
+        for r in bfs_distances(edges, seeds, n_rounds=3, weight="w").collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 5}
+    # parallel edges collapse to their MIN weight
+    edges2 = spark.createDataFrame(
+        [(1, 2, 9), (1, 2, 4)], "src long, dst long, w long"
+    )
+    got2 = {
+        r.node: r.distance
+        for r in bfs_distances(edges2, seeds, n_rounds=1, weight="w").collect()
+    }
+    assert got2[2] == 4
