@@ -6457,6 +6457,50 @@ FROM d3 ORDER BY distance, node
 """
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality pre-flight (operators/joins.py:
+    join_cardinality): the lineitem ⋈ orders blowup computed WITHOUT
+    running the join — per-side key-count tables (dimension-sized) joined
+    and summed, Σ c_l·c_r plus the max single-key output (the skew red
+    flag). The planning measurement behind the salt-vs-plain decision,
+    extended to the pair; all exact integers."""
+    from observation_lakehouse_spark.operators.joins import join_cardinality
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return join_cardinality(li, orders, "l_orderkey", "o_orderkey")
+
+
+_ORACLE_JOIN_CARDINALITY = """
+WITH lc AS (
+    SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1
+), rc AS (
+    SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1
+), ls AS (
+    SELECT CAST(SUM(CASE WHEN k IS NOT NULL THEN cl ELSE 0 END) AS BIGINT) AS n_left,
+           CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT) AS left_keys,
+           CAST(SUM(CASE WHEN k IS NULL THEN cl ELSE 0 END) AS BIGINT) AS left_null_keys
+    FROM lc
+), rs AS (
+    SELECT CAST(SUM(CASE WHEN k IS NOT NULL THEN cr ELSE 0 END) AS BIGINT) AS n_right,
+           CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT) AS right_keys,
+           CAST(SUM(CASE WHEN k IS NULL THEN cr ELSE 0 END) AS BIGINT) AS right_null_keys
+    FROM rc
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS matching_keys,
+           CAST(SUM(lc.cl * rc.cr) AS BIGINT) AS join_rows,
+           CAST(MAX(lc.cl * rc.cr) AS BIGINT) AS max_key_rows
+    FROM lc JOIN rc ON lc.k = rc.k WHERE lc.k IS NOT NULL
+)
+SELECT n_left, n_right, left_keys, right_keys,
+       COALESCE(matching_keys, 0) AS matching_keys,
+       COALESCE(join_rows, 0) AS join_rows,
+       COALESCE(max_key_rows, 0) AS max_key_rows,
+       left_null_keys, right_null_keys
+FROM ls, rs, m
+"""
+
+
 def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round weighted shortest paths (operators/graph.py:bfs_distances
     with weight — textbook Bellman-Ford relaxation, 3 rounds) over the
@@ -6786,6 +6830,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "roc_auc": q_roc_auc,
         "bellman_ford": q_bellman_ford,
+        "join_cardinality": q_join_cardinality,
         "doc_fingerprints": q_doc_fingerprints,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6926,6 +6971,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _ORACLE_RFM,
         "roc_auc": _ORACLE_ROC_AUC,
         "bellman_ford": _ORACLE_BELLMAN_FORD,
+        "join_cardinality": _ORACLE_JOIN_CARDINALITY,
         "srm_output_map": _ORACLE_SRM_MAP,
         "ann_lsh_topk": _lsh_oracle(),
         "ann_ivf_topk": _ivf_oracle(),

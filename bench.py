@@ -161,6 +161,7 @@ HEADLINE = [
     "rfm_segments",
     "roc_auc",
     "bellman_ford",
+    "join_cardinality",
 ]
 
 

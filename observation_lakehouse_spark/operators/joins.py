@@ -288,3 +288,77 @@ def bloom_prefilter_join(
     out = survivors.join(small, survivors[big_key] == small[small_key])
     out._cached_deps = (bloom,)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact pre-flight cardinality of an inner equi-join WITHOUT running
+    it: ``join_rows = Σ_k c_left(k) · c_right(k)`` over the matching keys —
+    the number every planner estimates and every 100 TB operator should
+    CHECK before a fact-fact join (a hot key turns a "join" into a
+    cartesian product; this is the measurement behind the
+    salt-vs-plain decision :mod:`functions.skew` makes from one side's
+    profile, extended to the pair).
+
+    Cost: one count aggregate per side (map-side combined, the exchange
+    carries distinct keys), one equi-join of the two KEY-COUNT tables
+    (each one row per distinct key — dimension-sized, not fact-sized), one
+    final aggregate. NULL keys never match in an equi-join and are
+    excluded from both count tables (reported separately).
+
+    Output: one row (n_left, n_right, left_keys, right_keys,
+    matching_keys, join_rows, max_key_rows — the largest single key's
+    output, the skew red flag — plus left_null_keys / right_null_keys).
+    """
+    lc = (
+        left.select(F.col(left_key).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cl"))
+    )
+    rc = (
+        right.select(F.col(right_key).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    lstats = lc.agg(
+        F.sum(F.when(F.col("k").isNotNull(), F.col("cl")).otherwise(0)).alias("n_left"),
+        F.count(F.when(F.col("k").isNotNull(), F.lit(1))).alias("left_keys"),
+        F.sum(F.when(F.col("k").isNull(), F.col("cl")).otherwise(0)).alias(
+            "left_null_keys"
+        ),
+    )
+    rstats = rc.agg(
+        F.sum(F.when(F.col("k").isNotNull(), F.col("cr")).otherwise(0)).alias("n_right"),
+        F.count(F.when(F.col("k").isNotNull(), F.lit(1))).alias("right_keys"),
+        F.sum(F.when(F.col("k").isNull(), F.col("cr")).otherwise(0)).alias(
+            "right_null_keys"
+        ),
+    )
+    matched = (
+        lc.filter(F.col("k").isNotNull())
+        .join(rc, "k")
+        .agg(
+            F.count(F.lit(1)).alias("matching_keys"),
+            F.sum(F.col("cl") * F.col("cr")).alias("join_rows"),
+            F.max(F.col("cl") * F.col("cr")).alias("max_key_rows"),
+        )
+    )
+    return (
+        lstats.crossJoin(rstats)
+        .crossJoin(matched)
+        .select(
+            "n_left",
+            "n_right",
+            "left_keys",
+            "right_keys",
+            F.coalesce("matching_keys", F.lit(0)).alias("matching_keys"),
+            F.coalesce("join_rows", F.lit(0)).alias("join_rows"),
+            F.coalesce("max_key_rows", F.lit(0)).alias("max_key_rows"),
+            "left_null_keys",
+            "right_null_keys",
+        )
+    )

@@ -103,3 +103,31 @@ def test_range_join_rejects_outer(spark):
     intervals = spark.createDataFrame([(1, 0, 10)], "iid int, s long, e long")
     with pytest.raises(ValueError, match="inner"):
         range_join(points, intervals, "t", "s", "e", bucket_width=10, how="left")
+
+
+def test_join_cardinality_exact_with_skew_and_nulls(spark):
+    from observation_lakehouse_spark.operators.joins import join_cardinality
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (None,), (None,)], "k long"
+    )
+    r = join_cardinality(left, right, "k", "k").collect()[0]
+    # key 1: 3x2=6 join rows; key 2 and 3 unmatched; NULLs never match
+    assert (r.n_left, r.n_right) == (4, 3)
+    assert (r.left_keys, r.right_keys, r.matching_keys) == (2, 2, 1)
+    assert r.join_rows == 6 and r.max_key_rows == 6
+    assert (r.left_null_keys, r.right_null_keys) == (1, 2)
+    # ground truth: the actual inner join produces join_rows rows
+    assert left.join(right, "k").count() == r.join_rows
+
+
+def test_join_cardinality_no_matches(spark):
+    from observation_lakehouse_spark.operators.joins import join_cardinality
+
+    left = spark.createDataFrame([(1,)], "k long")
+    right = spark.createDataFrame([(2,)], "k long")
+    r = join_cardinality(left, right, "k", "k").collect()[0]
+    assert r.join_rows == 0 and r.matching_keys == 0 and r.max_key_rows == 0
