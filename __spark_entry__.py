@@ -6351,7 +6351,7 @@ def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_KFOLD = """
-SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+SELECT ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 15))::BIGINT % 5 AS fold,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY 1 ORDER BY fold

@@ -465,6 +465,49 @@ def main() -> None:
     queries_adj = {
         n: round(v / load_ratio, 4) for n, v in {**timings, **heavy_timings}.items()
     }
+    # Compact summary line (r7 judge #2): the driver wrapper captures only a
+    # 2000-char window of bench output and tries to parse it, so the full
+    # per-query line (>4 KB with 140+ queries) never parses (BENCH_rN.json
+    # "parsed": null every round). Emit a <1 KB summary — totals, load
+    # canary, every recall/accuracy metric, ingest — BEFORE the full line
+    # (first-line parsers) AND repeat it AFTER (last-line / tail-window
+    # parsers). The full per-query line stays in the middle, unchanged, for
+    # judge/builder reruns.
+    adj_sorted = sorted(queries_adj.values())
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_heavy": len(heavy_timings),
+        "heavy_total_sec": round(sum(heavy_timings.values()), 4),
+        "trivial_job_p50_ms": round(canary_ms, 2),
+        "load_ratio": load_ratio,
+        "queries_adj_median": round(
+            adj_sorted[len(adj_sorted) // 2], 4
+        ) if adj_sorted else 0.0,
+        "queries_adj_total": round(sum(adj_sorted), 4),
+        "ann_lsh_recall_at_10": round(lsh_recall, 4),
+        "ann_rp_recall_at_10": round(rp_recall, 4),
+        "ann_ivf_recall_at_10": round(ivf_recall, 4),
+        "ann_ivf_trained_clustered_recall_at_10_nprobe1": round(
+            ivf_trained_clustered_recall, 4
+        ),
+        "ann_pq_recall_at_10": round(pq_recall, 4),
+        "knn_graph_recall_at_5": round(knn_recall, 4),
+        "minhash_lsh_pair_recall": round(minhash_pair_recall, 4),
+        "hll_count_distinct_rel_err": round(hll_rel_err, 4),
+        "profile_kmv_distinct_rel_err": round(kmv_rel_err, 4),
+        "approx_p50_rel_err": round(p50_rel_err, 6),
+        "startup_sec": round(startup, 2),
+        "ingest_records_per_sec": int(n_records / ingest_sec),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "summary_line": True,
+    }
+    compact_line = json.dumps(compact)
+    assert len(compact_line) < 1500, f"compact bench line too long: {len(compact_line)}"
+    print(compact_line, flush=True)
     print(
         json.dumps(
             {
@@ -535,8 +578,12 @@ def main() -> None:
                 "ingest_records_per_sec": int(n_records / ingest_sec),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
-        )
+        ),
+        flush=True,
     )
+    # Repeat the compact line LAST so a tail-window capture ends on a
+    # complete parseable JSON line (see comment above the first emission).
+    print(compact_line, flush=True)
     spark.stop()
 
 

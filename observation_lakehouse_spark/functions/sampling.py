@@ -159,10 +159,19 @@ def kfold_assign(
 
     Scan-level projection, zero shuffles. Returns the input columns plus
     ``fold`` in [0, k).
+
+    NULL contract: a NULL key (or NULL cluster id — e.g. a row that never
+    entered the near-dup graph) hashes the empty string, so those rows land
+    deterministically in ONE fold rather than silently belonging to no fold
+    (md5(NULL) is NULL and would propagate — r7 advice). All-NULL-keyed
+    rows therefore share a fold, which is the conservative leakage-safe
+    choice: rows of unknown cluster can never straddle a boundary.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    basis = F.col(cluster_col if cluster_col else key_col).cast("string")
+    basis = F.coalesce(
+        F.col(cluster_col if cluster_col else key_col).cast("string"), F.lit("")
+    )
     return df.withColumn(
         "fold", F.pmod(tok_hash60(basis), F.lit(int(k)).cast("long"))
     )

@@ -68,6 +68,21 @@ def _with_cached_deps(df: DataFrame, *deps: DataFrame) -> DataFrame:
     return df
 
 
+def _ceil_ratio(n: Column, t_num: int, t_den: int) -> Column:
+    """Exact ``ceil(t_num/t_den * n)`` for a non-negative integer column.
+
+    The prefix-filter thresholds must be the exact rational ceiling:
+    ``F.ceil(F.lit(t) * n)`` computes it in floats, and double rounding can
+    OVERestimate at boundary ``(t, n)`` (e.g. 0.7*10 -> 7.000...001 -> 8),
+    shortening the prefix and silently breaking the documented 100%-recall
+    losslessness (r7 advice). Integer form: ``(t_num*n + t_den-1) div t_den``
+    — the division below is IEEE-exact for products < 2^53 (shingle counts
+    times micro-unit thresholds are ~1e12 at most)."""
+    return F.floor(
+        (F.lit(int(t_num)) * n + F.lit(int(t_den) - 1)) / F.lit(int(t_den))
+    ).cast("long")
+
+
 def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """The seeded universal-hash permutation family shared by the operator, the
     column variant (functions.text.minhash_signature) and the SQL oracle
@@ -577,6 +592,7 @@ def ngram_jaccard_pairs(
     # never shuffled for its frequencies. Every shingle outside the map ties
     # at df = 1 and orders by its hash.
     t = float(threshold)
+    t_micro = round(t * 1_000_000)  # exact rational form for prefix ceilings
     tok = docs.select(
         "doc_id", "blk", "n_sh", F.explode("hs").alias("shingle")
     )
@@ -598,7 +614,10 @@ def ngram_jaccard_pairs(
         tok.join(F.broadcast(hot), ["blk", "shingle"], "left")
         .withColumn("_df", F.coalesce("_df", F.lit(1)))
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1))
+        .filter(
+            F.col("_rk")
+            <= F.col("n_sh") - _ceil_ratio(F.col("n_sh"), t_micro, 1_000_000) + F.lit(1)
+        )
         .select("doc_id", "blk", "n_sh", "shingle", "_rk")
         .persist()
     )
@@ -611,7 +630,9 @@ def ngram_jaccard_pairs(
     # (t·n_y <= n_x), pruning size-mismatched pairs before they materialize.
     short = pref.filter(
         F.col("_rk")
-        <= F.col("n_sh") - F.ceil(F.lit(2 * t / (1 + t)) * F.col("n_sh")) + F.lit(1)
+        <= F.col("n_sh")
+        - _ceil_ratio(F.col("n_sh"), 2 * t_micro, 1_000_000 + t_micro)
+        + F.lit(1)
     )
     l, r = short.alias("l"), pref.alias("r")
     smaller_first = (F.col("l.n_sh") < F.col("r.n_sh")) | (
@@ -623,7 +644,9 @@ def ngram_jaccard_pairs(
     # so pairs whose remaining-overlap bound is below the required
     # ⌈t/(1+t)·(n_x+n_y)⌉ are pruned INSIDE the join condition — lossless,
     # and it cuts the candidate set the verification stage must intersect.
-    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("l.n_sh") + F.col("r.n_sh")))
+    alpha = _ceil_ratio(
+        F.col("l.n_sh") + F.col("r.n_sh"), t_micro, 1_000_000 + t_micro
+    )
     positional = (
         F.least(
             F.col("l.n_sh") - F.col("l._rk"), F.col("r.n_sh") - F.col("r._rk")
@@ -734,6 +757,7 @@ def containment_pairs(
     base = cached.filter(F.size("sh") > 0)
     docs = base.select("doc_id", F.col("sh").alias("hs"), F.size("sh").alias("n_sh"))
     t = float(threshold)
+    t_micro = round(t * 1_000_000)  # exact rational form for prefix ceilings
     tok = docs.select("doc_id", "n_sh", F.explode("hs").alias("shingle"))
     hot = (
         docs.select(F.explode("hs").alias("shingle"))
@@ -751,7 +775,8 @@ def containment_pairs(
     )
     # contained-side prefix: the |A| - ceil(t*|A|) + 1 rarest shingles
     pref = ranked.filter(
-        F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
+        F.col("_rk")
+        <= F.col("n_sh") - _ceil_ratio(F.col("n_sh"), t_micro, 1_000_000) + F.lit(1)
     ).select(F.col("doc_id").alias("id_contained"), "shingle")
     full = tok.select(F.col("doc_id").alias("id_container"), "shingle")
     cand = (

@@ -297,6 +297,12 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge frame: no nodes, no ranks (mirrors label_propagation's
+        # empty-graph early return — r7 advice: `scale // n` raised here).
+        out = edges.sparkSession.createDataFrame([], "node long, pr_pico long")
+        out._cached_deps = (e0, nodes)  # noqa: SLF001
+        return out
     base = (scale * (100 - damping_pct)) // (100 * n)
     # In-loop tuning, scoped and restored on exit (the connected_components
     # discipline): AQE off for the fixed-shape rounds, shuffle width from the
@@ -419,12 +425,17 @@ def label_propagation(
     # per-label vote mass is a subset of the full weighted degree.
     b = (
         e0.groupBy("dst")
-        .agg(F.sum("w").alias("wdeg"), F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.sum("w").alias("wdeg"),
+            F.count(F.lit(1)).alias("deg"),
+            F.min("w").alias("min_w"),
+        )
         .agg(
             F.max("wdeg").alias("max_wdeg"),
             F.max("dst").alias("max_node"),
             F.min("dst").alias("min_node"),
             F.sum("deg").alias("n_edges"),
+            F.min("min_w").alias("min_w"),
         )
         .collect()[0]
     )
@@ -438,6 +449,12 @@ def label_propagation(
     mask = (1 << label_bits) - 1
     packable = (
         b["min_node"] >= 0
+        # Non-negative weights are a condition of the bound, not just the
+        # pack: with mixed signs a per-label subset sum can EXCEED the full
+        # weighted degree (dropping negative terms raises the sum), so
+        # lw <= max_wdeg no longer holds and the 63-bit pack could overflow
+        # silently (r7 advice). Struct-max fallback handles signed weights.
+        and b["min_w"] >= 0
         and b["max_wdeg"] * (mask + 1) + mask <= (1 << 63) - 1
     )
 

@@ -186,19 +186,33 @@ class ProblemResultMV:
         from pathlib import Path as _P
 
         if not _P(part_dir).exists():
-            full = self.read()
-            return self.spark.createDataFrame([], full.schema)
+            # Missing directory (key never materialized — or the path check
+            # cannot see it: non-local filesystem, or an escape mismatch):
+            # fall back to the FILTER-pruned root scan, which is correct for
+            # all three cases — partition pruning still keeps it to one
+            # partition's files, just through the table-root file index
+            # (r7 advice: the old empty-frame return silently dropped rows
+            # for any of the latter two).
+            return self.read().where(
+                (F.col("data_set_id") == data_set_id)
+                & (F.col("problem_id") == problem_id)
+            )
         return self.spark.read.option("basePath", self.path).parquet(part_dir)
 
     @staticmethod
     def _esc(v: str) -> str:
         """Hive partition-directory escaping for the characters Spark's
-        writer escapes (ESCAPE_CHARS of ExternalCatalogUtils) — enough for
-        the id-shaped keys this layout serves."""
+        writer escapes — the full ESCAPE_CHARS set of
+        ExternalCatalogUtils/Hive FileUtils, INCLUDING the control range
+        0x00–0x1F (r7 advice: omitting those made serve() compute a
+        non-existent dir for ids containing one; the root-scan fallback
+        above now also covers any residual mismatch)."""
         out = []
         for ch in v:
             out.append(
-                f"%{ord(ch):02X}" if ch in '"#%\'*/:=?\\\x7f{[]^' else ch
+                f"%{ord(ch):02X}"
+                if (ord(ch) < 0x20 or ch in '"#%\'*/:=?\\\x7f{[]^')
+                else ch
             )
         return "".join(out)
 

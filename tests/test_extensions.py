@@ -480,3 +480,29 @@ def test_containment_mutual_for_identical_docs(spark):
     pairs = {(r.id_contained, r.id_container): r.containment for r in got.collect()}
     release_cached(got)
     assert pairs == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_prefix_ceiling_exact_at_float_boundary(spark):
+    """r7 advice regression: prefix length must use the exact rational
+    ceil(t*n). In IEEE doubles, 0.55*100 = 55.000000000000007 -> ceil 56,
+    which shortens doc A's prefix by one to 45 shingles — exactly its 45
+    unique (df=1, rarest-first) trigrams, none of which occur in B — so
+    this exactly-at-threshold pair was silently dropped despite the
+    documented lossless guarantee. Integer _ceil_ratio gives 55 -> prefix
+    46, whose last slot is a SHARED trigram, so the pair is found."""
+    from observation_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        release_cached,
+    )
+
+    # A: 102 words -> 100 trigrams. B quotes A's words 46..102 (57 words ->
+    # 55 of A's trigrams); A's first 45 trigrams never occur in B.
+    words = [f"a{i}" for i in range(1, 103)]
+    a = " ".join(words)
+    b = "x1 x2 " + " ".join(words[45:]) + " y1 y2"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = containment_pairs(df, threshold=0.55)
+    pairs = {(r.id_contained, r.id_container): r.containment for r in got.collect()}
+    release_cached(got)
+    assert pairs.get((1, 2)) == 0.55  # 55/100 exactly at threshold
+    assert pairs.get((2, 1)) == round(55 / 59, 6)  # B is also mostly inside A

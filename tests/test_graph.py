@@ -272,3 +272,39 @@ def test_bellman_ford_weighted_min_cost(spark):
         for r in bfs_distances(edges2, seeds, n_rounds=1, weight="w").collect()
     }
     assert got2[2] == 4
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """r7 advice: `scale // n` raised ZeroDivisionError on an empty edge
+    frame; mirror label_propagation's empty-graph early return."""
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df)
+    assert out.columns == ["node", "pr_pico"]
+    assert out.count() == 0
+
+
+def test_lpa_negative_weights_use_struct_fallback_exactly(spark):
+    """r7 advice: with mixed-sign weights a per-label vote subset sum can
+    EXCEED the max weighted degree (dropping negative addends raises the
+    sum), so the packed-argmax bound lw <= max_wdeg is invalid and the pack
+    could overflow. Constructed so the OLD gate would have packed (every
+    node's total in-weight <= 12) while one label's subset sum is 2^62 —
+    packing would overflow 63 bits (ANSI error or wrapped argmax). The
+    min_w >= 0 gate must route this to the struct-max path, whose result
+    equals the hand-simulated synchronous LPA below."""
+    from observation_lakehouse_spark.operators.graph import label_propagation
+
+    W = 1 << 62
+    df = spark.createDataFrame(
+        [(1, 3, W), (2, 3, -(W - 10)), (1, 4, -(W - 12))],
+        "src long, dst long, w long",
+    )
+    got = {
+        (r.community, r.n_members, r.min_node)
+        for r in label_propagation(df, weight="w").collect()
+    }
+    # 3 synchronous rounds by hand (labels oscillate on this bipartite-ish
+    # shape; fixed-round semantics): final labels {1:3, 2:3, 3:1, 4:1}.
+    assert got == {(3, 2, 1), (1, 2, 3)}

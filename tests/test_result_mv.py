@@ -169,3 +169,34 @@ def test_pinned_serve_matches_and_refresh_invalidates(
     assert getattr(mv, "_pinned", None) is None  # pin dropped on write
     for m in mv_setup.values():
         m.unpin()
+
+
+def test_serve_missing_key_and_escape_fallback(spark, observations, mv_setup):
+    """r7 advice: (a) ids containing writer-escaped characters — including
+    the 0x00-0x1F control range _esc previously omitted — must still serve
+    their rows; (b) a genuinely absent problem returns empty (the
+    filter-pruned root-scan fallback, not a phantom)."""
+    from observation_lakehouse_spark.plans.result_mv import ProblemResultMV
+
+    mv = mv_setup["srm"]
+    # absent key: fallback scans the root with filters -> empty, same schema
+    absent = mv.serve("DSA", "p_does_not_exist")
+    assert absent.count() == 0
+    assert absent.columns == mv.serve("DSA", "p_000").columns
+
+    # control-char + escaped-char ids round-trip through write + serve
+    rows = observations.limit(4).withColumn(
+        "problem_id", F.lit("p:weird\x01/id")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        from observation_lakehouse_spark.plans.result_mv import srm_map_mv_compute
+
+        mv2 = ProblemResultMV(spark, f"{d}/mv", srm_map_mv_compute)
+        mv2.refresh_full(rows)
+        got = mv2.serve("DSA", "p:weird\x01/id")
+        assert got.count() > 0
+        assert {r["problem_id"] for r in got.select("problem_id").collect()} == {
+            "p:weird\x01/id"
+        }

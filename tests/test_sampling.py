@@ -193,3 +193,22 @@ def test_kfold_assign_rejects_k_below_2(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         kfold_assign(df, "doc_id", 1)
+
+
+def test_kfold_assign_null_key_gets_a_fold(spark):
+    """r7 advice: md5(NULL) propagates NULL, so NULL-keyed rows silently
+    belonged to NO fold. Contract now: NULL keys hash the empty string —
+    one deterministic fold, never NULL."""
+    from observation_lakehouse_spark.functions.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(1, "c1"), (2, None), (3, None)], "doc_id long, cluster_id string"
+    )
+    got = {r.doc_id: r.fold for r in kfold_assign(df, "doc_id", 5, cluster_col="cluster_id").collect()}
+    assert all(f is not None and 0 <= f < 5 for f in got.values())
+    # all unknown-cluster rows share ONE fold (conservative leakage-safe)
+    assert got[2] == got[3]
+    # NULL key without cluster mode also never yields a NULL fold
+    df2 = spark.createDataFrame([(None,), ("a",)], "doc_id string")
+    got2 = [r.fold for r in kfold_assign(df2, "doc_id", 3).collect()]
+    assert all(f is not None and 0 <= f < 3 for f in got2)
