@@ -82,3 +82,63 @@ def global_prefix_sum(
     )
     out._cached_deps = (ranged,)  # noqa: SLF001 — release_cached contract
     return out
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add ``out_col`` = the global 1-based row number under ``ORDER BY
+    order_cols`` — the distributed form of an unpartitioned
+    ``ROW_NUMBER()`` window — and return ``(frame, total_row_count)``.
+
+    Same two-phase shape as :func:`global_prefix_sum` with COUNT partials:
+    range-repartition on the order columns (physical partition order ==
+    logical order; the combination must be a TOTAL order — include a unique
+    tiebreak column), collect one row count per partition, broadcast the
+    exclusive-scan offsets back, and finish with a per-partition
+    ``row_number``. No stage ever holds more than one partition's rows in a
+    single task, vs. the unpartitioned window's whole-table single-task
+    sort (Spark's own ``WindowExec: No Partition Defined`` warning).
+
+    The total count rides back for free from the partials — callers that
+    need N for rank→bucket arithmetic (NTILE) get it without a second pass.
+    Caller releases the persisted range stage via ``release_cached``
+    (``_cached_deps`` contract).
+    """
+    for c in ("_pid", out_col):
+        if c in df.columns:
+            raise ValueError(f"input already has a {c!r} column — rename it first")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn")).collect()
+    offset, offsets = 0, {}
+    for row in sorted(partials, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = offset
+        offset += row["_pn"]
+    # Memoized literal frame (operators/similarity._memo_local_df): a bare
+    # createDataFrame pins a fresh RDD id into the canonicalized plan, so
+    # two builds of the same query would never compare plan-equal (the r6
+    # CacheManager-reuse gotcha); the memo returns the SAME object for
+    # identical contents within one application.
+    from observation_lakehouse_spark.operators.similarity import _memo_local_df
+
+    off_df = _memo_local_df(
+        df.sparkSession,
+        [(int(p), int(o)) for p, o in sorted(offsets.items())],
+        "_pid int, _poff bigint",
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_poff") + F.row_number().over(w))
+        .drop("_pid", "_poff")
+    )
+    out._cached_deps = (ranged,)  # noqa: SLF001 — release_cached contract
+    return out, offset

@@ -88,29 +88,17 @@ class StreamingRFM:
         )
 
     def segments(self, n_tiles: int = 5) -> DataFrame:
-        """The rfm_segments output derived from state — NTILE over the same
-        TOTAL (metric, user) orders as the batch operator, so ties split
-        identically and the live segmentation equals a batch recompute."""
-        u = self.user_col
-        p = self.profiles()
-        w_r = Window.orderBy(F.asc("recency_ts"), F.asc(u))
-        w_f = Window.orderBy(F.asc("frequency"), F.asc(u))
-        w_m = Window.orderBy(F.asc("monetary_micro"), F.asc(u))
-        return (
-            p.withColumn("r_score", F.ntile(n_tiles).over(w_r))
-            .withColumn("f_score", F.ntile(n_tiles).over(w_f))
-            .withColumn("m_score", F.ntile(n_tiles).over(w_m))
-            .select(
-                u,
-                "recency_ts",
-                "frequency",
-                "monetary_micro",
-                "r_score",
-                "f_score",
-                "m_score",
-                F.concat_ws(
-                    "", F.col("r_score"), F.col("f_score"), F.col("m_score")
-                ).alias("segment"),
-            )
-            .orderBy(u)
+        """The rfm_segments output derived from state — the batch operator's
+        OWN scoring back half (``score_rfm_profiles``: distributed rank +
+        exact NTILE arithmetic over the same TOTAL (metric, user) orders),
+        so ties split identically and the live segmentation equals a batch
+        recompute bit-for-bit, with no unpartitioned window at any user
+        cardinality. Caller releases the rank stages via
+        ``release_cached``."""
+        from observation_lakehouse_spark.operators.behavior import (
+            score_rfm_profiles,
+        )
+
+        return score_rfm_profiles(
+            self.profiles(), self.user_col, self.user_col, n_tiles
         )

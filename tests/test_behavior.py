@@ -229,3 +229,28 @@ def test_rfm_segments_scores_and_ties(spark):
     assert got[3].frequency == 3 and got[3].monetary_micro == 3 * 30_000_000
     # ntile over 5 rows with 5 tiles: strictly ordered metrics -> scores 1..5
     assert [got[u].m_score for u in range(1, 6)] == [1, 2, 3, 4, 5]
+
+
+def test_ntile_from_rank_matches_window_ntile_all_shapes(spark):
+    """_ntile_from_rank must be bit-identical to F.ntile over the same total
+    order for every (N, n_tiles) shape class: N % n == 0, N % n != 0, and
+    N < n (empty tail buckets)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.behavior import _ntile_from_rank
+
+    for n_rows, n_tiles in [(10, 5), (11, 5), (7, 5), (3, 5), (1, 2), (100, 7)]:
+        df = spark.range(1, n_rows + 1).select(F.col("id").alias("v"))
+        w = Window.orderBy("v")
+        expect = {
+            r["v"]: r["t"]
+            for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+        }
+        got = {
+            r["v"]: r["t"]
+            for r in df.withColumn(
+                "t", _ntile_from_rank(F.col("v"), n_tiles, n_rows)
+            ).collect()
+        }
+        assert got == expect, (n_rows, n_tiles)
