@@ -73,7 +73,16 @@ def main() -> int:
     qs = entrymod.queries()
     worst_old = 0
     for name in names:
+        import gc as _gc
+        import time as _time
+
         fn = qs[name]
+        # Clean baseline BEFORE resetting the peak: the previous query's
+        # uncollected promotion would otherwise ride inside this query's
+        # Old-Gen peak (G1 reclaims Old lazily; a peak read against a dirty
+        # baseline overstates the query by whatever garbage preceded it).
+        _gc.collect()
+        jvm.java.lang.System.gc()
         for p in pools:
             p.resetPeakUsage()
         df = fn(spark, sf_dir)
@@ -86,11 +95,31 @@ def main() -> int:
         # live residue: used heap right after an explicit full GC
         jvm.java.lang.System.gc()
         live = membean.getHeapMemoryUsage().getUsed()
-        # residual cached storage AFTER release — a leak detector
-        resid = sum(
-            info.memSize()
-            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()  # noqa: SLF001
-        )
+
+        # residual cached storage AFTER release — a leak detector. The
+        # result handle itself pins localCheckpoint blocks (iterative
+        # operators truncate lineage per round; those RDDs live until the
+        # plan object is collectable), so drop it first, then give the
+        # async ContextCleaner a bounded window to drain — what remains is
+        # a genuine escaped persist, not in-flight cleanup.
+        def _resid() -> int:
+            return sum(
+                info.memSize()
+                for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()  # noqa: SLF001
+            )
+
+        del df
+        _gc.collect()
+        jvm.java.lang.System.gc()
+        resid = _resid()
+        deadline = _time.monotonic() + 8.0
+        while resid > 0 and _time.monotonic() < deadline:
+            _time.sleep(0.3)
+            # the cleaner drains a weak-ref queue: each GC cycle can free
+            # objects whose referents the previous cycle's cleanup released
+            _gc.collect()
+            jvm.java.lang.System.gc()
+            resid = _resid()
         rec = {
             "query": name,
             "rows": n,

@@ -6,6 +6,10 @@ flow both ANN docstrings describe):
 
 - ``_IVF_CENTROIDS``  — operators.similarity.train_ivf_centroids (IVF_K cells)
 - ``_PQ_CODEBOOKS``   — operators.similarity.train_pq_codebooks (PQ_M x PQ_K)
+- ``_PQ_RESIDUAL_CODEBOOKS`` — the same trainer over
+  operators.similarity.residual_corpus (IVF-PQ residual encoding, r7 judge
+  #3): codebooks for ``x − centroid(cell(x))``, trained against the SAME
+  freshly-trained IVF centroids so the two families move in lockstep
 
 (The sign-LSH hyperplanes are SEEDED, not trained — ``_lsh_planes()`` is
 drop-independent and never needs refreezing; its recall is still re-measured
@@ -83,6 +87,27 @@ def _pq_block(codebooks: list[list[list[float]]], sf_dir: str) -> str:
     )
 
 
+def _pq_residual_block(codebooks: list[list[list[float]]], sf_dir: str) -> str:
+    sub = len(codebooks[0][0])
+    parts = []
+    for mi, cb in enumerate(codebooks):
+        cents = ",\n".join(f"            {_fmt_floats(c)}" for c in cb)
+        lo, hi = mi * sub, (mi + 1) * sub - 1
+        parts.append(f"        [  # sub-vector {mi} (dims {lo}..{hi})\n{cents},\n        ]")
+    rows = ",\n".join(parts)
+    return (
+        "# >>> REFREEZE pq_residual_codebooks — scripts/refreeze.py rewrites this block\n"
+        f"# (trained by operators.similarity.train_pq_codebooks over residual_corpus\n"
+        f"#  (x - centroid(cell(x)), cells from _IVF_CENTROIDS), m={PQ_M}, k={PQ_K}, "
+        f"n_iters={PQ_ITERS},\n"
+        f"#  deterministic hash-sample init, on {sf_dir})\n"
+        "_PQ_RESIDUAL_CODEBOOKS: list[list[list[float]]] = [\n"
+        f"{rows},\n"
+        "    ]\n"
+        "# <<< REFREEZE pq_residual_codebooks"
+    )
+
+
 def _splice(src: str, name: str, block: str) -> str:
     pat = re.compile(
         rf"# >>> REFREEZE {name}.*?# <<< REFREEZE {name}", re.DOTALL
@@ -102,11 +127,14 @@ def _recalls(spark) -> dict[str, float]:
 
     exact = pairs(entry.q_ann_cosine_topk(spark, RECALL_SF_DIR))
     out = {}
-    for fam, q in (
+    fams = [
         ("lsh", entry.q_ann_lsh_topk),
         ("ivf", entry.q_ann_ivf_topk),
         ("pq_ivfadc", entry.q_ann_pq_topk),
-    ):
+    ]
+    if hasattr(entry, "q_ann_pq_residual_topk"):
+        fams.append(("pq_residual", entry.q_ann_pq_residual_topk))
+    for fam, q in fams:
         out[fam] = round(len(exact & pairs(q(spark, RECALL_SF_DIR))) / len(exact), 4)
     return out
 
@@ -119,6 +147,7 @@ def main() -> int:
     check = "--check" in flags
 
     from observation_lakehouse_spark.operators.similarity import (
+        residual_corpus,
         train_ivf_centroids,
         train_pq_codebooks,
     )
@@ -136,6 +165,14 @@ def main() -> int:
         [[round(float(x), 6) for x in c] for c in cb]
         for cb in train_pq_codebooks(emb, m=PQ_M, k=PQ_K, n_iters=PQ_ITERS)
     ]
+    # residual codebooks train against the FRESH centroids (== frozen ones
+    # on an unchanged drop), so both families refreeze in lockstep
+    pq_res = [
+        [[round(float(x), 6) for x in c] for c in cb]
+        for cb in train_pq_codebooks(
+            residual_corpus(emb, ivf), m=PQ_M, k=PQ_K, n_iters=PQ_ITERS
+        )
+    ]
 
     same_ivf = ivf == [[round(float(x), 6) for x in c] for c in entry._ivf_centroids()]
     same_pq = (
@@ -143,12 +180,17 @@ def main() -> int:
         and len(entry._pq_codebooks()[0]) == PQ_K
         and pq == [[[round(float(x), 6) for x in c] for c in cb] for cb in entry._pq_codebooks()]
     )
+    frozen_res = getattr(entry, "_PQ_RESIDUAL_CODEBOOKS", None)
+    same_res = frozen_res is not None and pq_res == [
+        [[round(float(x), 6) for x in c] for c in cb] for cb in frozen_res
+    ]
     print(f"ivf_centroids: {'unchanged' if same_ivf else 'DRIFTED'}; "
-          f"pq_codebooks: {'unchanged' if same_pq else 'DRIFTED'}")
+          f"pq_codebooks: {'unchanged' if same_pq else 'DRIFTED'}; "
+          f"pq_residual_codebooks: {'unchanged' if same_res else 'DRIFTED'}")
 
     if check:
-        return 0 if (same_ivf and same_pq) else 1
-    if same_ivf and same_pq:
+        return 0 if (same_ivf and same_pq and same_res) else 1
+    if same_ivf and same_pq and same_res:
         print("frozen literals already match this drop — nothing to rewrite")
         print(f"recall@10 (sf0.001): {old_recalls}")
         return 0
@@ -159,6 +201,7 @@ def main() -> int:
     src = ENTRY.read_text()
     src = _splice(src, "ivf_centroids", _ivf_block(ivf, sf_dir))
     src = _splice(src, "pq_codebooks", _pq_block(pq, sf_dir))
+    src = _splice(src, "pq_residual_codebooks", _pq_residual_block(pq_res, sf_dir))
     ENTRY.write_text(src)
     print(f"rewrote literal blocks in {ENTRY}")
 

@@ -317,6 +317,14 @@ def main() -> None:
          lambda d: ivfadc_topk(
              d, emb.filter(F.col("vec_id") % 100 == 0), _PQ_CBS, _IVF_CENTS,
              k=10, nprobe=entrymod._PQ_NPROBE, rerank=entrymod._PQ_RERANK)),
+        # r8: residual IVF-PQ — same probed-cell-bounded candidate shape,
+        # the residual shift is plan-time literals (no extra corpus pass)
+        ("ann_pq_residual_topk (residual IVFADC)", emb, emb_k,
+         lambda d: ivfadc_topk(
+             d, emb.filter(F.col("vec_id") % 100 == 0),
+             entrymod._pq_residual_codebooks(), _IVF_CENTS,
+             k=10, nprobe=entrymod._PQ_NPROBE, rerank=entrymod._PQ_RERANK,
+             residual=True)),
         # --- r6-round additions ---
         # one-pass audit aggregate: map-side-combinable sums/min — the alpha
         # should be scan-linear with near-total overhead amortization
@@ -424,6 +432,8 @@ def main() -> None:
          lambda d: cusum_drift(
              d, "event_type", "ts", "value", 86_400_000_000, 20_000_000)),
         # RFM: corpus reduces to the user table before the NTILE windows run
+        # r8: distributed-rank NTILE path (one range shuffle for all three
+        # dimensions; was three corpus-wide unpartitioned windows)
         ("rfm_segments (user quintiles)", ev, ev_k,
          lambda d: rfm_segments(d, "user_id", "ts", "value")),
         # AUC: corpus collapses to its distinct-score table before the rank

@@ -121,12 +121,13 @@ def test_pq_ivfadc_recall_floor(spark):
     """IVFADC top-10 (cell-pruned ADC + exact re-rank) must overlap the
     exact cosine top-10 near the IVF cell-recall ceiling on the sf0.001
     embeddings: the exact re-rank means recall is bounded by (a) the true
-    neighbor landing in a probed cell and (b) surviving the ADC top-64 cut
-    — measured 0.60 at sf0.001 (the SF this test runs, 2026-08-14 drop),
-    i.e. the ADC cut loses little below the cell-recall ceiling. Floor 0.4
-    = measured/1.5 (was 0.3, the r5 judge's done-criterion — raised per the
-    r6 floor policy so a regression toward the unpruned r5 scan's 0.04
-    bites early) under FROZEN literals."""
+    neighbor landing in a probed cell and (b) surviving the ADC
+    top-_PQ_RERANK cut — measured 0.62 at sf0.001 and 0.62 at sf0.1 with
+    rerank=256 (2026-08-15 drop; the r8 rerank curve at sf0.1: 64 -> 0.40,
+    128 -> 0.545, 192 -> 0.595, 256 -> 0.62 vs the 0.66 nprobe-4 cell
+    ceiling). Floor 0.4 = measured/1.5 (r6 floor policy: a regression
+    toward the unpruned r5 scan's 0.04 bites early) under FROZEN
+    literals."""
     import __spark_entry__ as e
     from pyspark.sql import functions as F
     from observation_lakehouse_spark.operators.similarity import cosine_topk, ivfadc_topk
@@ -142,6 +143,35 @@ def test_pq_ivfadc_recall_floor(spark):
         for r in ivfadc_topk(
             emb, q, e._pq_codebooks(), e._ivf_centroids(),
             k=10, nprobe=e._PQ_NPROBE, rerank=e._PQ_RERANK,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+
+
+def test_pq_residual_ivfadc_recall_floor(spark):
+    """Residual IVF-PQ (q_ann_pq_residual_topk's operator path) — measured
+    0.62 at sf0.001 / 0.59 at sf0.1 with rerank=256 (2026-08-15 drop):
+    TRACKS the raw family on this drop's near-isotropic embeddings (trained
+    centroids ~ origin -> residual ~ identity; the bench metric records the
+    neutrality per round). Floor 0.4, same measured/1.5 policy — a broken
+    residual shift (wrong HC literals, mismatched cell) collapses recall to
+    near-random and must bite."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from observation_lakehouse_spark.operators.similarity import cosine_topk, ivfadc_topk
+
+    emb = e._t(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfadc_topk(
+            emb, q, e._pq_residual_codebooks(), e._ivf_centroids(),
+            k=10, nprobe=e._PQ_NPROBE, rerank=e._PQ_RERANK, residual=True,
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
