@@ -4564,6 +4564,80 @@ FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
 """
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities (operators/graph.py:hits —
+    Kleinberg JACM'99) over the same quarter-filtered customer→supplier
+    fulfillment graph as `pagerank`, 2 rounds, integer nano-units with
+    exact L1 normalization (a·scale DIV Σa) so the unrolled-CTE DuckDB
+    oracle agrees bit-for-bit. The directed complement to pagerank: PR
+    ranks by incoming mass, HITS separates "orders from good suppliers"
+    (hub customers) from "supplies good customers" (authority suppliers).
+    Top-50 authorities with total tie-break."""
+    from observation_lakehouse_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    hs = hits(edges, n_iters=2)
+    out = hs.limit(50)
+    out._cached_deps = getattr(hs, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+def _hits_oracle(n_iters: int = 2, scale: int = 1_000_000_000) -> str:
+    """Unrolled-CTE DuckDB twin of q_hits: per round, an authority half
+    (sum incoming h, L1-normalize in integers) then a hub half (sum
+    outgoing a, normalize) — DuckDB `//` truncates toward zero == floor on
+    this non-negative domain, the same identity _ORACLE_PAGERANK leans on."""
+    parts = [
+        f"""
+WITH e AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 4 = 0
+), nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+    SELECT COUNT(*) AS n FROM nodes
+), h0 AS (
+    SELECT node, {scale} // n AS h FROM nodes CROSS JOIN nn
+)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, n_iters + 1):
+        parts.append(f""", a{i}_raw AS (
+    SELECT e.dst AS node, SUM(p.h) AS s
+    FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY 1
+), a{i} AS (
+    SELECT nodes.node,
+           (COALESCE(r.s, 0) * {scale}) // (SELECT SUM(s) FROM a{i}_raw) AS a
+    FROM nodes LEFT JOIN a{i}_raw r ON r.node = nodes.node
+), h{i}_raw AS (
+    SELECT e.src AS node, SUM(p.a) AS s
+    FROM e JOIN a{i} p ON p.node = e.dst GROUP BY 1
+), h{i} AS (
+    SELECT nodes.node,
+           (COALESCE(r.s, 0) * {scale}) // (SELECT SUM(s) FROM h{i}_raw) AS h
+    FROM nodes LEFT JOIN h{i}_raw r ON r.node = nodes.node
+)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT a{n_iters}.node AS node,
+       CAST(a{n_iters}.a AS BIGINT) AS authority_nano,
+       CAST(h{n_iters}.h AS BIGINT) AS hub_nano
+FROM a{n_iters} JOIN h{n_iters} ON a{n_iters}.node = h{n_iters}.node
+ORDER BY authority_nano DESC, node LIMIT 50
+""")
+    return "".join(parts)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation (operators/graph.py:triangle_participation —
     Suri & Vassilvitskii WWW'11 kernel, id-orientation): top-10 parts by
@@ -6996,6 +7070,65 @@ FROM pb ORDER BY bin
 """
 
 
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) Brier-score decomposition (operators/evaluation.py:
+    brier_decomposition): reliability − resolution + uncertainty over the
+    same value-derived click predictor as `calibration` (confidence =
+    min(value/500, 1), outcome = click), 10 bins. Completes the scorer
+    evaluation suite: ECE reports the calibration GAP, this attributes the
+    full Brier score — miscalibration vs non-discrimination vs base-rate
+    entropy. All integer ppm; every per-bin quotient carries its full
+    denominator (int64-safe at any N); sums ride DECIMAL(38,0)."""
+    from observation_lakehouse_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.least(F.col("value") / F.lit(500.0), F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "click").cast("int").alias("y"),
+    )
+    return brier_decomposition(scored, "p", "y", n_bins=10)
+
+
+_ORACLE_BRIER = """
+WITH s AS (
+    SELECT CAST(CAST(LEAST(CAST(value AS DOUBLE) / 500.0, 1.0)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS p,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+    FROM events
+), b AS (
+    SELECT LEAST(999999, p) // 100000 AS bin, p, y FROM s
+), pb AS (
+    SELECT bin, COUNT(*) AS n,
+           SUM(CAST((p - 1000000 * y) AS HUGEINT) * (p - 1000000 * y)) AS bsq,
+           SUM(CAST(p AS HUGEINT)) AS S,
+           SUM(y) AS Yk
+    FROM b GROUP BY 1
+), t AS (
+    SELECT SUM(n) AS nt, SUM(Yk) AS yt FROM pb
+), terms AS (
+    SELECT n, bsq,
+           (S - CAST(1000000 * Yk AS HUGEINT))
+               * (S - CAST(1000000 * Yk AS HUGEINT))
+               // (CAST(n AS HUGEINT) * 1000000) AS rel_t,
+           (CAST(Yk AS HUGEINT) * t.nt - CAST(n AS HUGEINT) * t.yt)
+               * (CAST(Yk AS HUGEINT) * t.nt - CAST(n AS HUGEINT) * t.yt)
+               * 1000000 // (CAST(n AS HUGEINT) * t.nt * t.nt) AS res_t
+    FROM pb CROSS JOIN t
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(bsq) // ((SELECT CAST(nt AS HUGEINT) FROM t) * 1000000)
+            AS BIGINT) AS brier_ppm,
+       CAST(SUM(rel_t) // (SELECT nt FROM t) AS BIGINT) AS reliability_ppm,
+       CAST(SUM(res_t) // (SELECT nt FROM t) AS BIGINT) AS resolution_ppm,
+       CAST((SELECT (CAST(yt AS HUGEINT) * (nt - yt) * 1000000)
+                    // (CAST(nt AS HUGEINT) * nt) FROM t) AS BIGINT)
+           AS uncertainty_ppm
+FROM terms
+"""
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC (operators/evaluation.py:roc_auc; Mann-Whitney U with
     2x-precision integer midranks) of the value-derived click predictor —
@@ -7212,6 +7345,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "seasonal_decompose": q_seasonal_decompose,
         "calibration": q_calibration,
+        "brier_decomposition": q_brier_decomposition,
         "cohens_kappa": q_cohens_kappa,
         "bfs_distances": q_bfs_distances,
         "anomaly_mad": q_anomaly_mad,
@@ -7259,6 +7393,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_jaccard": q_chargram_jaccard,
         "table_diff": q_table_diff,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
         "shipping_priority": q_shipping_priority,
@@ -7355,6 +7490,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_downsample": _ORACLE_M4,
         "seasonal_decompose": _ORACLE_SEASONAL,
         "calibration": _ORACLE_CALIBRATION,
+        "brier_decomposition": _ORACLE_BRIER,
         "cohens_kappa": _cohens_kappa_oracle(),
         "bfs_distances": _ORACLE_BFS,
         "anomaly_mad": _ORACLE_ANOMALY_MAD,
@@ -7408,6 +7544,7 @@ def oracle_sql() -> dict[str, str]:
         "chargram_jaccard": _ORACLE_CHARGRAM,
         "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,
+        "hits": _hits_oracle(),
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,

@@ -88,6 +88,7 @@ HEADLINE = [
     "token_budget_select",
     "dsir_select",
     "label_propagation",
+    "hits",
     "bloom_join",
     "shipping_priority",
     "small_order_revenue",
@@ -154,6 +155,7 @@ HEADLINE = [
     "m4_downsample",
     "seasonal_decompose",
     "calibration",
+    "brier_decomposition",
     "cohens_kappa",
     "bfs_distances",
     "anomaly_mad",

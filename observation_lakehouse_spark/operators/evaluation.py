@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["calibration_report", "cohens_kappa", "roc_auc"]
+__all__ = ["brier_decomposition", "calibration_report", "cohens_kappa", "roc_auc"]
 
 PPM = 1_000_000
 
@@ -207,3 +207,93 @@ def roc_auc(
     )
     out._cached_deps = getattr(pre, "_cached_deps", ())  # noqa: SLF001
     return out
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score into
+    reliability − resolution + uncertainty, exact integer ppm — the
+    score-level companion to :func:`calibration_report` (ECE tells you the
+    calibration GAP; the decomposition tells you whether a bad Brier comes
+    from miscalibration (reliability), from refusing to discriminate
+    (low resolution), or from irreducible base-rate entropy (uncertainty)).
+
+    Same binning rule as calibration_report (equi-width on exact-ppm
+    confidence, top edge clamped). All four outputs are integer ppm with
+    every division an explicit trunc-toward-zero ``div`` on non-negative
+    integers (== floor), performed identically in both engines:
+
+    - ``brier_ppm   = Σ(p_ppm − 1e6·y)²                   div (N·1e6)``
+    - ``rel_ppm     = Σ_k [(S_k − 1e6·Y_k)² div (n_k·1e6)] div N``
+    - ``res_ppm     = Σ_k [(Y_k·N − n_k·Y)²·1e6 div (n_k·N²)] div N``
+    - ``unc_ppm     = Y·(N−Y)·1e6 div N²``
+
+    (S_k = Σ p_ppm, Y_k = Σ y per bin; N, Y totals.) The classic identity
+    ``brier = rel − res + unc`` is exact only when forecasts are discrete
+    at the bin means; with continuous forecasts binned, brier exceeds it
+    by the WITHIN-BIN forecast variance (the generalized decomposition's
+    extra term — e.g. ~1.5e3 ppm on uniform-random forecasts at 10 bins),
+    plus ≤ O(bins) ppm of div truncation. The components are reported
+    directly, never reconstructed from each other. The squared
+    numerators ride DECIMAL(38,0) (they pass 1e18 well below any
+    interesting N), and every per-bin quotient carries its FULL denominator
+    so it is bounded by ``n_k·1e6`` — int64-safe at any row count, with
+    per-bin truncation ≤ 1/N ppm. Single-aggregate scale shape: one
+    row-level hash aggregate to K bin rows, one K-row total pass, one
+    final fold. Output: one row (n, brier_ppm, reliability_ppm,
+    resolution_ppm, uncertainty_ppm).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    span = PPM // n_bins
+    p_ppm = F.round(F.col(prob_col).cast("decimal(18,6)") * PPM).cast("long")
+    binned = df.select(
+        F.floor(F.least(F.lit(PPM - 1), p_ppm) / F.lit(span)).alias("bin"),
+        p_ppm.alias("_p"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"SUM(CAST((_p - {PPM} * _y) * (_p - {PPM} * _y) AS DECIMAL(38,0)))"
+        ).alias("bsq"),
+        F.expr("SUM(CAST(_p AS DECIMAL(38,0)))").alias("S"),
+        F.sum("_y").alias("Yk"),
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wb = (
+        per_bin.withColumn("_N", F.sum("n").over(total))
+        .withColumn("_Y", F.sum("Yk").over(total))
+        .select(
+            "n",
+            "bsq",
+            "_N",
+            "_Y",
+            F.expr(
+                f"(S - CAST({PPM} * Yk AS DECIMAL(38,0)))"
+                f" * (S - CAST({PPM} * Yk AS DECIMAL(38,0)))"
+                f" div (CAST(n AS DECIMAL(38,0)) * {PPM})"
+            ).alias("rel_t"),
+            F.expr(
+                "(CAST(Yk AS DECIMAL(38,0)) * _N - CAST(n AS DECIMAL(38,0)) * _Y)"
+                " * (CAST(Yk AS DECIMAL(38,0)) * _N - CAST(n AS DECIMAL(38,0)) * _Y)"
+                f" * {PPM} div (CAST(n AS DECIMAL(38,0)) * _N * _N)"
+            ).alias("res_t"),
+        )
+    )
+    return wb.agg(
+        F.sum("n").alias("n"),
+        F.expr(f"SUM(bsq) div (FIRST(_N) * CAST({PPM} AS DECIMAL(38,0)))").alias(
+            "brier_ppm"
+        ),
+        F.expr("SUM(rel_t) div FIRST(_N)").alias("reliability_ppm"),
+        F.expr("SUM(res_t) div FIRST(_N)").alias("resolution_ppm"),
+        F.expr(
+            f"(CAST(FIRST(_Y) AS DECIMAL(38,0)) * (FIRST(_N) - FIRST(_Y)) * {PPM})"
+            " div (CAST(FIRST(_N) AS DECIMAL(38,0)) * FIRST(_N))"
+        ).alias("uncertainty_ppm"),
+    )

@@ -358,6 +358,116 @@ def pagerank(
     return out
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 2,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM'99: hubs & authorities) in
+    integer NANO-units — deterministic on any engine and partitioning, the
+    directed-graph companion to :func:`pagerank` (PR ranks by incoming
+    mass flow; HITS separates "points at good pages" from "is pointed at
+    by good hubs" — the natural shape for citation/fulfillment graphs
+    where sources and sinks play different roles).
+
+    Exact-integer discipline (the pagerank contract): per half-round,
+    ``a_raw(v) = Σ_{u→v} h(u)`` then L1-normalize in integers,
+    ``a(v) = a_raw(v)·scale DIV Σ a_raw`` — all bigint, order-independent,
+    bit-identical to an unrolled-CTE SQL oracle. Scale is 1e9 (not
+    pagerank's 1e12) because the normalize multiplies two scaled values
+    before dividing: ``a_raw ≤ scale`` and ``a_raw·scale ≤ 1e18`` must fit
+    int64. Truncation loses < 1 nano-unit per node per half-round.
+
+    Scale shape, per round: two equi-joins of the 16-byte score table
+    against the persisted pre-partitioned edge list + two destination/
+    source-keyed hash aggregates + two single-row total aggregates
+    (broadcast back — the deliberate 1-row BroadcastNestedLoopJoin
+    pattern). Lineage truncated per round via eager ``localCheckpoint``.
+    Returns (node, authority_nano, hub_nano), authority DESC, node ASC.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e0.count()
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        out = edges.sparkSession.createDataFrame(
+            [], "node long, authority_nano long, hub_nano long"
+        )
+        out._cached_deps = (e0, nodes)  # noqa: SLF001
+        return out
+    spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 1_000_000)))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    e = None
+    try:
+        e = e0.repartition(loop_parts, F.col("src")).persist()
+        h = nodes.withColumn("h", F.lit(scale // n))
+        a = None
+        for i in range(n_iters):
+            a_raw = (
+                e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("h").alias("_s"))
+            )
+            a_tot = a_raw.agg(F.sum("_s").alias("_t"))
+            a = (
+                nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+                .crossJoin(F.broadcast(a_tot))
+                .select(
+                    "node",
+                    F.expr(f"(COALESCE(_s, 0) * {scale}) DIV _t").alias("a"),
+                )
+            )
+            h_raw = (
+                e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("a").alias("_s2"))
+            )
+            h_tot = h_raw.agg(F.sum("_s2").alias("_t2"))
+            h = (
+                nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+                .crossJoin(F.broadcast(h_tot))
+                .select(
+                    "node",
+                    F.expr(f"(COALESCE(_s2, 0) * {scale}) DIV _t2").alias("h"),
+                )
+            )
+            # truncate BOTH evolving frames each round — h's plan embeds a's
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    except BaseException:
+        if e is not None:
+            e.unpersist()
+        e0.unpersist()
+        nodes.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+    out = (
+        a.join(h.withColumnRenamed("h", "hub_nano"), "node")
+        .select("node", F.col("a").alias("authority_nano"), "hub_nano")
+        .orderBy(F.desc("authority_nano"), F.asc("node"))
+    )
+    out._cached_deps = (e0, e, nodes)  # type: ignore[attr-defined]  # noqa: SLF001
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -282,3 +282,48 @@ def test_roc_auc_unbounded_logits_distributed_rank(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(_s" in plan
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_brier_decomposition_known_values(spark):
+    """Hand-checkable 4-row fixture: p in {0.2, 0.8} (2 bins), one outcome
+    each way per bin. Per bin: p_bar = exact, y_bar = 0.5. rel, res, unc
+    computed by hand in exact ppm (trunc division)."""
+    from observation_lakehouse_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    rows = [(0.2, 0), (0.2, 1), (0.8, 0), (0.8, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    # brier = mean of (0.2-0)^2,(0.2-1)^2,(0.8-0)^2,(0.8-1)^2
+    #       = (0.04+0.64+0.64+0.04)/4 = 0.34
+    assert r.n == 4 and r.brier_ppm == 340_000
+    # per bin rel: (p_bar - 0.5)^2 = 0.09 each, weighted -> 0.09
+    assert r.reliability_ppm == 90_000
+    # y_bar_k == y_bar == 0.5 -> resolution 0
+    assert r.resolution_ppm == 0
+    # unc = 0.5 * 0.5 = 0.25
+    assert r.uncertainty_ppm == 250_000
+    # discrete forecasts at bin centers: identity is EXACT here
+    assert r.brier_ppm == r.reliability_ppm - r.resolution_ppm + r.uncertainty_ppm
+
+
+def test_brier_decomposition_perfect_and_uninformative(spark):
+    from observation_lakehouse_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    # perfect sharp forecaster: brier 0, rel 0, res == unc
+    perfect = spark.createDataFrame(
+        [(0.0, 0)] * 3 + [(1.0, 1)] * 2, "p double, y int"
+    )
+    r = brier_decomposition(perfect, "p", "y").collect()[0]
+    assert (r.brier_ppm, r.reliability_ppm) == (0, 0)
+    assert r.resolution_ppm == r.uncertainty_ppm == 240_000  # 0.4*0.6
+    # constant base-rate forecaster: res 0, rel 0, brier == unc
+    base = spark.createDataFrame(
+        [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], "p double, y int"
+    )
+    r2 = brier_decomposition(base, "p", "y").collect()[0]
+    assert r2.resolution_ppm == 0 and r2.reliability_ppm == 0
+    assert r2.brier_ppm == r2.uncertainty_ppm == 250_000

@@ -308,3 +308,66 @@ def test_lpa_negative_weights_use_struct_fallback_exactly(spark):
     # 3 synchronous rounds by hand (labels oscillate on this bipartite-ish
     # shape; fixed-round semantics): final labels {1:3, 2:3, 3:1, 4:1}.
     assert got == {(3, 2, 1), (1, 2, 3)}
+
+
+def _hits_ref(edges, n_iters=2, scale=10**9):
+    """Exact-integer reference mirror of operators.graph.hits."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {u: scale // len(nodes) for u in nodes}
+    a = {}
+    for _ in range(n_iters):
+        a_raw = {v: 0 for v in nodes}
+        for u, v in set(edges):
+            a_raw[v] += h[u]
+        t = sum(a_raw.values())
+        a = {v: (a_raw[v] * scale) // t for v in nodes}
+        h_raw = {u: 0 for u in nodes}
+        for u, v in set(edges):
+            h_raw[u] += a[v]
+        t2 = sum(h_raw.values())
+        h = {u: (h_raw[u] * scale) // t2 for u in nodes}
+    return a, h
+
+
+def test_hits_exact_integer_values_and_roles(spark):
+    """HITS must separate hubs from authorities (pagerank cannot): on
+    1->3, 2->3, 3->4 node 3 is the top AUTHORITY (two hubs point at it)
+    while 1 and 2 are the top HUBS (they point at the top authority; 3's
+    own hub score decays as authority mass concentrates on itself). Values
+    bit-equal the integer reference mirror."""
+    from observation_lakehouse_spark.operators.graph import hits
+
+    edges = [(1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.authority_nano, r.hub_nano) for r in hits(df).collect()}
+    a, h = _hits_ref(edges)
+    assert got == {u: (a[u], h[u]) for u in a}
+    assert max(a, key=lambda u: (a[u], -u)) == 3
+    top_h = max(h.values())
+    assert {u for u in h if h[u] == top_h} == {1, 2}
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    import random
+
+    from observation_lakehouse_spark.operators.graph import hits
+
+    rnd = random.Random(9)
+    edges = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df32 = spark.createDataFrame(edges, "src long, dst long").repartition(32)
+    r1 = sorted(map(tuple, hits(df1).collect()))
+    r32 = sorted(map(tuple, hits(df32).collect()))
+    assert r1 == r32
+    a, h = _hits_ref(edges)
+    assert sorted((u, a[u], h[u]) for u in a) == r1
+
+
+def test_hits_empty_edges(spark):
+    from observation_lakehouse_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = hits(df)
+    assert out.columns == ["node", "authority_nano", "hub_nano"]
+    assert out.count() == 0
