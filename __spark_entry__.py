@@ -1351,6 +1351,80 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (operators/text.py:span_corrupt — Raffel et al.
+    JMLR'20 §3.1.4): numbered-sentinel span masking over the documents
+    corpus, start_ppm=75000, max_span=3 (≈15% expected token coverage, the
+    T5 default). Deterministic md5-family draws make the augmentation
+    byte-reproducible on any engine/partitioning — the oracle rebuilds the
+    identical (corrupted, target) pairs in SQL. Per-doc summary grain
+    keeps the result table small: the full pair strings are hashed into
+    the comparison via the text columns themselves."""
+    from observation_lakehouse_spark.operators.text import span_corrupt
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corrupt(docs, start_ppm=75_000, max_span=3)
+
+
+_ORACLE_SPAN_CORRUPT = """
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(pos := i - 1, w := toks[i]))) AS u
+        FROM tk
+    )
+), hh AS (
+    SELECT doc_id, pos, w,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM tok
+), st AS (
+    SELECT doc_id, pos, w,
+           h % 1000000 < 75000 AS is_start,
+           1 + (h // 1000000) % 3 AS span_len
+    FROM hh
+), mk AS (
+    SELECT doc_id, pos, w,
+           ((COALESCE(LAG(is_start, 0) OVER w, FALSE) AND COALESCE(LAG(span_len, 0) OVER w, 0) > 0)
+            OR (COALESCE(LAG(is_start, 1) OVER w, FALSE) AND COALESCE(LAG(span_len, 1) OVER w, 0) > 1)
+            OR (COALESCE(LAG(is_start, 2) OVER w, FALSE) AND COALESCE(LAG(span_len, 2) OVER w, 0) > 2)) AS m
+    FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), ns AS (
+    SELECT doc_id, pos, w, m,
+           m AND NOT COALESCE(LAG(m) OVER w, FALSE) AS new_span
+    FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+    SELECT doc_id, pos, w, m, new_span,
+           SUM(CASE WHEN new_span THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+    FROM ns
+), pieces AS (
+    SELECT doc_id, pos,
+           CAST(m AS INT) AS mi, CAST(new_span AS INT) AS si,
+           CASE WHEN NOT m THEN w
+                WHEN new_span THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+           END AS pi,
+           CASE WHEN new_span THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '> ' || w
+                WHEN m THEN w
+           END AS pt
+    FROM sp
+)
+SELECT doc_id,
+       COALESCE(STRING_AGG(pi, ' ' ORDER BY pos), '') AS corrupted_text,
+       COALESCE(STRING_AGG(pt, ' ' ORDER BY pos), '') AS target_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(mi) AS BIGINT) AS n_masked,
+       CAST(SUM(si) AS BIGINT) AS n_spans
+FROM pieces
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus normalization pass (operators/text.py clean_text): control-char
     strip + whitespace collapse + trim, pure scan-speed column algebra."""
@@ -4784,6 +4858,62 @@ GROUP BY 1 ORDER BY degree DESC, node
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/mining.py:pmi_collocations — Church
+    & Hanks CL'90): top-20 adjacent word pairs by pointwise mutual
+    information over the documents corpus, min pair count 5. The phrase
+    detector run before tokenizer/vocab decisions; PMI in integer
+    micro-nats from ONE exact integer ratio per pair (c_ab·N_tok² /
+    (N_pairs·c_a·c_b), assembled in DECIMAL(38,0)/HUGEINT then cast), the
+    dsir/xent log discipline."""
+    from observation_lakehouse_spark.operators.mining import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
+_ORACLE_PMI = """
+WITH tk AS (
+    SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(pos := i - 1, w := toks[i]))) AS u
+        FROM tk
+    )
+), pr AS (
+    SELECT w AS word_a,
+           LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS word_b
+    FROM tok
+), pairs AS (
+    SELECT word_a, word_b, COUNT(*) AS pair_count
+    FROM pr WHERE word_b IS NOT NULL
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), uni AS (
+    SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+), tot AS (
+    SELECT COUNT(*) AS n_tok,
+           COUNT(*) - COUNT(DISTINCT doc_id) AS n_pairs
+    FROM tok
+)
+SELECT p.word_a AS word_a, p.word_b AS word_b,
+       CAST(p.pair_count AS BIGINT) AS pair_count,
+       CAST(ROUND(LN(
+           CAST(CAST(p.pair_count AS HUGEINT) * n_tok * n_tok AS DOUBLE)
+           / CAST(CAST(n_pairs AS HUGEINT) * ca.c * cb.c AS DOUBLE)
+       ) * 1000000.0) AS BIGINT) AS pmi_micro_nats
+FROM pairs p
+JOIN uni ca ON ca.w = p.word_a
+JOIN uni cb ON cb.w = p.word_b
+CROSS JOIN tot
+ORDER BY pmi_micro_nats DESC, word_a, word_b
+LIMIT 20
+"""
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (operators/mining.py:
     association_rules — Agrawal-Srikant support/confidence/lift) over the
@@ -4863,6 +4993,49 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+"""
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS family (TPC-H Q22 shape; engine
+    extension like `small_order_revenue` — the reference has no subqueries,
+    SURVEY §4): customers who ordered in 1997 but placed NO order in 1998 —
+    churn candidates, the canonical "active then silent" cohort question
+    (the corpus's order dates span 1995–2001; the 1997→1998 pair yields a
+    few hundred dormant customers at every SF).
+
+    Exercises the OTHER half of Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery covers scalars; EXISTS/NOT EXISTS
+    rewrite to LeftSemi / LeftAnti joins — both visible in PLANS.md, no
+    per-row subquery node). Year filters push into each orders leg's scan
+    before the semi/anti probe."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_dc")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_dc")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_cust_dc c
+        WHERE EXISTS (SELECT 1 FROM v_ord_dc o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1997)
+          AND NOT EXISTS (SELECT 1 FROM v_ord_dc o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND year(o.o_orderdate) = 1998)
+        ORDER BY c_custkey
+        """
+    )
+
+
+_ORACLE_DORMANT_CUSTOMERS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND EXTRACT(year FROM o.o_orderdate) = 1997)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(year FROM o.o_orderdate) = 1998)
+ORDER BY c_custkey
 """
 
 
@@ -7329,6 +7502,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
+        "span_corrupt": q_span_corrupt,
         "salted_agg": q_salted_agg,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "minhash_admit": q_minhash_admit,
@@ -7398,7 +7572,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "shipping_priority": q_shipping_priority,
         "small_order_revenue": q_small_order_revenue,
+        "dormant_customers": q_dormant_customers,
         "association_rules": q_association_rules,
+        "pmi_collocations": q_pmi_collocations,
         "triangle_count": q_triangle_count,
         "link_prediction": q_link_prediction,
         "k_core": q_k_core,
@@ -7479,6 +7655,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _ORACLE_EVENT_WINDOWS,
         "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
         "clean_text": _ORACLE_CLEAN_TEXT,
+        "span_corrupt": _ORACLE_SPAN_CORRUPT,
         "salted_agg": _ORACLE_SALTED_AGG,
         "embedding_near_dup": _ORACLE_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _emb_lsh_oracle(),
@@ -7549,7 +7726,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join": _ORACLE_BLOOM_JOIN,
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
         "small_order_revenue": _ORACLE_SMALL_ORDER_REVENUE,
+        "dormant_customers": _ORACLE_DORMANT_CUSTOMERS,
         "association_rules": _ORACLE_ASSOCIATION_RULES,
+        "pmi_collocations": _ORACLE_PMI,
         "triangle_count": _ORACLE_TRIANGLE_COUNT,
         "link_prediction": _ORACLE_LINK_PREDICTION,
         "k_core": _ORACLE_K_CORE,

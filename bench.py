@@ -82,6 +82,7 @@ HEADLINE = [
     "langid_confusion",
     "doc_fingerprints",
     "clean_text",
+    "span_corrupt",
     "chunk_documents",
     "incremental_dedup",
     "quality_filter",
@@ -92,7 +93,9 @@ HEADLINE = [
     "bloom_join",
     "shipping_priority",
     "small_order_revenue",
+    "dormant_customers",
     "association_rules",
+    "pmi_collocations",
     "triangle_count",
     "link_prediction",
     "k_core",

@@ -76,3 +76,92 @@ def association_rules(
     )
     out._cached_deps = (bi,)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks,
+    CL'90) over ADJACENT word pairs — the classic phrase detector a
+    training-data pipeline runs before tokenizer/vocab decisions ("new
+    york" is one unit; "of the" is not, despite a far higher raw count).
+
+    ``PMI(a,b) = ln( P(ab) / (P(a)·P(b)) )`` with ``P(ab) = c_ab/N_pairs``
+    and unigram probabilities over the token stream. Determinism: the log
+    argument is assembled as ONE exact integer ratio —
+    ``(c_ab·N_tok²) / (N_pairs·c_a·c_b)`` cast to double for a single
+    correctly-rounded quotient — then rounded to integer MICRO-NATS (the
+    dsir/xent discipline: identical integer inputs → identical IEEE
+    quotient → identical log bits in practice, with the ranking argument
+    the TF-IDF docstring makes). ``min_count`` suppresses the
+    low-frequency PMI pathology (hapax pairs score arbitrarily high).
+
+    Scale shape: one posexplode + per-doc lead window (doc-partitioned,
+    never corpus-wide) → one pair hash aggregate + one unigram hash
+    aggregate (both map-side combinable, vocabulary-bounded outputs) →
+    broadcast unigram counts onto the pair table → distributed top-k
+    (TakeOrderedAndProject). Numerator/denominator products stay inside
+    int64 for corpora to ~1e9 tokens per the bound in the expression
+    comment; beyond that the cast to double happens per factor first.
+
+    Returns (word_a, word_b, pair_count, pmi_micro_nats), top-``k`` by
+    (pmi DESC, a ASC, b ASC).
+    """
+    from pyspark.sql import Window
+
+    from observation_lakehouse_spark.functions.partitioning import parallelize_scan
+    from observation_lakehouse_spark.functions.text import lower_tokens
+
+    tok = (
+        parallelize_scan(df)
+        .select(F.col(id_col).alias("_d"), F.posexplode(lower_tokens(text_col)).alias("pos", "w"))
+    )
+    w_doc = Window.partitionBy("_d").orderBy("pos")
+    pairs = (
+        tok.withColumn("nxt", F.lead("w").over(w_doc))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("w").alias("word_a"), F.col("nxt").alias("word_b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        # pairs per doc = tokens - 1; distinct doc count folds in one pass
+        (F.count(F.lit(1)) - F.countDistinct("_d")).alias("n_pairs"),
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("w", "word_a").withColumnRenamed("c", "c_a")), "word_a")
+        .join(F.broadcast(uni.withColumnRenamed("w", "word_b").withColumnRenamed("c", "c_b")), "word_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "word_a",
+            "word_b",
+            "pair_count",
+            # one integer ratio -> one double quotient -> one log. int64
+            # bound: c_ab*n_tok^2 <= n_tok^3; exact while n_tok < ~2e6 —
+            # fine for the registered corpus; at larger corpora the
+            # products exceed 2^63, so they are assembled in DECIMAL(38,0)
+            # (exact to 1e38) and THEN cast, keeping the quotient identical.
+            F.round(
+                F.log(
+                    F.expr(
+                        "CAST(CAST(pair_count AS DECIMAL(38,0)) * n_tok * n_tok AS DOUBLE)"
+                    )
+                    / F.expr(
+                        "CAST(CAST(n_pairs AS DECIMAL(38,0)) * c_a * c_b AS DOUBLE)"
+                    )
+                )
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("pmi_micro_nats"),
+        )
+        .orderBy(F.desc("pmi_micro_nats"), "word_a", "word_b")
+        .limit(int(k))
+    )
+    return scored

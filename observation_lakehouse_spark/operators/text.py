@@ -1139,3 +1139,121 @@ def bigram_xent(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     out._cached_deps = (tf, cw1)  # noqa: SLF001 — released by the caller
     return out
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_ppm: int = 75_000,
+    max_span: int = 3,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al., JMLR'20 §3.1.4): replace
+    randomly-chosen token spans with numbered sentinel tokens and emit the
+    (corrupted input, target) pair — the denoising-objective data transform
+    a seq2seq pre-training pipeline applies to every document.
+
+    Fully DETERMINISTIC and engine-portable (no RNG state): a token at
+    position ``pos`` STARTS a masked span iff
+    ``tok_hash60(doc_id || ':' || pos) % 1e6 < start_ppm``; its length is
+    ``1 + (hash div 1e6) % max_span``. Expected token coverage ≈
+    ``start_ppm · (1 + max_span)/2`` ppm (spans may overlap-merge, which
+    only lowers it — T5's own span sampler has the same property).
+    Re-running on any partitioning, any engine, yields byte-identical
+    corruptions — which makes the transform itself differentially testable
+    (the point: augmentation must be reproducible or training runs are).
+
+    Relational shape, per doc-partitioned window (never corpus-wide):
+    token coverage is an OR over the last ``max_span`` lag positions
+    (``masked(p) = ∃ j < max_span: start(p−j) ∧ len(p−j) > j`` — max_span
+    is a small plan-time constant, so the OR is that many lag columns);
+    span numbering is a running sum of mask rising-edges; input/target
+    strings fold in one ordered aggregate each. Sentinels follow the T5
+    convention ``<extra_id_K>`` numbered per document from 0.
+
+    Returns (id_col, corrupted_text, target_text, n_tokens, n_masked,
+    n_spans), total id order.
+    """
+    from observation_lakehouse_spark.functions.text import tok_hash60, tokens
+
+    if not 1 <= int(max_span) <= 8:
+        raise ValueError(f"max_span must be in [1, 8], got {max_span}")
+    tok = parallelize_scan(df).select(
+        F.col(id_col).alias("_d"), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    h = tok_hash60(F.concat(F.col("_d").cast("string"), F.lit(":"), F.col("pos")))
+    tok = tok.withColumn("_h", h).select(
+        "_d",
+        "pos",
+        "w",
+        (F.col("_h") % 1_000_000 < start_ppm).alias("is_start"),
+        (
+            F.lit(1) + F.expr(f"(_h div 1000000) % {int(max_span)}")
+        ).alias("span_len"),
+    )
+    w_doc = Window.partitionBy("_d").orderBy("pos")
+    masked = None
+    for j in range(int(max_span)):
+        cond = F.coalesce(F.lag("is_start", j).over(w_doc), F.lit(False)) & (
+            F.coalesce(F.lag("span_len", j).over(w_doc), F.lit(0)) > j
+        )
+        masked = cond if masked is None else (masked | cond)
+    marked = tok.withColumn("m", masked)
+    marked = marked.withColumn(
+        "new_span",
+        F.col("m") & ~F.coalesce(F.lag("m").over(w_doc), F.lit(False)),
+    ).withColumn(
+        "span_id",
+        F.sum(F.col("new_span").cast("int")).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.lit(1),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("span_id"), F.lit(">"))
+    piece_in = F.when(~F.col("m"), F.col("w")).when(F.col("new_span"), sentinel)
+    piece_tgt = F.when(
+        F.col("new_span"), F.concat(sentinel, F.lit(" "), F.col("w"))
+    ).when(F.col("m"), F.col("w"))
+    folded = (
+        marked.select(
+            "_d",
+            "pos",
+            F.col("m").cast("int").alias("mi"),
+            F.col("new_span").cast("int").alias("si"),
+            piece_in.alias("pi"),
+            piece_tgt.alias("pt"),
+        )
+        .groupBy("_d")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("mi").alias("n_masked"),
+            F.sum("si").alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("pi").alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+                " ",
+                None,  # null_replacement unset: masked non-head tokens drop
+            ).alias("corrupted_text"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("pt").alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+                " ",
+            ).alias("target_text"),
+        )
+    )
+    return folded.select(
+        F.col("_d").alias(id_col),
+        "corrupted_text",
+        "target_text",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+    ).orderBy(id_col)

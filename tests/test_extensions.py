@@ -506,3 +506,63 @@ def test_containment_prefix_ceiling_exact_at_float_boundary(spark):
     release_cached(got)
     assert pairs.get((1, 2)) == 0.55  # 55/100 exactly at threshold
     assert pairs.get((2, 1)) == round(55 / 59, 6)  # B is also mostly inside A
+
+
+def test_span_corrupt_matches_reference_mirror(spark):
+    """span_corrupt must be byte-reproducible: a pure-Python mirror of the
+    hash rules (md5-60bit start/length draws, overlap-merge, T5 sentinel
+    numbering) produces the identical (input, target) pair."""
+    import hashlib
+
+    from observation_lakehouse_spark.operators.text import span_corrupt
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def mirror(doc_id, text, start_ppm=300_000, max_span=3):
+        toks = [t for t in text.strip().split() if t]
+        start = [h60(f"{doc_id}:{i}") % 1_000_000 < start_ppm for i in range(len(toks))]
+        slen = [1 + (h60(f"{doc_id}:{i}") // 1_000_000) % max_span for i in range(len(toks))]
+        masked = [
+            any(start[i - j] and slen[i - j] > j for j in range(max_span) if i - j >= 0)
+            for i in range(len(toks))
+        ]
+        inp, tgt, sid = [], [], -1
+        for i, t in enumerate(toks):
+            if not masked[i]:
+                inp.append(t)
+            elif i == 0 or not masked[i - 1]:
+                sid += 1
+                inp.append(f"<extra_id_{sid}>")
+                tgt.append(f"<extra_id_{sid}> {t}")
+            else:
+                tgt.append(t)
+        return " ".join(inp), " ".join(tgt), sum(masked), sid + 1
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast today"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.corrupted_text, r.target_text, r.n_masked, r.n_spans)
+        for r in span_corrupt(df, start_ppm=300_000, max_span=3).collect()
+    }
+    for doc_id, text in rows:
+        inp, tgt, nm, ns = mirror(doc_id, text)
+        assert got[doc_id] == (inp, tgt, nm, ns), doc_id
+
+
+def test_span_corrupt_repartition_proof(spark):
+    from observation_lakehouse_spark.operators.text import span_corrupt
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, span_corrupt(df.repartition(1), start_ppm=200_000).collect()))
+    b = sorted(map(tuple, span_corrupt(df.repartition(16), start_ppm=200_000).collect()))
+    assert a == b
+    # coverage lands near start_ppm * (1+max_span)/2 = 40% on this corpus
+    tot = sum(r[3] for r in a)
+    msk = sum(r[4] for r in a)
+    assert 0.25 < msk / tot < 0.55

@@ -425,3 +425,15 @@ def test_small_order_revenue_subqueries_decorrelate(spark):
     assert "Subquery" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate(keys=[l_partkey") >= 2  # count + sum legs
+
+
+def test_dormant_customers_exists_decorrelates_to_semi_anti(spark):
+    """The EXISTS / NOT EXISTS pair (Q22 shape) must reach the physical
+    plan as LeftSemi + LeftAnti joins with the year filters pushed into
+    each orders leg — never a per-row subquery."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["dormant_customers"](spark, SF))
+    assert "Subquery" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("PushedFilters: [IsNotNull(o_custkey)]") >= 1 or "year" in plan
