@@ -382,6 +382,166 @@ class AtomicParquetTable:
                 out[rel] = colstats
         return out
 
+    # -- bloom file-skipping index --------------------------------------------
+
+    _BLOOM_MAX_DISTINCT = 200_000
+    _BLOOM_BITS_PER_KEY = 10
+    _BLOOM_K = 7
+
+    def add_bloom_index(self, column: str) -> None:
+        """Declare a per-file Bloom-filter index on ``column`` (the Delta
+        ``bloomFilterIndex`` / Iceberg parquet-bloom equivalent): every file
+        committed FROM NOW ON carries a ~10-bits-per-distinct-key bitset in
+        the manifest, and :meth:`lookup` prunes files whose filter proves the
+        key absent. This is the point-lookup complement to min/max stats:
+        zone maps only skip when the column is clustered — on a
+        high-cardinality UNCLUSTERED key (user id, content hash) every file
+        spans the whole range and min/max keeps everything, while a Bloom
+        filter skips ~99% of non-matching files regardless of layout.
+        Existing files are NOT retro-indexed (absent filter = keep — pruning
+        is never a correctness dependency); run :meth:`optimize` to rewrite
+        old files under the declaration if retro-coverage matters."""
+        if column not in {f.name for f in self.schema.fields}:
+            raise KeyError(column)
+
+        def declare(meta: dict) -> dict:
+            cols = set(meta.get("bloom_columns", []))
+            cols.add(column)
+            meta["bloom_columns"] = sorted(cols)
+            return meta
+
+        self._mutate_schema_meta(declare)
+
+    def bloom_columns(self) -> list[str]:
+        _, meta = self._read_schema_meta()
+        return list(meta.get("bloom_columns", []))
+
+    @staticmethod
+    def _bloom_hashes(value) -> tuple[int, int]:
+        """Two independent 64-bit draws from one md5 of the TYPE-TAGGED value
+        (int 5 and str '5' must not collide into one key space); h2 forced
+        odd so the double-hash probe sequence h1 + i·h2 covers any m."""
+        import hashlib
+
+        if isinstance(value, bool) or value is None:
+            raise TypeError("bloom keys must be int/float/str")
+        if isinstance(value, int):
+            key = f"i:{value}"
+        elif isinstance(value, float):
+            key = f"f:{value!r}"
+        elif isinstance(value, str):
+            key = f"s:{value}"
+        else:
+            raise TypeError(f"bloom keys must be int/float/str, got {type(value)}")
+        d = hashlib.md5(key.encode()).digest()
+        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+    def _collect_blooms(self, files: list[str]) -> dict[str, dict[str, dict]]:
+        """Per-file Bloom bitsets for the declared columns. One column read
+        per (file, declared column) — proportional to the COMMIT's data,
+        like the write job itself (on a cluster this folds into the write
+        tasks as a distinct-collect); never a table-wide pass. A file whose
+        column exceeds the distinct cap, or holds un-hashable types, simply
+        gets no filter (absent = keep)."""
+        cols = self.bloom_columns()
+        if not cols:
+            return {}
+        import base64
+
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # noqa: BLE001 — blooms are optional metadata
+            return {}
+        out: dict[str, dict[str, dict]] = {}
+        for rel in files:
+            per: dict[str, dict] = {}
+            for col in cols:
+                try:
+                    tbl = pq.read_table(str(self.data_dir / rel), columns=[col])
+                except Exception:  # noqa: BLE001 — e.g. partition-dir column
+                    continue
+                vals: set = set()
+                capped = False
+                for v in tbl.column(0).to_pylist():
+                    if v is None:
+                        continue
+                    vals.add(v)
+                    if len(vals) > self._BLOOM_MAX_DISTINCT:
+                        capped = True
+                        break
+                if capped or not vals:
+                    continue
+                m = max(64, len(vals) * self._BLOOM_BITS_PER_KEY)
+                bits = bytearray((m + 7) // 8)
+                try:
+                    for v in vals:
+                        h1, h2 = self._bloom_hashes(v)
+                        for i in range(self._BLOOM_K):
+                            b = (h1 + i * h2) % m
+                            bits[b >> 3] |= 1 << (b & 7)
+                except TypeError:
+                    continue
+                per[col] = {
+                    "m": m,
+                    "k": self._BLOOM_K,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
+            if per:
+                out[rel] = per
+        return out
+
+    @staticmethod
+    def _bloom_maybe_contains(entry: dict, value) -> bool:
+        import base64
+
+        try:
+            h1, h2 = AtomicParquetTable._bloom_hashes(value)
+        except TypeError:
+            return True  # un-hashable probe: pruning never decides correctness
+        bits = base64.b64decode(entry["b64"])
+        m = entry["m"]
+        for i in range(entry["k"]):
+            b = (h1 + i * h2) % m
+            if not (bits[b >> 3] >> (b & 7)) & 1:
+                return False
+        return True
+
+    def lookup(self, column: str, value, version: int | None = None) -> DataFrame:
+        """Point lookup with full file skipping: a file is read only if its
+        manifest [min, max] range admits ``value`` AND (when a Bloom filter
+        exists for the column) the filter says maybe-present. The surviving
+        files still get the exact equality filter, so the result is correct
+        with or without any index — skipping is purely an IO optimization,
+        which is what makes it safe to apply opportunistically."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        blooms = m.get("blooms", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(column)
+            if s is not None:
+                try:
+                    if value < s[0] or value > s[1]:
+                        continue
+                except TypeError:
+                    pass
+            b = blooms.get(f, {}).get(column)
+            if b is not None and not self._bloom_maybe_contains(b, value):
+                continue
+            keep.append(f)
+        from pyspark.sql import functions as F
+
+        if not keep:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(self.schema)
+            .option("basePath", str(self.data_dir))
+            .parquet(*[str(self.data_dir / f) for f in keep])
+            .select([f.name for f in self.schema.fields])
+            .filter(F.col(column) == F.lit(value))
+        )
+
     def _commit(
         self,
         new_files: list[str],
@@ -398,6 +558,10 @@ class AtomicParquetTable:
         known = self._manifest(self.latest_version()).get("stats", {})
         candidates = new_files if replace_files is None else replace_files
         fresh_stats = self._collect_stats([f for f in candidates if f not in known])
+        known_blooms = self._manifest(self.latest_version()).get("blooms", {})
+        fresh_blooms = self._collect_blooms(
+            [f for f in candidates if f not in known_blooms]
+        )
         for _ in range(self.max_commit_retries):
             head_v = self.latest_version()
             head = self._manifest(head_v)
@@ -411,6 +575,7 @@ class AtomicParquetTable:
             next_v = head_v + 1
             files = replace_files if replace_files is not None else head["files"] + new_files
             parent_stats = head.get("stats", {})
+            parent_blooms = head.get("blooms", {})
             manifest = {
                 "version": next_v,
                 "parent": head_v,
@@ -419,6 +584,11 @@ class AtomicParquetTable:
                     f: s
                     for f in files
                     if (s := fresh_stats.get(f) or parent_stats.get(f)) is not None
+                },
+                "blooms": {
+                    f: b
+                    for f in files
+                    if (b := fresh_blooms.get(f) or parent_blooms.get(f)) is not None
                 },
                 "commits": {**head["commits"], **(
                     {idempotency_key: next_v} if idempotency_key is not None else {}

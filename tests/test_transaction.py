@@ -555,3 +555,70 @@ def test_duplicate_constraint_name_rejected_across_handles(spark, table):
 
     with _pytest.raises(ValueError):
         b.add_check_constraint("c1", "run_id >= 0")
+
+
+def test_bloom_index_prunes_point_lookups_exactly(spark, tmp_path):
+    """r8 bloom file-skipping: on a high-cardinality UNCLUSTERED key every
+    file spans the whole min/max range (zone maps keep everything), but the
+    per-file Bloom filter prunes non-matching files — and the lookup result
+    is exactly the full-scan filter's, present or absent."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "bl"),
+        schema=_parse_datatype_string("data_set_id string, problem_id string, run_id long, score double"),
+        partition_by=(),
+    )
+    t.add_bloom_index("run_id")
+    assert t.bloom_columns() == ["run_id"]
+    # 4 commits of interleaved run_ids: file i holds ids ≡ i (mod 4), so
+    # every file's [min, max] covers nearly the full range (no zone pruning)
+    for i in range(4):
+        batch = spark.range(200).select(
+            F.lit("D").alias("data_set_id"), F.lit("p").alias("problem_id"),
+            (F.col("id") * 4 + i).alias("run_id"), F.lit(0.0).alias("score"),
+        ).coalesce(1)
+        t.append(batch)
+    m = t._manifest(t.latest_version())
+    assert len(m["files"]) >= 4 and len(m["blooms"]) == len(m["files"])
+
+    # present key: exact single row
+    got = t.lookup("run_id", 402).collect()
+    assert [r.run_id for r in got] == [402]
+    # the bloom must have pruned the 3 files of other residues
+    kept = [
+        f for f in m["files"]
+        if t._bloom_maybe_contains(m["blooms"][f]["run_id"], 402)
+    ]
+    assert len(kept) <= 2  # 1 true file + ≤1 false positive
+
+    # absent key: empty result (usually zero files even read)
+    assert t.lookup("run_id", 10_001).count() == 0
+
+    # pre-declaration files stay readable: drop the index info path by
+    # asking for a column without filters -> absent filter = keep
+    t2 = AtomicParquetTable(spark, str(tmp_path / "bl"))
+    assert t2.lookup("run_id", 403).count() == 1
+
+
+def test_bloom_absent_for_undeclared_and_pre_declaration_files(spark, tmp_path):
+    from pyspark.sql.types import _parse_datatype_string
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "bl2"),
+        schema=_parse_datatype_string("data_set_id string, problem_id string, run_id long, score double"),
+        partition_by=(),
+    )
+    t.append(_batch(spark, "D", 0, 50))  # before any declaration
+    t.add_bloom_index("run_id")
+    t.append(_batch(spark, "D", 50, 50))  # after
+    m = t._manifest(t.latest_version())
+    blooms = m.get("blooms", {})
+    # only the post-declaration commit carries filters
+    assert 0 < len(blooms) < len(m["files"])
+    # lookups over the mixed table stay exact on both sides of the split
+    assert t.lookup("run_id", 10).count() == 1   # pre-declaration file (no filter -> kept)
+    assert t.lookup("run_id", 90).count() == 1   # bloom-indexed file
+    assert t.lookup("run_id", 999).count() == 0
+    with pytest.raises(KeyError):
+        t.add_bloom_index("not_a_column")
