@@ -3505,6 +3505,97 @@ ORDER BY user_id, event_type
 """
 
 
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency binning (operators/behavior.py:
+    equal_frequency_bins): lineitem extended prices into 10 EXACT deciles
+    via the distributed-rank NTILE path (range partition + per-partition
+    row_number + plan-time bucket arithmetic — never a corpus-wide
+    single-task window), per-bin census with exact DECIMAL price mass.
+    Total order includes (orderkey, linenumber) so tied prices split
+    deterministically, engine-identically."""
+    from observation_lakehouse_spark.operators.behavior import (
+        equal_frequency_bins,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    binned = equal_frequency_bins(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 10, "decile"
+    )
+    out = (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_mass"),
+        )
+        .orderBy("decile")
+    )
+    out._cached_deps = getattr(binned, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+_ORACLE_PRICE_DECILES = """
+WITH b AS (
+    SELECT l_extendedprice,
+           NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+    FROM lineitem
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_mass
+FROM b GROUP BY decile ORDER BY decile
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build (operators/cdc.py:scd2_build
+    — Kimball): the events stream of every 20th user compacted into
+    versioned state rows with half-open validity intervals; consecutive
+    identical states collapse, same-timestamp duplicates resolve by a
+    content digest (arrival order is not observable in a distributed log).
+    One key-partitioned window pass — rank, change-lag and interval-lead
+    share a single exchange."""
+    from observation_lakehouse_spark.operators.cdc import scd2_build
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return scd2_build(ev, ["user_id"], "ts", ["event_type"])
+
+
+_ORACLE_SCD2 = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type
+    FROM events WHERE user_id % 20 = 0
+), d AS (
+    SELECT user_id, ts_us, event_type,
+           sha256(concat_ws(chr(31), CAST(event_type AS VARCHAR))) AS dig
+    FROM e
+), dd AS (
+    SELECT user_id, ts_us, event_type, dig FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us ORDER BY dig DESC) AS r
+        FROM d
+    ) WHERE r = 1
+), mk AS (
+    SELECT user_id, ts_us, event_type,
+           COALESCE(LAG(dig) OVER w <> dig, TRUE) AS changed
+    FROM dd WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), ch AS (
+    SELECT user_id, ts_us, event_type FROM mk WHERE changed
+)
+SELECT user_id, event_type,
+       CAST(ts_us AS BIGINT) AS valid_from,
+       CAST(COALESCE(LEAD(ts_us) OVER w, 9223372036854775807) AS BIGINT) AS valid_to,
+       LEAD(ts_us) OVER w IS NULL AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+ORDER BY user_id, valid_from
+"""
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style upsert (operators/cdc.py:apply_changes): a synthetic change
     batch carries a stale version, a newer upsert, and tombstones; the batch
@@ -7543,6 +7634,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "latest_per_key": q_latest_per_key,
         "cdc_upsert": q_cdc_upsert,
+        "scd2": q_scd2,
+        "price_deciles": q_price_deciles,
         "unpivot": q_unpivot,
         "range_join": q_range_join,
         "data_profile": q_data_profile,
@@ -7697,6 +7790,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _ORACLE_TFIDF,
         "latest_per_key": _ORACLE_LATEST_PER_KEY,
         "cdc_upsert": _ORACLE_CDC_UPSERT,
+        "scd2": _ORACLE_SCD2,
+        "price_deciles": _ORACLE_PRICE_DECILES,
         "unpivot": _ORACLE_UNPIVOT,
         "range_join": _ORACLE_RANGE_JOIN,
         "data_profile": _ORACLE_DATA_PROFILE,

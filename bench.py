@@ -113,6 +113,8 @@ HEADLINE = [
     "video_frames",
     "latest_per_key",
     "cdc_upsert",
+    "scd2",
+    "price_deciles",
     "table_diff",
     "unpivot",
     "range_join",

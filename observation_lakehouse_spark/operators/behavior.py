@@ -417,6 +417,36 @@ def _ntile_from_rank(rank: Column, n_tiles: int, n_rows: int) -> Column:
     return F.when(rank <= F.lit(big), head).otherwise(tail).cast("int")
 
 
+def equal_frequency_bins(
+    df: DataFrame,
+    order_cols: list[str],
+    n_bins: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact equal-frequency discretization (quantile binning) at any
+    scale: adds ``out_col`` = the row's NTILE bucket under ``ORDER BY
+    order_cols`` — the feature-engineering transform ("decile of spend",
+    "quartile of doc quality") that is usually approximated with sampled
+    quantiles because a global NTILE window single-tasks the corpus. Here
+    it is EXACT and distributed: :func:`~observation_lakehouse_spark.
+    functions.prefix.global_row_number` (range partition + per-partition
+    row_number + broadcast offsets) feeds :func:`_ntile_from_rank`'s
+    plan-time (N div n, N mod n) bucket arithmetic — bit-identical to the
+    window NTILE at every N (property-pinned), no stage ever holding more
+    than one partition. ``order_cols`` must be a total order (include a
+    unique tiebreak) or equal rows split across bucket boundaries
+    nondeterministically. Caller releases the persisted range stage via
+    ``release_cached``."""
+    from observation_lakehouse_spark.functions.prefix import global_row_number
+
+    ranked, n = global_row_number(df, order_cols, "_efb_rank")
+    out = ranked.withColumn(
+        out_col, _ntile_from_rank(F.col("_efb_rank"), n_bins, n)
+    ).drop("_efb_rank")
+    out._cached_deps = getattr(ranked, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
 def score_rfm_profiles(
     profiles: DataFrame,
     in_user_col: str,

@@ -117,3 +117,68 @@ def table_diff(
         .select(*keys, "change_type")
         .orderBy(*keys)
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str] | None = None,
+    open_end_ts: int = 9_223_372_036_854_775_807,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 (Kimball): turn an append-only
+    change log into versioned dimension rows with validity intervals —
+    ``(keys, attrs, valid_from, valid_to, is_current)`` where
+    ``valid_to`` is the NEXT change's timestamp (half-open
+    ``[valid_from, valid_to)``) and the newest row per key is open-ended.
+    The standard warehouse shape for "what did this customer's segment
+    look like when the order was placed?" — the as-of join's natural
+    partner table.
+
+    Consecutive changes carrying IDENTICAL attribute values collapse into
+    one interval (no-op updates in a CDC feed must not fragment history);
+    same-timestamp duplicates collapse to ONE deterministic winner (the
+    highest attribute digest — arrival order is not an observable in a
+    distributed log, so the tie rule must be content-based to be engine-
+    and partition-independent).
+
+    Scale shape: one key-partitioned window pass (never corpus-global):
+    rank + change-detection lag + lead, all over the same (keys) hash
+    partitioning — Spark plans ONE exchange reused by all three window
+    functions. Returns total (keys, valid_from) order.
+    """
+    if attr_cols is None:
+        attr_cols = [
+            c for c in changes.columns if c not in set(keys) | {ts_col}
+        ]
+    ts = F.col(ts_col).cast("long")
+    # total in-key order: ts, then an attribute digest (tie determinism)
+    dig = F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in attr_cols]), 256
+    )
+    w = Window.partitionBy(*keys).orderBy(ts.asc(), dig.asc())
+    base = changes.select(
+        *keys, ts.alias("_ts"), *attr_cols, dig.alias("_dig")
+    )
+    # same-ts duplicates: keep the last row of the tie order
+    w_ts = Window.partitionBy(*keys, "_ts").orderBy(F.desc("_dig"))
+    dedup = base.withColumn("_r", F.row_number().over(w_ts)).filter(
+        F.col("_r") == 1
+    ).drop("_r")
+    w2 = Window.partitionBy(*keys).orderBy(F.asc("_ts"))
+    marked = dedup.withColumn(
+        "_changed",
+        F.coalesce(F.lag("_dig").over(w2) != F.col("_dig"), F.lit(True)),
+    ).filter(F.col("_changed"))
+    out = (
+        marked.withColumn("_next", F.lead("_ts").over(w2))
+        .select(
+            *keys,
+            *attr_cols,
+            F.col("_ts").alias("valid_from"),
+            F.coalesce(F.col("_next"), F.lit(open_end_ts)).alias("valid_to"),
+            F.col("_next").isNull().alias("is_current"),
+        )
+        .orderBy(*keys, "valid_from")
+    )
+    return out

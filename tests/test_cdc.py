@@ -99,3 +99,39 @@ def test_table_diff_schema_mismatch_raises(spark):
     new = spark.createDataFrame([(1, 2.0)], "k long, v double")
     with pytest.raises(ValueError, match="share one schema"):
         table_diff(old, new, ["k"])
+
+
+def test_scd2_build_intervals_collapse_and_tie_rules(spark):
+    """SCD2 contract: half-open intervals chain per key, no-op updates
+    collapse, same-ts duplicates resolve to one row, newest row open-ended."""
+    from observation_lakehouse_spark.operators.cdc import scd2_build
+
+    rows = [
+        # key 1: A -> A (no-op, collapses) -> B -> A
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+        # key 2: same-ts duplicate states -> one deterministic winner
+        (2, 10, "X"), (2, 10, "Y"), (2, 50, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, state string")
+    got = [
+        (r.k, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_build(df, ["k"], "ts", ["state"]).collect()
+    ]
+    import hashlib
+
+    # deterministic tie winner at (2, 10): the higher sha256 digest.
+    # If X wins the tie, the ts=50 X row is a NO-OP update and collapses
+    # into one open interval; if Y wins, the 50 row is a real change.
+    win = max("X", "Y", key=lambda s: hashlib.sha256(s.encode()).hexdigest())
+    top = 9_223_372_036_854_775_807
+    key2 = (
+        [(2, "X", 10, top, True)]
+        if win == "X"
+        else [(2, "Y", 10, 50, False), (2, "X", 50, top, True)]
+    )
+    assert got == [
+        (1, "A", 10, 30, False),
+        (1, "B", 30, 40, False),
+        (1, "A", 40, top, True),
+        *key2,
+    ]
