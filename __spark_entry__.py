@@ -4729,6 +4729,79 @@ FROM it3 ORDER BY pr_pico DESC, node LIMIT 50
 """
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:pagerank seeds= — Page et
+    al. '99 §6 / Haveliwala WWW'02): teleport mass restarts only at every
+    50th customer, so ranks measure fulfillment-graph proximity TO THOSE
+    CUSTOMERS — the "related suppliers for this account set" relevance
+    shape, vs global pagerank's one-ranking-for-everyone. Same integer
+    pico-unit discipline and unrolled-CTE oracle; top-50, total
+    tie-break."""
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    seeds = customer.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    pr = pagerank(edges, n_iters=3, seeds=seeds)
+    out = pr.limit(50)
+    out._cached_deps = getattr(pr, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+def _ppr_oracle(n_iters: int = 3, scale: int = 1_000_000_000_000, d: int = 85) -> str:
+    """Unrolled-CTE twin of q_personalized_pagerank: identical integer
+    rules with the teleport terms gated on seed membership."""
+    head = f"""
+WITH e AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 4 = 0
+), nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), seeds AS (
+    SELECT DISTINCT c_custkey * 2 AS node FROM customer WHERE c_custkey % 50 = 0
+), sn AS (
+    SELECT node, TRUE AS is_seed FROM seeds WHERE node IN (SELECT node FROM nodes)
+), ns AS (
+    SELECT COUNT(*) AS k FROM sn
+), outdeg AS (
+    SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+), pr0 AS (
+    SELECT nodes.node,
+           CASE WHEN sn.is_seed THEN {scale} // k ELSE 0 END AS pr
+    FROM nodes LEFT JOIN sn ON sn.node = nodes.node CROSS JOIN ns
+)"""
+    its = []
+    prev = "pr0"
+    for i in range(1, n_iters + 1):
+        its.append(f""", it{i} AS (
+    SELECT nodes.node,
+           CASE WHEN sn.is_seed THEN ({scale} * {100 - d}) // (100 * k) ELSE 0 END
+           + (COALESCE(s.in_sum, 0) * {d}) // 100 AS pr
+    FROM nodes LEFT JOIN sn ON sn.node = nodes.node CROSS JOIN ns
+    LEFT JOIN (SELECT e.dst, SUM(pr // outdeg) AS in_sum
+               FROM {prev} JOIN outdeg ON {prev}.node = outdeg.src
+               JOIN e ON e.src = outdeg.src
+               GROUP BY 1) s ON s.dst = nodes.node
+)""")
+        prev = f"it{i}"
+    return head + "".join(its) + f"""
+SELECT node, CAST(pr AS BIGINT) AS pr_pico
+FROM {prev} ORDER BY pr_pico DESC, node LIMIT 50
+"""
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hubs & authorities (operators/graph.py:hits —
     Kleinberg JACM'99) over the same quarter-filtered customer→supplier
@@ -7661,6 +7734,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "personalized_pagerank": q_personalized_pagerank,
         "label_propagation": q_label_propagation,
         "bloom_join": q_bloom_join,
         "shipping_priority": q_shipping_priority,
@@ -7817,6 +7891,7 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": _ORACLE_TABLE_DIFF,
         "pagerank": _ORACLE_PAGERANK,
         "hits": _hits_oracle(),
+        "personalized_pagerank": _ppr_oracle(),
         "label_propagation": _ORACLE_LABEL_PROPAGATION,
         "bloom_join": _ORACLE_BLOOM_JOIN,
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,

@@ -90,6 +90,7 @@ HEADLINE = [
     "dsir_select",
     "label_propagation",
     "hits",
+    "personalized_pagerank",
     "bloom_join",
     "shipping_priority",
     "small_order_revenue",

@@ -257,6 +257,7 @@ def pagerank(
     n_iters: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000_000_000,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer pico-units — deterministic on any
     engine and any partitioning.
@@ -303,7 +304,33 @@ def pagerank(
         out = edges.sparkSession.createDataFrame([], "node long, pr_pico long")
         out._cached_deps = (e0, nodes)  # noqa: SLF001
         return out
-    base = (scale * (100 - damping_pct)) // (100 * n)
+    # Personalized variant (Page et al. '99 §6 / Haveliwala WWW'02): with
+    # ``seeds`` given (one column of node ids), teleport mass restarts ONLY
+    # at the seed set — pr0 and the per-round base are scale DIV |S| on
+    # seeds and 0 elsewhere, so ranks measure proximity TO THE SEEDS, not
+    # global importance (the "related items for THIS user/query" shape).
+    # Same integer discipline: the seed flag rides the persisted node
+    # table, zero extra per-round work.
+    nodes_b = nodes
+    if seeds is None:
+        base_expr = F.lit((scale * (100 - damping_pct)) // (100 * n))
+        pr0_expr = F.lit(scale // n)
+    else:
+        sd = seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("node")
+        ).distinct()
+        # nodes stays persisted (it feeds this join AND the deps contract);
+        # the flagged copy is persisted separately for the per-round reuse
+        nodes_b = nodes.join(
+            sd.withColumn("_s", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce("_s", F.lit(False)).alias("_s")).persist()
+        n_seeds = nodes_b.filter("_s").count()
+        if n_seeds == 0:
+            raise ValueError("seeds share no node with the edge frame")
+        base_expr = F.when(
+            F.col("_s"), F.lit((scale * (100 - damping_pct)) // (100 * n_seeds))
+        ).otherwise(F.lit(0))
+        pr0_expr = F.when(F.col("_s"), F.lit(scale // n_seeds)).otherwise(F.lit(0))
     # In-loop tuning, scoped and restored on exit (the connected_components
     # discipline): AQE off for the fixed-shape rounds, shuffle width from the
     # measured edge count, and the edge table re-persisted keyed by src ALONE
@@ -323,7 +350,7 @@ def pagerank(
     try:
         e = e0.repartition(loop_parts, F.col("src")).persist()
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-        pr = nodes.withColumn("pr", F.lit(scale // n))
+        pr = nodes_b.withColumn("pr", pr0_expr).select("node", "pr")
         for i in range(n_iters):
             contrib = (
                 pr.join(outdeg, pr["node"] == outdeg["src"])
@@ -332,10 +359,12 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_sum"))
             )
-            pr = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            pr = nodes_b.join(
+                contrib, nodes_b["node"] == contrib["dst"], "left"
+            ).select(
                 "node",
                 (
-                    F.lit(base)
+                    base_expr
                     + F.expr(f"(COALESCE(in_sum, 0) * {damping_pct}) DIV 100")
                 ).alias("pr"),
             )
@@ -347,6 +376,7 @@ def pagerank(
             e.unpersist()
         e0.unpersist()
         nodes.unpersist()
+        nodes_b.unpersist()
         raise
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -354,7 +384,7 @@ def pagerank(
     out = pr.select("node", F.col("pr").alias("pr_pico")).orderBy(
         F.desc("pr_pico"), F.asc("node")
     )
-    out._cached_deps = (e0, e, nodes, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
+    out._cached_deps = (e0, e, nodes, nodes_b, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
 
 

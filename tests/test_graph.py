@@ -371,3 +371,44 @@ def test_hits_empty_edges(spark):
     out = hits(df)
     assert out.columns == ["node", "authority_nano", "hub_nano"]
     assert out.count() == 0
+
+
+def test_personalized_pagerank_matches_integer_mirror(spark):
+    """pagerank(seeds=...) must equal a pure-Python mirror of the integer
+    PPR rules: teleport mass (base and pr0) lands ONLY on seeds; seeds
+    rank themselves and their neighborhoods above distant nodes."""
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 2), (4, 5), (5, 4)]
+    seeds = [1]
+    scale, d, iters = 1_000_000_000_000, 85, 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r.node: r.pr_pico for r in pagerank(df, n_iters=iters, seeds=sd).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    outdeg = {}
+    for u, _ in set(edges):
+        outdeg[u] = outdeg.get(u, 0) + 1
+    ns = len(set(seeds) & set(nodes))
+    base = {u: (scale * (100 - d)) // (100 * ns) if u in seeds else 0 for u in nodes}
+    pr = {u: scale // ns if u in seeds else 0 for u in nodes}
+    for _ in range(iters):
+        in_sum = {u: 0 for u in nodes}
+        for u, v in set(edges):
+            in_sum[v] += pr[u] // outdeg[u]
+        pr = {u: base[u] + (in_sum[u] * d) // 100 for u in nodes}
+    assert got == pr
+    # seed-proximity ordering: the seed's own cycle outranks the far pair
+    assert got[1] > got[4] and got[2] > got[5]
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    import pytest
+
+    from observation_lakehouse_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sd = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="seeds share no node"):
+        pagerank(df, seeds=sd)
