@@ -7407,6 +7407,95 @@ FROM pb ORDER BY bin
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov (operators/audit.py:ks_test):
+    the click vs purchase value distributions — the drop-admission drift
+    gate, computed exactly (sup over the pooled distinct values via ONE
+    distributed prefix pass carrying both cumulative counts; numerator
+    max|C1·n2 − C2·n1| in exact integers, never a float ECDF)."""
+    from observation_lakehouse_spark.operators.audit import ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "click")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return ks_test(ref, cur, "value")
+
+
+_ORACLE_KS = """
+WITH u AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+    FROM events WHERE event_type IN ('click', 'purchase')
+), pv AS (
+    SELECT v,
+           SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+    FROM u GROUP BY v
+), cum AS (
+    SELECT v, c1, c2,
+           SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+           SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+    FROM pv
+), t AS (
+    SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv
+)
+SELECT CAST(t.n1 AS BIGINT) AS n_ref,
+       CAST(t.n2 AS BIGINT) AS n_cur,
+       CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num,
+       CAST((MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) * 1000000) // (t.n1 * t.n2)
+            AS BIGINT) AS ks_ppm
+FROM cum CROSS JOIN t
+GROUP BY t.n1, t.n2
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/audit.py:psi_drift): click vs
+    purchase value distributions over a declared [0, 500) range, 10 bins,
+    add-one smoothing. Per-bin decomposition emitted (the PSI is the
+    psi_contrib_micro sum) so the oracle checks every share, log-ratio and
+    contribution, not one scalar — the calibration_report pattern."""
+    from observation_lakehouse_spark.operators.audit import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "click")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return psi_drift(ref, cur, "value", 0.0, 500.0, n_bins=10)
+
+
+_ORACLE_PSI = """
+WITH u AS (
+    SELECT LEAST(9, (LEAST(499999999, GREATEST(0,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           )) - 0) // 50000000) AS bin,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+    FROM events WHERE event_type IN ('click', 'purchase')
+), pb AS (
+    SELECT bin,
+           SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_ref,
+           SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS n_cur
+    FROM u GROUP BY bin
+), t AS (
+    SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM pb
+), sc AS (
+    SELECT bin, n_ref, n_cur,
+           ((n_ref + 1) * 1000000) // (t.nr + 10) AS p_ppm,
+           ((n_cur + 1) * 1000000) // (t.nc + 10) AS q_ppm,
+           CAST(ROUND(LN(
+               CAST(CAST(n_ref + 1 AS HUGEINT) * (t.nc + 10) AS DOUBLE)
+               / CAST(CAST(n_cur + 1 AS HUGEINT) * (t.nr + 10) AS DOUBLE)
+           ) * 1000000.0) AS BIGINT) AS lr_micro_nats
+    FROM pb CROSS JOIN t
+)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+       lr_micro_nats,
+       CAST(((p_ppm - q_ppm) * lr_micro_nats) // 1000000 AS BIGINT)
+           AS psi_contrib_micro
+FROM sc ORDER BY bin
+"""
+
+
 def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy (1973) Brier-score decomposition (operators/evaluation.py:
     brier_decomposition): reliability − resolution + uncertainty over the
@@ -7684,6 +7773,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "calibration": q_calibration,
         "brier_decomposition": q_brier_decomposition,
+        "ks_drift": q_ks_drift,
+        "psi_drift": q_psi_drift,
         "cohens_kappa": q_cohens_kappa,
         "bfs_distances": q_bfs_distances,
         "anomaly_mad": q_anomaly_mad,
@@ -7835,6 +7926,8 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": _ORACLE_SEASONAL,
         "calibration": _ORACLE_CALIBRATION,
         "brier_decomposition": _ORACLE_BRIER,
+        "ks_drift": _ORACLE_KS,
+        "psi_drift": _ORACLE_PSI,
         "cohens_kappa": _cohens_kappa_oracle(),
         "bfs_distances": _ORACLE_BFS,
         "anomaly_mad": _ORACLE_ANOMALY_MAD,

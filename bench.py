@@ -162,6 +162,8 @@ HEADLINE = [
     "seasonal_decompose",
     "calibration",
     "brier_decomposition",
+    "ks_drift",
+    "psi_drift",
     "cohens_kappa",
     "bfs_distances",
     "anomaly_mad",

@@ -142,3 +142,61 @@ def global_row_number(
     )
     out._cached_deps = (ranged,)  # noqa: SLF001 — release_cached contract
     return out, offset
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
+    num_partitions: int | None = None,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Multi-column form of :func:`global_prefix_sum`: one range pass
+    carries running sums for EVERY ``value_cols[i]`` into ``out_cols[i]``
+    (``inclusive=True`` gives the current-row-included sum — cumulative
+    counts for ECDFs — instead of the exclusive offset). Same two-phase
+    shape, same contracts (unique non-null ``order_col``, caller releases
+    via ``release_cached``); the partials pass collects one row per
+    partition with all the sums, so adding columns costs nothing extra."""
+    if len(value_cols) != len(out_cols) or not value_cols:
+        raise ValueError("value_cols and out_cols must be equal-length, non-empty")
+    for c in ("_pid", *out_cols):
+        if c in df.columns:
+            raise ValueError(f"input already has a {c!r} column — rename it first")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = ranged.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_ps{i}") for i, v in enumerate(value_cols)]
+    ).collect()
+    offs: dict[int, list[int]] = {}
+    run = [0] * len(value_cols)
+    for row in sorted(partials, key=lambda r: r["_pid"]):
+        offs[row["_pid"]] = list(run)
+        for i in range(len(value_cols)):
+            run[i] += row[f"_ps{i}"] or 0
+    off_schema = "_pid int, " + ", ".join(
+        f"_poff{i} bigint" for i in range(len(value_cols))
+    )
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), *[int(x) for x in o]) for p, o in sorted(offs.items())],
+        off_schema,
+    )
+    upper = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    out = ranged.join(F.broadcast(off_df), "_pid")
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(
+            o, F.col(f"_poff{i}") + F.coalesce(F.sum(v).over(w), F.lit(0))
+        )
+    out = out.drop("_pid", *[f"_poff{i}" for i in range(len(value_cols))])
+    out._cached_deps = (ranged,)  # noqa: SLF001 — release_cached contract
+    return out

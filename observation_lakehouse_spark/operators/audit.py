@@ -235,3 +235,160 @@ def sample_ratio_check(
         .orderBy("grp")
     )
     return out
+
+
+def ks_test(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic — the standard
+    "did this drop's distribution move?" gate between a reference corpus
+    and a candidate one, computed exactly at any scale (the usual KS
+    implementations sort both samples on one machine; approximate ones
+    bucket first and lose the sup).
+
+    ``D = sup_x |F_ref(x) − F_cur(x)|`` over the pooled distinct values:
+    with per-value counts (c1, c2) and INCLUSIVE cumulative counts
+    (C1, C2), the numerator is ``max |C1·n2 − C2·n1|`` — exact integers,
+    no float ECDF anywhere; ``ks_ppm = D_num·1e6 div (n1·n2)``. Values
+    micro-quantize through the decimal-cast discipline so both engines
+    bucket identically.
+
+    Scale shape: one (value → c1, c2) hash aggregate over the union
+    (map-side combinable), then ONE distributed prefix pass over the
+    distinct-value table (:func:`~observation_lakehouse_spark.functions.
+    prefix.global_prefix_sums` carries both cumulative counts in the same
+    range shuffle), one max aggregate. Never a corpus-wide single-task
+    sort. Output: one row (n_ref, n_cur, d_num, ks_ppm). Caller releases
+    the persisted range stage via ``release_cached``.
+    """
+    from observation_lakehouse_spark.functions.prefix import global_prefix_sums
+
+    v_micro = (F.col(value_col).cast("decimal(18,6)") * MICRO).cast("long")
+    tagged = ref.select(v_micro.alias("_v"), F.lit(1).alias("_s")).unionByName(
+        cur.select(v_micro.alias("_v"), F.lit(2).alias("_s"))
+    )
+    per_val = tagged.groupBy("_v").agg(
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("_s") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    cum = global_prefix_sums(
+        per_val, "_v", ["c1", "c2"], ["cum1", "cum2"], inclusive=True
+    )
+    # totals must be known per row for the |C1·n2 − C2·n1| term: one tiny
+    # single-row aggregate broadcast back (the deliberate 1-row pattern)
+    totals = cum.agg(
+        F.sum("c1").alias("n_ref"), F.sum("c2").alias("n_cur")
+    )
+    out = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_ref",
+            "n_cur",
+            F.abs(
+                F.col("cum1") * F.col("n_cur") - F.col("cum2") * F.col("n_ref")
+            ).alias("_d"),
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(F.max("_d").alias("d_num"))
+        .select(
+            "n_ref",
+            "n_cur",
+            "d_num",
+            F.expr(f"(d_num * {MICRO}) div (n_ref * n_cur)").alias("ks_ppm"),
+        )
+    )
+    out._cached_deps = getattr(cum, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current sample
+    — the monitoring industry's binned drift score (PSI < 0.1 stable,
+    > 0.25 shifted): ``PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)`` with
+    add-one-smoothed bin shares so empty bins stay finite.
+
+    Determinism (the dsir/xent discipline): values micro-quantize and bin
+    equi-width over the declared ``[lo, hi)`` (edges clamp into the end
+    bins — PSI needs a FIXED binning shared by both samples, so the range
+    is a declared contract, not data-derived); each bin's share is an
+    exact ppm floor div, the log-ratio is ONE integer ratio
+    ``(c_ref+1)·(N_cur+K) / ((c_cur+1)·(N_ref+K))`` cast to double for a
+    single correctly-rounded quotient, rounded to integer micro-nats; the
+    contribution is ``(p_ppm − q_ppm)·lr_micro div 1e6`` — pure integer,
+    emitted PER BIN so the oracle checks the whole decomposition
+    (calibration_report's pattern; the PSI is the column sum).
+
+    One hash aggregate per sample side folded in a single union pass + a
+    K-row total window. Output: (bin, n_ref, n_cur, p_ppm, q_ppm,
+    lr_micro_nats, psi_contrib_micro), ordered by bin.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    from pyspark.sql import Window
+
+    lo_u = int(round(lo * MICRO))
+    hi_u = int(round(hi * MICRO))
+    span = max(1, (hi_u - lo_u) // n_bins)
+    v_micro = (F.col(value_col).cast("decimal(18,6)") * MICRO).cast("long")
+    bin_expr = F.floor(
+        (
+            F.least(F.lit(hi_u - 1), F.greatest(F.lit(lo_u), v_micro)) - F.lit(lo_u)
+        )
+        / F.lit(span)
+    )
+    bin_clamped = F.least(F.lit(int(n_bins) - 1), bin_expr).alias("bin")
+    tagged = ref.select(bin_clamped, F.lit(1).alias("_s")).unionByName(
+        cur.select(bin_clamped, F.lit(2).alias("_s"))
+    )
+    per_bin = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("_s") == 2, 1).otherwise(0)).alias("n_cur"),
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    k = int(n_bins)
+    wb = per_bin.withColumn("_NR", F.sum("n_ref").over(total)).withColumn(
+        "_NC", F.sum("n_cur").over(total)
+    )
+    return (
+        wb.select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.expr(f"((n_ref + 1) * {MICRO}) div (_NR + {k})").alias("p_ppm"),
+            F.expr(f"((n_cur + 1) * {MICRO}) div (_NC + {k})").alias("q_ppm"),
+            F.round(
+                F.log(
+                    F.expr(
+                        f"CAST(CAST(n_ref + 1 AS DECIMAL(38,0)) * (_NC + {k}) AS DOUBLE)"
+                    )
+                    / F.expr(
+                        f"CAST(CAST(n_cur + 1 AS DECIMAL(38,0)) * (_NR + {k}) AS DOUBLE)"
+                    )
+                )
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("lr_micro_nats"),
+        )
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            "p_ppm",
+            "q_ppm",
+            "lr_micro_nats",
+            F.expr(
+                f"((p_ppm - q_ppm) * lr_micro_nats) div {MICRO}"
+            ).alias("psi_contrib_micro"),
+        )
+        .orderBy("bin")
+    )

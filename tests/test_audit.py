@@ -327,3 +327,61 @@ def test_brier_decomposition_perfect_and_uninformative(spark):
     r2 = brier_decomposition(base, "p", "y").collect()[0]
     assert r2.resolution_ppm == 0 and r2.reliability_ppm == 0
     assert r2.brier_ppm == r2.uncertainty_ppm == 250_000
+
+
+def test_ks_test_exact_against_python_ecdf(spark):
+    """ks_test must equal the brute-force pooled-ECDF supremum exactly
+    (integer numerator over n1*n2), including the identical-sample zero."""
+    import random
+
+    from observation_lakehouse_spark.operators.audit import ks_test
+    from observation_lakehouse_spark.operators.dedup import release_cached
+
+    rnd = random.Random(7)
+    a = [round(rnd.uniform(0, 10), 6) for _ in range(400)]
+    b = [round(rnd.uniform(2, 12), 6) for _ in range(300)]
+    ref = spark.createDataFrame([(v,) for v in a], "v double")
+    cur = spark.createDataFrame([(v,) for v in b], "v double")
+    out = ks_test(ref, cur, "v")
+    r = out.collect()[0]
+    release_cached(out)
+
+    am = sorted(round(v * 1_000_000) for v in a)
+    bm = sorted(round(v * 1_000_000) for v in b)
+    pooled = sorted(set(am) | set(bm))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(am, x) * len(bm) - bisect.bisect_right(bm, x) * len(am))
+        for x in pooled
+    )
+    assert (r.n_ref, r.n_cur, r.d_num) == (len(a), len(b), d_num)
+    assert r.ks_ppm == d_num * 1_000_000 // (len(a) * len(b))
+
+    # identical samples -> D = 0
+    out2 = ks_test(ref, ref, "v")
+    assert out2.collect()[0].d_num == 0
+    release_cached(out2)
+
+
+def test_psi_drift_hand_fixture_and_stability(spark):
+    """Two-bin hand fixture: ref (3, 1), cur (1, 3) over [0, 2) with K=2
+    add-one smoothing — every ppm/micro-nat value checked by hand; a
+    sample compared with itself scores 0."""
+    import math
+
+    from observation_lakehouse_spark.operators.audit import psi_drift
+
+    ref = spark.createDataFrame([(0.5,), (0.4,), (0.3,), (1.5,)], "v double")
+    cur = spark.createDataFrame([(0.6,), (1.2,), (1.4,), (1.8,)], "v double")
+    rows = psi_drift(ref, cur, "v", 0.0, 2.0, n_bins=2).collect()
+    # p = (c+1)/(N+K): bin0 ref 4/6, cur 2/6; bin1 ref 2/6, cur 4/6
+    p0, q0 = (4 * 1_000_000) // 6, (2 * 1_000_000) // 6
+    lr0 = round(math.log((4 * 6) / (2 * 6)) * 1_000_000)
+    c0 = (p0 - q0) * lr0 // 1_000_000
+    got = {r.bin: (r.p_ppm, r.q_ppm, r.lr_micro_nats, r.psi_contrib_micro) for r in rows}
+    assert got[0] == (p0, q0, lr0, c0)
+    assert got[1] == (q0, p0, -lr0, c0)  # symmetric flip: same contribution
+    # self-comparison: zero drift in every bin
+    z = psi_drift(ref, ref, "v", 0.0, 2.0, n_bins=2).collect()
+    assert all(r.psi_contrib_micro == 0 for r in z)
