@@ -296,7 +296,13 @@ def ks_test(
             "n_ref",
             "n_cur",
             "d_num",
-            F.expr(f"(d_num * {MICRO}) div (n_ref * n_cur)").alias("ks_ppm"),
+            # one-sided input (a sample with zero rows): D is undefined —
+            # NULL, never an ANSI divide-by-zero (the guard is load-bearing:
+            # Spark 4 raises on div 0)
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.expr(f"(d_num * {MICRO}) div (n_ref * n_cur)"),
+            ).alias("ks_ppm"),
         )
     )
     out._cached_deps = getattr(cum, "_cached_deps", ())  # noqa: SLF001

@@ -442,6 +442,49 @@ def main() -> None:
              d.select((F.col("value") / F.lit(500.0)).alias("p"),
                       (F.col("event_type") == "click").cast("int").alias("y")),
              "p", "y")),
+        # --- r8 additions ---
+        # one pair window + two vocab-bounded aggregates + broadcast
+        # unigrams + top-k — alpha tracks token mass
+        ("pmi_collocations (adjacent-pair phrase mining)", docs, docs_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.mining",
+             fromlist=["pmi_collocations"]).pmi_collocations(d, min_count=5, k=20)),
+        # per-doc windows only — alpha should be scan-linear
+        ("span_corrupt (T5 sentinel masking)", docs, docs_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.text",
+             fromlist=["span_corrupt"]).span_corrupt(d)),
+        # distinct-value agg + ONE dual-count prefix pass + max — the
+        # distributed ECDF; alpha tracks the distinct-value table
+        ("ks_test (exact two-sample KS)", ev, ev_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.audit",
+             fromlist=["ks_test"]).ks_test(
+             d.filter(F.col("event_type") == "click"),
+             d.filter(F.col("event_type") == "purchase"), "value")),
+        # range pass + per-partition row_number + bucket arithmetic + census
+        ("price_deciles (exact equal-frequency bins)", li, li_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.behavior",
+             fromlist=["equal_frequency_bins"]).equal_frequency_bins(
+             d.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+             ["l_extendedprice", "l_orderkey", "l_linenumber"], 10, "decile")
+         .groupBy("decile").agg(F.count(F.lit(1)).alias("n"))),
+        # two joins + two aggs + two 1-row normalizers per round — alpha
+        # tracks edge count like LPA/pagerank
+        ("hits (2 rounds, hubs/authorities)", cust, cust_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.graph",
+             fromlist=["hits"]).hits(
+             d.select((F.col("c_custkey") * 2).alias("src"),
+                      (F.col("c_nationkey") * 2 + 1).alias("dst")),
+             n_iters=2)),
+        # versioned-interval build: one key-partitioned window pass
+        ("scd2_build (SCD Type 2 intervals)", ev, ev_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.cdc",
+             fromlist=["scd2_build"]).scd2_build(
+             d, ["user_id"], "ts", ["event_type"])),
     ]
 
     lines = [

@@ -385,3 +385,17 @@ def test_psi_drift_hand_fixture_and_stability(spark):
     # self-comparison: zero drift in every bin
     z = psi_drift(ref, ref, "v", 0.0, 2.0, n_bins=2).collect()
     assert all(r.psi_contrib_micro == 0 for r in z)
+
+
+def test_ks_test_one_sided_input_yields_null_not_error(spark):
+    """An empty sample makes D undefined: ks_ppm NULL, never an ANSI
+    divide-by-zero (Spark 4 raises on div 0)."""
+    from observation_lakehouse_spark.operators.audit import ks_test
+    from observation_lakehouse_spark.operators.dedup import release_cached
+
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    out = ks_test(ref, empty, "v")
+    r = out.collect()[0]
+    release_cached(out)
+    assert (r.n_ref, r.n_cur, r.ks_ppm) == (2, 0, None)
