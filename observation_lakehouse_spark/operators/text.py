@@ -1172,7 +1172,9 @@ def span_corrupt(
     convention ``<extra_id_K>`` numbered per document from 0.
 
     Returns (id_col, corrupted_text, target_text, n_tokens, n_masked,
-    n_spans), total id order.
+    n_spans), total id order. Documents with ZERO tokens have nothing to
+    corrupt and emit no row (the posexplode grain — identical in the SQL
+    oracle); filter empties upstream if presence matters.
     """
     from observation_lakehouse_spark.functions.text import tok_hash60, tokens
 
