@@ -5274,7 +5274,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority")
     )
     joined = bloom_prefilter_join(lineitem, dim, "l_orderkey", "o_orderkey")
-    return (
+    out = (
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -5287,6 +5287,10 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+    # aggregate wrapping drops the operator's release handles (the r8 leak
+    # gate caught the packed-filter persist surviving release_cached)
+    out._cached_deps = getattr(joined, "_cached_deps", ())  # noqa: SLF001
+    return out
 
 
 _ORACLE_BLOOM_JOIN = """
@@ -5603,7 +5607,8 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from observation_lakehouse_spark.operators.retrieval import bm25_rank, ndcg_eval
 
     docs = _t(spark, sf_dir, "documents")
-    ranking = bm25_rank(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=10).select(
+    ranked = bm25_rank(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=10)
+    ranking = ranked.select(
         F.lit(1).cast("long").alias("query_id"), "doc_id", "rank"
     )
     toks = lower_tokens("text")
@@ -5618,7 +5623,11 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rel") > 0)
     )
-    return ndcg_eval(ranking, qrels, k=10)
+    out = ndcg_eval(ranking, qrels, k=10)
+    # .select() above dropped bm25_rank's (base, tf) handles — carry them
+    # so release_cached frees the postings persists (r8 leak gate)
+    out._cached_deps = getattr(ranked, "_cached_deps", ())  # noqa: SLF001
+    return out
 
 
 _NDCG_DISCOUNTS = "[1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464, 301029, 289064]"
