@@ -446,15 +446,26 @@ def hits(
     e = None
     try:
         e = e0.repartition(loop_parts, F.col("src")).persist()
-        h = nodes.withColumn("h", F.lit(scale // n))
+        # degree tables, once: the L1 totals never need a second pass over
+        # the edge join — Σ_v a_raw(v) = Σ_u h(u)·outdeg(u) and
+        # Σ_u h_raw(u) = Σ_v a(v)·indeg(v), each a node-sized join against
+        # the CHECKPOINTED score table (a naive a_raw.agg() total embeds the
+        # edge-join subtree a second time per half-round — measured ~2x the
+        # round cost)
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od")).persist()
+        indeg = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("_id")).persist()
+        h = nodes.withColumn("h", F.lit(scale // n)).localCheckpoint(eager=True)
         a = None
         for i in range(n_iters):
+            a_tot = (
+                h.join(outdeg, h["node"] == outdeg["src"])
+                .agg(F.sum(F.col("h") * F.col("_od")).alias("_t"))
+            )
             a_raw = (
                 e.join(h.withColumnRenamed("node", "src"), "src")
                 .groupBy("dst")
                 .agg(F.sum("h").alias("_s"))
             )
-            a_tot = a_raw.agg(F.sum("_s").alias("_t"))
             a = (
                 nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
                 .crossJoin(F.broadcast(a_tot))
@@ -462,13 +473,16 @@ def hits(
                     "node",
                     F.expr(f"(COALESCE(_s, 0) * {scale}) DIV _t").alias("a"),
                 )
+            ).localCheckpoint(eager=True)
+            h_tot = (
+                a.join(indeg, a["node"] == indeg["dst"])
+                .agg(F.sum(F.col("a") * F.col("_id")).alias("_t2"))
             )
             h_raw = (
                 e.join(a.withColumnRenamed("node", "dst"), "dst")
                 .groupBy("src")
                 .agg(F.sum("a").alias("_s2"))
             )
-            h_tot = h_raw.agg(F.sum("_s2").alias("_t2"))
             h = (
                 nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
                 .crossJoin(F.broadcast(h_tot))
@@ -476,10 +490,7 @@ def hits(
                     "node",
                     F.expr(f"(COALESCE(_s2, 0) * {scale}) DIV _t2").alias("h"),
                 )
-            )
-            # truncate BOTH evolving frames each round — h's plan embeds a's
-            a = a.localCheckpoint(eager=True)
-            h = h.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
     except BaseException:
         if e is not None:
             e.unpersist()
@@ -494,7 +505,7 @@ def hits(
         .select("node", F.col("a").alias("authority_nano"), "hub_nano")
         .orderBy(F.desc("authority_nano"), F.asc("node"))
     )
-    out._cached_deps = (e0, e, nodes)  # type: ignore[attr-defined]  # noqa: SLF001
+    out._cached_deps = (e0, e, nodes, outdeg, indeg)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
 
 
