@@ -1158,38 +1158,66 @@ def ivfadc_topk(
                 ]
             )["code"]
 
+        # The K candidate codes per (vector, sub-vector) PACK into one
+        # bigint (bits·K ≤ 63 at any sane k, K), so the per-vector fold is
+        # a plain long MAX — a HashAggregate with 8-byte buffers. An
+        # array<int>-valued max plans as SortAggregate (immutable buffer:
+        # partial + final sorts over N·m rows — measured ~2x the query),
+        # the same pack-vs-struct trade label_propagation documents.
+        code_bits = max(1, (k_codes - 1).bit_length())
+        if code_bits * K > 63:
+            raise ValueError(
+                f"residual code pack needs {code_bits * K} bits "
+                f"(k={k_codes}, K={K}) — exceeds int64"
+            )
+        code_mask = (1 << code_bits) - 1
+        packed = None
+        for i in range(K):
+            term = _code_if(i).cast("long") * F.lit(1 << (code_bits * i))
+            packed = term if packed is None else (packed + term)
         per_vec = (
             _pq_code_sums(corpus, codebooks, vec_col, id_col, centroids)
             .select(
                 "_id",
                 "m",
-                F.array(*[_code_if(i) for i in range(K)]).alias("_codes"),
+                packed.alias("_pk"),
                 *[f"p_{i}" for i in range(K)],
             )
             .groupBy("_id")
             .agg(
                 *[
-                    F.max(F.when(F.col("m") == mi, F.col("_codes"))).alias(
-                        f"_a{mi}"
+                    F.max(F.when(F.col("m") == mi, F.col("_pk"))).alias(
+                        f"_k{mi}"
                     )
                     for mi in range(m_n)
                 ],
                 *[F.sum(f"p_{i}").alias(f"dot_{i}") for i in range(K)],
             )
         )
-        cellcol = cellpick["cell"]
-        enc = per_vec.select(
-            F.col("_id").alias("neighbor_id"),
-            cellcol.alias("centroid_id"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.element_at(F.col(f"_a{mi}"), cellcol + 1)
-                        for mi in range(m_n)
-                    ]
-                )
-            ).alias("m", "code"),
-        ).persist()
+        enc = (
+            per_vec.withColumn("_cell", cellpick["cell"])
+            .select(
+                F.col("_id").alias("neighbor_id"),
+                F.col("_cell").alias("centroid_id"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            # unpack the assigned cell's code: shift count is
+                            # a COLUMN, so expr() (F.shiftright takes only a
+                            # literal count — the r6 gotcha)
+                            (
+                                F.expr(
+                                    f"shiftright(_k{mi}, {code_bits} * _cell)"
+                                )
+                                % F.lit(code_mask + 1)
+                            ).cast("int")
+                            for mi in range(m_n)
+                        ]
+                    )
+                ).alias("m", "code"),
+            )
+            .persist()
+        )
     else:
         per_vec = (
             _pq_code_sums(corpus, codebooks, vec_col, id_col, centroids)
