@@ -2993,6 +2993,116 @@ FROM r
 """
 
 
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (operators/evaluation.py:
+    classification_report) for the language-ID heuristic against the
+    labeled lang column — the base table of the scorer-evaluation suite
+    (langid_confusion shows the raw matrix; kappa the one-scalar chance
+    correction; this the per-class operating report). F1 computes straight
+    from counts (2·tp div (2·tp+fp+fn), the Dice identity) so no rounded
+    harmonic mean compounds truncation; degenerate classes NULL."""
+    from observation_lakehouse_spark.operators.evaluation import (
+        classification_report,
+    )
+    from observation_lakehouse_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    both = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return classification_report(both, "lang_pred", "lang")
+
+
+def _classification_report_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle()}),
+pairs AS (
+    SELECT p.lang_pred AS _p, d.lang AS _y
+    FROM documents d JOIN pred p USING (doc_id)
+),
+cm AS (SELECT _p, _y, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+pm AS (SELECT _p AS cls, SUM(c) AS n_pred FROM cm GROUP BY 1),
+lm AS (SELECT _y AS cls, SUM(c) AS n_true FROM cm GROUP BY 1),
+tp AS (SELECT _p AS cls, c AS tp FROM cm WHERE _p = _y),
+base AS (
+    SELECT COALESCE(lm.cls, pm.cls) AS cls,
+           COALESCE(n_true, 0) AS support,
+           COALESCE(tp, 0) AS tp,
+           COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+           COALESCE(n_true, 0) - COALESCE(tp, 0) AS fn
+    FROM lm FULL OUTER JOIN pm ON lm.cls = pm.cls
+    LEFT JOIN tp ON tp.cls = COALESCE(lm.cls, pm.cls)
+)
+SELECT cls AS class,
+       CAST(support AS BIGINT) AS support,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0 THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT) END AS recall_ppm,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+FROM base ORDER BY class
+"""
+
+
+def q_jsd_term_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term Jensen–Shannon decomposition (operators/text.py:
+    jsd_term_divergence): WHICH WORDS separate the en documents from the
+    rest of the corpus — the text twin of psi_drift/ks_drift (values moved
+    vs vocabulary moved), top-20 contributing terms. Both log arguments
+    are single integer ratios (2·c₁·N₂ over c₁·N₂+c₂·N₁), shares exact
+    ppm, contributions integer micro-nats with the p·ln p → 0 limit
+    guarded before the log."""
+    from observation_lakehouse_spark.operators.text import jsd_term_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return jsd_term_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        k=20,
+    )
+
+
+_ORACLE_JSD = """
+WITH tk AS (
+    SELECT lang,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS toks
+    FROM documents
+), u AS (
+    SELECT unnest(toks) AS t, CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS s
+    FROM tk
+), pt AS (
+    SELECT t,
+           SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+    FROM u GROUP BY t
+), tot AS (
+    SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pt
+), sc AS (
+    SELECT t, c1, c2,
+           (c1 * 1000000) // tot.n1 AS p_ppm,
+           (c2 * 1000000) // tot.n2 AS q_ppm,
+           CASE WHEN c1 > 0 THEN CAST(ROUND(LN(
+               CAST(2 * CAST(c1 AS HUGEINT) * tot.n2 AS DOUBLE)
+               / CAST(CAST(c1 AS HUGEINT) * tot.n2 + CAST(c2 AS HUGEINT) * tot.n1 AS DOUBLE)
+           ) * 1000000.0) AS BIGINT) ELSE 0 END AS lr1,
+           CASE WHEN c2 > 0 THEN CAST(ROUND(LN(
+               CAST(2 * CAST(c2 AS HUGEINT) * tot.n1 AS DOUBLE)
+               / CAST(CAST(c1 AS HUGEINT) * tot.n2 + CAST(c2 AS HUGEINT) * tot.n1 AS DOUBLE)
+           ) * 1000000.0) AS BIGINT) ELSE 0 END AS lr2
+    FROM pt CROSS JOIN tot
+)
+SELECT t AS term,
+       CAST(c1 AS BIGINT) AS c_ref,
+       CAST(c2 AS BIGINT) AS c_cur,
+       CAST(p_ppm AS BIGINT) AS p_ppm,
+       CAST(q_ppm AS BIGINT) AS q_ppm,
+       CAST((p_ppm * lr1 + q_ppm * lr2) // 2000000 AS BIGINT) AS jsd_contrib_micro
+FROM sc
+ORDER BY jsd_contrib_micro DESC, term
+LIMIT 20
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash + content-sha256 fingerprints, fully oracle-checked (the
     md5-prefix token family reproduces in DuckDB). The git-blob-sha1 identity
@@ -7785,6 +7895,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "psi_drift": q_psi_drift,
         "cohens_kappa": q_cohens_kappa,
+        "classification_report": q_classification_report,
+        "jsd_term_divergence": q_jsd_term_divergence,
         "bfs_distances": q_bfs_distances,
         "anomaly_mad": q_anomaly_mad,
         "containment": q_containment,
@@ -7938,6 +8050,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _ORACLE_KS,
         "psi_drift": _ORACLE_PSI,
         "cohens_kappa": _cohens_kappa_oracle(),
+        "classification_report": _classification_report_oracle(),
+        "jsd_term_divergence": _ORACLE_JSD,
         "bfs_distances": _ORACLE_BFS,
         "anomaly_mad": _ORACLE_ANOMALY_MAD,
         "containment": _ORACLE_CONTAINMENT,

@@ -165,6 +165,8 @@ HEADLINE = [
     "ks_drift",
     "psi_drift",
     "cohens_kappa",
+    "classification_report",
+    "jsd_term_divergence",
     "bfs_distances",
     "anomaly_mad",
     "containment",

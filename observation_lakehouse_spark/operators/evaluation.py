@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["brier_decomposition", "calibration_report", "cohens_kappa", "roc_auc"]
+__all__ = ["brier_decomposition", "calibration_report", "classification_report", "cohens_kappa", "roc_auc"]
 
 PPM = 1_000_000
 
@@ -297,3 +297,73 @@ def brier_decomposition(
             " div (CAST(FIRST(_N) AS DECIMAL(38,0)) * FIRST(_N))"
         ).alias("uncertainty_ppm"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 + support — the basic
+    classification report (the table every scorer evaluation starts with;
+    kappa/AUC/calibration answer narrower questions on top of it), exact
+    integer ppm.
+
+    F1 avoids the rounded-harmonic-mean trap (2·P·R/(P+R) of already-
+    floored ppm values compounds truncation): it is computed directly from
+    the counts as ``f1_ppm = 2·tp·1e6 div (2·tp + fp + fn)`` — one exact
+    division, the set-theoretic Dice identity. Degenerate classes (no
+    predictions → precision NULL; no labels → recall NULL; both empty for
+    the F1 denominator → NULL) return NULL, never a divide-by-zero.
+
+    Scale shape: ONE (pred, label) hash aggregate collapses the corpus to
+    its confusion matrix (|classes|² rows at most), and every metric
+    derives from that tiny table — per-class tp/fp/fn via two label-sized
+    aggregates. Output: (class, support, tp, fp, fn, precision_ppm,
+    recall_ppm, f1_ppm), total class order.
+    """
+    cm = (
+        df.select(
+            F.col(pred_col).cast("string").alias("_p"),
+            F.col(label_col).cast("string").alias("_y"),
+        )
+        .groupBy("_p", "_y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # per-class prediction mass and label mass from the confusion matrix
+    pred_m = cm.groupBy(F.col("_p").alias("cls")).agg(F.sum("c").alias("n_pred"))
+    lab_m = cm.groupBy(F.col("_y").alias("cls")).agg(F.sum("c").alias("n_true"))
+    tp = (
+        cm.filter(F.col("_p") == F.col("_y"))
+        .select(F.col("_p").alias("cls"), F.col("c").alias("tp"))
+    )
+    base = (
+        lab_m.join(pred_m, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("support"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("n_true", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+        )
+    )
+    return base.select(
+        F.col("cls").alias("class"),
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr(f"(tp * {PPM}) div (tp + fp)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr(f"(tp * {PPM}) div (tp + fn)"),
+        ).alias("recall_ppm"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr(f"(2 * tp * {PPM}) div (2 * tp + fp + fn)"),
+        ).alias("f1_ppm"),
+    ).orderBy("class")

@@ -399,3 +399,32 @@ def test_ks_test_one_sided_input_yields_null_not_error(spark):
     r = out.collect()[0]
     release_cached(out)
     assert (r.n_ref, r.n_cur, r.ks_ppm) == (2, 0, None)
+
+
+def test_classification_report_known_values(spark):
+    """Hand-checkable fixture incl. a class never predicted (recall 0,
+    precision NULL) and a class never labeled (precision 0, recall NULL)."""
+    from observation_lakehouse_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # preds for labels a,a,b
+        ("b", "b"), ("c", "b"),               # c never a true label
+        ("x", "d"),                           # d never predicted
+    ]
+    df = spark.createDataFrame(rows, "pred string, label string")
+    got = {
+        r["class"]: (r.support, r.tp, r.fp, r.fn, r.precision_ppm, r.recall_ppm, r.f1_ppm)
+        for r in classification_report(df, "pred", "label").collect()
+    }
+    # a: tp=2 fp=1 fn=0 -> P 2/3, R 1, F1 4/5
+    assert got["a"] == (2, 2, 1, 0, 666666, 1_000_000, 800_000)
+    # b: labels {a->b? no} labels b: rows with label b: ("a","b"),("b","b"),("c","b") -> support 3, tp=1, fn=2; preds b: 1 -> fp=0
+    assert got["b"] == (3, 1, 0, 2, 1_000_000, 333_333, 500_000)
+    # c: predicted once, never true -> support 0, precision 0, recall NULL
+    assert got["c"] == (0, 0, 1, 0, 0, None, 0)
+    # d: labeled once, never predicted -> precision NULL, recall 0
+    assert got["d"] == (1, 0, 0, 1, None, 0, 0)
+    # x: predicted once for label d -> fp=1
+    assert got["x"] == (0, 0, 1, 0, 0, None, 0)

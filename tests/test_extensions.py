@@ -566,3 +566,24 @@ def test_span_corrupt_repartition_proof(spark):
     tot = sum(r[3] for r in a)
     msk = sum(r[4] for r in a)
     assert 0.25 < msk / tot < 0.55
+
+
+def test_jsd_term_divergence_identities(spark):
+    """JSD contract: disjoint vocabularies give each term its maximal
+    contribution (p·ln2 form), identical corpora give zero everywhere, and
+    one-sided terms never produce a NaN (the p·ln p -> 0 limit guard)."""
+    import math
+
+    from observation_lakehouse_spark.operators.text import jsd_term_divergence
+
+    a = spark.createDataFrame([(1, "aa aa bb")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "cc cc dd")], "doc_id long, text string")
+    got = {r.term: r for r in jsd_term_divergence(a, b, k=10).collect()}
+    # aa: p = 2/3, q = 0 -> contrib = p_ppm * ln(2) / 2 micro-nats
+    ln2 = round(math.log(2) * 1_000_000)
+    p_aa = 2 * 1_000_000 // 3
+    assert got["aa"].jsd_contrib_micro == (p_aa * ln2) // 2_000_000
+    assert got["aa"].q_ppm == 0 and got["cc"].p_ppm == 0
+    # identical corpora: zero contribution for every term
+    z = jsd_term_divergence(a, a, k=10).collect()
+    assert all(r.jsd_contrib_micro == 0 for r in z)
