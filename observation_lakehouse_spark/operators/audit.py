@@ -266,8 +266,16 @@ def ks_test(
     from observation_lakehouse_spark.functions.prefix import global_prefix_sums
 
     v_micro = (F.col(value_col).cast("decimal(18,6)") * MICRO).cast("long")
-    tagged = ref.select(v_micro.alias("_v"), F.lit(1).alias("_s")).unionByName(
-        cur.select(v_micro.alias("_v"), F.lit(2).alias("_s"))
+    # NULL values are dropped BEFORE the prefix pass: global_prefix_sums'
+    # contract requires a non-null order column (functions/prefix.py) —
+    # a NULL group would range-sort first and silently occupy the lowest
+    # value bucket, shifting both ECDFs. KS is a statistic over observed
+    # values; missingness is a different monitor's job.
+    nn = F.col(value_col).isNotNull()
+    tagged = (
+        ref.filter(nn)
+        .select(v_micro.alias("_v"), F.lit(1).alias("_s"))
+        .unionByName(cur.filter(nn).select(v_micro.alias("_v"), F.lit(2).alias("_s")))
     )
     per_val = tagged.groupBy("_v").agg(
         F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("c1"),
@@ -352,8 +360,16 @@ def psi_drift(
         / F.lit(span)
     )
     bin_clamped = F.least(F.lit(int(n_bins) - 1), bin_expr).alias("bin")
-    tagged = ref.select(bin_clamped, F.lit(1).alias("_s")).unionByName(
-        cur.select(bin_clamped, F.lit(2).alias("_s"))
+    # NULL values are excluded from BOTH samples' bin counts and totals
+    # (explicitly — Spark's greatest/least SKIP NULL arguments, so an
+    # unfiltered NULL would silently clamp into bin 0, not drop out).
+    # PSI compares the distributions of observed values; track missingness
+    # with a separate null-rate monitor if it matters.
+    nn = F.col(value_col).isNotNull()
+    tagged = (
+        ref.filter(nn)
+        .select(bin_clamped, F.lit(1).alias("_s"))
+        .unionByName(cur.filter(nn).select(bin_clamped, F.lit(2).alias("_s")))
     )
     per_bin = tagged.groupBy("bin").agg(
         F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("n_ref"),

@@ -156,7 +156,6 @@ def scd2_build(
     dig = F.sha2(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in attr_cols]), 256
     )
-    w = Window.partitionBy(*keys).orderBy(ts.asc(), dig.asc())
     base = changes.select(
         *keys, ts.alias("_ts"), *attr_cols, dig.alias("_dig")
     )

@@ -417,6 +417,8 @@ def hits(
     pattern). Lineage truncated per round via eager ``localCheckpoint``.
     Returns (node, authority_nano, hub_nano), authority DESC, node ASC.
     """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
     e0 = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()

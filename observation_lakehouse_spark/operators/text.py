@@ -1294,7 +1294,7 @@ def jsd_term_divergence(
         parallelize_scan(ref)
         .select(F.explode(lower_tokens(text_col)).alias("t"), F.lit(1).alias("_s"))
         .unionByName(
-            cur.select(
+            parallelize_scan(cur).select(
                 F.explode(lower_tokens(text_col)).alias("t"), F.lit(2).alias("_s")
             )
         )
@@ -1317,6 +1317,10 @@ def jsd_term_divergence(
     )
     scored = (
         per_term.crossJoin(F.broadcast(totals))
+        # one-sided corpus (zero tokens on either side): divergence is
+        # undefined — return the empty frame rather than an ANSI
+        # divide-by-zero from the ppm floor divs (the ks_test contract)
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(
             F.col("t").alias("term"),
             F.col("c1").alias("c_ref"),

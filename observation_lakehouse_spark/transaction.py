@@ -417,22 +417,43 @@ class AtomicParquetTable:
         return list(meta.get("bloom_columns", []))
 
     @staticmethod
-    def _bloom_hashes(value) -> tuple[int, int]:
-        """Two independent 64-bit draws from one md5 of the TYPE-TAGGED value
-        (int 5 and str '5' must not collide into one key space); h2 forced
-        odd so the double-hash probe sequence h1 + i·h2 covers any m."""
-        import hashlib
-
+    def _bloom_keys(value) -> set[str]:
+        """Canonical key(s) for one value. Spark equality is CROSS-TYPE
+        (int 5 == double 5.0 == the int column read back as float by
+        pyarrow), so every numeric spelling of one number must land on ONE
+        key: integral values canonicalize to their integer digits
+        (``n:5`` for 5, 5.0 and -0.0), non-integral floats to ``repr``.
+        Strings stay in their own ``s:`` space (int 5 vs str '5' must not
+        collide). Beyond 2**53 an int and its nearest double diverge while
+        Spark's int↔double comparison still casts-and-matches, so such ints
+        carry their double-rounded twin key too (stored AND probed — both
+        directions of the cast are covered)."""
         if isinstance(value, bool) or value is None:
             raise TypeError("bloom keys must be int/float/str")
         if isinstance(value, int):
-            key = f"i:{value}"
-        elif isinstance(value, float):
-            key = f"f:{value!r}"
-        elif isinstance(value, str):
-            key = f"s:{value}"
-        else:
-            raise TypeError(f"bloom keys must be int/float/str, got {type(value)}")
+            keys = {f"n:{value}"}
+            try:
+                fv = float(value)
+            except OverflowError:
+                return keys
+            if int(fv) != value:
+                keys.add(f"n:{int(fv)}")
+            return keys
+        if isinstance(value, float):
+            if value.is_integer():
+                return {f"n:{int(value)}"}
+            return {f"n:{value!r}"}
+        if isinstance(value, str):
+            return {f"s:{value}"}
+        raise TypeError(f"bloom keys must be int/float/str, got {type(value)}")
+
+    @staticmethod
+    def _bloom_hashes(key: str) -> tuple[int, int]:
+        """Two independent 64-bit draws from one md5 of the canonical key;
+        h2 forced odd so the double-hash probe sequence h1 + i·h2 covers
+        any m."""
+        import hashlib
+
         d = hashlib.md5(key.encode()).digest()
         return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
 
@@ -475,10 +496,11 @@ class AtomicParquetTable:
                 bits = bytearray((m + 7) // 8)
                 try:
                     for v in vals:
-                        h1, h2 = self._bloom_hashes(v)
-                        for i in range(self._BLOOM_K):
-                            b = (h1 + i * h2) % m
-                            bits[b >> 3] |= 1 << (b & 7)
+                        for key in self._bloom_keys(v):
+                            h1, h2 = self._bloom_hashes(key)
+                            for i in range(self._BLOOM_K):
+                                b = (h1 + i * h2) % m
+                                bits[b >> 3] |= 1 << (b & 7)
                 except TypeError:
                     continue
                 per[col] = {
@@ -495,16 +517,19 @@ class AtomicParquetTable:
         import base64
 
         try:
-            h1, h2 = AtomicParquetTable._bloom_hashes(value)
+            keys = AtomicParquetTable._bloom_keys(value)
         except TypeError:
             return True  # un-hashable probe: pruning never decides correctness
         bits = base64.b64decode(entry["b64"])
         m = entry["m"]
-        for i in range(entry["k"]):
-            b = (h1 + i * h2) % m
-            if not (bits[b >> 3] >> (b & 7)) & 1:
-                return False
-        return True
+        for key in keys:  # maybe-present under ANY numeric spelling = keep
+            h1, h2 = AtomicParquetTable._bloom_hashes(key)
+            if all(
+                (bits[(b := (h1 + i * h2) % m) >> 3] >> (b & 7)) & 1
+                for i in range(entry["k"])
+            ):
+                return True
+        return False
 
     def lookup(self, column: str, value, version: int | None = None) -> DataFrame:
         """Point lookup with full file skipping: a file is read only if its

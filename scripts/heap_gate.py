@@ -107,6 +107,7 @@ def gate_peaks() -> int:
         if rec["residual_cache_mb"] > 0:
             print(f"[peaks] LEAK {name}: {rec['residual_cache_mb']} MB")
             rc = 1
+            continue
         print(f"[peaks] OK {name}: ran green inside {PEAK_BOUND_MB}m "
               f"(old_gen_peak {rec['old_gen_peak_mb']} MB, "
               f"live_after_gc {rec['live_after_gc_mb']} MB)")

@@ -587,3 +587,15 @@ def test_jsd_term_divergence_identities(spark):
     # identical corpora: zero contribution for every term
     z = jsd_term_divergence(a, a, k=10).collect()
     assert all(r.jsd_contrib_micro == 0 for r in z)
+
+
+def test_jsd_term_divergence_one_sided_corpus_is_empty_not_error(spark):
+    """r9 (ADVICE): a zero-token side makes the divergence undefined —
+    empty result, never an ANSI divide-by-zero from the ppm floor divs."""
+    from observation_lakehouse_spark.operators.text import jsd_term_divergence
+
+    a = spark.createDataFrame([(1, "aa aa bb")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert jsd_term_divergence(a, empty, k=10).collect() == []
+    assert jsd_term_divergence(empty, a, k=10).collect() == []
+    assert jsd_term_divergence(empty, empty, k=10).collect() == []

@@ -412,3 +412,15 @@ def test_personalized_pagerank_rejects_disjoint_seeds(spark):
     sd = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="seeds share no node"):
         pagerank(df, seeds=sd)
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    """r9 (ADVICE): n_iters=0 used to fall through to `a = None` and an
+    AttributeError; now a clear ValueError at entry."""
+    import pytest
+
+    from observation_lakehouse_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iters"):
+        hits(df, n_iters=0)

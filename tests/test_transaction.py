@@ -622,3 +622,42 @@ def test_bloom_absent_for_undeclared_and_pre_declaration_files(spark, tmp_path):
     assert t.lookup("run_id", 999).count() == 0
     with pytest.raises(KeyError):
         t.add_bloom_index("not_a_column")
+
+
+def test_bloom_probe_is_cross_type_like_spark_equality(spark, tmp_path):
+    """r9 (ADVICE): Spark equality is cross-type (int 5 == double 5.0), so
+    an int probe of a DOUBLE bloom-indexed column (and vice versa) must
+    never prove 'absent' for a value the final equality filter WOULD match
+    — the documented 'correct with or without any index' contract."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "bl3"),
+        schema=_parse_datatype_string(
+            "data_set_id string, problem_id string, run_id long, score double"
+        ),
+        partition_by=(),
+    )
+    t.add_bloom_index("score")
+    t.append(
+        spark.range(20).select(
+            F.lit("D").alias("data_set_id"), F.lit("p").alias("problem_id"),
+            F.col("id").alias("run_id"),
+            F.col("id").cast("double").alias("score"),  # 0.0 .. 19.0
+        ).coalesce(1)
+    )
+    # int probe against the double column: pyarrow read the values back as
+    # Python floats, so the OLD 'i:5' vs 'f:5.0' key spaces pruned to empty
+    assert t.lookup("score", 5).count() == 1
+    assert t.lookup("score", 5.0).count() == 1
+    assert t.lookup("score", -0.0).count() == 1  # -0.0 == 0.0
+    assert t.lookup("score", 5.5).count() == 0
+    # and the key spaces stay disjoint where Spark equality is false:
+    # str '5' never matches a numeric 5
+    keys_n = AtomicParquetTable._bloom_keys(5)
+    assert keys_n == AtomicParquetTable._bloom_keys(5.0)
+    assert keys_n != AtomicParquetTable._bloom_keys("5")
+    # beyond 2**53 an int carries its double-rounded twin key, so an
+    # int-stored value still answers a double probe (Spark casts-and-matches)
+    big = 2**53 + 1
+    assert AtomicParquetTable._bloom_keys(big) == {f"n:{big}", f"n:{int(float(big))}"}
