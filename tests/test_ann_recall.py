@@ -19,11 +19,15 @@ module re-verifies the floors.
   p ≈ 1 − θ/π ≈ 0.64 for these near-random embeddings (top-10 cosine
   ≈ 0.35–0.5 → θ ≈ 65°), so recall ≈ Σ_{i≤2} C(4,i)·p^(4−i)·(1−p)^i ≈ 0.86.
   Floor: 0.80.
-- IVF-flat, 8 cells, nprobe 4, Lloyd-TRAINED codebook (frozen literals in
-  `_ivf_centroids`): measured 0.74 at sf0.01 (2026-08-14 drop), 0.66 at
-  sf0.1. Unstructured embeddings are IVF's adversarial case — the neighbor's
-  cell is nearly independent of the query's, so recall ≈ the probed corpus
-  fraction; training buys balanced cells and the sf0.01 lift. Floor: 0.55.
+- IVF-flat, 8 cells, ADAPTIVE probing to recall_target 0.75 with an 80-
+  candidate floor (r9 — probes cells nearest-first until their cumulative
+  occupancy covers the target fraction), Lloyd-TRAINED codebook (frozen
+  literals in `_ivf_centroids`): measured 0.98 at sf0.01 (2026-08-14 drop),
+  0.915 at sf0.1. Unstructured embeddings are IVF's adversarial case — the
+  neighbor's cell is nearly independent of the query's, so recall ≈ the
+  covered corpus fraction, which is exactly what the stopping rule pins;
+  the measured values sit above the 0.75 target because the dot ranking
+  still buys a little alignment. Floor: 0.80.
   On a clustered corpus (IVF's design assumption) the trained pipeline
   recovers the planted partition outright — pinned by
   test_trained_centroids_on_clustered_corpus.
@@ -75,7 +79,7 @@ def test_rp_recall_floor(spark, exact_pairs):
 def test_ivf_recall_floor(spark, exact_pairs):
     approx = _pairs(entrymod.q_ann_ivf_topk(spark, SF_DIR))
     recall = len(exact_pairs & approx) / len(exact_pairs)
-    assert recall >= 0.55, f"IVF nprobe=4 recall@10 regressed: {recall:.3f} < 0.55"
+    assert recall >= 0.80, f"adaptive IVF recall@10 regressed: {recall:.3f} < 0.80"
 
 
 def test_trained_centroids_on_clustered_corpus(spark):
