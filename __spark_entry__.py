@@ -6578,22 +6578,27 @@ ORDER BY a.vec_id
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-blocked kNN graph (operators/similarity.py:knn_graph): every
-    vector's 5 nearest cell-mates by cosine — the batch primitive under
-    SemDeDup-style curation and embedding-graph methods. Multi-assignment
-    (n_assign=2, the standard IVF recall lever): each vector joins its TWO
-    nearest cells, so a true neighbor is missed only when neither of one
-    side's cells appears in the other's — measured recall@5 roughly doubles
-    vs single assignment for 4x the (still sum |cell|^2-bounded) pair work.
-    Decisive ranking is Spark-side row_number over (round(cos,6) DESC, id
-    ASC), so rank order is float-round-off- and partition-independent. The
-    fixture pins the FROZEN refreeze-trained codebook so the oracle can
-    replay assignment from literals; production callers pass centroids=None
-    and get an auto_ivf_k-sized codebook trained from the measured corpus
-    (the fixed-codebook quadratic trap is warned against in-API)."""
+    vector's 5 nearest candidates by cosine — the batch primitive under
+    SemDeDup-style curation and embedding-graph methods. ASYMMETRIC probing
+    (r9, probe_cells=6): the corpus stays single-assigned, every vector
+    probes its 6 nearest cells as a query, and edge (x -> y) forms iff y's
+    cell is among x's probes — recall@5 0.90 (was 0.70 at n_assign=2) for
+    1.5x the pair work (linear in probes, vs quadratic in n_assign) and
+    one FEWER shuffle (each pair forms in exactly one cell, so the dedup
+    aggregate disappears). Decisive ranking is Spark-side row_number over
+    (round(cos,6) DESC, id ASC), so rank order is float-round-off- and
+    partition-independent. The fixture pins the FROZEN refreeze-trained
+    codebook so the oracle can replay assignment from literals; production
+    callers pass centroids=None and get an auto_ivf_k-sized codebook
+    trained from the measured corpus (the fixed-codebook quadratic trap is
+    warned against in-API)."""
     from observation_lakehouse_spark.operators.similarity import knn_graph
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_graph(emb, _ivf_centroids(), k=5, n_assign=2)
+    return knn_graph(emb, _ivf_centroids(), k=5, probe_cells=_KNN_PROBE_CELLS)
+
+
+_KNN_PROBE_CELLS = 6
 
 
 def _knn_graph_oracle(k: int = 5) -> str:
@@ -6605,9 +6610,12 @@ def _knn_graph_oracle(k: int = 5) -> str:
         "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS s_{i}"
         for i, row in enumerate(Cn)
     )
-    # 2-nearest-cell assignment (ivf_assign nprobe=2): rank every cell's
-    # sim descending, ties toward the lower cell id — the numpy stable
-    # argsort rule, replayed as one ROW_NUMBER over the unnested sims.
+    # Asymmetric probing (r9): rank every cell's sim descending, ties toward
+    # the lower cell id — the numpy stable argsort rule, replayed as one
+    # ROW_NUMBER over the unnested sims. Members keep rn = 1 (single
+    # assignment), probers keep rn <= probe_cells; an edge (x -> y) exists
+    # iff y's single cell is among x's probes (each pair forms exactly once,
+    # so no DISTINCT is needed).
     structs = ", ".join(
         f"{{'cell': {i}, 'sim': s_{i}}}" for i in range(len(Cn))
     )
@@ -6618,17 +6626,17 @@ s AS (
            {sims}
     FROM e
 ),
-cells AS (
-    SELECT vec_id, cell FROM (
-        SELECT s.vec_id, u.cell AS cell,
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                  ORDER BY u.sim DESC, u.cell ASC) AS rn
-        FROM s, UNNEST([{structs}]) AS t(u)
-    ) WHERE rn <= 2
+cr AS (
+    SELECT s.vec_id, u.cell AS cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY u.sim DESC, u.cell ASC) AS rn
+    FROM s, UNNEST([{structs}]) AS t(u)
 ),
 mates AS (
-    SELECT DISTINCT cx.vec_id AS id_x, cy.vec_id AS id_y
-    FROM cells cx JOIN cells cy ON cx.cell = cy.cell AND cx.vec_id <> cy.vec_id
+    SELECT px.vec_id AS id_x, cy.vec_id AS id_y
+    FROM (SELECT vec_id, cell FROM cr WHERE rn <= {_KNN_PROBE_CELLS}) px
+    JOIN (SELECT vec_id, cell FROM cr WHERE rn = 1) cy
+      ON px.cell = cy.cell AND px.vec_id <> cy.vec_id
 ),
 cand AS (
     SELECT p.id_x AS vec_id, p.id_y AS neighbor_id,

@@ -615,11 +615,12 @@ def main() -> None:
                 # tests/test_ann_recall.py::test_pq_adc_recall_floor)
                 "ann_pq_recall_at_10": round(pq_recall, 4),
                 "ann_pq_residual_recall_at_10": round(pq_residual_recall, 4),
-                # Cell-blocked kNN graph vs global exact top-5: with 2-cell
-                # multi-assignment (q_knn_graph n_assign=2) a pair is missed
-                # only when NEITHER of one side's cells appears in the
-                # other's — measured ~0.70 here vs ~0.26 single-assign, the
-                # tunable price of the SemDeDup cluster-blocking trade
+                # Cell-blocked kNN graph vs global exact top-5: asymmetric
+                # probing (r9, q_knn_graph probe_cells=6 of 8) — neighbor y
+                # of x is missed only when y's cell is outside x's 6 probes;
+                # measured ~0.90 here vs ~0.70 at the old n_assign=2 and
+                # ~0.26 single-assign, at 1.5x the pair work and one fewer
+                # shuffle (no dedup aggregate)
                 "knn_graph_recall_at_5": round(knn_recall, 4),
                 # Verified near-dup pairs found by banded MinHash vs the
                 # exact set-similarity join at the same J >= 0.7 threshold

@@ -1589,6 +1589,7 @@ def knn_graph(
     vec_col: str = "embedding",
     n_assign: int = 1,
     target_cell_size: int = 256,
+    probe_cells: int | None = None,
 ) -> DataFrame:
     """Cluster-blocked kNN-graph construction: for every vector, its ``k``
     nearest CLUSTER-mATES by cosine — the batch primitive under SemDeDup-
@@ -1606,10 +1607,22 @@ def knn_graph(
     the other's — for 4× the pair work, still |c|²-bounded. A pair found
     in both shared cells produces bit-identical cosines (the per-pair dim
     accumulation is independent of cell membership), deduped by one hash
-    aggregate before ranking. Pass ``centroids=None`` to train a codebook
-    sized by :func:`auto_ivf_k` from the measured corpus (the default
-    enforces the scaling rule); explicit codebooks warn past 4×
-    ``target_cell_size`` mean occupancy.
+    aggregate before ranking.
+
+    ``probe_cells=p`` (r9, the better recall-per-pair lever) switches to
+    the ASYMMETRIC layout: the corpus stays single-assigned (members) and
+    every vector additionally PROBES its ``p`` nearest cells as a query —
+    edge (x → y) is formed iff y's single cell is among x's probes. Pair
+    work is ``p·Σ|c|²/n_assign²`` — LINEAR in p (vs quadratic in
+    n_assign) — and each (x, y) forms in exactly ONE cell (y's cell is
+    unique), so the dedup aggregate disappears entirely. Measured on the
+    frozen codebook at sf0.1: p=6 recall@5 0.90 at 1.5× the n_assign=2
+    pair count and one fewer shuffle (n_assign=3 needs 2.25× for 0.95).
+
+    Pass ``centroids=None`` to train a codebook sized by
+    :func:`auto_ivf_k` from the measured corpus (the default enforces the
+    scaling rule); explicit codebooks warn past 4× ``target_cell_size``
+    mean occupancy.
 
     Determinism contract: the per-cluster ``applyInPandas`` emits RAW
     cosines from the same sequential dim-order accumulation the SQL
@@ -1637,40 +1650,97 @@ def knn_graph(
             corpus.count(), len(centroids), n_assign, target_cell_size, "knn_graph"
         )
     dim = len(centroids[0])
-    assigned = ivf_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=n_assign
-    )
-    narrow = assigned.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "centroid_id"
-    )
-
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"_src": [], "_dst": [], "cos_raw": []}).astype(
-                {"_src": "int64", "_dst": "int64", "cos_raw": "float64"}
+    if probe_cells is not None:
+        if not 1 <= probe_cells <= len(centroids):
+            raise ValueError(
+                f"probe_cells must be in [1, {len(centroids)}], got {probe_cells}"
             )
-        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        # Sequential k-order accumulation == the oracle's list_dot_product.
-        S = np.multiply.outer(V[:, 0], V[:, 0])
-        n2 = V[:, 0] * V[:, 0]
-        for d in range(1, dim):
-            S += np.multiply.outer(V[:, d], V[:, d])
-            n2 += V[:, d] * V[:, d]
-        norms = np.sqrt(n2)
-        cos = S / (norms[:, None] * norms[None, :])
-        i, j = np.nonzero(ids[None, :] != ids[:, None])
-        return pd.DataFrame({"_src": ids[i], "_dst": ids[j], "cos_raw": cos[i, j]})
+        # Asymmetric: members carry their single cell, probers fan out to
+        # probe_cells cells; a member's own first probe IS its cell, so the
+        # prober set of a cell contains its members (self pairs dropped by
+        # the id inequality below).
+        members = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            "centroid_id",
+            F.lit(0).alias("_role"),
+        )
+        probers = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=probe_cells
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            "centroid_id",
+            F.lit(1).alias("_role"),
+        )
+        narrow = members.unionByName(probers)
 
-    cand = narrow.groupBy("centroid_id").applyInPandas(
-        pairs, "_src long, _dst long, cos_raw double"
-    )
-    if n_assign > 1:
-        # a pair sharing two cells is emitted twice with IDENTICAL doubles
-        # (per-pair accumulation doesn't depend on cell membership) — one
-        # map-side-combining hash aggregate dedupes before the rank window
-        # (duplicates inside the window would eat two ranks).
-        cand = cand.groupBy("_src", "_dst").agg(F.max("cos_raw").alias("cos_raw"))
+        def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            is_p = pdf["_role"].to_numpy() == 1
+            qids = pdf["_id"].to_numpy()[is_p]
+            mids = pdf["_id"].to_numpy()[~is_p]
+            if len(qids) == 0 or len(mids) == 0:
+                return pd.DataFrame({"_src": [], "_dst": [], "cos_raw": []}).astype(
+                    {"_src": "int64", "_dst": "int64", "cos_raw": "float64"}
+                )
+            Vall = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            Q, M = Vall[is_p], Vall[~is_p]
+            # Sequential k-order accumulation == the oracle's
+            # list_dot_product (same rule as the symmetric path).
+            S = np.multiply.outer(Q[:, 0], M[:, 0])
+            qn2, mn2 = Q[:, 0] * Q[:, 0], M[:, 0] * M[:, 0]
+            for d in range(1, dim):
+                S += np.multiply.outer(Q[:, d], M[:, d])
+                qn2 += Q[:, d] * Q[:, d]
+                mn2 += M[:, d] * M[:, d]
+            cos = S / (np.sqrt(qn2)[:, None] * np.sqrt(mn2)[None, :])
+            i, j = np.nonzero(qids[:, None] != mids[None, :])
+            return pd.DataFrame(
+                {"_src": qids[i], "_dst": mids[j], "cos_raw": cos[i, j]}
+            )
+
+        # each (x, y) forms in exactly ONE cell (y's single cell), so no
+        # dedup aggregate is needed before the rank window.
+        cand = narrow.groupBy("centroid_id").applyInPandas(
+            pairs, "_src long, _dst long, cos_raw double"
+        )
+    else:
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=n_assign
+        )
+        narrow = assigned.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "centroid_id"
+        )
+
+        def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"_src": [], "_dst": [], "cos_raw": []}).astype(
+                    {"_src": "int64", "_dst": "int64", "cos_raw": "float64"}
+                )
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            # Sequential k-order accumulation == the oracle's list_dot_product.
+            S = np.multiply.outer(V[:, 0], V[:, 0])
+            n2 = V[:, 0] * V[:, 0]
+            for d in range(1, dim):
+                S += np.multiply.outer(V[:, d], V[:, d])
+                n2 += V[:, d] * V[:, d]
+            norms = np.sqrt(n2)
+            cos = S / (norms[:, None] * norms[None, :])
+            i, j = np.nonzero(ids[None, :] != ids[:, None])
+            return pd.DataFrame({"_src": ids[i], "_dst": ids[j], "cos_raw": cos[i, j]})
+
+        cand = narrow.groupBy("centroid_id").applyInPandas(
+            pairs, "_src long, _dst long, cos_raw double"
+        )
+        if n_assign > 1:
+            # a pair sharing two cells is emitted twice with IDENTICAL doubles
+            # (per-pair accumulation doesn't depend on cell membership) — one
+            # map-side-combining hash aggregate dedupes before the rank window
+            # (duplicates inside the window would eat two ranks).
+            cand = cand.groupBy("_src", "_dst").agg(F.max("cos_raw").alias("cos_raw"))
     w = Window.partitionBy("_src").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("_dst")
     )

@@ -183,13 +183,13 @@ def test_pq_residual_ivfadc_recall_floor(spark):
 
 
 def test_knn_graph_recall_floor(spark):
-    """Cell-blocked kNN graph vs GLOBAL exact top-5. With 2-cell
-    multi-assignment (q_knn_graph's n_assign=2) a true neighbor is missed
-    only when NEITHER of one side's two cells appears in the other's:
-    measured 0.74 at sf0.01 (the SF this test runs, 2026-08-14 drop), 0.70
-    at sf0.1 — vs 0.26 single-assign. Floor 0.5 = measured/1.5 (was 0.05,
-    raised per the r6 floor policy: a regression to single-assignment or a
-    broken cell dedupe must bite)."""
+    """Cell-blocked kNN graph vs GLOBAL exact top-5. With ASYMMETRIC
+    probing (r9, q_knn_graph's probe_cells=6 of 8) a true neighbor y of x
+    is missed only when y's cell is outside x's 6 probed cells: measured
+    0.96 at sf0.01 (the SF this test runs, 2026-08-14 drop), 0.90 at sf0.1
+    — vs 0.70 at the old n_assign=2 and 0.26 single-assign. Floor 0.80 per
+    the r6 floor policy: a regression to fewer probes or a broken probe
+    ranking must bite."""
     import numpy as np
 
     rows = entrymod._t(spark, SF_DIR, "embeddings").select(
@@ -206,4 +206,4 @@ def test_knn_graph_recall_floor(spark):
         (r["vec_id"], r["neighbor_id"])
         for r in entrymod.q_knn_graph(spark, SF_DIR).collect()
     }
-    assert len(exact & got) / len(exact) >= 0.5
+    assert len(exact & got) / len(exact) >= 0.80

@@ -212,3 +212,35 @@ def test_rp_rerank_uses_query_frame_vectors(spark):
         ).collect()
     ]
     assert sorted(got) == [(1, 1), (2, 2)], got
+
+
+def test_knn_graph_asymmetric_probing(spark):
+    """r9: probe_cells=p keeps the corpus single-assigned and fans each
+    vector out to its p nearest cells as a QUERY — edge (x -> y) exists iff
+    y's cell is among x's probes, each pair forming exactly once (no dedup
+    aggregate). With 3 orthogonal cells and p=2: 1 (cell 0, probes {0, 1})
+    reaches 2 (cell 0) and 10 (cell 1) but NOT 20 (cell 2); with p=3 it
+    reaches all."""
+    import pytest
+
+    from observation_lakehouse_spark.operators.similarity import knn_graph
+
+    rows = [
+        (1, [1.0, 0.6, 0.3, 0.0]),   # cell 0; probe order 0, 1, 2
+        (2, [1.0, 0.05, 0.0, 0.0]),  # cell 0
+        (10, [0.05, 1.0, 0.0, 0.0]), # cell 1
+        (20, [0.0, 0.05, 1.0, 0.0]), # cell 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    nbrs = {}
+    for r in knn_graph(df, cents, k=3, probe_cells=2).collect():
+        nbrs.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    assert sorted(n for _, n in nbrs[1]) == [2, 10]          # cell 2 unprobed
+    assert [r for r, _ in sorted(nbrs[1])] == [1, 2]          # contiguous ranks
+    nbrs3 = {}
+    for r in knn_graph(df, cents, k=3, probe_cells=3).collect():
+        nbrs3.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    assert sorted(n for _, n in nbrs3[1]) == [2, 10, 20]
+    with pytest.raises(ValueError, match="probe_cells"):
+        knn_graph(df, cents, k=3, probe_cells=4)
