@@ -167,6 +167,7 @@ HEADLINE = [
     "cohens_kappa",
     "classification_report",
     "jsd_term_divergence",
+    "unigram_encode",
     "bfs_distances",
     "anomaly_mad",
     "containment",
@@ -244,6 +245,19 @@ def heavy_queries(spark, sf_dir):
             "doc_id",
         )
 
+    def _unigram_train_capped(spark, sf_dir):
+        from observation_lakehouse_spark.operators.text import unigram_train_vocab
+
+        return unigram_train_vocab(
+            entrymod._t(spark, sf_dir, "documents"),
+            "text",
+            vocab_size=entrymod._UNI_VOCAB,
+            seed_size=entrymod._UNI_SEED,
+            n_rounds=1,
+            max_piece_len=entrymod._UNI_PLEN,
+            max_word_len=entrymod._UNI_WLEN,
+        )
+
     qs = entrymod.queries(clear_cache=False)
     return {
         # full registered shapes (no cap parameter exists):
@@ -252,6 +266,7 @@ def heavy_queries(spark, sf_dir):
         # capped iteration counts:
         "pagerank": (_pagerank_capped, "n_iters=2 (registered: 3)"),
         "bpe_train": (_bpe_train_capped, "n_merges=4 (registered: 8)"),
+        "unigram_train": (_unigram_train_capped, "n_rounds=1 (registered: 2)"),
         "bpe_encode": (_bpe_encode_capped, "first 4 frozen merges (registered: 8)"),
     }
 

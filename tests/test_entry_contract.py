@@ -63,7 +63,8 @@ def test_bench_helpers_shape(spark):
 
     hq = bench.heavy_queries(spark, "/root/testdata/sf0.001")
     assert set(hq) == {
-        "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train", "bpe_encode",
+        "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train",
+        "bpe_encode", "unigram_train",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -83,7 +84,10 @@ def test_every_registered_query_is_benchmarked():
     import __spark_entry__ as e
 
     registered = set(e.queries())
-    heavies = {"incremental_mv", "chargram_jaccard", "pagerank", "bpe_train", "bpe_encode"}
+    heavies = {
+        "incremental_mv", "chargram_jaccard", "pagerank",
+        "bpe_train", "bpe_encode", "unigram_train",
+    }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)
     assert set(bench.HEADLINE) <= registered, sorted(set(bench.HEADLINE) - registered)
