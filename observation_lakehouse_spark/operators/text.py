@@ -1475,7 +1475,7 @@ def _viterbi_segments(
             ).alias("m")
         )
         .select(
-            "word",
+            F.col("word").alias("_bw"),
             (-F.col("m.ni")).alias("_bi"),
             F.col("_ej").alias("_bj"),
             F.col("m.p").alias("_bp"),
@@ -1494,9 +1494,9 @@ def _viterbi_segments(
         # shuffle-hash build side; SMJ would re-sort the checkpointed bp
         # table on every one of the <= max_word_len steps (the LPA hint)
         step = cur.hint("shuffle_hash").join(
-            bp, (cur["word"] == bp["word"]) & (cur["pos"] == bp["_bj"])
+            bp, (F.col("word") == F.col("_bw")) & (F.col("pos") == F.col("_bj"))
         ).select(
-            cur["word"].alias("word"),
+            "word",
             F.col("_bi").alias("i"),
             F.col("pos").alias("j"),
             F.col("_bp").alias("piece"),
