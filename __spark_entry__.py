@@ -7315,6 +7315,84 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
     )
 
 
+
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report (operators/evaluation.py:cluster_quality):
+    per-cluster SIMPLIFIED silhouette + Davies-Bouldin term of the corpus
+    embeddings against the frozen IVF centroids — the "did the codebook
+    separate the corpus?" gate. On this drop's isotropic embeddings the
+    report correctly reads near-zero silhouettes / DB ~5 (no real cluster
+    structure); tests/test_extensions pins that a planted-cluster corpus
+    scores high. One corpus scan + one K-group aggregate + K-row
+    arithmetic; every distance is the literal-expanded dot identity, so
+    the oracle replays it bit-for-bit."""
+    from observation_lakehouse_spark.operators.evaluation import cluster_quality
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_quality(emb, _ivf_centroids())
+
+
+def _cluster_quality_oracle() -> str:
+    cents = _ivf_centroids()
+    K = len(cents)
+    c2 = [sum(x * x for x in c) for c in cents]
+    dcc_rows = ", ".join(
+        f"({i}, {j}, {repr((sum((a - b) * (a - b) for a, b in zip(cents[i], cents[j]))) ** 0.5)})"
+        for i in range(K)
+        for j in range(K)
+        if i != j
+    )
+    d2s = ",\n           ".join(
+        "list_dot_product(v, v) - 2 * list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + f"]) + {repr(float(c2[i]))} AS d2_{i}"
+        for i, c in enumerate(cents)
+    )
+    m = "LEAST(" + ", ".join(f"d2_{i}" for i in range(K)) + ")"
+    argmin = " ".join(f"WHEN d2_{i} = mn THEN {i}" for i in range(K))
+    bmin = "LEAST(" + ", ".join(
+        f"CASE WHEN cluster <> {i} THEN d2_{i} END" for i in range(K)
+    ) + ")"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (
+    SELECT vec_id,
+           {d2s}
+    FROM e
+),
+p AS (
+    SELECT vec_id, (CASE {argmin} END) AS cluster,
+           sqrt(GREATEST(mn, 0.0)) AS a,
+           d.*
+    FROM (SELECT *, {m} AS mn FROM d) d
+),
+sil AS (
+    SELECT cluster, a,
+           CASE WHEN GREATEST(a, b) > 0.0 THEN (b - a) / GREATEST(a, b)
+                ELSE 0.0 END AS s
+    FROM (SELECT cluster, a, sqrt(GREATEST({bmin}, 0.0)) AS b FROM p)
+),
+stats AS (
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_silhouette,
+           ROUND(CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS sigma
+    FROM sil GROUP BY cluster
+),
+dcc(ci, cj, dd) AS (VALUES {dcc_rows}),
+db AS (
+    SELECT sa.cluster AS cluster,
+           ROUND(MAX((sa.sigma + sb.sigma) / NULLIF(dcc.dd, 0.0)), 6) AS db_term
+    FROM stats sa
+    JOIN stats sb ON sb.cluster <> sa.cluster
+    JOIN dcc ON dcc.ci = sa.cluster AND dcc.cj = sb.cluster
+    GROUP BY sa.cluster
+)
+SELECT st.cluster, st.n, st.avg_silhouette, st.sigma, db.db_term
+FROM stats st LEFT JOIN db ON db.cluster = st.cluster
+ORDER BY st.cluster
+"""
+
+
 _RESAMPLE_FRAC = 0.5
 
 
@@ -8231,6 +8309,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_term_divergence": q_jsd_term_divergence,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "cluster_quality": q_cluster_quality,
         "bfs_distances": q_bfs_distances,
         "anomaly_mad": q_anomaly_mad,
         "containment": q_containment,
@@ -8388,6 +8467,7 @@ def oracle_sql() -> dict[str, str]:
         "jsd_term_divergence": _ORACLE_JSD,
         "unigram_train": _unigram_train_oracle(),
         "unigram_encode": _unigram_encode_oracle(),
+        "cluster_quality": _cluster_quality_oracle(),
         "bfs_distances": _ORACLE_BFS,
         "anomaly_mad": _ORACLE_ANOMALY_MAD,
         "containment": _ORACLE_CONTAINMENT,

@@ -168,6 +168,7 @@ HEADLINE = [
     "classification_report",
     "jsd_term_divergence",
     "unigram_encode",
+    "cluster_quality",
     "bfs_distances",
     "anomaly_mad",
     "containment",

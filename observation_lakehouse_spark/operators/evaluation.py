@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from observation_lakehouse_spark.operators.similarity import _dot
+
 __all__ = ["brier_decomposition", "calibration_report", "classification_report", "cohens_kappa", "roc_auc"]
 
 PPM = 1_000_000
@@ -367,3 +369,131 @@ def classification_report(
             F.expr(f"(2 * tp * {PPM}) div (2 * tp + fp + fn)"),
         ).alias("f1_ppm"),
     ).orderBy("class")
+
+
+def cluster_quality(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Clustering-quality report over an embedding column against a FIXED
+    centroid set: per cluster, the SIMPLIFIED silhouette (Hruschka et al. —
+    distance to own vs nearest-other CENTROID instead of the O(N²)
+    pairwise mean; the standard large-N variant) and the cluster's
+    Davies–Bouldin term ``max_{j≠i} (σ_i + σ_j) / d(c_i, c_j)`` (DB index =
+    mean of the terms) — the "did my codebook/clustering actually separate
+    the corpus?" gate a curation pipeline runs after training centroids.
+
+    Exactness contract: every vector-to-centroid squared distance expands
+    through the dot identity ``Σ(x−c)² = x·x − 2·x·c + c·c`` with the
+    centroid terms as plan-time literals, so each distance is one
+    sequential double fold + literal arithmetic — the SQL oracle's
+    ``list_dot_product`` tree, bit-identical. Assignment is the euclidean
+    argmin (first-min ties toward the lower cluster id); silhouettes
+    average through the DECIMAL-cast discipline (order-independent sums);
+    the centroid-to-centroid distances are pure literals shared by both
+    engines. Scale shape: ONE corpus scan + one K-group aggregate, then
+    K×K driver-free arithmetic on the K-row stats frame.
+
+    Returns (cluster, n, avg_silhouette, sigma, db_term), cluster ASC.
+    """
+    K = len(centroids)
+    if K < 2:
+        raise ValueError("cluster_quality needs >= 2 centroids")
+    to_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c2 = [sum(x * x for x in c) for c in centroids]
+    # centroid-to-centroid euclidean distances — plan-time literals
+    dcc = [
+        [
+            (sum((a - b) * (a - b) for a, b in zip(ci, cj))) ** 0.5
+            for cj in centroids
+        ]
+        for ci in centroids
+    ]
+    base = df.select(F.col(id_col).alias("_id"), to_d.alias("_v")).select(
+        "_id",
+        "_v",
+        *[
+            (
+                _dot(F.col("_v"), F.col("_v"))
+                - 2.0 * _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
+                + F.lit(float(c2[i]))
+            ).alias(f"d2_{i}")
+            for i, c in enumerate(centroids)
+        ],
+    )
+    own = F.least(
+        *[
+            F.struct(F.col(f"d2_{i}").alias("d2"), F.lit(i).alias("c"))
+            for i in range(K)
+        ]
+    )
+    picked = base.select(
+        "_id",
+        own["c"].alias("cluster"),
+        F.sqrt(F.greatest(own["d2"], F.lit(0.0))).alias("_a"),
+        *[F.col(f"d2_{i}") for i in range(K)],
+    )
+    other_min = picked.select(
+        "_id",
+        "cluster",
+        "_a",
+        F.sqrt(
+            F.greatest(
+                F.least(
+                    *[
+                        F.when(F.col("cluster") != i, F.col(f"d2_{i}"))
+                        for i in range(K)
+                    ]
+                ),
+                F.lit(0.0),
+            )
+        ).alias("_b"),
+    )
+    s = F.when(
+        F.greatest(F.col("_a"), F.col("_b")) > 0.0,
+        (F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b")),
+    ).otherwise(F.lit(0.0))
+    stats = (
+        other_min.select("cluster", s.alias("_s"), "_a")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_s").cast("decimal(18,6)")).alias("_ssum"),
+            F.sum(F.col("_a").cast("decimal(18,6)")).alias("_asum"),
+        )
+        .select(
+            "cluster",
+            "n",
+            F.round(F.col("_ssum").cast("double") / F.col("n"), 6).alias(
+                "avg_silhouette"
+            ),
+            F.round(F.col("_asum").cast("double") / F.col("n"), 6).alias("sigma"),
+        )
+    )
+    # DB term: K-row self-join against the literal centroid-distance matrix
+    dflat = F.array(*[F.lit(float(dcc[i][j])) for i in range(K) for j in range(K)])
+    a, b = stats.alias("a"), stats.alias("b")
+    db = (
+        a.join(b, F.col("a.cluster") != F.col("b.cluster"))
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            (
+                (F.col("a.sigma") + F.col("b.sigma"))
+                / F.nullif(
+                    F.element_at(
+                        dflat, F.col("a.cluster") * K + F.col("b.cluster") + 1
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("_t"),
+        )
+        .groupBy("cluster")
+        .agg(F.round(F.max("_t"), 6).alias("db_term"))
+    )
+    return (
+        stats.join(db, "cluster", "left")
+        .select("cluster", "n", "avg_silhouette", "sigma", "db_term")
+        .orderBy("cluster")
+    )

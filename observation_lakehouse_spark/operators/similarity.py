@@ -231,14 +231,21 @@ def lsh_ann_topk(
     n_planes = len(hyperplanes)
     if not 0 <= probe_radius <= n_planes:
         raise ValueError(f"probe_radius must be in [0, {n_planes}], got {probe_radius}")
+    # Per-VECTOR norms (and double casts) hoisted out of the pair-level
+    # re-rank (the r9 ann_ivf_topk trade): one interpreted fold per
+    # candidate pair instead of three, bit-identical values — same
+    # left-to-right fold, same ROUND, same q·c / (|q|·|c|) tree.
+    to_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        to_d.alias("c_vec"),
+        _norm(to_d).alias("c_norm"),
         hyperplane_signature(vec_col, hyperplanes).alias("bucket"),
     )
     q_sig = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        to_d.alias("q_vec"),
+        _norm(to_d).alias("q_norm"),
         hyperplane_signature(vec_col, hyperplanes).alias("bucket"),
     )
     if probe_radius > 0:
@@ -249,7 +256,7 @@ def lsh_ann_topk(
             ]
         )
         q_sig = q_sig.select(
-            "query_id", "q_vec", F.explode(probes).alias("bucket")
+            "query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
         )
     q = F.broadcast(q_sig)
     scored = (
@@ -258,9 +265,11 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -660,3 +660,36 @@ def test_ivf_probe_adaptive_occupancy_rule(spark):
     assert got_df == {0, 1, 2}
     with pytest.raises(ValueError, match="recall_target_ppm"):
         ivf_probe_adaptive(q, cents, counts, recall_target_ppm=0)
+
+
+def test_cluster_quality_separates_planted_clusters(spark):
+    """r9: simplified silhouette + DB term. On a corpus with PLANTED strong
+    clusters around the given centroids the per-cluster silhouette is near
+    1 and the DB terms are small; mixing the clusters together collapses
+    the silhouette toward 0 — the report orders the two corpora correctly.
+    Also: cluster ids follow the euclidean argmin with first-min ties."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.evaluation import cluster_quality
+
+    cents = [[4.0, 0.0, 0.0, 0.0], [0.0, 4.0, 0.0, 0.0]]
+    tight = spark.createDataFrame(
+        [(i, [4.0 + 0.01 * (i % 3), 0.01 * i % 2, 0.0, 0.0]) for i in range(6)]
+        + [(10 + i, [0.01 * (i % 2), 4.0 - 0.01 * (i % 3), 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.cluster: r for r in cluster_quality(tight, cents).collect()}
+    assert set(rows) == {0, 1}
+    assert all(r.avg_silhouette > 0.9 for r in rows.values())
+    assert all(r.db_term < 0.2 for r in rows.values())
+    # a smeared corpus (same points midway between centroids) scores low
+    smear = spark.createDataFrame(
+        [(i, [2.0 + 0.01 * i, 2.0 - 0.01 * i, 0.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    srows = cluster_quality(smear, cents).collect()
+    assert all(abs(r.avg_silhouette) < 0.2 for r in srows)
+    with pytest.raises(ValueError, match="centroids"):
+        cluster_quality(tight, [[1.0, 0.0, 0.0, 0.0]])
