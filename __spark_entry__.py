@@ -2155,7 +2155,12 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroids of isotropic data sit near the origin (see
 # q_ann_pq_residual_topk). Floors locked by test_ann_recall, reported by
 # bench.
-_PQ_NPROBE = 4
+# Adaptive coarse probing (r9, the ann_ivf_topk rule applied to the ADC
+# family - "the PQ family rides the same cells"): probe until probed-cell
+# occupancy covers recall_target of the corpus, 80-candidate floor. The
+# cell recall ceiling rises 0.66 -> ~0.9 at the same rerank depth.
+_PQ_RECALL_TARGET_PPM = 750_000
+_PQ_MIN_CANDIDATES = 80
 _PQ_RERANK = 256
 
 
@@ -2178,8 +2183,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_codebooks(),
         _ivf_centroids(),
         k=10,
-        nprobe=_PQ_NPROBE,
         rerank=_PQ_RERANK,
+        recall_target_ppm=_PQ_RECALL_TARGET_PPM,
+        min_candidates=_PQ_MIN_CANDIDATES,
     )
 
 
@@ -2293,12 +2299,24 @@ cellassign AS (
         FROM dots
     ) WHERE rn = 1
 ),
+qcnt AS (SELECT cell AS ccell, CAST(COUNT(*) AS BIGINT) AS occ FROM cellassign GROUP BY cell),
+qtot AS (SELECT CAST(SUM(occ) AS BIGINT) AS ntot FROM qcnt),
+qpr AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS prn
+    FROM dots WHERE vec_id % 100 = 0
+),
+qcum AS (
+    SELECT p.vec_id, p.cell,
+           COALESCE(SUM(c.occ) OVER (PARTITION BY p.vec_id ORDER BY p.prn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM qpr p JOIN qcnt c ON c.ccell = p.cell
+),
 qcells AS (
-    SELECT vec_id AS query_id, cell FROM (
-        SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
-        FROM dots WHERE vec_id % 100 = 0
-    ) WHERE rn <= {_PQ_NPROBE}
+    SELECT qcum.vec_id AS query_id, qcum.cell
+    FROM qcum CROSS JOIN qtot
+    WHERE qcum.cb < GREATEST({_PQ_MIN_CANDIDATES},
+                             (ntot * {_PQ_RECALL_TARGET_PPM} + 999999) // 1000000)
 ),
 encc AS (
     SELECT e.vec_id AS neighbor_id, e.m, e.code, a.cell
@@ -2362,8 +2380,9 @@ def q_ann_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_residual_codebooks(),
         _ivf_centroids(),
         k=10,
-        nprobe=_PQ_NPROBE,
         rerank=_PQ_RERANK,
+        recall_target_ppm=_PQ_RECALL_TARGET_PPM,
+        min_candidates=_PQ_MIN_CANDIDATES,
         residual=True,
     )
 
@@ -2435,12 +2454,24 @@ cellassign AS (
         FROM dots
     ) WHERE rn = 1
 ),
+qcnt AS (SELECT cell AS ccell, CAST(COUNT(*) AS BIGINT) AS occ FROM cellassign GROUP BY cell),
+qtot AS (SELECT CAST(SUM(occ) AS BIGINT) AS ntot FROM qcnt),
+qpr AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS prn
+    FROM dots WHERE vec_id % 100 = 0
+),
+qcum AS (
+    SELECT p.vec_id, p.cell,
+           COALESCE(SUM(c.occ) OVER (PARTITION BY p.vec_id ORDER BY p.prn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM qpr p JOIN qcnt c ON c.ccell = p.cell
+),
 qcells AS (
-    SELECT vec_id AS query_id, cell FROM (
-        SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
-        FROM dots WHERE vec_id % 100 = 0
-    ) WHERE rn <= {_PQ_NPROBE}
+    SELECT qcum.vec_id AS query_id, qcum.cell
+    FROM qcum CROSS JOIN qtot
+    WHERE qcum.cb < GREATEST({_PQ_MIN_CANDIDATES},
+                             (ntot * {_PQ_RECALL_TARGET_PPM} + 999999) // 1000000)
 ),
 aminr AS (
     SELECT p.vec_id, p.m, h.cell, p.code,

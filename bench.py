@@ -599,15 +599,17 @@ def main() -> None:
                 # change, and with table_rows recorded it cannot recur
                 # unattributed.
                 "drift_note": (
-                    "r8: drop unchanged (refreeze --check clean; residual"
-                    " codebooks newly frozen). Deliberate r8 cost changes:"
-                    " ann_pq_topk rerank 128->256 (recall 0.545->0.62 at the"
-                    " same bit budget); rfm_segments +~1.5s for the"
-                    " distributed-rank NTILE (the r7 judge's single-task"
-                    " global-sort fix); roc_auc +~0.5s for the distributed"
-                    " midrank prefix sum (unbounded-score safety). All other"
-                    " shared queries expected ~flat vs r7 on comparable load"
-                    " windows."
+                    "r9: drop unchanged (refreeze --check clean). Deliberate"
+                    " r9 cost changes, all recall trades: ann_ivf_topk"
+                    " adaptive occupancy-target probing (recall 0.66->0.915,"
+                    " ~1.35x); ann_pq_topk/_residual ride the same adaptive"
+                    " cells (0.62->0.79 / 0.59->0.745, ~1.4x); knn_graph"
+                    " asymmetric probing (recall 0.70->0.90 at ~flat time,"
+                    " one fewer shuffle). hits/pagerank run at measured loop"
+                    " width with co-partitioned edge copies (per-round edge"
+                    " exchange eliminated; 4M-edge probe: 42.6->1.2 MB"
+                    " shuffle-write/round). New: unigram_train (capped heavy)"
+                    " + unigram_encode + cluster_quality headline entries."
                 ),
                 "ann_lsh_recall_at_10": round(lsh_recall, 4),
                 "ann_rp_recall_at_10": round(rp_recall, 4),

@@ -1155,6 +1155,8 @@ def ivfadc_topk(
     vec_col: str = "embedding",
     max_queries: int = 1000,
     residual: bool = False,
+    recall_target_ppm: int | None = None,
+    min_candidates: int = 0,
 ) -> DataFrame:
     """IVFADC ANN (Jégou et al., TPAMI'11 — the composition FAISS calls
     ``IVFx,PQy``): the coarse IVF quantizer prunes candidates to the query's
@@ -1194,6 +1196,14 @@ def ivfadc_topk(
       vectors, so ADC quantization error can demote but not corrupt — the
       result is exact within the candidate set, and recall is bounded by
       cell recall (the IVF knob), not code resolution.
+
+    ``recall_target_ppm`` switches the coarse stage to ADAPTIVE probing
+    (the :func:`ivf_probe_adaptive` rule, r9): each query probes its
+    dot-ranked cells until their cumulative occupancy reaches
+    ``max(min_candidates, ceil(recall_target·N))`` — occupancy comes from
+    one K-row aggregate over the (persisted) code table, the selection
+    runs driver-side next to the LUT build, and the SQL oracle replays it
+    from the same integer counts. ``nprobe`` is ignored when set.
 
     Deterministic end to end, in exact int64 micro-units: the cell rule is
     :func:`ivf_assign_exact`'s (normalized-centroid integer dot argmax,
@@ -1363,6 +1373,25 @@ def ivfadc_topk(
                 "m", "code"
             ),
         ).persist()
+    # Adaptive coarse stage: occupancy of each cell under the SAME integer
+    # cell rule the codes carry — one K-row aggregate on the persisted enc
+    # table (enc holds m rows per vector; distinct first).
+    occ: dict[int, int] = {}
+    n_total = 0
+    if recall_target_ppm is not None:
+        if not 0 < recall_target_ppm <= 1_000_000:
+            raise ValueError(
+                f"recall_target_ppm must be in (0, 1e6], got {recall_target_ppm}"
+            )
+        occ = {
+            int(r["centroid_id"]): int(r["n"])
+            for r in enc.select("neighbor_id", "centroid_id")
+            .distinct()
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_total = sum(occ.values())
     # Queries: computed DRIVER-SIDE (guarded collect, same fail-fast contract
     # as cosine_topk) — the query side is the small per-request side by
     # definition, and FAISS likewise builds per-query ADC tables client-side.
@@ -1396,7 +1425,20 @@ def ivfadc_topk(
         dots = [
             sum(xm[d] * cn[i][d] for d in range(len(xm))) for i in range(K)
         ]
-        probed = sorted(range(K), key=lambda i: (-dots[i], i))[:nprobe]
+        ranked_cells = sorted(range(K), key=lambda i: (-dots[i], i))
+        if recall_target_ppm is not None:
+            target = max(
+                int(min_candidates),
+                -((-recall_target_ppm * n_total) // 1_000_000),
+            )
+            probed, cum = [], 0
+            for i in ranked_cells:
+                if cum >= target:
+                    break
+                probed.append(i)
+                cum += occ.get(i, 0)
+        else:
+            probed = ranked_cells[:nprobe]
         for cell in probed:
             qcell_rows.append((qid, cell))
         if residual:

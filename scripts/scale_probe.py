@@ -359,14 +359,14 @@ def main() -> None:
         ("ann_pq_topk (IVFADC, fixed queries)", emb, emb_k,
          lambda d: ivfadc_topk(
              d, emb.filter(F.col("vec_id") % 100 == 0), _PQ_CBS, _IVF_CENTS,
-             k=10, nprobe=entrymod._PQ_NPROBE, rerank=entrymod._PQ_RERANK)),
+             k=10, recall_target_ppm=entrymod._PQ_RECALL_TARGET_PPM, min_candidates=entrymod._PQ_MIN_CANDIDATES, rerank=entrymod._PQ_RERANK)),
         # r8: residual IVF-PQ — same probed-cell-bounded candidate shape,
         # the residual shift is plan-time literals (no extra corpus pass)
         ("ann_pq_residual_topk (residual IVFADC)", emb, emb_k,
          lambda d: ivfadc_topk(
              d, emb.filter(F.col("vec_id") % 100 == 0),
              entrymod._pq_residual_codebooks(), _IVF_CENTS,
-             k=10, nprobe=entrymod._PQ_NPROBE, rerank=entrymod._PQ_RERANK,
+             k=10, recall_target_ppm=entrymod._PQ_RECALL_TARGET_PPM, min_candidates=entrymod._PQ_MIN_CANDIDATES, rerank=entrymod._PQ_RERANK,
              residual=True)),
         # --- r6-round additions ---
         # one-pass audit aggregate: map-side-combinable sums/min — the alpha
@@ -524,14 +524,15 @@ def main() -> None:
                       (F.col("c_nationkey") * 2 + 1).alias("dst")),
              n_iters=4)),
         # --- r9 additions ---
-        # asymmetric kNN probing (the registered shape): corpus single-
-        # assigned, queries probe 6 of 8 cells — pair mass linear in probes,
-        # fixed-codebook cells grow Kx so alpha ~2 like the symmetric row
-        ("knn_graph (asymmetric probes, fixed codebook)", emb, emb_k,
+        # asymmetric kNN probing with the AUTO-SIZED codebook (the scale
+        # default): pair mass per vector is probes x target occupancy,
+        # constant as the corpus grows, so alpha ~1 (the fixed-codebook
+        # quadratic case stays documented by the symmetric row above)
+        ("knn_graph (asymmetric probes, auto codebook)", emb, emb_k,
          lambda d: __import__(
              "observation_lakehouse_spark.operators.similarity",
              fromlist=["knn_graph"]).knn_graph(
-             d, _IVF_CENTS, k=5, target_cell_size=2048, probe_cells=6)),
+             d, None, k=5, target_cell_size=64, probe_cells=6)),
         # adaptive-IVF ANN (the registered shape): occupancy-target probing;
         # candidate mass ~ recall_target * corpus per query — alpha tracks
         # (queries x covered corpus)

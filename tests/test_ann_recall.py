@@ -126,12 +126,12 @@ def test_pq_ivfadc_recall_floor(spark):
     exact cosine top-10 near the IVF cell-recall ceiling on the sf0.001
     embeddings: the exact re-rank means recall is bounded by (a) the true
     neighbor landing in a probed cell and (b) surviving the ADC
-    top-_PQ_RERANK cut — measured 0.62 at sf0.001 and 0.62 at sf0.1 with
-    rerank=256 (2026-08-15 drop; the r8 rerank curve at sf0.1: 64 -> 0.40,
-    128 -> 0.545, 192 -> 0.595, 256 -> 0.62 vs the 0.66 nprobe-4 cell
-    ceiling). Floor 0.4 = measured/1.5 (r6 floor policy: a regression
-    toward the unpruned r5 scan's 0.04 bites early) under FROZEN
-    literals."""
+    top-_PQ_RERANK cut — r9 ADAPTIVE coarse probing (occupancy-target
+    0.75, the ann_ivf rule) lifts the cell ceiling to ~0.9: measured 0.79
+    at sf0.1 / 0.82 at sf0.001 with rerank=256 (2026-08-15 drop; was 0.62
+    at fixed nprobe=4 — the rerank depth is now the binding constraint).
+    Floor 0.5 = measured/1.5 (r6 floor policy: a regression toward the
+    unpruned r5 scan's 0.04 bites early) under FROZEN literals."""
     import __spark_entry__ as e
     from pyspark.sql import functions as F
     from observation_lakehouse_spark.operators.similarity import cosine_topk, ivfadc_topk
@@ -146,19 +146,20 @@ def test_pq_ivfadc_recall_floor(spark):
         (r["query_id"], r["neighbor_id"])
         for r in ivfadc_topk(
             emb, q, e._pq_codebooks(), e._ivf_centroids(),
-            k=10, nprobe=e._PQ_NPROBE, rerank=e._PQ_RERANK,
+            k=10, recall_target_ppm=e._PQ_RECALL_TARGET_PPM, min_candidates=e._PQ_MIN_CANDIDATES, rerank=e._PQ_RERANK,
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, recall
+    assert recall >= 0.5, recall
 
 
 def test_pq_residual_ivfadc_recall_floor(spark):
     """Residual IVF-PQ (q_ann_pq_residual_topk's operator path) — measured
-    0.62 at sf0.001 / 0.59 at sf0.1 with rerank=256 (2026-08-15 drop):
+    0.745 at sf0.1 / 0.80 at sf0.001 with rerank=256 and r9 adaptive
+    probing (was 0.59):
     TRACKS the raw family on this drop's near-isotropic embeddings (trained
     centroids ~ origin -> residual ~ identity; the bench metric records the
-    neutrality per round). Floor 0.4, same measured/1.5 policy — a broken
+    neutrality per round). Floor 0.5, same measured/1.5 policy — a broken
     residual shift (wrong HC literals, mismatched cell) collapses recall to
     near-random and must bite."""
     import __spark_entry__ as e
@@ -175,11 +176,11 @@ def test_pq_residual_ivfadc_recall_floor(spark):
         (r["query_id"], r["neighbor_id"])
         for r in ivfadc_topk(
             emb, q, e._pq_residual_codebooks(), e._ivf_centroids(),
-            k=10, nprobe=e._PQ_NPROBE, rerank=e._PQ_RERANK, residual=True,
+            k=10, recall_target_ppm=e._PQ_RECALL_TARGET_PPM, min_candidates=e._PQ_MIN_CANDIDATES, rerank=e._PQ_RERANK, residual=True,
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, recall
+    assert recall >= 0.5, recall
 
 
 def test_knn_graph_recall_floor(spark):

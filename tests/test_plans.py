@@ -345,7 +345,7 @@ def test_ivfadc_candidates_bounded_by_probed_cells(spark):
     q = emb.filter(F.col("vec_id") % 100 == 0)
     cbs, cents = e._pq_codebooks(), e._ivf_centroids()
     plan = _executed(
-        ivfadc_topk(emb, q, cbs, cents, k=10, nprobe=e._PQ_NPROBE, rerank=e._PQ_RERANK)
+        ivfadc_topk(emb, q, cbs, cents, k=10, nprobe=4, rerank=e._PQ_RERANK)
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert not _global_window_lines(plan), _global_window_lines(plan)
@@ -359,7 +359,7 @@ def test_ivfadc_candidates_bounded_by_probed_cells(spark):
     n = emb.count()
     got = {
         r["query_id"]: r["cnt"]
-        for r in ivfadc_topk(emb, q, cbs, cents, k=n, rerank=n, nprobe=e._PQ_NPROBE)
+        for r in ivfadc_topk(emb, q, cbs, cents, k=n, rerank=n, nprobe=4)
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
@@ -375,7 +375,7 @@ def test_ivfadc_candidates_bounded_by_probed_cells(spark):
     }
     own = {r["vec_id"]: r["centroid_id"] for r in ivf_assign_exact(q, cents).collect()}
     probed = defaultdict(list)
-    for r in ivf_assign_exact(q, cents, nprobe=e._PQ_NPROBE).collect():
+    for r in ivf_assign_exact(q, cents, nprobe=4).collect():
         probed[r["vec_id"]].append(r["centroid_id"])
     assert probed
     for qid, cells in probed.items():
