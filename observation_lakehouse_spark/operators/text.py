@@ -1489,7 +1489,7 @@ def _viterbi_segments(
         .select("word", F.col("wl").alias("pos"))
     )
     outs = None
-    for _ in range(int(max_word_len)):
+    for k in range(int(max_word_len)):
         # frontier is the (<= one row per word) small side — pin it as the
         # shuffle-hash build side; SMJ would re-sort the checkpointed bp
         # table on every one of the <= max_word_len steps (the LPA hint)
@@ -1501,7 +1501,12 @@ def _viterbi_segments(
             F.col("pos").alias("j"),
             F.col("_bp").alias("piece"),
         )
-        step = step.localCheckpoint()
+        # checkpoint every OTHER step: the union of step outputs re-executes
+        # each branch's suffix, so an unmaterialized branch costs one extra
+        # micro-join against the checkpointed bp — half the scheduler
+        # round-trips of per-step checkpoints for the same bounded re-work
+        if k % 2 == 1 or k == int(max_word_len) - 1:
+            step = step.localCheckpoint()
         outs = step if outs is None else outs.unionByName(step)
         cur = step.filter(F.col("i") > 0).select("word", F.col("i").alias("pos"))
     return outs
