@@ -148,3 +148,138 @@ class StreamingPsiMonitor:
             )
             .orderBy("bin")
         )
+
+
+class StreamingTermDriftMonitor:
+    """Continuous twin of :func:`~observation_lakehouse_spark.operators.
+    text.jsd_term_divergence` — WHICH WORDS are moving, live.
+
+    The reference's ``top_k`` most frequent terms are frozen at construction
+    (count DESC, term ASC — deterministic); every other token folds into the
+    ``__other__`` bucket, so the maintained state is O(top_k) FOREVER no
+    matter the stream's vocabulary (an unbounded per-term state table would
+    be the classic streaming-vocabulary leak). Live counts fold exactly-once
+    under the (checkpoint, batch_id) protocol. ``report()`` emits the batch
+    operator's exact per-term JSD decomposition over the frozen terms (+
+    ``__other__``): for every frozen term the row is BIT-IDENTICAL to
+    ``jsd_term_divergence(ref, delivered)``'s row for that term — the token
+    totals agree because the other-bucket still counts its tokens (pinned
+    by tests/test_stream_drift.py).
+    """
+
+    OTHER = "__other__"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        ref: DataFrame,
+        text_col: str = "text",
+        top_k: int = 200,
+    ) -> None:
+        from observation_lakehouse_spark.functions.text import lower_tokens
+
+        if top_k < 1:
+            raise ValueError("top_k must be >= 1")
+        self.spark = spark
+        self.text_col = text_col
+        all_ref = (
+            ref.select(F.explode(lower_tokens(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = all_ref.orderBy(F.desc("n"), F.asc("term")).limit(int(top_k)).collect()
+        self.terms: list[str] = sorted(r["term"] for r in top)
+        kept = {r["term"]: int(r["n"]) for r in top}
+        n_total = int(
+            all_ref.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
+        )
+        if n_total == 0:
+            raise ValueError("reference corpus has no tokens")
+        self.ref_counts: dict[str, int] = dict(kept)
+        self.ref_counts[self.OTHER] = n_total - sum(kept.values())
+        self.mv = IncrementalAggregate(
+            spark,
+            location,
+            keys=["term"],
+            key_types=["string"],
+            aggs={"n_cur": ("count", "1")},
+            agg_types={"n_cur": "bigint"},
+        )
+
+    def _term_expr(self):
+        t = F.col("term")
+        return F.when(t.isin(*self.terms), t).otherwise(F.lit(self.OTHER))
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        from observation_lakehouse_spark.functions.text import lower_tokens
+
+        mapped = stream.select(
+            F.explode(lower_tokens(self.text_col)).alias("term")
+        ).select(self._term_expr().alias("term"))
+        return stream_mv_refresh(
+            self.mv, mapped, checkpoint=checkpoint, available_now=available_now
+        )
+
+    def report(self) -> DataFrame:
+        """jsd_term_divergence's exact per-term rows over (frozen reference,
+        delivered stream): (term, c_ref, c_cur, p_ppm, q_ppm,
+        jsd_contrib_micro), contribution DESC, term ASC. Total JSD is the
+        contribution sum; ``__other__`` aggregates the unfrozen tail."""
+        ref_df = self.spark.createDataFrame(
+            list(self.ref_counts.items()), "term string, _nr bigint"
+        )
+        cur = self.mv.read().select("term", F.col("n_cur").alias("_nc"))
+        merged = ref_df.join(cur, "term", "full_outer").select(
+            "term",
+            F.coalesce("_nr", F.lit(0)).alias("c1"),
+            F.coalesce("_nc", F.lit(0)).alias("c2"),
+        )
+        total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        wb = merged.withColumn("n1", F.sum("c1").over(total)).withColumn(
+            "n2", F.sum("c2").over(total)
+        )
+        lr1 = F.log(
+            F.expr("CAST(2 * CAST(c1 AS DECIMAL(38,0)) * n2 AS DOUBLE)")
+            / F.expr(
+                "CAST(CAST(c1 AS DECIMAL(38,0)) * n2 + CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE)"
+            )
+        )
+        lr2 = F.log(
+            F.expr("CAST(2 * CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE)")
+            / F.expr(
+                "CAST(CAST(c1 AS DECIMAL(38,0)) * n2 + CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE)"
+            )
+        )
+        return (
+            wb.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+            .select(
+                "term",
+                F.col("c1").alias("c_ref"),
+                F.col("c2").alias("c_cur"),
+                F.expr(f"(c1 * {MICRO}) div n1").alias("p_ppm"),
+                F.expr(f"(c2 * {MICRO}) div n2").alias("q_ppm"),
+                F.when(F.col("c1") > 0, F.round(lr1 * MICRO).cast("long"))
+                .otherwise(F.lit(0))
+                .alias("_lr1"),
+                F.when(F.col("c2") > 0, F.round(lr2 * MICRO).cast("long"))
+                .otherwise(F.lit(0))
+                .alias("_lr2"),
+            )
+            .select(
+                "term",
+                "c_ref",
+                "c_cur",
+                "p_ppm",
+                "q_ppm",
+                F.expr(f"(p_ppm * _lr1 + q_ppm * _lr2) div (2 * {MICRO})").alias(
+                    "jsd_contrib_micro"
+                ),
+            )
+            .orderBy(F.desc("jsd_contrib_micro"), "term")
+        )

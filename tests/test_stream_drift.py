@@ -58,3 +58,58 @@ def test_stream_psi_matches_batch_and_replays_safely(spark, tmp_path):
         spark, ROWS1 + ROWS2 + ROWS3
     )
     assert mon.mv.read().count() <= 10
+
+
+def test_stream_term_drift_matches_batch_and_bounds_state(spark, tmp_path):
+    """r9 StreamingTermDriftMonitor: for every FROZEN term the report row is
+    bit-identical to jsd_term_divergence(ref, delivered) — token totals
+    agree because __other__ still counts its tokens; state stays O(top_k);
+    replay is a no-op; an injected shifted batch surfaces the moved word."""
+    from observation_lakehouse_spark.operators.text import jsd_term_divergence
+    from observation_lakehouse_spark.streaming.drift import StreamingTermDriftMonitor
+
+    DSCHEMA = "doc_id long, text string"
+    ref_rows = [(i, "alpha beta gamma delta " * 3 + "epsilon zeta") for i in range(20)]
+    cur1 = [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    cur2 = [(200 + i, "omega omega omega alpha") for i in range(10)]  # drift: omega
+    ref = spark.createDataFrame(ref_rows, DSCHEMA)
+    mon = StreamingTermDriftMonitor(
+        spark, str(tmp_path / "state"), ref, "text", top_k=5
+    )
+    # top-5 by (count DESC, term ASC): alpha/beta/delta/gamma dominate,
+    # epsilon/zeta tie-break alphabetically -> epsilon kept, zeta folds
+    assert mon.terms == ["alpha", "beta", "delta", "epsilon", "gamma"]
+
+    landing = tmp_path / "landing"
+    spark.createDataFrame(cur1, DSCHEMA).write.parquet(str(landing / "f1"))
+    spark.createDataFrame(cur2, DSCHEMA).write.parquet(str(landing / "f2"))
+    stream = spark.readStream.schema(DSCHEMA).parquet(str(landing) + "/*")
+    q = mon.start(stream, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    got = {r.term: tuple(r) for r in mon.report().collect()}
+    # state is bounded: frozen terms + __other__ only
+    assert set(got) <= set(mon.terms) | {StreamingTermDriftMonitor.OTHER}
+    # frozen-term rows match the batch operator bit-for-bit
+    cur_df = spark.createDataFrame(cur1 + cur2, DSCHEMA)
+    batch = {
+        r.term: tuple(r)
+        for r in jsd_term_divergence(ref, cur_df, k=100).collect()
+        if r.term in set(mon.terms)
+    }
+    for t in mon.terms:
+        assert got[t] == batch[t], (t, got[t], batch.get(t))
+    # the injected word drifted the OTHER bucket hardest (omega is unfrozen)
+    top_row = mon.report().collect()[0]
+    assert top_row.term == StreamingTermDriftMonitor.OTHER
+    assert top_row.jsd_contrib_micro > 0
+
+    # exactly-once replay
+    v = mon.mv.table.latest_version()
+    q = mon.start(
+        spark.readStream.schema(DSCHEMA).parquet(str(landing) + "/*"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert mon.mv.table.latest_version() == v
