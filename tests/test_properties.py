@@ -293,3 +293,137 @@ def test_minhash_admit_agrees_with_pair_dedup(spark_global, docs):
     assert set(got_rejected) == set(cross)
     for new, (_, old) in cross.items():
         assert got_rejected[new] == old, (new, old, got_rejected[new])
+
+
+# ---------------------------------------------------------------------------
+# r9: adaptive IVF probing + unigram Viterbi vs brute-force references
+# ---------------------------------------------------------------------------
+
+occ_strategy = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=4, max_size=4
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    occ=occ_strategy,
+    rt_ppm=st.sampled_from([100_000, 500_000, 900_000, 1_000_000]),
+    min_cand=st.sampled_from([0, 1, 37]),
+    qv=st.lists(
+        st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]), min_size=4, max_size=4
+    ),
+)
+def test_ivf_probe_adaptive_matches_bruteforce_rule(
+    spark_global, occ, rt_ppm, min_cand, qv
+):
+    """For ANY occupancy map / target / query direction, the probe set must
+    be the minimal dot-ranked prefix whose cumulative occupancy reaches
+    max(min_cand, ceil(rt·N)) — replayed here with exact integer math on
+    the same micro-unit dots the operator uses."""
+    from observation_lakehouse_spark.operators.similarity import (
+        _ivf_cn_micro,
+        ivf_probe_adaptive,
+    )
+
+    spark = spark_global
+    if all(abs(x) < 1e-9 for x in qv):
+        return  # zero vector: dot ties everywhere — not a meaningful probe
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.5, 0.5, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    counts = dict(enumerate(occ))
+    q = spark.createDataFrame([(1, qv)], "vec_id long, embedding array<double>")
+    got = sorted(
+        r.centroid_id
+        for r in ivf_probe_adaptive(
+            q, cents, counts, recall_target_ppm=rt_ppm, min_candidates=min_cand
+        ).collect()
+    )
+    # brute-force replay with the operator's integer dot rule
+    cn = _ivf_cn_micro(cents)
+    import math
+
+    xm = [int(math.floor(x * 1_000_000 + 0.5)) if x >= 0
+          else int(math.ceil(x * 1_000_000 - 0.5)) for x in qv]
+    dots = [sum(xm[d] * cn[i][d] for d in range(4)) for i in range(4)]
+    order = sorted(range(4), key=lambda i: (-dots[i], i))
+    n_total = sum(occ)
+    target = max(min_cand, -((-rt_ppm * n_total) // 1_000_000))
+    exp, cum = [], 0
+    for c in order:
+        if cum >= target:
+            break
+        exp.append(c)
+        cum += occ[c]
+    assert got == sorted(exp), (got, exp, order, occ, target)
+
+
+word_strategy = st.text(alphabet="ab", min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    words=st.lists(word_strategy, min_size=1, max_size=5, unique=True),
+    lps=st.tuples(
+        st.integers(min_value=-9, max_value=-1),
+        st.integers(min_value=-9, max_value=-1),
+        st.integers(min_value=-15, max_value=-3),
+        st.integers(min_value=-15, max_value=-3),
+    ),
+)
+def test_unigram_encode_viterbi_score_is_optimal(spark_global, words, lps):
+    """For ANY doc over {a, b} and ANY integer log-probs, the per-word piece
+    count and LM score must equal the brute-force optimum over ALL
+    segmentations (score first; among co-optimal segmentations the operator
+    picks one, so the piece count is checked only when all winners agree)."""
+    from observation_lakehouse_spark.operators.text import unigram_encode
+
+    spark = spark_global
+    vocab = {
+        "a": lps[0] * 1_000_000,
+        "b": lps[1] * 1_000_000,
+        "ab": lps[2] * 1_000_000,
+        "ba": lps[3] * 1_000_000,
+    }
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = unigram_encode(
+        docs, list(vocab.items()), max_piece_len=2, max_word_len=8
+    ).collect()[0]
+
+    def best(word):
+        segs = []
+
+        def rec(i, acc):
+            if i == len(word):
+                segs.append(list(acc))
+                return
+            for l in (1, 2):
+                p = word[i : i + l]
+                if p in vocab:
+                    acc.append(p)
+                    rec(i + l, acc)
+                    acc.pop()
+
+        rec(0, [])
+        sc = lambda s: sum(vocab[p] for p in s)  # noqa: E731
+        m = max(sc(s) for s in segs)
+        return m, {len(s) for s in segs if sc(s) == m}
+
+    exp_lp = 0
+    exp_pieces = 0
+    pieces_determinate = True
+    for w in words:
+        m, lens = best(w)
+        exp_lp += m
+        if len(lens) == 1:
+            exp_pieces += lens.pop()
+        else:
+            pieces_determinate = False
+    assert r.lp_total_micro == exp_lp
+    assert r.n_oov_words == 0
+    if pieces_determinate:
+        assert r.n_pieces == exp_pieces
