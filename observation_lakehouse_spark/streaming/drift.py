@@ -283,3 +283,124 @@ class StreamingTermDriftMonitor:
             )
             .orderBy(F.desc("jsd_contrib_micro"), "term")
         )
+
+
+class StreamingCellDriftMonitor:
+    """Embedding-distribution drift — the third drift modality next to the
+    numeric (:class:`StreamingPsiMonitor`) and term
+    (:class:`StreamingTermDriftMonitor`) monitors: PSI over the occupancy
+    of a FIXED IVF cell partition of the embedding space. A shift in what
+    the corpus is ABOUT shows up as probability mass moving between cells
+    long before any single numeric feature drifts — and the monitor reuses
+    the exact cell rule the ANN/dedup operators index by, so "cells that
+    drifted" point directly at the affected index partitions.
+
+    The reference histogram freezes at construction (K cells, one
+    assignment pass over the reference corpus); live counts fold
+    exactly-once per cell. State is O(K) forever. ``report()`` is the PSI
+    decomposition over cells — (cell, n_ref, n_cur, p_ppm, q_ppm,
+    lr_micro_nats, psi_contrib_micro), ordered by cell.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        ref: DataFrame,
+        centroids: list[list[float]],
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        from observation_lakehouse_spark.operators.similarity import ivf_assign
+
+        self.spark = spark
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.n_cells = len(centroids)
+        self.ref_bins: list[tuple[int, int]] = sorted(
+            (int(r["centroid_id"]), int(r["n"]))
+            for r in ivf_assign(ref, self.centroids, id_col=id_col, vec_col=vec_col)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        self.n_ref_total = sum(n for _, n in self.ref_bins)
+        if self.n_ref_total == 0:
+            raise ValueError("reference corpus is empty — no drift yardstick")
+        self.mv = IncrementalAggregate(
+            spark,
+            location,
+            keys=["cell"],
+            key_types=["int"],
+            aggs={"n_cur": ("count", "1")},
+            agg_types={"n_cur": "bigint"},
+        )
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        from observation_lakehouse_spark.operators.similarity import ivf_assign
+
+        assigned = ivf_assign(
+            stream, self.centroids, id_col=self.id_col, vec_col=self.vec_col
+        ).select(F.col("centroid_id").alias("cell"))
+        return stream_mv_refresh(
+            self.mv, assigned, checkpoint=checkpoint, available_now=available_now
+        )
+
+    def report(self) -> DataFrame:
+        ref_df = self.spark.createDataFrame(
+            self.ref_bins or [], "cell int, _nr bigint"
+        )
+        cur = self.mv.read().select("cell", F.col("n_cur").alias("_nc"))
+        merged = (
+            ref_df.join(cur, "cell", "full_outer")
+            .select(
+                "cell",
+                F.coalesce("_nr", F.lit(0)).alias("n_ref"),
+                F.coalesce("_nc", F.lit(0)).alias("n_cur"),
+            )
+        )
+        total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        k = self.n_cells
+        wb = merged.withColumn("_NR", F.sum("n_ref").over(total)).withColumn(
+            "_NC", F.sum("n_cur").over(total)
+        )
+        return (
+            wb.select(
+                "cell",
+                "n_ref",
+                "n_cur",
+                F.expr(f"((n_ref + 1) * {MICRO}) div (_NR + {k})").alias("p_ppm"),
+                F.expr(f"((n_cur + 1) * {MICRO}) div (_NC + {k})").alias("q_ppm"),
+                F.round(
+                    F.log(
+                        F.expr(
+                            f"CAST(CAST(n_ref + 1 AS DECIMAL(38,0)) * (_NC + {k}) AS DOUBLE)"
+                        )
+                        / F.expr(
+                            f"CAST(CAST(n_cur + 1 AS DECIMAL(38,0)) * (_NR + {k}) AS DOUBLE)"
+                        )
+                    )
+                    * 1_000_000.0
+                )
+                .cast("long")
+                .alias("lr_micro_nats"),
+            )
+            .select(
+                "cell",
+                "n_ref",
+                "n_cur",
+                "p_ppm",
+                "q_ppm",
+                "lr_micro_nats",
+                F.expr(
+                    f"((p_ppm - q_ppm) * lr_micro_nats) div {MICRO}"
+                ).alias("psi_contrib_micro"),
+            )
+            .orderBy("cell")
+        )

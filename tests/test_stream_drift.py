@@ -113,3 +113,50 @@ def test_stream_term_drift_matches_batch_and_bounds_state(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert mon.mv.table.latest_version() == v
+
+
+def test_stream_cell_drift_detects_embedding_shift(spark, tmp_path):
+    """r9 StreamingCellDriftMonitor: PSI over frozen IVF cell occupancy.
+    A stream matching the reference's cell mix reads ~zero drift; a batch
+    concentrated in one direction moves mass into that cell and the PSI
+    decomposition points at it. Replay is a no-op."""
+    from observation_lakehouse_spark.streaming.drift import StreamingCellDriftMonitor
+
+    ESCHEMA = "vec_id long, embedding array<double>"
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    # reference: balanced across the three cells
+    ref_rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+                for i in range(30)]
+    ref = spark.createDataFrame(ref_rows, ESCHEMA)
+    mon = StreamingCellDriftMonitor(spark, str(tmp_path / "state"), ref, cents)
+    assert [n for _, n in mon.ref_bins] == [10, 10, 10]
+
+    landing = tmp_path / "landing"
+    balanced = [(100 + i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+                for i in range(30)]
+    spark.createDataFrame(balanced, ESCHEMA).write.parquet(str(landing / "f1"))
+    stream = spark.readStream.schema(ESCHEMA).parquet(str(landing) + "/*")
+    q = mon.start(stream, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    assert sum(r.psi_contrib_micro for r in mon.report().collect()) < 20_000
+
+    # drifted batch: everything lands in cell 0
+    shifted = [(200 + i, [1.0, 0.01, 0.0]) for i in range(60)]
+    spark.createDataFrame(shifted, ESCHEMA).write.parquet(str(landing / "f2"))
+    q = mon.start(
+        spark.readStream.schema(ESCHEMA).parquet(str(landing) + "/*"),
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = {r.cell: r for r in mon.report().collect()}
+    assert sum(r.psi_contrib_micro for r in rows.values()) > 250_000
+    assert rows[0].psi_contrib_micro == max(r.psi_contrib_micro for r in rows.values())
+
+    # exactly-once replay
+    v = mon.mv.table.latest_version()
+    q = mon.start(
+        spark.readStream.schema(ESCHEMA).parquet(str(landing) + "/*"),
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert mon.mv.table.latest_version() == v
