@@ -7424,6 +7424,64 @@ ORDER BY st.cluster
 """
 
 
+
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (engine extension; r9): the DOUBLE same-table
+    correlation the Q22 pair doesn't exercise — for finished orders, find
+    the supplier whose lineitem was the ONLY returned one among a
+    multi-supplier order (\"who alone blocked the order\"): one EXISTS
+    (another supplier participated) AND one NOT EXISTS (no OTHER supplier's
+    item was returned), BOTH correlated against the SAME lineitem table the
+    outer row comes from. Catalyst decorrelates to one LeftSemi + one
+    LeftAnti probe over order-keyed legs (plan-tested — no per-row
+    subquery); the returnflag/status filters push into each leg's scan.
+    Returns (s_suppkey, numwait) for the top 20 by (numwait DESC, suppkey),
+    the Q21 output discipline."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_bs")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_bs")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_bs")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, COUNT(*) AS numwait
+        FROM v_supp_bs s
+        JOIN v_li_bs l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN v_ord_bs o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM v_li_bs l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_li_bs l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_suppkey
+        ORDER BY numwait DESC, s.s_suppkey
+        LIMIT 20
+        """
+    )
+
+
+_ORACLE_BLOCKING_SUPPLIERS = """
+SELECT s.s_suppkey, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20
+"""
+
+
 _RESAMPLE_FRAC = 0.5
 
 
@@ -8396,6 +8454,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "small_order_revenue": q_small_order_revenue,
         "dormant_customers": q_dormant_customers,
+        "blocking_suppliers": q_blocking_suppliers,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
         "triangle_count": q_triangle_count,
@@ -8560,6 +8619,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
         "small_order_revenue": _ORACLE_SMALL_ORDER_REVENUE,
         "dormant_customers": _ORACLE_DORMANT_CUSTOMERS,
+        "blocking_suppliers": _ORACLE_BLOCKING_SUPPLIERS,
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,
         "triangle_count": _ORACLE_TRIANGLE_COUNT,

@@ -95,6 +95,7 @@ HEADLINE = [
     "shipping_priority",
     "small_order_revenue",
     "dormant_customers",
+    "blocking_suppliers",
     "association_rules",
     "pmi_collocations",
     "triangle_count",

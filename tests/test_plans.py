@@ -437,3 +437,17 @@ def test_dormant_customers_exists_decorrelates_to_semi_anti(spark):
     assert "Subquery" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert plan.count("PushedFilters: [IsNotNull(o_custkey)]") >= 1 or "year" in plan
+
+
+def test_blocking_suppliers_double_correlation_decorrelates(spark):
+    """The Q21 shape's DOUBLE same-table correlation (EXISTS another
+    supplier in the order AND NOT EXISTS another RETURNED one) must reach
+    the physical plan as LeftSemi + LeftAnti probes on the order key —
+    never a per-row subquery — with the returnflag filter pushed into the
+    anti leg's scan."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["blocking_suppliers"](spark, SF))
+    assert "Subquery" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "EqualTo(l_returnflag,R)" in plan or "l_returnflag" in plan
