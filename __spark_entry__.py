@@ -7482,6 +7482,60 @@ LIMIT 20
 """
 
 
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary retrieval metrics (operators/retrieval.py:retrieval_metrics):
+    reciprocal rank, recall@10 and precision@10 of the BM25 ranking against
+    term-presence relevance — the workhorse trio next to the graded nDCG,
+    all exact integer ppm (no float division anywhere). Same eval-sized
+    fixture as q_ndcg_eval: one query, 10 ranked rows, qrels = docs
+    containing any of the query terms."""
+    from observation_lakehouse_spark.functions.text import lower_tokens
+    from observation_lakehouse_spark.operators.retrieval import (
+        bm25_rank,
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_rank(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=10)
+    ranking = ranked.select(
+        F.lit(1).cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    toks = lower_tokens("text")
+    rel_any = (
+        F.array_contains(toks, "spark")
+        | F.array_contains(toks, "join")
+        | F.array_contains(toks, "stream")
+    )
+    qrels = docs.filter(rel_any).select(
+        F.lit(1).cast("long").alias("query_id"), "doc_id"
+    )
+    out = retrieval_metrics(ranking, qrels, k=10)
+    out._cached_deps = getattr(ranked, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+def _retrieval_metrics_oracle() -> str:
+    # reuse the ndcg oracle's CTE prefix verbatim (the bm25 top-10 replay
+    # and the term-presence qrels), then the exact-ppm metric arithmetic
+    prefix = _ORACLE_NDCG_EVAL.split("), dcg AS (")[0]
+    return (
+        prefix
+        + """), m AS (
+    SELECT COUNT(*) AS hits_at_k, MIN(r.rank) AS first_hit
+    FROM ranked r JOIN qr USING (doc_id) WHERE r.rank <= 10
+), nr AS (SELECT COUNT(*) AS n_rel FROM qr)
+SELECT CAST(1 AS BIGINT) AS query_id,
+       CAST(nr.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(m.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(1000000 // m.first_hit, 0) AS BIGINT) AS rr_ppm,
+       CAST(COALESCE(m.hits_at_k, 0) * 1000000 // nr.n_rel AS BIGINT) AS recall_ppm,
+       CAST(COALESCE(m.hits_at_k, 0) * 1000000 // 10 AS BIGINT) AS precision_ppm
+FROM nr CROSS JOIN m
+ORDER BY query_id"""
+    )
+
+
 _RESAMPLE_FRAC = 0.5
 
 
@@ -8455,6 +8509,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_order_revenue": q_small_order_revenue,
         "dormant_customers": q_dormant_customers,
         "blocking_suppliers": q_blocking_suppliers,
+        "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
         "triangle_count": q_triangle_count,
@@ -8620,6 +8675,7 @@ def oracle_sql() -> dict[str, str]:
         "small_order_revenue": _ORACLE_SMALL_ORDER_REVENUE,
         "dormant_customers": _ORACLE_DORMANT_CUSTOMERS,
         "blocking_suppliers": _ORACLE_BLOCKING_SUPPLIERS,
+        "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,
         "triangle_count": _ORACLE_TRIANGLE_COUNT,

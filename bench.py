@@ -96,6 +96,7 @@ HEADLINE = [
     "small_order_revenue",
     "dormant_customers",
     "blocking_suppliers",
+    "retrieval_metrics",
     "association_rules",
     "pmi_collocations",
     "triangle_count",

@@ -380,3 +380,63 @@ def ndcg_eval(
         )
         .orderBy(query_col)
     )
+
+
+def retrieval_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Binary retrieval metrics per query — the workhorse trio next to
+    :func:`ndcg_eval`'s graded score: reciprocal rank (MRR's per-query
+    term), recall@k and precision@k, all as EXACT parts-per-million
+    integers (``x·1e6 DIV y``), so the report is engine- and
+    partitioning-independent with no float division anywhere.
+
+    Inputs: ``ranking`` (query, doc, 1-based rank) and BINARY ``qrels``
+    (query, doc — presence = relevant). Per query: rr_ppm = 1e6 DIV (rank
+    of the FIRST relevant hit) or 0 with no hit in the top k; recall_ppm =
+    hits@k·1e6 DIV |qrels(q)|; precision_ppm = hits@k·1e6 DIV k. Queries
+    with qrels but no ranking rows still report (all-zero hits); queries
+    with no qrels are excluded (recall undefined — the ndcg_eval NULL
+    discipline, made explicit by omission).
+
+    Scale shape: the ranking is ≤ k rows per query by contract; qrels
+    joins on (query, doc) and aggregates per query — eval-sized, nothing
+    corpus-bounded. Returns (query_col, n_rel, hits_at_k, rr_ppm,
+    recall_ppm, precision_ppm), query ASC.
+    """
+    topk = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(rank_col).cast("int").alias("r"),
+    )
+    rel = qrels.select(
+        F.col(query_col).alias("q"), F.col(doc_col).alias("d")
+    ).distinct()
+    n_rel = rel.groupBy("q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = topk.join(rel, ["q", "d"]).groupBy("q").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("r").alias("_first"),
+    )
+    return (
+        n_rel.join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            "n_rel",
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) div _first"), F.lit(0)
+            ).alias("rr_ppm"),
+            F.expr(
+                "CAST(COALESCE(hits_at_k, 0) AS BIGINT) * 1000000 div n_rel"
+            ).alias("recall_ppm"),
+            F.expr(
+                f"CAST(COALESCE(hits_at_k, 0) AS BIGINT) * 1000000 div {int(k)}"
+            ).alias("precision_ppm"),
+        )
+        .orderBy(query_col)
+    )

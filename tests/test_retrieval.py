@@ -172,3 +172,33 @@ def test_ndcg_multi_query_independence(spark):
     out = _ndcg(spark, ranking, qrels)
     assert out[1].ndcg_ppm == 1_000_000
     assert 0 < out[2].ndcg_ppm < 1_000_000
+
+
+def test_retrieval_metrics_exact_ppm(spark):
+    """r9 retrieval_metrics: hand fixture — query 1 has 3 relevant docs, 2
+    in the top-3 (first at rank 2); query 2 has 1 relevant doc, unretrieved
+    (rr 0); query 3 has qrels but no ranking rows at all (all-zero row);
+    a query with ranking rows but no qrels is excluded."""
+    from observation_lakehouse_spark.operators.retrieval import retrieval_metrics
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (9, 90, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99), (2, 55), (3, 66)],
+        "query_id long, doc_id long",
+    )
+    got = {r.query_id: r for r in retrieval_metrics(ranking, qrels, k=3).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert (r1.n_rel, r1.hits_at_k) == (3, 2)
+    assert r1.rr_ppm == 1_000_000 // 2
+    assert r1.recall_ppm == 2 * 1_000_000 // 3
+    assert r1.precision_ppm == 2 * 1_000_000 // 3
+    r2 = got[2]
+    assert (r2.n_rel, r2.hits_at_k, r2.rr_ppm, r2.recall_ppm) == (1, 0, 0, 0)
+    r3 = got[3]
+    assert (r3.n_rel, r3.hits_at_k, r3.rr_ppm) == (1, 0, 0)
