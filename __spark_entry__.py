@@ -7482,6 +7482,587 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Decision-support surface completion (r9): the remaining classic TPC-H plan
+# shapes, adapted to this star schema (no partsupp table, no
+# commitdate/receiptdate/shipmode columns — each query keeps the SHAPE and
+# re-bases the predicate on available columns). Engine extensions like
+# small_order_revenue/blocking_suppliers: the reference (SURVEY §4) has no
+# subqueries; these prove the full decorrelation + join-strategy surface.
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each STANDARD small part,
+    the supplier(s) whose best observed sale price equals the part's global
+    minimum — a correlated scalar MIN over the SAME derived cost table the
+    outer row comes from. There is no partsupp table, so supply cost is
+    derived: MIN(l_extendedprice) per (part, supplier) — MIN (not AVG) keeps
+    the comparison exact double-vs-double (both engines pick the same stored
+    parquet value; no accumulation order in play). Catalyst decorrelates the
+    scalar MIN to a per-partkey aggregate joined back; both sides of the
+    comparison reuse one exchange on l_partkey. Dim filters (p_type/p_size)
+    prune the part leg before the join; part/supplier broadcast at any SF
+    where they fit."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_mcs")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part_mcs")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_mcs")
+    return spark.sql(
+        """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+            FROM v_li_mcs GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name, c.supply_cost
+        FROM cost c
+        JOIN v_part_mcs p ON p.p_partkey = c.l_partkey
+        JOIN v_supp_mcs s ON s.s_suppkey = c.l_suppkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+          AND c.supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                               WHERE c2.l_partkey = c.l_partkey)
+        ORDER BY p.p_partkey, s.s_name
+        """
+    )
+
+
+_ORACLE_MIN_COST_SUPPLIER = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, c.supply_cost
+FROM cost c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+  AND c.supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                       WHERE c2.l_partkey = c.l_partkey)
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
+def q_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): 1997 orders with at least
+    one line item shipped more than 60 days after the order date, counted per
+    priority. The EXISTS carries a NON-equi correlated predicate
+    (l_shipdate > o_orderdate + interval) on top of the key equality —
+    Catalyst rewrites to a LeftSemi join whose extra condition rides the
+    same order-key exchange; the semi join deduplicates multi-late orders
+    for free (no COUNT(DISTINCT) pass)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_pls")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_pls")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM v_ord_pls o
+        WHERE year(o.o_orderdate) = 1997
+          AND EXISTS (SELECT 1 FROM v_li_pls l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_ORACLE_PRIORITY_LATE_SHIP = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXTRACT(year FROM o.o_orderdate) = 1997
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two nations
+    in either direction, per (supplier nation, customer nation, ship year).
+    The two nation legs are INDEPENDENT dimension chains onto the same fact
+    row (supplier side vs customer side) — both chains broadcast
+    (nation/supplier/customer are dims), so the only shuffle is the
+    orders↔lineitem fact-fact join; the pair filter is a residual on the
+    broadcast outputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_ORACLE_BILATERAL_TRADE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the widest join in the classic
+    suite — lineitem × orders × part × supplier × nation with a substring
+    filter on p_name, profit per (nation, order year). No partsupp, so unit
+    cost is derived as 10% of p_retailprice: profit =
+    extprice·(1−disc) − qty·retail·0.10, all in DECIMAL (exact in both
+    engines; one cast to double at the end). part/supplier/nation broadcast;
+    the p_name filter prunes the part build side BEFORE broadcast, which
+    runtime-filters the fact scan (DPP-style) — the plan a 100 TB run
+    needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    # Two separately-summed exact DECIMAL terms (a 3-factor decimal product
+    # would blow DuckDB's 38-precision multiply cap in the oracle; the
+    # difference of two exactly-equal decimals converts to double identically
+    # in both engines, so profit = double(sum_rev) - double(sum_cost)).
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    cost = (
+        F.col("l_quantity").cast("decimal(6,0)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.10").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(revenue).cast("double") - F.sum(cost).cast("double")
+            ).alias("profit"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+_ORACLE_PRODUCT_PROFIT = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)
+       - CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                  * CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST('0.10' AS DECIMAL(3,2)))
+              AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+ORDER BY nation, o_year
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose traded value exceeds
+    1.25× the average part's share — an aggregate FILTERED AGAINST GLOBAL
+    SCALAR SUBQUERIES (total + count over the same derived table). Exact
+    integer discipline: values in cents (BIGINT), the fraction rule
+    cross-multiplied (value·n·4 > 5·total) so no float threshold exists;
+    the scalar legs reduce to two one-row broadcasts, the per-part aggregate
+    is one map-side-combinable exchange on l_partkey."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_ip")
+    return spark.sql(
+        """
+        WITH v AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS value_cents
+            FROM v_li_ip GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey, value_cents
+        FROM v
+        WHERE CAST(value_cents AS DECIMAL(38,0)) * (SELECT COUNT(*) FROM v) * 4
+              > CAST(5 AS DECIMAL(38,0)) * (SELECT SUM(value_cents) FROM v)
+        ORDER BY value_cents DESC, p_partkey
+        """
+    )
+
+
+_ORACLE_IMPORTANT_PARTS = """
+WITH v AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS value_cents
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_cents
+FROM v
+WHERE CAST(value_cents AS HUGEINT) * (SELECT COUNT(*) FROM v) * 4
+      > CAST(5 AS HUGEINT) * (SELECT SUM(value_cents) FROM v)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    with a predicate INSIDE the join condition (non-'5-LOW' orders only —
+    zero-order customers must still appear with count 0), then a second
+    aggregate over the first's output. The outer join preserves the
+    customer-side exchange; the distribution aggregate is tiny (≤ a few
+    hundred distinct counts at any SF) and combines map-side."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_CUSTDIST = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's revenue
+    from PROMO parts — a conditional-sum ratio. The ratio is computed in
+    exact integer micro-units (revenue in hundredth-cents via DECIMAL, ppm
+    via integer div; Spark `div` and DuckDB `//` both truncate toward zero
+    on non-negatives) so the single output row hashes identically; the two
+    double columns are DECIMAL-exact sums cast once at the end. Month filter
+    pushes to the lineitem scan; part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 9)
+    )
+    part = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev_c4 = (
+        _dec("l_extendedprice") * (one - _dec("l_discount")) * F.lit(10000)
+    ).cast("decimal(38,0)")
+    promo_c4 = F.when(F.col("p_type") == "PROMO", rev_c4).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(promo_c4).alias("_promo"),
+            F.sum(rev_c4).alias("_total"),
+        )
+    )
+    return agg.select(
+        "n_items",
+        F.expr("CAST(_promo * 1000000 div _total AS BIGINT)").alias("promo_ppm"),
+        (F.col("_promo").cast("double") / F.lit(10000.0)).alias("promo_revenue"),
+        (F.col("_total").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+_ORACLE_PROMO_REVENUE = """
+WITH x AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS HUGEINT) AS rev_c4,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(year FROM l_shipdate) = 1997
+      AND EXTRACT(month FROM l_shipdate) = 9
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) * 1000000
+            // SUM(rev_c4) AS BIGINT) AS promo_ppm,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS DOUBLE)
+           / 10000.0 AS promo_revenue,
+       CAST(SUM(rev_c4) AS DOUBLE) / 10000.0 AS total_revenue
+FROM x
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose one-quarter revenue
+    equals the global maximum — an aggregate compared against a scalar MAX
+    over ITSELF (the classic view-vs-max-of-view). Revenue is held in exact
+    hundredth-cents (BIGINT) so the equality never touches float
+    accumulation order; the scalar leg is a one-row broadcast, the supplier
+    dim broadcasts onto the winner rows."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_tsup")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_tsup")
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))) * 10000)
+                        AS BIGINT) AS revenue_c4
+            FROM v_li_tsup
+            WHERE year(l_shipdate) = 1998 AND quarter(l_shipdate) = 1
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.revenue_c4
+        FROM rev r JOIN v_supp_tsup s ON s.s_suppkey = r.l_suppkey
+        WHERE r.revenue_c4 = (SELECT MAX(revenue_c4) FROM rev)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2))) * 10000)
+                AS BIGINT) AS revenue_c4
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) = 1998
+      AND EXTRACT(quarter FROM l_shipdate) = 1
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_c4
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_c4 = (SELECT MAX(revenue_c4) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket with a NOT IN exclusion subquery
+    (suppliers in deficit). NOT IN over a non-null key compiles to a
+    null-aware LeftAnti against a broadcast of the (tiny) exclusion set;
+    the COUNT(DISTINCT) rides one exchange on the group key after the
+    part-side filters prune the probe."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_psc")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part_psc")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_psc")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM v_li_psc JOIN v_part_psc ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM v_supp_psc WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+_ORACLE_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total quantity
+    clears a threshold, found via IN over a grouped HAVING subquery on the
+    SAME fact table the outer join re-reads. The IN compiles to a LeftSemi
+    against the aggregated keys — both the subquery aggregate and the outer
+    join ride order-key exchanges, so AQE coalesces them onto one
+    partitioning. Quantities are integral doubles cast to BIGINT before
+    summing (exact in both engines); top-100 by (qty DESC, orderkey)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lvo")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lvo")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_lvo")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+        FROM v_cust_lvo c
+        JOIN v_ord_lvo o ON o.o_custkey = c.c_custkey
+        JOIN v_li_lvo l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM v_li_lvo
+                               GROUP BY l_orderkey
+                               HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+        ORDER BY total_qty DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+_ORACLE_LARGE_VOLUME_ORDERS = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    equi-join whose residual is an OR of three bracket conjunctions mixing
+    columns from BOTH sides (brand+size from part, quantity from lineitem).
+    The optimizer must extract the common join key and the per-side
+    implied filters (brand IN (...) prunes the broadcast build; the quantity
+    range union prunes the probe) instead of falling back to a cartesian —
+    the classic CNF-extraction stress. Single-row DECIMAL-exact rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & q.between(20, 30)
+        )
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.coalesce(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))),
+                F.lit(0).cast("decimal(38,4)"),
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),
+                0) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved more
+    than a threshold volume of 'red' parts in one year — a nested IN whose
+    inner query is itself a join + grouped HAVING. Compiles to LeftSemi over
+    the aggregated supplier keys; the part filter broadcasts into the inner
+    probe, the year filter pushes to the fact scan, and quantities sum as
+    BIGINTs (exact)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_hs")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_hs")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part_hs")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM v_supp_hs s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM v_li_hs l JOIN v_part_hs p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE 'red%' AND year(l.l_shipdate) = 1997
+            GROUP BY l.l_suppkey
+            HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 350)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+_ORACLE_HEAVY_SHIPPERS = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%' AND EXTRACT(year FROM l.l_shipdate) = 1997
+    GROUP BY l.l_suppkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 350)
+ORDER BY s.s_suppkey
+"""
+
 
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary retrieval metrics (operators/retrieval.py:retrieval_metrics):
@@ -8509,6 +9090,18 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_order_revenue": q_small_order_revenue,
         "dormant_customers": q_dormant_customers,
         "blocking_suppliers": q_blocking_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "priority_late_ship": q_priority_late_ship,
+        "bilateral_trade": q_bilateral_trade,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "custdist": q_custdist,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "part_supplier_counts": q_part_supplier_counts,
+        "large_volume_orders": q_large_volume_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "heavy_shippers": q_heavy_shippers,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -8675,6 +9268,18 @@ def oracle_sql() -> dict[str, str]:
         "small_order_revenue": _ORACLE_SMALL_ORDER_REVENUE,
         "dormant_customers": _ORACLE_DORMANT_CUSTOMERS,
         "blocking_suppliers": _ORACLE_BLOCKING_SUPPLIERS,
+        "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
+        "priority_late_ship": _ORACLE_PRIORITY_LATE_SHIP,
+        "bilateral_trade": _ORACLE_BILATERAL_TRADE,
+        "product_profit": _ORACLE_PRODUCT_PROFIT,
+        "important_parts": _ORACLE_IMPORTANT_PARTS,
+        "custdist": _ORACLE_CUSTDIST,
+        "promo_revenue": _ORACLE_PROMO_REVENUE,
+        "top_supplier": _ORACLE_TOP_SUPPLIER,
+        "part_supplier_counts": _ORACLE_PART_SUPPLIER_COUNTS,
+        "large_volume_orders": _ORACLE_LARGE_VOLUME_ORDERS,
+        "disjunctive_revenue": _ORACLE_DISJUNCTIVE_REVENUE,
+        "heavy_shippers": _ORACLE_HEAVY_SHIPPERS,
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

@@ -96,6 +96,18 @@ HEADLINE = [
     "small_order_revenue",
     "dormant_customers",
     "blocking_suppliers",
+    "min_cost_supplier",
+    "priority_late_ship",
+    "bilateral_trade",
+    "product_profit",
+    "important_parts",
+    "custdist",
+    "promo_revenue",
+    "top_supplier",
+    "part_supplier_counts",
+    "large_volume_orders",
+    "disjunctive_revenue",
+    "heavy_shippers",
     "retrieval_metrics",
     "association_rules",
     "pmi_collocations",
