@@ -835,6 +835,23 @@ _IVF_CENTROIDS: list[list[float]] = [
 # <<< REFREEZE ivf_centroids
 
 
+# >>> REFREEZE pca_components — scripts/refreeze.py rewrites this block
+# (trained by operators.pca.pca_train, k=8, covariance rounded to 9dp,
+#  sign-fixed eigenvectors, on /root/testdata/sf0.01)
+_PCA_COMPONENTS: list[list[float]] = [
+        [-0.209639, -0.120573, 0.036548, 0.01182, 0.07567, 0.013215, 0.090584, 0.286619, 0.049547, 0.414057, 0.065305, 0.182079, 0.065132, -0.036532, 0.171149, -0.18535, 0.08899, -0.157027, -0.030137, 0.032179, 0.061213, -0.110688, -0.083475, -0.055437, 0.01955, 0.199126, -0.037517, 0.149508, -0.17288, -0.006123, -0.058716, 0.062038, 0.296539, 0.106165, -0.032042, 0.104144, 0.044539, 0.061464, 0.013007, 0.021771, -0.116679, 0.005525, -0.240837, 0.095708, -0.028308, -0.225127, 0.008732, -0.079037, -0.083681, -0.118451, 0.12046, 0.072483, -0.017187, 0.081604, -0.015031, -0.066765, -0.055651, -0.051376, 0.060196, -0.091139, 0.121987, 0.05065, -0.218211, -0.102014],
+        [-0.003837, -0.05443, -0.012568, -0.088134, 0.174858, 0.025214, 0.074947, -0.069981, 0.077448, 0.030696, 0.105758, -0.017883, 0.012976, 0.133697, 0.014559, 0.041392, 0.148411, 0.36031, -0.054189, -0.050765, 0.032543, 0.035391, 0.065335, -0.309123, -0.257682, -0.239066, -0.020638, -0.000223, -0.086286, -0.174533, -0.024068, -0.217545, 0.029464, 0.061539, 0.033753, 0.07922, 0.059467, 0.036498, 0.182107, 0.046674, 9e-06, 0.046987, -0.062767, -0.17919, 0.172687, -0.188835, -0.046946, 0.14578, 0.112924, -0.113281, -0.157431, -0.081975, 0.01298, -0.016092, 0.238035, 0.023384, -0.30282, 0.016383, 0.135434, -0.121586, -0.08367, 0.084839, -0.000443, -0.078616],
+        [-0.148044, -0.085124, -0.063948, -0.000457, -0.204375, -0.043742, 0.117755, -0.284498, 0.044402, 0.023717, -0.05118, 0.035702, -0.06018, -0.034551, 0.00945, -0.234546, 0.171374, -0.084928, 0.116047, 0.077328, 0.013132, 0.175308, -0.100648, 0.053375, 0.092557, 0.100084, 0.090637, -0.134142, 0.010278, -0.105405, -0.12286, 0.090912, 0.048252, -0.180661, -0.02977, -0.102163, 0.139078, -0.212552, -0.063457, -0.103929, 0.18948, 0.19011, -0.125856, -0.208933, 0.165866, 0.052836, 0.042798, 0.01802, -0.06832, -0.051275, -0.129498, -0.106454, 0.2278, -0.153295, -0.179152, -0.00192, -0.005381, 0.109725, 0.182795, -0.052685, -0.069558, 0.288431, -0.090081, -0.07553],
+        [0.068087, 0.062692, 0.008781, 0.172527, -0.257961, 0.107129, -0.023209, 0.177543, -0.11522, 0.136202, 0.007641, 0.20195, -0.060776, -0.14022, -0.093114, 0.049308, 0.096825, 0.071425, -0.009319, -0.203168, -0.225473, 0.157659, -0.011857, 0.073232, 0.02747, -0.119083, 0.116454, -0.003835, 0.128925, -0.104523, 0.152116, 0.200575, -0.081413, -0.017677, -0.116503, 0.31619, -0.116719, -0.148435, -0.010252, -0.048288, -0.014507, -0.000179, -0.085653, -0.017435, -0.075734, -0.041521, -0.01362, 0.369405, -0.108511, -0.153446, 0.066473, -0.019778, 0.00933, 0.005401, -0.021917, 0.101473, -0.17091, 0.09293, -0.170721, -0.073918, -0.192061, -0.096219, -0.084047, 0.026297],
+        [-0.015085, 0.013518, -0.173892, 0.022538, 0.168966, 0.308663, -0.253095, -0.10693, -0.017907, -0.066133, -0.142848, 0.361962, 0.118303, 0.117434, 0.114943, 0.055717, -0.118723, -0.113162, -0.019021, -0.245345, 0.031918, 0.034452, -0.011092, -0.10927, 0.12475, 0.166169, 0.035269, -0.141378, -0.026189, -0.182599, 0.042267, 0.016173, -0.062292, -0.028463, -0.039869, -0.053846, -0.088025, 0.235251, 0.049054, -0.263074, -0.056558, -0.100894, -0.007514, -0.050566, 0.117241, 0.009092, -0.034999, -0.020604, 0.102962, -0.212355, -0.133756, -0.083336, -0.166696, 0.096941, -0.217878, -0.004216, -0.005631, 0.042295, 0.105656, -0.004699, 0.054063, 0.032495, 0.072617, 0.065457],
+        [-0.085442, 0.011076, -0.174433, 0.199716, 0.008519, -0.029355, 0.160186, -0.013846, -0.112902, -0.042298, 0.022159, 0.03605, -0.182303, 0.47848, -0.085518, -0.017421, 0.024876, -0.196615, -0.209697, -0.10289, -0.063404, 0.034678, 0.168365, 0.034225, 0.006176, -0.022543, -0.18435, -0.025273, 0.012, -0.052428, 0.160648, -0.102256, -0.158911, -0.183941, -0.095223, 0.015105, 0.17047, 0.055336, -0.075203, 0.204145, -0.041853, 0.269391, -0.179156, -0.044813, -0.038454, -0.116105, 0.120825, -0.007047, 0.030184, 0.047813, 0.163796, 0.01402, 0.066076, 0.111557, -0.098579, -0.093158, -0.089694, -0.103182, -0.017877, 0.136583, 0.076581, -0.074163, 0.076912, 0.014381],
+        [-0.104677, 0.043349, 0.330823, 0.052811, 0.071547, -0.239579, -0.03597, -0.050251, 0.005446, 0.21559, -0.257251, 0.080073, 0.23353, 0.063447, 0.106959, 0.195544, 0.054972, -0.158991, -0.067738, 0.047292, -0.041215, -0.066685, -0.04779, 0.02707, -0.05888, 0.008833, -0.138991, -0.158658, 0.040307, -0.125841, 0.153663, -0.225861, -0.111821, 0.104938, 0.014503, -0.188917, 0.007213, -0.20402, -0.132551, -0.204494, 0.195718, 0.087222, 0.024971, -0.017673, -0.066019, -0.064665, -0.136595, 0.044332, -0.132117, -0.086084, -0.050071, 0.218182, 0.046031, 0.149485, 0.100368, 0.065367, -0.014218, -0.011948, -0.024576, 0.014623, -0.158239, -0.045259, 0.130152, -0.037123],
+        [0.280538, -0.137159, -0.041267, 0.073326, -0.019159, -0.148489, -0.113004, 0.088897, -0.017383, 0.093503, 0.153843, -0.095339, 0.10337, 0.022935, 0.075439, 0.181782, -0.160231, 0.028633, -0.051348, -0.017841, -0.009984, 0.166717, -0.003604, 0.258527, -0.157916, 0.056128, -0.098222, -0.0403, -0.014822, 0.044011, 0.048237, -0.080106, 0.029625, 0.045614, 0.103463, -0.207261, -0.144795, -0.112116, -0.032952, 0.027502, -0.101056, -0.12731, -0.191016, -0.088993, 0.111293, 0.065803, -0.142563, 0.216764, 0.141313, -0.018008, 0.232057, -0.195087, 0.010139, 0.016706, -0.187695, -0.049311, 0.01294, -0.04593, 0.316408, 0.13303, 0.003273, 0.051654, -0.15851, -0.202796],
+    ]
+_PCA_BIAS: list[float] = [0.008821, 0.00351, -0.010977, 0.004294, 0.003532, -0.008366, -0.00238, 0.00844]
+# <<< REFREEZE pca_components
+
+
 def _ivf_centroids() -> list[list[float]]:
     """Trained IVF codebook, frozen as literals — the standard
     train-on-a-sample-then-freeze IVF flow (FAISS does the same). Literal so
@@ -8064,6 +8081,86 @@ ORDER BY s.s_suppkey
 """
 
 
+def _pca_weights_values(k: int | None = None) -> str:
+    """DuckDB VALUES clause replaying the frozen PCA components + bias."""
+    comps = _PCA_COMPONENTS if k is None else _PCA_COMPONENTS[:k]
+    rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in comp)}]::DOUBLE[], "
+        f"{_PCA_BIAS[i]!r})"
+        for i, comp in enumerate(comps)
+    )
+    return f"(VALUES\n        {rows}) AS w(pc, wv, bias)"
+
+
+# The registered projection keeps the top-4 components (the rollup keeps
+# all 8) — enough to pin the plan + exactness without an n×8 output.
+_PCA_PROJECT_K = 4
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (operators/pca.py:pca_project): every embedding onto
+    the frozen top-4 principal components — the dimensionality-reduction
+    front end of an ANN/whitening pipeline (the flow OPQ builds on). The
+    frozen components carry their mean-dot bias, so the plan is ONE explode →
+    broadcast literal-weight join → hash aggregate (codegen; no centering
+    pass, no Python). Coordinates ROUND(·,6) — the cosine-family float
+    discipline the oracle replays with list_dot_product over the same
+    literals."""
+    from observation_lakehouse_spark.operators.pca import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = _PCA_PROJECT_K
+    return pca_project(emb, _PCA_COMPONENTS[:k], _PCA_BIAS[:k]).orderBy(
+        "vec_id", "pc"
+    )
+
+
+def _pca_project_oracle() -> str:
+    return f"""
+SELECT e.vec_id, w.pc,
+       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), w.wv) - w.bias, 6)
+           AS coord
+FROM embeddings e
+CROSS JOIN {_pca_weights_values(_PCA_PROJECT_K)}
+ORDER BY e.vec_id, w.pc
+"""
+
+
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-share rollup over the frozen 8-component PCA basis
+    (operators/pca.py:pca_variance_share): coordinates quantize to integer
+    micro-units, squares accumulate in DECIMAL, shares emerge as integer ppm
+    against the 8-row total — the composite-score discipline, so the ladder
+    hash-matches at any SF. The monitoring companion to q_pca_project (a
+    drifting drop shows up as a reshaped share ladder over the FROZEN
+    basis — same trick as the IVF cell-occupancy PSI monitor)."""
+    from observation_lakehouse_spark.operators.pca import pca_variance_share
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_variance_share(emb, _PCA_COMPONENTS, _PCA_BIAS)
+
+
+def _pca_variance_oracle() -> str:
+    return f"""
+WITH c AS (
+    SELECT w.pc,
+           CAST(ROUND(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), w.wv)
+                            - w.bias, 6) * 1000000) AS BIGINT) AS micro
+    FROM embeddings e
+    CROSS JOIN {_pca_weights_values()}
+),
+s AS (
+    SELECT pc, COUNT(*) AS n_vecs,
+           SUM(CAST(micro AS HUGEINT) * micro) AS sumsq
+    FROM c GROUP BY pc
+)
+SELECT pc, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(sumsq * 1000000 // (SELECT SUM(sumsq) FROM s) AS BIGINT)
+           AS var_share_ppm
+FROM s ORDER BY pc
+"""
+
+
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary retrieval metrics (operators/retrieval.py:retrieval_metrics):
     reciprocal rank, recall@10 and precision@10 of the BM25 ranking against
@@ -9102,6 +9199,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": q_large_volume_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "heavy_shippers": q_heavy_shippers,
+        "pca_project": q_pca_project,
+        "pca_variance": q_pca_variance,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -9280,6 +9379,8 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_orders": _ORACLE_LARGE_VOLUME_ORDERS,
         "disjunctive_revenue": _ORACLE_DISJUNCTIVE_REVENUE,
         "heavy_shippers": _ORACLE_HEAVY_SHIPPERS,
+        "pca_project": _pca_project_oracle(),
+        "pca_variance": _pca_variance_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

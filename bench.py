@@ -108,6 +108,8 @@ HEADLINE = [
     "large_volume_orders",
     "disjunctive_revenue",
     "heavy_shippers",
+    "pca_project",
+    "pca_variance",
     "retrieval_metrics",
     "association_rules",
     "pmi_collocations",

@@ -47,6 +47,7 @@ RECALL_SF_DIR = "/root/testdata/sf0.001"
 # Training config — the single source of truth for the frozen shapes.
 IVF_K, IVF_ITERS = 8, 3
 PQ_M, PQ_K, PQ_ITERS = 8, 16, 3
+PCA_K = 8
 
 
 def _fmt_floats(xs: list[float]) -> str:
@@ -105,6 +106,20 @@ def _pq_residual_block(codebooks: list[list[list[float]]], sf_dir: str) -> str:
         f"{rows},\n"
         "    ]\n"
         "# <<< REFREEZE pq_residual_codebooks"
+    )
+
+
+def _pca_block(components: list[list[float]], bias: list[float], sf_dir: str) -> str:
+    rows = ",\n".join(f"        {_fmt_floats(c)}" for c in components)
+    return (
+        "# >>> REFREEZE pca_components — scripts/refreeze.py rewrites this block\n"
+        f"# (trained by operators.pca.pca_train, k={PCA_K}, covariance rounded to 9dp,\n"
+        f"#  sign-fixed eigenvectors, on {sf_dir})\n"
+        "_PCA_COMPONENTS: list[list[float]] = [\n"
+        f"{rows},\n"
+        "    ]\n"
+        f"_PCA_BIAS: list[float] = {_fmt_floats(bias)}\n"
+        "# <<< REFREEZE pca_components"
     )
 
 
@@ -173,6 +188,11 @@ def main() -> int:
             residual_corpus(emb, ivf), m=PQ_M, k=PQ_K, n_iters=PQ_ITERS
         )
     ]
+    from observation_lakehouse_spark.operators.pca import pca_train
+
+    pca = pca_train(emb, k=PCA_K)
+    pca_comps = [[round(float(x), 6) for x in c] for c in pca["components"]]
+    pca_bias = [round(float(b), 6) for b in pca["bias"]]
 
     same_ivf = ivf == [[round(float(x), 6) for x in c] for c in entry._ivf_centroids()]
     same_pq = (
@@ -184,13 +204,20 @@ def main() -> int:
     same_res = frozen_res is not None and pq_res == [
         [[round(float(x), 6) for x in c] for c in cb] for cb in frozen_res
     ]
+    frozen_pca = getattr(entry, "_PCA_COMPONENTS", None)
+    same_pca = (
+        frozen_pca is not None
+        and pca_comps == [[round(float(x), 6) for x in c] for c in frozen_pca]
+        and pca_bias == [round(float(b), 6) for b in entry._PCA_BIAS]
+    )
     print(f"ivf_centroids: {'unchanged' if same_ivf else 'DRIFTED'}; "
           f"pq_codebooks: {'unchanged' if same_pq else 'DRIFTED'}; "
-          f"pq_residual_codebooks: {'unchanged' if same_res else 'DRIFTED'}")
+          f"pq_residual_codebooks: {'unchanged' if same_res else 'DRIFTED'}; "
+          f"pca_components: {'unchanged' if same_pca else 'DRIFTED'}")
 
     if check:
-        return 0 if (same_ivf and same_pq and same_res) else 1
-    if same_ivf and same_pq and same_res:
+        return 0 if (same_ivf and same_pq and same_res and same_pca) else 1
+    if same_ivf and same_pq and same_res and same_pca:
         print("frozen literals already match this drop — nothing to rewrite")
         print(f"recall@10 (sf0.001): {old_recalls}")
         return 0
@@ -202,6 +229,7 @@ def main() -> int:
     src = _splice(src, "ivf_centroids", _ivf_block(ivf, sf_dir))
     src = _splice(src, "pq_codebooks", _pq_block(pq, sf_dir))
     src = _splice(src, "pq_residual_codebooks", _pq_residual_block(pq_res, sf_dir))
+    src = _splice(src, "pca_components", _pca_block(pca_comps, pca_bias, sf_dir))
     ENTRY.write_text(src)
     print(f"rewrote literal blocks in {ENTRY}")
 

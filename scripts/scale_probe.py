@@ -564,6 +564,25 @@ def main() -> None:
              "observation_lakehouse_spark.operators.cdc",
              fromlist=["scd2_build"]).scd2_build(
              d, ["user_id"], "ts", ["event_type"])),
+        # PCA projection: explode + broadcast literal weights + hash agg —
+        # row-linear in n·d·k with map-side partial sums
+        ("pca_project (frozen top-4 components)", emb, emb_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.pca",
+             fromlist=["pca_project"]).pca_project(
+             d, entrymod._PCA_COMPONENTS[:4], entrymod._PCA_BIAS[:4])),
+        # Q18 core (IN over grouped HAVING on the same fact): subquery agg +
+        # LeftSemi + outer agg, all on one order-key exchange (AQE reuses
+        # the partitioning) — alpha tracks lineitem
+        ("large_volume_orders (grouped-HAVING semi join)", li, li_k,
+         lambda d: d.join(
+             d.groupBy("l_orderkey")
+              .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+              .filter(F.col("q") > 300)
+              .select("l_orderkey"),
+             "l_orderkey", "left_semi")
+         .groupBy("l_orderkey")
+         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))),
     ]
 
     lines = [
