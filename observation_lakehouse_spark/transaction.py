@@ -13,6 +13,7 @@ Layout::
       _schema.json            table schema + partition columns (written once)
       _manifests/v<N>.json    snapshot N: cumulative data-file list + commits
       data/<k=v dirs>/<uuid>-part-*.parquet
+      _deletes/<uuid>/        position deletion vectors (row-level deletes)
 
 Protocol (writer):
 
@@ -559,13 +560,192 @@ class AtomicParquetTable:
 
         if not keep:
             return self.spark.createDataFrame([], self.schema)
-        return (
+        cols = [f.name for f in self.schema.fields]
+        if m.get("deletes"):
+            base = self._apply_deletes(self._read_with_pos(keep), m).select(cols)
+        else:
+            base = (
+                self.spark.read.schema(self.schema)
+                .option("basePath", str(self.data_dir))
+                .parquet(*[str(self.data_dir / f) for f in keep])
+                .select(cols)
+            )
+        return base.filter(F.col(column) == F.lit(value))
+
+    # -- row-level deletes (position deletion vectors) -------------------------
+
+    @property
+    def _deletes_dir(self) -> Path:
+        d = self.location / "_deletes"
+        d.mkdir(exist_ok=True)
+        return d
+
+    def _rel_file_col(self):
+        """Manifest-relative data-file path of each row, from the parquet
+        reader's ``_metadata.file_path`` (Spark emits ``file:/abs/path`` —
+        normalize any ``file:/+`` prefix, then strip the data dir)."""
+        from pyspark.sql import functions as F
+
+        base = str(self.data_dir.resolve())
+        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        return F.substring(norm, len(base) + 2, 1 << 20)
+
+    def _read_with_pos(self, files: list[str]) -> DataFrame:
+        """Snapshot file scan carrying (_file, _pos) row identity."""
+        from pyspark.sql import functions as F
+
+        df = (
             self.spark.read.schema(self.schema)
             .option("basePath", str(self.data_dir))
-            .parquet(*[str(self.data_dir / f) for f in keep])
-            .select([f.name for f in self.schema.fields])
-            .filter(F.col(column) == F.lit(value))
+            .parquet(*[str(self.data_dir / f) for f in files])
         )
+        return df.select(
+            *[f.name for f in self.schema.fields],
+            self._rel_file_col().alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+
+    def _delete_sidecars(self, manifest: dict) -> list[str]:
+        return sorted({s for lst in manifest.get("deletes", {}).values() for s in lst})
+
+    def _apply_deletes(self, df_with_pos: DataFrame, manifest: dict) -> DataFrame:
+        """Filter out rows claimed by the snapshot's deletion vectors: a
+        broadcast anti-join on (file, position) — the Delta deletion-vector /
+        Iceberg position-delete read path. DVs are tiny next to data (they
+        hold positions, not rows), so the probe is map-side; a manifest with
+        no deletes returns the input plan unchanged (zero read overhead)."""
+        sidecars = self._delete_sidecars(manifest)
+        if not sidecars:
+            return df_with_pos
+        from pyspark.sql import functions as F
+
+        paths = [self._deletes_dir / s for s in sidecars]
+        dv = self.spark.read.schema("file string, pos bigint").parquet(
+            *[str(p) for p in paths]
+        )
+        # broadcast only while the sidecar bytes are clearly executor-safe
+        # (a mass-delete's DV can be GBs — let AQE pick the strategy there)
+        on_disk = sum(
+            f.stat().st_size for p in paths for f in p.rglob("*.parquet")
+        )
+        if on_disk <= 64 << 20:
+            dv = F.broadcast(dv)
+        return df_with_pos.join(
+            dv,
+            (df_with_pos["_file"] == dv["file"]) & (df_with_pos["_pos"] == dv["pos"]),
+            "left_anti",
+        )
+
+    def _live_rows(self, manifest: dict) -> DataFrame:
+        files = manifest["files"]
+        if not files:
+            return self.spark.createDataFrame([], self.schema).selectExpr(
+                "*", "CAST(NULL AS STRING) AS _file", "CAST(NULL AS BIGINT) AS _pos"
+            )
+        return self._apply_deletes(self._read_with_pos(files), manifest)
+
+    def _write_delete_sidecar(self, hits: DataFrame) -> tuple[str, int, list[str]]:
+        """Persist (file, pos) rows as one sidecar; returns (sidecar name,
+        row count, distinct files touched). The sidecar is invisible until a
+        manifest references it (crash ⇒ orphan dir, vacuum reclaims)."""
+        from pyspark.sql import functions as F
+
+        name = uuid.uuid4().hex
+        out = self._deletes_dir / name
+        hits.write.mode("overwrite").parquet(str(out))
+        agg = (
+            self.spark.read.schema("file string, pos bigint")
+            .parquet(str(out))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        files = sorted(r["file"] for r in agg)
+        n = int(sum(r["n"] for r in agg))
+        if n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+        return name, n, files
+
+    def delete_where(self, predicate_sql: str) -> dict:
+        """Row-level DELETE without rewriting data files (Delta deletion
+        vectors / Iceberg position deletes): matching rows' (file, position)
+        pairs land in a sidecar parquet, the manifest maps affected files to
+        their sidecars, and every read anti-joins them out. O(matching rows)
+        write cost — a one-row delete in a 100 TB table never copies a file;
+        compaction (:meth:`optimize`) later materializes DVs and drops them.
+
+        Positions are computed against the CURRENT head and committed with
+        ``expected_version`` pinned: a concurrent commit raises
+        :class:`CommitConflict` (re-run to recompute against the new head) —
+        positions computed from a stale snapshot must never apply to a
+        rewritten file. Returns {"version", "deleted_rows", "files_touched"};
+        zero matches commit nothing.
+        """
+        from pyspark.sql import functions as F
+
+        head_v = self.latest_version()
+        m = self._manifest(head_v)
+        if not m["files"]:
+            return {"version": head_v, "deleted_rows": 0, "files_touched": 0}
+        live = self._live_rows(m)
+        hits = live.filter(F.expr(predicate_sql)).select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        )
+        name, n, files_hit = self._write_delete_sidecar(hits)
+        if n == 0:
+            return {"version": head_v, "deleted_rows": 0, "files_touched": 0}
+        v = self._commit(
+            [],
+            None,
+            add_deletes={f: [name] for f in files_hit},
+            expected_version=head_v,
+        )
+        return {"version": v, "deleted_rows": n, "files_touched": len(files_hit)}
+
+    def update_where(self, predicate_sql: str, assignments: dict[str, str]) -> dict:
+        """Row-level UPDATE = copy-on-write of the MATCHING rows only: the
+        updated rows append as new files, the old positions go into a
+        deletion vector, both in ONE serializable commit (merge-on-read
+        UPDATE — what Delta does when DVs are enabled). Non-matching rows
+        are never copied. ``assignments`` maps column → SQL expression
+        (evaluated against the matching row). CHECK constraints gate the
+        updated rows exactly like :meth:`append`."""
+        from pyspark.sql import functions as F
+
+        unknown = set(assignments) - {f.name for f in self.schema.fields}
+        if unknown:
+            raise ValueError(f"assignments target unknown columns: {sorted(unknown)}")
+        head_v = self.latest_version()
+        m = self._manifest(head_v)
+        if not m["files"]:
+            return {"version": head_v, "updated_rows": 0}
+        live = self._live_rows(m)
+        hits = live.filter(F.expr(predicate_sql))
+        updated = hits.select(
+            [
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in self.schema.fields
+            ]
+        )
+        if self.check_constraints:
+            bad = self._check_violations(updated, self.check_constraints)
+            if bad:
+                raise CheckViolation(str(self.location), bad)
+        name, n, files_hit = self._write_delete_sidecar(
+            hits.select(F.col("_file").alias("file"), F.col("_pos").alias("pos"))
+        )
+        if n == 0:
+            return {"version": head_v, "updated_rows": 0}
+        new_files = self.stage(updated)
+        v = self._commit(
+            new_files,
+            None,
+            add_deletes={f: [name] for f in files_hit},
+            expected_version=head_v,
+        )
+        return {"version": v, "updated_rows": n}
 
     def _commit(
         self,
@@ -573,6 +753,8 @@ class AtomicParquetTable:
         idempotency_key: str | None,
         replace_files: list[str] | None = None,
         expected_version: int | None = None,
+        add_deletes: dict[str, list[str]] | None = None,
+        replace_deletes: dict[str, list[str]] | None = None,
     ) -> int:
         import time
 
@@ -601,10 +783,26 @@ class AtomicParquetTable:
             files = replace_files if replace_files is not None else head["files"] + new_files
             parent_stats = head.get("stats", {})
             parent_blooms = head.get("blooms", {})
+            # Deletion vectors: explicit replace_deletes wins (rollback/
+            # optimize restore or materialize); otherwise carry the parent's
+            # per-file sidecars for files still present and merge this
+            # commit's additions.
+            if replace_deletes is not None:
+                base_deletes = replace_deletes
+            else:
+                base_deletes = head.get("deletes", {})
+            deletes = {
+                f: sorted(
+                    set(base_deletes.get(f, [])) | set((add_deletes or {}).get(f, []))
+                )
+                for f in files
+                if base_deletes.get(f) or (add_deletes or {}).get(f)
+            }
             manifest = {
                 "version": next_v,
                 "parent": head_v,
                 "files": files,
+                **({"deletes": deletes} if deletes else {}),
                 "stats": {
                     f: s
                     for f in files
@@ -649,13 +847,15 @@ class AtomicParquetTable:
                 raise ValueError("pass version OR ref, not both")
             version = self.resolve_ref(ref)
         v = self.latest_version() if version is None else version
-        files = self._manifest(v)["files"]
+        m = self._manifest(v)
+        files = m["files"]
         if not files:
             return self.spark.createDataFrame([], self.schema)
+        cols = [f.name for f in self.schema.fields]
+        if m.get("deletes"):
+            return self._live_rows(m).select(cols)
         reader = self.spark.read.schema(self.schema).option("basePath", str(self.data_dir))
-        return reader.parquet(*[str(self.data_dir / f) for f in files]).select(
-            [f.name for f in self.schema.fields]
-        )
+        return reader.parquet(*[str(self.data_dir / f) for f in files]).select(cols)
 
     def scan(
         self,
@@ -697,14 +897,17 @@ class AtomicParquetTable:
                 except TypeError:
                     pass
             keep.append(f)
+        cols = [f.name for f in self.schema.fields]
         if not keep:
             df = self.spark.createDataFrame([], self.schema)
+        elif m.get("deletes"):
+            df = self._apply_deletes(self._read_with_pos(keep), m).select(cols)
         else:
             df = (
                 self.spark.read.schema(self.schema)
                 .option("basePath", str(self.data_dir))
                 .parquet(*[str(self.data_dir / f) for f in keep])
-                .select([f.name for f in self.schema.fields])
+                .select(cols)
             )
         from pyspark.sql import functions as F
 
@@ -723,6 +926,9 @@ class AtomicParquetTable:
         files-to-read; that raises (the same append-only restriction
         Iceberg's incremental scan has) and the caller falls back to a
         snapshot diff (operators.cdc.table_diff) between the two reads.
+        Rows are reported AS APPENDED: a later :meth:`delete_where` doesn't
+        retract them from this log (deletes are snapshot-level state, not
+        change events — diff two snapshots if you need retractions).
         """
         to_v = self.latest_version() if to_version is None else to_version
         for v in (since_version, to_v):
@@ -836,8 +1042,15 @@ class AtomicParquetTable:
         """
         if version not in (0, *self._versions()):
             raise ValueError(f"no snapshot v{version} to roll back to")
-        target_files = self._manifest(version)["files"]
-        return self._commit([], None, replace_files=list(target_files))
+        target = self._manifest(version)
+        return self._commit(
+            [],
+            None,
+            replace_files=list(target["files"]),
+            # restore the TARGET's deletion vectors, not the head's (a later
+            # delete_where must not survive the rollback)
+            replace_deletes=dict(target.get("deletes", {})),
+        )
 
     def optimize(
         self,
@@ -867,7 +1080,9 @@ class AtomicParquetTable:
         commit.
         """
         head_v = self.latest_version()
-        files = self._manifest(head_v)["files"]
+        head_m = self._manifest(head_v)
+        files = head_m["files"]
+        head_deletes = head_m.get("deletes", {})
         small_cut = target_file_bytes // 2
         by_part: dict[str, list[str]] = {}
         carried: list[str] = []
@@ -882,14 +1097,18 @@ class AtomicParquetTable:
                 carried.append(f)
                 continue
             # a ZORDER pass reclusters EVERYTHING in scope (Delta's OPTIMIZE
-            # ZORDER BY semantics): right-sized files still need reordering
-            if zorder_by or p.stat().st_size < small_cut:
+            # ZORDER BY semantics): right-sized files still need reordering.
+            # A file carrying deletion vectors always qualifies — compaction
+            # is what MATERIALIZES row-level deletes and retires the DV.
+            if zorder_by or f in head_deletes or p.stat().st_size < small_cut:
                 by_part.setdefault(str(Path(f).parent), []).append(f)
             else:
                 carried.append(f)
         to_rewrite: list[str] = []
         for part, group in by_part.items():
-            if zorder_by or len(group) >= min_input_files:
+            if zorder_by or len(group) >= min_input_files or any(
+                f in head_deletes for f in group
+            ):
                 to_rewrite.extend(group)
             else:
                 carried.extend(group)
@@ -901,12 +1120,19 @@ class AtomicParquetTable:
                 "version": head_v,
             }
         total = sum((self.data_dir / f).stat().st_size for f in to_rewrite)
-        reader = self.spark.read.schema(self.schema).option(
-            "basePath", str(self.data_dir)
-        )
-        df = reader.parquet(*[str(self.data_dir / f) for f in to_rewrite]).select(
-            [f.name for f in self.schema.fields]
-        )
+        if any(f in head_deletes for f in to_rewrite):
+            # merge-on-read becomes copy-on-write here: the rewrite drops
+            # DV'd positions, so the new files need no deletion vectors
+            df = self._apply_deletes(self._read_with_pos(to_rewrite), head_m).select(
+                [f.name for f in self.schema.fields]
+            )
+        else:
+            reader = self.spark.read.schema(self.schema).option(
+                "basePath", str(self.data_dir)
+            )
+            df = reader.parquet(*[str(self.data_dir / f) for f in to_rewrite]).select(
+                [f.name for f in self.schema.fields]
+            )
         if self.partition_by:
             from pyspark.sql import functions as F
 
@@ -949,6 +1175,8 @@ class AtomicParquetTable:
             None,
             replace_files=carried + new_files,
             expected_version=head_v,
+            # carried files keep their DVs; rewritten files materialized them
+            replace_deletes={f: head_deletes[f] for f in carried if f in head_deletes},
         )
         return {
             "rewritten": len(to_rewrite),
@@ -1086,13 +1314,24 @@ class AtomicParquetTable:
         Iceberg's remove-orphan-files maintenance has).
         """
         referenced: set[str] = set()
+        live_sidecars: set[str] = set()
         for v in self._versions():
-            referenced.update(self._manifest(v)["files"])
+            m = self._manifest(v)
+            referenced.update(m["files"])
+            live_sidecars.update(self._delete_sidecars(m))
         removed: list[str] = []
         for f in self.data_dir.rglob("*.parquet"):
             rel = str(f.relative_to(self.data_dir))
             if rel not in referenced:
                 f.unlink()
                 removed.append(rel)
+        # orphan deletion-vector sidecars (crashed delete_where, or DVs only
+        # expired snapshots referenced) reclaim with the same union rule
+        deletes_dir = self.location / "_deletes"
+        if deletes_dir.exists():
+            for d in deletes_dir.iterdir():
+                if d.is_dir() and d.name not in live_sidecars:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(f"_deletes/{d.name}")
         shutil.rmtree(self.location / "_staging", ignore_errors=True)
         return removed
