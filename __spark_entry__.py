@@ -8161,6 +8161,181 @@ FROM s ORDER BY pc
 """
 
 
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² homogeneity test (operators/audit.py:chi2_test) on the
+    order-priority mix, 1997 vs 1998 — the CATEGORICAL drift gate next to
+    ks_drift (continuous exact) and psi_drift (binned). Add-one smoothed,
+    every per-category float input an exact BIGINT, contribution rounded
+    once to micro-units, statistic an exact integer sum — the whole
+    decomposition is oracle-checked per category."""
+    from observation_lakehouse_spark.operators.audit import chi2_test
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") == 1997)
+    cur = orders.filter(F.year("o_orderdate") == 1998)
+    return chi2_test(ref, cur, "o_orderpriority")
+
+
+_ORACLE_CHI2_DRIFT = """
+WITH t AS (
+    SELECT o_orderpriority AS category,
+           SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 1 ELSE 0 END)
+               AS n_ref,
+           SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998 THEN 1 ELSE 0 END)
+               AS n_cur
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+      AND o_orderpriority IS NOT NULL
+    GROUP BY o_orderpriority
+), s AS (
+    SELECT category, n_ref, n_cur,
+           n_ref + 1 AS r, n_cur + 1 AS o,
+           (SELECT SUM(n_ref) + COUNT(*) FROM t) AS nr,
+           (SELECT SUM(n_cur) + COUNT(*) FROM t) AS nc,
+           (SELECT COUNT(*) FROM t) AS kk
+    FROM t
+), c AS (
+    SELECT category,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(r * 1000000 // nr AS BIGINT) AS ref_ppm,
+           CAST(o * 1000000 // nc AS BIGINT) AS cur_ppm,
+           CAST(ROUND(
+               (CAST(o AS DOUBLE) * CAST(nr AS DOUBLE)
+                - CAST(nc AS DOUBLE) * CAST(r AS DOUBLE))
+               * (CAST(o AS DOUBLE) * CAST(nr AS DOUBLE)
+                  - CAST(nc AS DOUBLE) * CAST(r AS DOUBLE))
+               / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) * CAST(r AS DOUBLE))
+               * 1000000) AS BIGINT) AS contrib_micro,
+           CAST(kk - 1 AS BIGINT) AS df
+    FROM s
+)
+SELECT category, n_ref, n_cur, ref_ppm, cur_ppm, contrib_micro,
+       CAST(SUM(contrib_micro) OVER () AS BIGINT) AS chi2_micro, df
+FROM c ORDER BY category
+"""
+
+
+def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (operators/timeseries.py:autocorrelation):
+    per-event-type ACF of the value series at lags 1–3 — ONE key-partitioned
+    window pass pairs all lags via stack, co-moments accumulate as exact
+    decimals cast to double once (the regression_stats float discipline),
+    degenerate series return NULL."""
+    from observation_lakehouse_spark.operators.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(ev, "event_type", ["ts", "event_id"], "value")
+
+
+_ORACLE_VALUE_AUTOCORR = """
+WITH lagd AS (
+    SELECT event_type, value AS x,
+           LAG(value, 1) OVER w AS l1,
+           LAG(value, 2) OVER w AS l2,
+           LAG(value, 3) OVER w AS l3
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), pairs AS (
+    SELECT event_type, CAST(1 AS INTEGER) AS lag, x, l1 AS y
+    FROM lagd WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT event_type, CAST(2 AS INTEGER), x, l2 FROM lagd WHERE l2 IS NOT NULL
+    UNION ALL
+    SELECT event_type, CAST(3 AS INTEGER), x, l3 FROM lagd WHERE l3 IS NOT NULL
+), a AS (
+    SELECT event_type, lag, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                AS DOUBLE) AS sx2,
+           CAST(SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                AS DOUBLE) AS sy2
+    FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN n_pairs >= 2
+             AND (sx2 - sx * sx / CAST(n_pairs AS DOUBLE)) > 0
+             AND (sy2 - sy * sy / CAST(n_pairs AS DOUBLE)) > 0
+            THEN ROUND((sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+                       / sqrt((sx2 - sx * sx / CAST(n_pairs AS DOUBLE))
+                              * (sy2 - sy * sy / CAST(n_pairs AS DOUBLE))), 6)
+       END AS acf
+FROM a ORDER BY event_type, lag
+"""
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (operators/graph.py:
+    harmonic_centrality; Eppstein–Wang estimator) over the quarter-filtered
+    customer-supplier fulfillment graph — seed-labeled fixed-round BFS,
+    contributions MICRO div d in exact integers, so the unrolled-CTE oracle
+    agrees bit-for-bit. Complements pagerank (eigenvector prestige) with a
+    distance-based notion of 'how close to everything' a node is."""
+    from observation_lakehouse_spark.operators.graph import harmonic_centrality
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    seeds = customer.filter(F.col("c_custkey") % 300 == 0).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    return harmonic_centrality(edges, seeds, n_rounds=3)
+
+
+_ORACLE_HARMONIC_CENTRALITY = """
+WITH d AS (
+    SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 4 = 0
+), e AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d
+    )
+), s0 AS (
+    SELECT c_custkey * 2 AS seed, c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dd
+    FROM customer WHERE c_custkey % 300 = 0
+), s1 AS (
+    SELECT seed, node, MIN(dd) AS dd FROM (
+        SELECT seed, node, dd FROM s0
+        UNION ALL
+        SELECT s0.seed, e.dst AS node, s0.dd + 1 AS dd
+        FROM s0 JOIN e ON e.src = s0.node
+    ) GROUP BY seed, node
+), s2 AS (
+    SELECT seed, node, MIN(dd) AS dd FROM (
+        SELECT seed, node, dd FROM s1
+        UNION ALL
+        SELECT s1.seed, e.dst AS node, s1.dd + 1 AS dd
+        FROM s1 JOIN e ON e.src = s1.node
+    ) GROUP BY seed, node
+), s3 AS (
+    SELECT seed, node, MIN(dd) AS dd FROM (
+        SELECT seed, node, dd FROM s2
+        UNION ALL
+        SELECT s2.seed, e.dst AS node, s2.dd + 1 AS dd
+        FROM s2 JOIN e ON e.src = s2.node
+    ) GROUP BY seed, node
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(1000000 // dd) AS BIGINT) AS harmonic_micro
+FROM s3 WHERE dd >= 1
+GROUP BY node
+ORDER BY harmonic_micro DESC, node
+"""
+
+
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary retrieval metrics (operators/retrieval.py:retrieval_metrics):
     reciprocal rank, recall@10 and precision@10 of the BM25 ranking against
@@ -9201,6 +9376,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_shippers": q_heavy_shippers,
         "pca_project": q_pca_project,
         "pca_variance": q_pca_variance,
+        "chi2_drift": q_chi2_drift,
+        "value_autocorr": q_value_autocorr,
+        "harmonic_centrality": q_harmonic_centrality,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -9381,6 +9559,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_shippers": _ORACLE_HEAVY_SHIPPERS,
         "pca_project": _pca_project_oracle(),
         "pca_variance": _pca_variance_oracle(),
+        "chi2_drift": _ORACLE_CHI2_DRIFT,
+        "value_autocorr": _ORACLE_VALUE_AUTOCORR,
+        "harmonic_centrality": _ORACLE_HARMONIC_CENTRALITY,
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

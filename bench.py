@@ -110,6 +110,9 @@ HEADLINE = [
     "heavy_shippers",
     "pca_project",
     "pca_variance",
+    "chi2_drift",
+    "value_autocorr",
+    "harmonic_centrality",
     "retrieval_metrics",
     "association_rules",
     "pmi_collocations",

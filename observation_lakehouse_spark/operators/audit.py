@@ -414,3 +414,77 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+
+def chi2_test(ref: DataFrame, cur: DataFrame, cat_col: str) -> DataFrame:
+    """Pearson χ² homogeneity test between two CATEGORICAL samples — the
+    drift gate for label/segment/source-mix columns, completing the family
+    (ks_test: continuous exact, psi_drift: binned continuous, this:
+    categorical). ``χ² = Σ_c (o_c − E_c)²/E_c`` with ``E_c = n_cur·r_c/n_ref``,
+    add-one smoothed on every category of the UNION (like psi_drift's bins:
+    a category seen on only one side stays finite instead of dividing by a
+    zero expectation).
+
+    Determinism: all inputs to the per-category float expression are exact
+    smoothed BIGINT counts shared by both engines, each factor casts to
+    DOUBLE BEFORE multiplying (no integer-overflow path at any scale), and
+    the contribution rounds ONCE to integer micro-units — the statistic is
+    then an exact integer sum (the composite-score discipline). NULL
+    categories are excluded like the other drift ops (track missingness
+    separately).
+
+    One union + hash aggregate to |categories| rows, then a bounded
+    (|categories|-row) total window. Output per category: (category, n_ref,
+    n_cur, ref_ppm, cur_ppm, contrib_micro, chi2_micro, df), ordered by
+    category — the whole decomposition is oracle-checkable, χ² is the
+    shared ``chi2_micro`` value.
+    """
+    from pyspark.sql import Window
+
+    nn = F.col(cat_col).isNotNull()
+    tagged = (
+        ref.filter(nn)
+        .select(F.col(cat_col).alias("category"), F.lit(1).alias("_s"))
+        .unionByName(
+            cur.filter(nn).select(F.col(cat_col).alias("category"), F.lit(2).alias("_s"))
+        )
+    )
+    per_cat = tagged.groupBy("category").agg(
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("_s") == 2, 1).otherwise(0)).alias("n_cur"),
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wb = (
+        per_cat.withColumn("_K", F.count(F.lit(1)).over(total))
+        .withColumn("_NR", F.sum("n_ref").over(total) + F.col("_K"))
+        .withColumn("_NC", F.sum("n_cur").over(total) + F.col("_K"))
+        .withColumn("_r", F.col("n_ref") + 1)
+        .withColumn("_o", F.col("n_cur") + 1)
+    )
+    num = (
+        F.col("_o").cast("double") * F.col("_NR").cast("double")
+        - F.col("_NC").cast("double") * F.col("_r").cast("double")
+    )
+    den = (
+        F.col("_NR").cast("double")
+        * F.col("_NC").cast("double")
+        * F.col("_r").cast("double")
+    )
+    contrib = F.round(num * num / den * F.lit(1_000_000.0)).cast("long")
+    return (
+        wb.select(
+            "category",
+            "n_ref",
+            "n_cur",
+            F.expr(f"(_r * {MICRO}) div _NR").alias("ref_ppm"),
+            F.expr(f"(_o * {MICRO}) div _NC").alias("cur_ppm"),
+            contrib.alias("contrib_micro"),
+            (F.col("_K") - 1).alias("df"),
+        )
+        .withColumn("chi2_micro", F.sum("contrib_micro").over(total))
+        .select(
+            "category", "n_ref", "n_cur", "ref_ppm", "cur_ppm",
+            "contrib_micro", "chi2_micro", "df",
+        )
+        .orderBy("category")
+    )

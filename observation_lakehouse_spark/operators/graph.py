@@ -995,3 +995,88 @@ def bfs_distances(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Sampled-source harmonic centrality: ``C(v) = Σ_s 1/d(s, v)`` over the
+    seed set, distances from a seed-LABELED fixed-round BFS (the Eppstein–
+    Wang estimator: a bounded sample of sources approximates the all-pairs
+    sum at O(|S|·|E|) instead of O(|V|·|E|), and unreachable pairs cost 0 —
+    harmonic's advantage over closeness on disconnected graphs).
+
+    The frontier state is (seed, node) → min distance, so the per-round
+    plan is the bfs_distances kernel with a composite aggregate key: one
+    shuffle-hash join of the state table against the src-partitioned
+    persisted edge list + one MIN hash aggregate, AQE off and width sized
+    to the measured edge count for the loop's scope, eager checkpoint at
+    the end. |S| must stay bounded (it multiplies state size) — that is
+    the estimator's contract, not a hidden limit.
+
+    Exactness: contributions are ``MICRO div d`` per reached (seed, node),
+    d ≥ 1 (a seed's own row, d = 0, is excluded) — pure integer, so the sum
+    hash-matches the unrolled-CTE oracle at any SF. Output: (node,
+    n_reached, harmonic_micro), ordered by (harmonic_micro DESC, node).
+    """
+    MICRO = 1_000_000
+    directed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e0 = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e0.count()
+    spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 1_000_000)))
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    e = None
+    try:
+        e = e0.repartition(loop_parts, F.col("src")).persist()
+        dist = (
+            seeds.select(F.col(seed_col).alias("seed"))
+            .distinct()
+            .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("d"))
+        )
+        for _ in range(n_rounds):
+            reached = (
+                dist.hint("shuffle_hash")
+                .join(e, dist["node"] == e["src"])
+                .select("seed", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            )
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("seed", "node")
+                .agg(F.min("d").alias("d"))
+            )
+        dist = dist.localCheckpoint(eager=True)
+        out = (
+            dist.filter(F.col("d") >= 1)
+            .groupBy("node")
+            .agg(
+                F.count(F.lit(1)).alias("n_reached"),
+                F.sum(F.expr(f"{MICRO} div d")).alias("harmonic_micro"),
+            )
+            .orderBy(F.desc("harmonic_micro"), "node")
+        )
+        out._cached_deps = (e, e0)  # type: ignore[attr-defined]  # noqa: SLF001
+        return out
+    except BaseException:
+        if e is not None:
+            e.unpersist()
+        e0.unpersist()
+        raise
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)

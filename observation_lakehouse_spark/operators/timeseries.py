@@ -525,3 +525,65 @@ def cusum_drift(
         )
         .orderBy(key_col, "bucket_us")
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Sample autocorrelation (ACF) of a per-key series at the given lags —
+    the seasonality/memory diagnostic next to seasonal_decompose (a spike at
+    lag p says "period p structure"; all-near-zero says the residual is
+    noise).
+
+    Per (key, lag): Pearson correlation of (x_t, x_{t−lag}) pairs, paired by
+    ONE key-partitioned window ordered by ``order_cols`` (which must be a
+    total order — include a unique id) then pivoted long via ``stack`` (one
+    window pass for ALL lags, not one per lag). Co-moments accumulate as
+    EXACT decimals cast to double once, so both engines evaluate the
+    identical float tree (the regression_stats discipline); degenerate
+    windows (either side constant, or fewer than 2 pairs) return NULL rather
+    than a float-division artifact.
+
+    Output: (key, lag, n_pairs, acf) ordered by (key, lag). Scale: the only
+    shuffle is the key-partitioned window; the lag stack is a constant ×len(
+    lags) map-side explode and the co-moment aggregate combines map-side.
+    """
+    from pyspark.sql import Window
+
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError("lags must be positive ints")
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    lag_cols = [
+        F.lag(value_col, int(k)).over(w).alias(f"_lag{k}") for k in lags
+    ]
+    stack_args = ", ".join(f"{int(k)}, _lag{k}" for k in lags)
+    pairs = (
+        df.select(F.col(key_col), F.col(value_col).alias("_x"), *lag_cols)
+        .selectExpr(key_col, "_x", f"stack({len(lags)}, {stack_args}) AS (lag, _y)")
+        .filter(F.col("_y").isNotNull())
+    )
+    x = F.col("_x").cast("decimal(18,2)")
+    y = F.col("_y").cast("decimal(18,2)")
+    agg = pairs.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+        F.sum(x * x).cast("double").alias("_sx2"),
+        F.sum(y * y).cast("double").alias("_sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sx2") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_sy2") - F.col("_sy") * F.col("_sy") / n
+    acf = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), 6),
+    )
+    return agg.select(key_col, "lag", "n_pairs", acf.alias("acf")).orderBy(
+        key_col, "lag"
+    )

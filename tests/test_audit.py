@@ -459,3 +459,45 @@ def test_ks_test_and_psi_drift_drop_nulls(spark):
                 psi_drift(ref_n, cur_n, "v", 0.0, 2.0, n_bins=2).collect()}
     assert got_null == got_clean  # no NULL clamped into bin 0
     assert got_null[0] == (3, 1)
+
+
+# -- chi2_test (r9) -----------------------------------------------------------
+
+
+def test_chi2_identical_distributions_near_zero(spark):
+    from observation_lakehouse_spark.operators.audit import chi2_test
+
+    df = spark.createDataFrame(
+        [(c,) for c in ["a"] * 50 + ["b"] * 30 + ["c"] * 20], "cat string"
+    )
+    rows = chi2_test(df, df, "cat").collect()
+    assert [r["category"] for r in rows] == ["a", "b", "c"]
+    assert all(r["df"] == 2 for r in rows)
+    # identical samples: every contribution is exactly 0
+    assert all(r["contrib_micro"] == 0 for r in rows)
+    assert rows[0]["chi2_micro"] == 0
+
+
+def test_chi2_shift_detected_and_nulls_excluded(spark):
+    from observation_lakehouse_spark.operators.audit import chi2_test
+
+    ref = spark.createDataFrame(
+        [(c,) for c in ["a"] * 80 + ["b"] * 20 + [None] * 5], "cat string"
+    )
+    cur = spark.createDataFrame(
+        [(c,) for c in ["a"] * 20 + ["b"] * 80 + [None] * 7], "cat string"
+    )
+    rows = chi2_test(ref, cur, "cat").collect()
+    assert sum(r["n_ref"] for r in rows) == 100  # NULLs dropped
+    assert sum(r["n_cur"] for r in rows) == 100
+    assert rows[0]["chi2_micro"] > 10_000_000  # chi2 >> 10 for this flip
+
+
+def test_chi2_one_sided_category_stays_finite(spark):
+    from observation_lakehouse_spark.operators.audit import chi2_test
+
+    ref = spark.createDataFrame([("a",)] * 10, "cat string")
+    cur = spark.createDataFrame([("a",)] * 5 + [("b",)] * 5, "cat string")
+    rows = {r["category"]: r for r in chi2_test(ref, cur, "cat").collect()}
+    assert rows["b"]["n_ref"] == 0
+    assert rows["b"]["contrib_micro"] >= 0  # smoothed: finite, no div-by-zero

@@ -424,3 +424,50 @@ def test_hits_rejects_nonpositive_iterations(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iters"):
         hits(df, n_iters=0)
+
+
+# -- harmonic_centrality (r9) -------------------------------------------------
+
+
+def test_harmonic_centrality_path_graph_exact(spark):
+    from observation_lakehouse_spark.operators.graph import harmonic_centrality
+
+    # path 0-1-2-3-4, seeds {0, 4}, 3 rounds: distances within the ball
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic_micro"])
+        for r in harmonic_centrality(edges, seeds, n_rounds=3).collect()
+    }
+    # node 2: d=2 from both seeds -> 2 * (1e6 div 2)
+    assert got[2] == (2, 1_000_000)
+    # node 1: d=1 from seed 0, d=3 from seed 4
+    assert got[1] == (2, 1_000_000 + 333_333)
+    # seed 0: d=4 to seed 4 is OUTSIDE the 3-round ball -> only d(4->0)? no:
+    # seed 0 reaches node 4? d=4 > 3 rounds; seed 4 reaches 0? same. But
+    # node 0 IS reached by seed 4 at d=4 -- not within 3 rounds, so node 0
+    # only has its own seed row (d=0, excluded) plus d from seed 4 absent:
+    # reached rows with d>=1: node 0 from seed 4 -> absent. n_reached for
+    # node 0 must come only from seed 4 within 3 hops -> absent entirely?
+    assert 0 not in got or got[0][0] == 1
+
+
+def test_harmonic_centrality_releases_cached(spark):
+    from observation_lakehouse_spark.operators.dedup import release_cached
+    from observation_lakehouse_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = harmonic_centrality(edges, seeds, n_rounds=2)
+    out.collect()
+    deps = getattr(out, "_cached_deps", ())
+    assert len(deps) == 2
+    assert all(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
+    release_cached(out)
+    # the persisted edge tables are gone; the remaining block (if any) is the
+    # result's own localCheckpoint, freed when the result plan is GC'd
+    assert all(
+        not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps
+    )

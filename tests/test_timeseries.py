@@ -269,3 +269,63 @@ def test_cusum_initial_positive_run_measures_from_zero(spark):
     assert out[0] == 15_000_000  # NOT 0 — measured from the s_0=0 floor
     assert out[1] == 30_000_000
     assert out[3] == 0
+
+
+# -- autocorrelation (r9) -----------------------------------------------------
+
+
+def test_acf_alternating_series_is_minus_one_at_lag1(spark):
+    from observation_lakehouse_spark.operators.timeseries import autocorrelation
+
+    rows = [("k", i, float(1 if i % 2 == 0 else -1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, t int, value double")
+    got = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, "key", ["t"], "value", lags=(1, 2)).collect()
+    }
+    assert got[1] == -1.0
+    assert got[2] == 1.0
+
+
+def test_acf_constant_series_is_null(spark):
+    from observation_lakehouse_spark.operators.timeseries import autocorrelation
+
+    df = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(10)], "key string, t int, value double"
+    )
+    rows = autocorrelation(df, "key", ["t"], "value", lags=(1,)).collect()
+    assert rows[0]["acf"] is None
+    assert rows[0]["n_pairs"] == 9
+
+
+def test_acf_matches_numpy_pairwise_corr(spark):
+    import numpy as np
+
+    from observation_lakehouse_spark.operators.timeseries import autocorrelation
+
+    rng = np.random.RandomState(5)
+    # 2-decimal values (the decimal co-moment contract)
+    xs = np.round(rng.randn(60).cumsum(), 2)
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "key string, t int, value double",
+    )
+    got = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, "key", ["t"], "value", lags=(1, 3)).collect()
+    }
+    for k in (1, 3):
+        ref = np.corrcoef(xs[k:], xs[:-k])[0, 1]
+        assert abs(got[k] - ref) < 1e-6
+
+
+def test_acf_validates_lags(spark):
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.operators.timeseries import autocorrelation
+
+    df = spark.createDataFrame([("k", 1, 1.0)], "key string, t int, value double")
+    with _pytest.raises(ValueError):
+        autocorrelation(df, "key", ["t"], "value", lags=())
+    with _pytest.raises(ValueError):
+        autocorrelation(df, "key", ["t"], "value", lags=(0,))
