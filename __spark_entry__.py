@@ -8336,6 +8336,143 @@ ORDER BY harmonic_micro DESC, node
 """
 
 
+_MMR_K, _MMR_LAM = 5, 700_000
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (operators/retrieval.py:mmr_rerank;
+    Carbonell & Goldstein '98) of the BM25 top-10 pool, redundancy measured
+    by embedding cosine — the RAG context-selection step ('don't feed five
+    near-identical chunks'). The objective stays UN-divided integer
+    (λppm·rel − (1−λppm)·maxsim in micro² BIGINTs), so the greedy argmax has
+    no float to disagree on; the pool-bounded rounds are eagerly
+    checkpointed (plan depth linear in k). The oracle replays all 5 greedy
+    rounds as unrolled CTEs."""
+    from observation_lakehouse_spark.operators.retrieval import (
+        bm25_rank,
+        mmr_rerank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    ranked = bm25_rank(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=10)
+    cands = ranked.select(
+        F.lit(1).cast("long").alias("query_id"),
+        "doc_id",
+        F.round(F.col("score") * F.lit(1_000_000.0)).cast("long").alias("rel_micro"),
+    )
+    pool_vec = cands.select("doc_id").join(
+        emb, cands["doc_id"] == emb["vec_id"]
+    ).select("doc_id", "embedding")
+    e = pool_vec.select("doc_id", F.posexplode("embedding").alias("dim", "x"))
+    norm = e.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    ea, eb = e.alias("a"), e.alias("b")
+    pairs = (
+        ea.join(
+            eb,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    sims = (
+        pairs.join(
+            norm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")),
+            "doc_a",
+        )
+        .join(
+            norm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            F.lit(1).cast("long").alias("query_id"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    out = mmr_rerank(cands, sims, k=_MMR_K, lambda_ppm=_MMR_LAM)
+    out._cached_deps = getattr(ranked, "_cached_deps", ())  # noqa: SLF001
+    return out
+
+
+def _mmr_oracle() -> str:
+    lam, inv = _MMR_LAM, 1_000_000 - _MMR_LAM
+    head = (
+        _ORACLE_BM25.strip()
+        .removeprefix("WITH")
+        .rsplit("SELECT rank, doc_id", 1)[0]
+        .rstrip()
+        .rstrip(")")  # keep the CTE chain open
+        + ")"
+    )
+    rounds = [
+        f""", p1 AS (
+    SELECT doc_id AS d1, rel AS r1,
+           CAST({lam} AS BIGINT) * rel AS m1
+    FROM pool ORDER BY m1 DESC, d1 LIMIT 1
+), s1 AS (
+    SELECT d1 AS sd, r1 AS sr, m1 AS sm, CAST(1 AS INTEGER) AS pr FROM p1
+)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = f"s{r - 1}"
+        rounds.append(
+            f""", c{r} AS (
+    SELECT p.doc_id AS cd, p.rel AS cr, MAX(COALESCE(sf.s, 0)) AS cms
+    FROM pool p
+    LEFT JOIN (SELECT da, s FROM sim
+               WHERE db IN (SELECT sd FROM {prev})) sf ON sf.da = p.doc_id
+    WHERE p.doc_id NOT IN (SELECT sd FROM {prev})
+    GROUP BY p.doc_id, p.rel
+), p{r} AS (
+    SELECT cd, cr,
+           CAST({lam} AS BIGINT) * cr - CAST({inv} AS BIGINT) * cms AS cm
+    FROM c{r} ORDER BY cm DESC, cd LIMIT 1
+), s{r} AS (
+    SELECT sd, sr, sm, pr FROM {prev}
+    UNION ALL
+    SELECT cd AS sd, cr AS sr, cm AS sm, CAST({r} AS INTEGER) AS pr FROM p{r}
+)"""
+        )
+    return (
+        "WITH "
+        + head
+        + """, pool AS (
+    SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS rel
+    FROM ranked WHERE rank <= 10
+), ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sim AS (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(ROUND(ROUND(list_dot_product(va.v, vb.v)
+                / (sqrt(list_dot_product(va.v, va.v))
+                   * sqrt(list_dot_product(vb.v, vb.v))), 6)
+                * 1000000) AS BIGINT) AS s
+    FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+    JOIN ev va ON va.vec_id = a.doc_id
+    JOIN ev vb ON vb.vec_id = b.doc_id
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT CAST(1 AS BIGINT) AS query_id, pr AS pick_rank,
+       CAST(sd AS BIGINT) AS doc_id, CAST(sr AS BIGINT) AS rel_micro,
+       CAST(sm AS BIGINT) AS mmr_micro2
+FROM s{_MMR_K} ORDER BY pick_rank
+"""
+    )
+
+
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary retrieval metrics (operators/retrieval.py:retrieval_metrics):
     reciprocal rank, recall@10 and precision@10 of the BM25 ranking against
@@ -9379,6 +9516,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,
         "value_autocorr": q_value_autocorr,
         "harmonic_centrality": q_harmonic_centrality,
+        "mmr_rerank": q_mmr_rerank,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -9562,6 +9700,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "value_autocorr": _ORACLE_VALUE_AUTOCORR,
         "harmonic_centrality": _ORACLE_HARMONIC_CENTRALITY,
+        "mmr_rerank": _mmr_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

@@ -288,6 +288,9 @@ def heavy_queries(spark, sf_dir):
         "bpe_train": (_bpe_train_capped, "n_merges=4 (registered: 8)"),
         "unigram_train": (_unigram_train_capped, "n_rounds=1 (registered: 2)"),
         "bpe_encode": (_bpe_encode_capped, "first 4 frozen merges (registered: 8)"),
+        # loop-shaped: 5 eager greedy rounds + pool/sim checkpoints dominate
+        # (scheduler floor, not data) — tracked here, not min-of-two'd
+        "mmr_rerank": (qs["mmr_rerank"], "full registered shape (k=5 greedy rounds)"),
     }
 
 

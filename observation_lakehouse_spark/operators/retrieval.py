@@ -440,3 +440,136 @@ def retrieval_metrics(
         )
         .orderBy(query_col)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lambda_ppm: int = 700_000,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98) —
+    diversified top-``k`` selection over a RANKED CANDIDATE POOL: each round
+    greedily picks ``argmax λ·rel − (1−λ)·max_sim_to_already_picked``. The
+    context-selection step of a RAG/training-mix pipeline (don't feed five
+    near-identical chunks).
+
+    Inputs: ``candidates`` (query, doc, ``rel_micro`` BIGINT relevance in
+    micro-units — e.g. ROUND(bm25·1e6)) and ``sims`` (query, doc_a, doc_b,
+    ``sim_micro``) — ONE orientation suffices, the symmetric closure is
+    taken here; missing pairs count as similarity 0.
+
+    Exactness: the MMR objective stays UN-divided integer —
+    ``mmr = λppm·rel − (1e6−λppm)·maxsim`` (micro² units, BIGINT) — so no
+    rounding or division exists to disagree on; ties break on doc id.
+
+    Scale contract: the pool is ASSUMED bounded (top-N per query from
+    BM25/ANN — N ≤ hundreds): the k rounds are tiny pool-sized joins, each
+    round's selected set eagerly checkpointed so plan depth stays linear in
+    k (the bpe_train loop discipline — k driver round-trips, never a
+    growing Catalyst tree). Output: (query, pick_rank, doc, rel_micro,
+    mmr_micro2), ordered by (query, pick_rank).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lambda_ppm <= 1_000_000:
+        raise ValueError("lambda_ppm must be in [0, 1e6]")
+    q, d = query_col, id_col
+    s0 = sims.select(
+        F.col(q).alias("_q"),
+        F.col("doc_a").alias("_a"),
+        F.col("doc_b").alias("_b"),
+        F.col("sim_micro").alias("_s"),
+    )
+    sym = (
+        s0.unionByName(
+            s0.select("_q", F.col("_b").alias("_a"), F.col("_a").alias("_b"), "_s")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy("_q", "_a", "_b")
+        .agg(F.max("_s").alias("_s"))
+    )
+    pool = candidates.select(
+        F.col(q).alias("_q"), F.col(d).alias("_d"), F.col("rel_micro")
+    )
+    lam = int(lambda_ppm)
+    inv = 1_000_000 - lam
+    # Materialize the two loop inputs ONCE (both pool-bounded): every round
+    # references them 2-3x, and without truncation each eager round-end
+    # checkpoint would re-execute the candidate scorer (BM25/ANN) and the
+    # pairwise-sim subtree from scratch — measured 34 s -> ~4 s on the
+    # registered 10-doc pool.
+    # The loop shuffles a pool-bounded table k times: size the loop's
+    # exchanges to the MEASURED pool, not the session default, AND
+    # repartition the checkpointed loop inputs to that width — Spark
+    # co-partitions a join at the MAX numPartitions of its non-shuffle
+    # children, so a 32-partition checkpoint would drag every round back
+    # to session width (the graph-loop width discipline). Eager
+    # checkpoints keep every round's action inside this conf scope.
+    pool = pool.localCheckpoint(eager=True)
+    spark = pool.sparkSession
+    n_pool = pool.count()
+    loop_parts = max(1, min(spark.sparkContext.defaultParallelism, n_pool // 10_000))
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        pool = pool.repartition(loop_parts).localCheckpoint(eager=True)
+        sym = sym.repartition(loop_parts).localCheckpoint(eager=True)
+        return _mmr_loop(pool, sym, k, lam, inv, q, d)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+
+
+def _mmr_loop(pool, sym, k, lam, inv, q, d):
+    selected = None
+    remaining = pool
+    for r in range(1, k + 1):
+        if selected is None:
+            scored = remaining.withColumn("_ms", F.lit(0).cast("long"))
+        else:
+            sel_keys = selected.select("_q", F.col("_d").alias("_sel"))
+            sym2 = sym.select(
+                F.col("_q").alias("_q2"), "_a", "_b", "_s"
+            )
+            scored = (
+                remaining.join(sel_keys, "_q")
+                .join(
+                    sym2,
+                    (F.col("_q2") == F.col("_q"))
+                    & (F.col("_a") == F.col("_d"))
+                    & (F.col("_b") == F.col("_sel")),
+                    "left",
+                )
+                .groupBy("_q", "_d", "rel_micro")
+                .agg(F.max(F.coalesce(F.col("_s"), F.lit(0))).alias("_ms"))
+            )
+        scored = scored.withColumn(
+            "_mmr",
+            F.lit(lam).cast("long") * F.col("rel_micro")
+            - F.lit(inv).cast("long") * F.col("_ms"),
+        )
+        w = Window.partitionBy("_q").orderBy(F.desc("_mmr"), F.asc("_d"))
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "_q", "_d", "rel_micro",
+                F.col("_mmr").alias("mmr_micro2"),
+                F.lit(r).cast("int").alias("pick_rank"),
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+        remaining = remaining.join(
+            selected.select("_q", "_d"), ["_q", "_d"], "left_anti"
+        )
+    return selected.select(
+        F.col("_q").alias(q),
+        "pick_rank",
+        F.col("_d").alias(d),
+        "rel_micro",
+        "mmr_micro2",
+    ).orderBy(q, "pick_rank")

@@ -202,3 +202,68 @@ def test_retrieval_metrics_exact_ppm(spark):
     assert (r2.n_rel, r2.hits_at_k, r2.rr_ppm, r2.recall_ppm) == (1, 0, 0, 0)
     r3 = got[3]
     assert (r3.n_rel, r3.hits_at_k, r3.rr_ppm) == (1, 0, 0)
+
+
+# -- mmr_rerank (r9) ----------------------------------------------------------
+
+
+def test_mmr_penalizes_redundancy(spark):
+    from observation_lakehouse_spark.operators.retrieval import mmr_rerank
+
+    # doc 2 nearly ties doc 1 on relevance but is 0.99-similar to it;
+    # doc 3 is much less relevant but dissimilar — at low lambda (diversity-
+    # heavy) the second pick must be doc 3, not doc 2.
+    cands = spark.createDataFrame(
+        [(1, 1, 10_000_000), (1, 2, 9_900_000), (1, 3, 9_000_000)],
+        "query_id long, doc_id long, rel_micro long",
+    )
+    sims = spark.createDataFrame(
+        [(1, 1, 2, 990_000), (1, 1, 3, 10_000), (1, 2, 3, 20_000)],
+        "query_id long, doc_a long, doc_b long, sim_micro long",
+    )
+    picks = [
+        r["doc_id"]
+        for r in mmr_rerank(cands, sims, k=3, lambda_ppm=100_000).collect()
+    ]
+    assert picks == [1, 3, 2]
+    # pure-relevance lambda ignores similarity entirely
+    picks_rel = [
+        r["doc_id"]
+        for r in mmr_rerank(cands, sims, k=3, lambda_ppm=1_000_000).collect()
+    ]
+    assert picks_rel == [1, 2, 3]
+
+
+def test_mmr_multi_query_and_short_pool(spark):
+    from observation_lakehouse_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 10, 5_000_000), (1, 11, 4_000_000), (2, 20, 1_000_000)],
+        "query_id long, doc_id long, rel_micro long",
+    )
+    sims = spark.createDataFrame(
+        [], "query_id long, doc_a long, doc_b long, sim_micro long"
+    )
+    rows = mmr_rerank(cands, sims, k=5, lambda_ppm=700_000).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["pick_rank"])
+    # k larger than the pool: every candidate picked exactly once, no more
+    assert by_q == {1: [1, 2], 2: [1]}
+
+
+def test_mmr_validates(spark):
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 1, 1)], "query_id long, doc_id long, rel_micro long"
+    )
+    sims = spark.createDataFrame(
+        [], "query_id long, doc_a long, doc_b long, sim_micro long"
+    )
+    with _pytest.raises(ValueError):
+        mmr_rerank(cands, sims, k=0)
+    with _pytest.raises(ValueError):
+        mmr_rerank(cands, sims, k=1, lambda_ppm=2_000_000)
