@@ -453,6 +453,15 @@ def chi2_test(ref: DataFrame, cur: DataFrame, cat_col: str) -> DataFrame:
         F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("_s") == 2, 1).otherwise(0)).alias("n_cur"),
     )
+    return chi2_from_counts(per_cat)
+
+
+def chi2_from_counts(per_cat: DataFrame) -> DataFrame:
+    """:func:`chi2_test`'s math over a PRE-AGGREGATED (category, n_ref,
+    n_cur) table — the seam the streaming monitor shares, so the live
+    report is bit-identical to the batch operator by construction."""
+    from pyspark.sql import Window
+
     total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     wb = (
         per_cat.withColumn("_K", F.count(F.lit(1)).over(total))

@@ -404,3 +404,93 @@ class StreamingCellDriftMonitor:
             )
             .orderBy("cell")
         )
+
+
+class StreamingChi2Monitor:
+    """Continuous twin of :func:`~observation_lakehouse_spark.operators.
+    audit.chi2_test` — categorical-mix drift, live (label/segment/source
+    columns, where PSI's fixed numeric binning doesn't apply).
+
+    The reference's category census is frozen at construction (NULLs
+    excluded like the batch op; more than ``max_categories`` distinct
+    values raises — an unbounded categorical is a vocabulary leak, fold it
+    upstream). Live rows map any UNSEEN category into ``__other__`` so the
+    maintained state stays O(categories) forever; counts fold exactly-once
+    under the (checkpoint, batch_id) protocol. ``report()`` runs the SAME
+    count-level math as the batch operator (audit.chi2_from_counts), so
+    for the frozen category set the live report is bit-identical to
+    ``chi2_test(ref, delivered-with-same-mapping)`` (pinned by
+    tests/test_stream_drift.py).
+    """
+
+    OTHER = "__other__"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        ref: DataFrame,
+        cat_col: str = "category",
+        max_categories: int = 1000,
+    ) -> None:
+        if max_categories < 1:
+            raise ValueError("max_categories must be >= 1")
+        self.spark = spark
+        self.cat_col = cat_col
+        counts = (
+            ref.filter(F.col(cat_col).isNotNull())
+            .groupBy(F.col(cat_col).cast("string").alias("category"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if len(counts) > max_categories:
+            raise ValueError(
+                f"reference has {len(counts)} categories > max_categories="
+                f"{max_categories}; bucket the column upstream"
+            )
+        self.ref_counts: dict[str, int] = {
+            r["category"]: int(r["n"]) for r in counts
+        }
+        self.cats: list[str] = sorted(self.ref_counts)
+        self.mv = IncrementalAggregate(
+            spark,
+            location,
+            keys=["category"],
+            key_types=["string"],
+            aggs={"n_cur": ("count", "1")},
+            agg_types={"n_cur": "bigint"},
+        )
+
+    def _mapped(self, col) -> F.Column:
+        c = col.cast("string")
+        return F.when(c.isin(self.cats), c).otherwise(F.lit(self.OTHER))
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        rows = stream.filter(F.col(self.cat_col).isNotNull()).select(
+            self._mapped(F.col(self.cat_col)).alias("category")
+        )
+        return stream_mv_refresh(
+            self.mv, rows, checkpoint=checkpoint, available_now=available_now
+        )
+
+    def report(self) -> DataFrame:
+        """chi2_test's exact per-category rows over (frozen reference,
+        delivered stream): (category, n_ref, n_cur, ref_ppm, cur_ppm,
+        contrib_micro, chi2_micro, df), ordered by category."""
+        from observation_lakehouse_spark.operators.audit import chi2_from_counts
+
+        ref_df = self.spark.createDataFrame(
+            sorted(self.ref_counts.items()) or [], "category string, _nr bigint"
+        )
+        cur = self.mv.read().select("category", F.col("n_cur").alias("_nc"))
+        merged = ref_df.join(cur, "category", "full_outer").select(
+            "category",
+            F.coalesce("_nr", F.lit(0)).alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).alias("n_cur"),
+        )
+        return chi2_from_counts(merged)

@@ -160,3 +160,78 @@ def test_stream_cell_drift_detects_embedding_shift(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert mon.mv.table.latest_version() == v
+
+
+# -- StreamingChi2Monitor (r9) --------------------------------------------
+
+
+CAT_SCHEMA = "event_id long, label string"
+
+CREF = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+CROWS1 = [(i, ["a", "b"][i % 2]) for i in range(200)]
+CROWS2 = [(200 + i, "zz") for i in range(40)] + [(300 + i, None) for i in range(5)]
+
+
+def _chi_batch(spark, rows):
+    from pyspark.sql import functions as F
+
+    from observation_lakehouse_spark.operators.audit import chi2_test
+    from observation_lakehouse_spark.streaming.drift import StreamingChi2Monitor
+
+    known = ["a", "b", "c"]
+    ref = spark.createDataFrame(CREF, CAT_SCHEMA)
+    cur = spark.createDataFrame(rows, CAT_SCHEMA).select(
+        "event_id",
+        F.when(F.col("label").isin(known), F.col("label"))
+        .otherwise(
+            F.when(F.col("label").isNull(), F.lit(None)).otherwise(
+                F.lit(StreamingChi2Monitor.OTHER)
+            )
+        )
+        .alias("label"),
+    )
+    return [tuple(r) for r in chi2_test(ref, cur, "label").collect()]
+
+
+def test_stream_chi2_matches_batch_and_replays(spark, tmp_path):
+    from observation_lakehouse_spark.streaming.drift import StreamingChi2Monitor
+
+    ref = spark.createDataFrame(CREF, CAT_SCHEMA)
+    mon = StreamingChi2Monitor(spark, str(tmp_path / "state"), ref, "label")
+    landing = tmp_path / "landing"
+    spark.createDataFrame(CROWS1, CAT_SCHEMA).write.parquet(str(landing / "f1"))
+    stream = spark.readStream.schema(CAT_SCHEMA).parquet(str(landing) + "/*")
+    q = mon.start(stream, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    assert [tuple(r) for r in mon.report().collect()] == _chi_batch(spark, CROWS1)
+
+    # replay is a no-op
+    v = mon.mv.table.latest_version()
+    q = mon.start(stream, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    assert mon.mv.table.latest_version() == v
+
+    # unseen category folds to __other__, NULLs drop, report stays batch-exact
+    spark.createDataFrame(CROWS2, CAT_SCHEMA).write.parquet(str(landing / "f2"))
+    q = mon.start(stream, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    got = [tuple(r) for r in mon.report().collect()]
+    assert got == _chi_batch(spark, CROWS1 + CROWS2)
+    cats = [r[0] for r in got]
+    assert StreamingChi2Monitor.OTHER in cats and None not in cats
+    # the a/b-only + unseen-category mix is loud drift
+    assert got[0][6] > 10_000_000  # chi2_micro shared column
+
+
+def test_stream_chi2_validates_cardinality(spark, tmp_path):
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.streaming.drift import StreamingChi2Monitor
+
+    ref = spark.createDataFrame(
+        [(i, str(i)) for i in range(50)], CAT_SCHEMA
+    )
+    with _pytest.raises(ValueError):
+        StreamingChi2Monitor(
+            spark, str(tmp_path / "s"), ref, "label", max_categories=10
+        )
