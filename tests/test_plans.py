@@ -451,3 +451,51 @@ def test_blocking_suppliers_double_correlation_decorrelates(spark):
     assert "Subquery" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "EqualTo(l_returnflag,R)" in plan or "l_returnflag" in plan
+
+
+def test_min_cost_supplier_correlated_min_decorrelates(spark):
+    """The Q2 shape's correlated scalar MIN over the shared cost CTE must
+    reach the physical plan decorrelated: a per-partkey MIN aggregate
+    joined back, never a per-outer-row subquery or a cartesian."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["min_cost_supplier"](spark, SF))
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate(keys=[l_partkey") >= 1
+
+
+def test_large_volume_orders_having_in_compiles_to_semi_join(spark):
+    """The Q18 shape's IN over a grouped HAVING subquery must compile to a
+    LeftSemi against the aggregated keys, with the quantity filter applied
+    post-aggregate — never a per-row subquery."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["large_volume_orders"](spark, SF))
+    assert "Subquery" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_disjunctive_revenue_pushes_implied_filters(spark):
+    """The Q19 shape's OR-of-brackets must keep the equi-join (no cartesian)
+    and push the brand disjunction into the part scan (CNF extraction),
+    with part broadcast."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["disjunctive_revenue"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # implied per-side filter reached the part leg (brand IN (...) or Or chain)
+    assert "p_brand" in plan.split("Scan parquet")[-1] or "In(p_brand" in plan
+
+
+def test_pca_project_is_broadcast_join_hash_aggregate(spark):
+    """pca_project's plan: exploded dims join the literal weight table
+    BROADCAST (never shuffled), coordinates form in one hash aggregate —
+    and no Python UDF appears anywhere."""
+    import __spark_entry__ as e
+
+    plan = _executed(e.queries(clear_cache=False)["pca_project"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
