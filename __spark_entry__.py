@@ -8336,6 +8336,198 @@ ORDER BY harmonic_micro DESC, node
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure filter-aggregate
+    — three range predicates, ALL pushed to the parquet scan, one map-side-
+    combinable sum of ext·disc in exact DECIMAL. The simplest classic shape;
+    with it, all 22 TPC-H plan shapes are registered oracle-checked
+    queries."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_change"),
+        )
+    )
+
+
+_ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_change
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's share
+    of an entire region's customer trade, per order year — the nested
+    conditional-sum-over-group ratio on top of the suite's widest dimension
+    fan (customer→nation→region leg AND supplier→nation leg onto one fact
+    pair). Shares in exact integer ppm over hundredth-cent BIGINTs (the
+    promo_revenue discipline); every dim leg broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev_c4 = (
+        _dec("l_extendedprice") * (one - _dec("l_discount")) * F.lit(10000)
+    ).cast("decimal(38,0)")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AFRICA")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev_c4).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("_nat"),
+            F.sum(rev_c4).alias("_tot"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "n_items",
+        F.expr("CAST(_nat * 1000000 div _tot AS BIGINT)").alias("share_ppm"),
+        (F.col("_tot").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+    ).orderBy("o_year")
+
+
+_ORACLE_MARKET_SHARE = """
+WITH x AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS HUGEINT) AS rev_c4,
+           ns.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'AFRICA'
+)
+SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c4 ELSE 0 END)
+            * 1000000 // SUM(rev_c4) AS BIGINT) AS share_ppm,
+       CAST(SUM(rev_c4) AS DOUBLE) / 10000.0 AS total_revenue
+FROM x GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter — fact-fact join with the
+    returnflag filter on the line side and the quarter filter on the order
+    side (both pushed), customer + nation dims broadcast onto the winners.
+    Revenue held in hundredth-cent BIGINTs so the top-20 cut is exact
+    (TakeOrderedAndProject on integers, tie-broken on custkey)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 1)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev_c4 = (
+        _dec("l_extendedprice") * (one - _dec("l_discount")) * F.lit(10000)
+    ).cast("decimal(38,0)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev_c4).cast("bigint").alias("revenue_c4"),
+        )
+        .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_ORACLE_RETURNED_ITEM_REVENUE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS HUGEINT)) AS BIGINT) AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND EXTRACT(year FROM o.o_orderdate) = 1998
+  AND EXTRACT(quarter FROM o.o_orderdate) = 1
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_c4 DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): per line group
+    (returnflag stands in for the absent shipmode column), how many of one
+    year's lines belong to critical- vs normal-priority orders — the
+    conditional dual-count over a fact-fact join with the date filter
+    pushed to the line scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_PRIORITY_LINE_COUNTS = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 _MMR_K, _MMR_LAM = 5, 700_000
 
 
@@ -9517,6 +9709,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_autocorr": q_value_autocorr,
         "harmonic_centrality": q_harmonic_centrality,
         "mmr_rerank": q_mmr_rerank,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "market_share": q_market_share,
+        "returned_item_revenue": q_returned_item_revenue,
+        "priority_line_counts": q_priority_line_counts,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -9701,6 +9897,10 @@ def oracle_sql() -> dict[str, str]:
         "value_autocorr": _ORACLE_VALUE_AUTOCORR,
         "harmonic_centrality": _ORACLE_HARMONIC_CENTRALITY,
         "mmr_rerank": _mmr_oracle(),
+        "forecast_revenue_change": _ORACLE_FORECAST_REVENUE_CHANGE,
+        "market_share": _ORACLE_MARKET_SHARE,
+        "returned_item_revenue": _ORACLE_RETURNED_ITEM_REVENUE,
+        "priority_line_counts": _ORACLE_PRIORITY_LINE_COUNTS,
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

@@ -113,6 +113,10 @@ HEADLINE = [
     "chi2_drift",
     "value_autocorr",
     "harmonic_centrality",
+    "forecast_revenue_change",
+    "market_share",
+    "returned_item_revenue",
+    "priority_line_counts",
     "retrieval_metrics",
     "association_rules",
     "pmi_collocations",
