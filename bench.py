@@ -235,11 +235,11 @@ def trivial_job_p50_ms(spark) -> float:
 
 
 def heavy_queries(spark, sf_dir):
-    """Budget-capped variants of the five bench-excluded heavies (VERDICT r4
+    """Budget-capped variants of the bench-excluded heavies (VERDICT r4
     #4): same operators and plan shapes as the registered queries, with the
-    iteration counts capped so the section stays ~15 s — caps are stated in
-    the emitted `heavy_params`. Each runs ONCE (no min-of-two): these are
-    tracked round-over-round for regressions, not micro-compared."""
+    iteration counts capped so the section stays bounded — caps are stated
+    in the emitted `heavy_params`. Each runs ONCE (no min-of-two): these
+    are tracked round-over-round for regressions, not micro-compared."""
     from pyspark.sql import functions as F
 
     from observation_lakehouse_spark.operators.graph import pagerank
@@ -635,7 +635,13 @@ def main() -> None:
                     " width with co-partitioned edge copies (per-round edge"
                     " exchange eliminated; 4M-edge probe: 42.6->1.2 MB"
                     " shuffle-write/round). New: unigram_train (capped heavy)"
-                    " + unigram_encode + cluster_quality headline entries."
+                    " + unigram_encode + cluster_quality headline entries;"
+                    " late-r9 adds 21 headline queries (16 TPC-H shapes —"
+                    " all 22 classic shapes now registered — pca_project/"
+                    "pca_variance, chi2_drift, value_autocorr,"
+                    " harmonic_centrality) and the mmr_rerank heavy (loop-"
+                    "shaped, ~8s scheduler floor), so headline totals are"
+                    " NOT comparable to r8 without the per-query map."
                 ),
                 "ann_lsh_recall_at_10": round(lsh_recall, 4),
                 "ann_rp_recall_at_10": round(rp_recall, 4),

@@ -99,3 +99,20 @@ def test_train_deterministic(spark):
     b = pca_train(df.repartition(7), k=2)
     assert a["components"] == b["components"]
     assert a["bias"] == b["bias"]
+
+
+def test_frozen_pca_literals_are_consistent():
+    """The frozen _PCA_COMPONENTS block must be an orthonormal-ish basis
+    (unit rows, pairwise |cos| small) with one bias per component — the
+    refreeze --check twin at test speed (catches a hand-edited block)."""
+    import __spark_entry__ as e
+
+    W = np.array(e._PCA_COMPONENTS)
+    assert W.shape[1] == 64 and W.shape[0] == len(e._PCA_BIAS)
+    norms = np.linalg.norm(W, axis=1)
+    assert np.abs(norms - 1.0).max() < 1e-3  # rows rounded to 6dp
+    G = W @ W.T - np.diag(norms**2)
+    assert np.abs(G).max() < 1e-3
+    # sign convention: largest-|coordinate| entry positive
+    for row in W:
+        assert row[int(np.argmax(np.abs(row)))] > 0
