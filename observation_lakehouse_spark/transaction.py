@@ -966,6 +966,94 @@ class AtomicParquetTable:
             .select([f.name for f in self.schema.fields])
         )
 
+    def read_change_feed(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed WITH retractions (Delta CDF semantics over the
+        deletion-vector layout): every row inserted or deleted between the
+        two snapshots, tagged by a ``_change_type`` column ('insert' /
+        'delete'). An :meth:`update_where` naturally shows up as its
+        delete+insert pair.
+
+        - inserts: rows of files the target snapshot added, minus positions
+          the target's DVs already retract (a row appended AND deleted
+          inside the range nets out — it was never visible at either
+          endpoint);
+        - deletes: positions whose DV sidecars were added within the range
+          against files the BASE snapshot already had, joined back to the
+          data files for the full row image (DV sidecars store positions,
+          not rows — the row read is O(affected files)).
+
+        Same append+delete-only restriction as :meth:`read_changes`: a
+        replace/rollback inside the range removes files, the delta stops
+        being expressible, and this raises (diff two snapshot reads
+        instead).
+        """
+        from pyspark.sql import functions as F
+
+        to_v = self.latest_version() if to_version is None else to_version
+        for v in (since_version, to_v):
+            if v != 0 and v not in self._versions():
+                raise ValueError(f"no snapshot v{v}")
+        if to_v < since_version:
+            raise ValueError(
+                f"to_version v{to_v} precedes since_version v{since_version}"
+            )
+        base_m = self._manifest(since_version)
+        to_m = self._manifest(to_v)
+        base = set(base_m["files"])
+        chain = sorted(v for v in self._versions() if since_version < v <= to_v)
+        prev_files = base
+        for v in chain:
+            cur_files = set(self._manifest(v)["files"])
+            if prev_files - cur_files:
+                raise ValueError(
+                    f"v{since_version}..v{to_v} removed files (replace/"
+                    "rollback) — the change feed is not expressible; diff "
+                    "the two snapshot reads instead"
+                )
+            prev_files = cur_files
+        cols = [f.name for f in self.schema.fields]
+        tag = lambda df, t: df.select(  # noqa: E731
+            F.lit(t).alias("_change_type"), *cols
+        )
+        empty = self.spark.createDataFrame([], self.schema)
+        # inserts: added files, minus target-DV-retracted positions
+        added = [f for f in to_m["files"] if f not in base]
+        if added:
+            ins = self._apply_deletes(self._read_with_pos(added), to_m)
+        else:
+            ins = None
+        # deletes: sidecars new in the range, restricted to BASE files (a
+        # DV against an in-range file was netted out of the inserts above)
+        base_sc = set(self._delete_sidecars(base_m))
+        new_sc = [s for s in self._delete_sidecars(to_m) if s not in base_sc]
+        dels = None
+        if new_sc:
+            dv = self.spark.read.schema("file string, pos bigint").parquet(
+                *[str(self._deletes_dir / s) for s in new_sc]
+            )
+            affected = sorted(
+                {
+                    f
+                    for f, scs in to_m.get("deletes", {}).items()
+                    if f in base and any(s in new_sc for s in scs)
+                }
+            )
+            if affected:
+                rows = self._read_with_pos(affected)
+                dels = rows.join(
+                    F.broadcast(dv),
+                    (rows["_file"] == dv["file"]) & (rows["_pos"] == dv["pos"]),
+                    "left_semi",
+                )
+        out = tag(empty, "insert").limit(0)
+        if ins is not None:
+            out = out.unionByName(tag(ins, "insert"))
+        if dels is not None:
+            out = out.unionByName(tag(dels, "delete"))
+        return out
+
     def add_column(self, column: str, spark_type: str) -> None:
         """Widen the table schema with an optional column (additive evolution).
 

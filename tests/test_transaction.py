@@ -767,3 +767,40 @@ def test_delete_where_conflicts_with_concurrent_commit(spark, table):
             table.delete_where("run_id = 1")
     finally:
         table._commit = orig_commit
+
+
+def test_change_feed_inserts_deletes_and_update_pairs(spark, table):
+    table.append(_batch(spark, "a", 0, 10))
+    v0 = table.latest_version()
+    table.append(_batch(spark, "a", 10, 5))     # inserts 10..14
+    table.delete_where("run_id IN (2, 3)")       # deletes base rows
+    table.update_where("run_id = 4", {"score": "99.0"})  # delete+insert pair
+    feed = table.read_change_feed(v0).collect()
+    by = {}
+    for r in feed:
+        by.setdefault(r["_change_type"], []).append((r["run_id"], r["score"]))
+    ins = sorted(by["insert"])
+    dels = sorted(by["delete"])
+    assert [i for i, _ in dels] == [2, 3, 4]
+    assert (4, 2.0) in dels                      # old image of the update
+    assert (4, 99.0) in ins                      # new image of the update
+    assert [i for i, _ in ins] == [4, 10, 11, 12, 13, 14]
+
+
+def test_change_feed_nets_out_intra_range_rows(spark, table):
+    table.append(_batch(spark, "a", 0, 5))
+    v0 = table.latest_version()
+    table.append(_batch(spark, "a", 100, 3))     # 100..102 added in range
+    table.delete_where("run_id = 101")           # ...and one deleted in range
+    feed = table.read_change_feed(v0).collect()
+    assert sorted(r["run_id"] for r in feed if r["_change_type"] == "insert") == [100, 102]
+    assert [r for r in feed if r["_change_type"] == "delete"] == []
+
+
+def test_change_feed_rejects_replace_ranges(spark, table):
+    table.append(_batch(spark, "a", 0, 5))
+    v0 = table.latest_version()
+    table.append(_batch(spark, "a", 5, 5))
+    table.optimize(min_input_files=2, target_file_bytes=1 << 30)
+    with pytest.raises(ValueError):
+        table.read_change_feed(v0)
