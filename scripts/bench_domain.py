@@ -383,8 +383,18 @@ def main() -> None:
         served[name] = _serve_p50(mv)
         mv.unpin()
 
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=Path(__file__).resolve().parent.parent,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
     out = {
         "metric": "per_problem_latency_ms",
+        "head": head,
         "n_problems": n_problems,
         "n_samples": n_samples,
         "profile": {
