@@ -13,9 +13,12 @@ algebraic aggregates (Gray et al., "Data Cube", ICDE'96 classification):
 - distributive: COUNT, SUM, MIN, MAX — partials merge by the same function;
 - algebraic: AVG — derived at read time from SUM/COUNT partials.
 
-Append-only sources only: deletions need retractions (holistic aggregates
-like MEDIAN need full state) — out of scope, documented, and enforced by
-the API shape (there is no delete hook).
+Appends fold through :meth:`IncrementalAggregate.refresh`; row-level
+deletes fold through :meth:`IncrementalAggregate.refresh_retractions` over
+a change feed (the counting algorithm, Gupta & Mumick '95) — but ONLY for
+COUNT/SUM views, because those aggregates have inverses; MIN/MAX (and any
+holistic aggregate like MEDIAN) need full per-group state under deletes
+and stay append-only, enforced at the API.
 
 Exactness: SUM partials are stored as DECIMAL, so the two-stage sum
 (per-batch partial, then merge) is bit-identical to a one-shot aggregate
@@ -127,6 +130,66 @@ class IncrementalAggregate:
             base_v = self.table.latest_version()
             state = self.table.read(version=base_v)
             merged = self._merge(state, partial)
+            staged = self.table.stage(merged)
+            try:
+                return self.table.commit_replace(
+                    staged, idempotency_key=idempotency_key, expected_version=base_v
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict("concurrent refreshers kept winning; giving up")
+
+    def refresh_retractions(
+        self, feed: DataFrame, idempotency_key: str | None = None
+    ) -> int:
+        """Fold a CHANGE FEED (rows tagged ``_change_type`` 'insert' /
+        'delete', e.g. :meth:`AtomicParquetTable.read_change_feed`) into the
+        view — the counting algorithm of classic incremental view
+        maintenance (Gupta & Mumick '95): inserts contribute +1/+x, deletes
+        −1/−x, and a group whose maintained row count reaches zero leaves
+        the view (exactly a GROUP BY's semantics over the post-delete
+        source, which is what keeps the MV oracle-checkable).
+
+        Only COUNT and SUM are subtractable (they form a group — an inverse
+        exists); MIN/MAX need full per-group state under deletes, so a view
+        declaring them stays append-only and this raises. At least one
+        COUNT aggregate must exist — it is the group-liveness witness that
+        decides when a key disappears.
+        """
+        fns = {fn for fn, _ in self.aggs.values()}
+        if not fns <= {"count", "sum"}:
+            raise ValueError(
+                "retraction refresh supports count/sum only (min/max have "
+                f"no inverse under deletes); view declares {sorted(fns)}"
+            )
+        count_cols = [n for n, (fn, _) in self.aggs.items() if fn == "count"]
+        if not count_cols:
+            raise ValueError(
+                "retraction refresh needs a count aggregate as the "
+                "group-liveness witness"
+            )
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        cols = []
+        for name, (fn, expr) in self.aggs.items():
+            e = F.expr(expr)
+            if fn == "count":
+                # count counts NON-NULL expr rows, signed
+                c = F.sum(F.when(e.isNotNull(), sign).otherwise(F.lit(0)))
+            else:
+                c = F.sum(sign.cast("decimal(38,6)") * e)
+            cols.append(c.alias(name))
+        partial = feed.groupBy(*[F.col(k) for k in self.keys]).agg(*cols)
+        witness = count_cols[0]
+        for _ in range(self.max_refresh_retries):
+            if idempotency_key is not None:
+                committed = self.table.committed_keys()
+                if idempotency_key in committed:
+                    return committed[idempotency_key]
+            base_v = self.table.latest_version()
+            state = self.table.read(version=base_v)
+            merged = self._merge(state, partial).filter(F.col(witness) > 0)
             staged = self.table.stage(merged)
             try:
                 return self.table.commit_replace(

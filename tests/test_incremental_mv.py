@@ -101,3 +101,85 @@ def test_holistic_aggregates_rejected(spark, tmp_path):
         IncrementalAggregate(
             spark, str(tmp_path / "mv5"), keys=["k"], aggs={"m": ("median", "v")}
         )
+
+
+def test_retraction_refresh_tracks_delete_where(spark, tmp_path):
+    """The counting algorithm end-to-end: appends + delete_where on the
+    SOURCE table flow through read_change_feed into the MV, and the MV
+    equals a plain GROUP BY over the post-delete source — including a
+    group vanishing when its last row dies."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    src = AtomicParquetTable(
+        spark,
+        str(tmp_path / "src"),
+        schema=_parse_datatype_string("k string, v double"),
+    )
+    mv = IncrementalAggregate(
+        spark,
+        str(tmp_path / "mv"),
+        keys=["k"],
+        aggs={
+            "n": ("count", "1"),
+            "total": ("sum", "CAST(v AS DECIMAL(18,2))"),
+        },
+    )
+    src.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0)], "k string, v double"
+        )
+    )
+    v1 = src.latest_version()
+    mv.refresh_retractions(src.read_change_feed(0, v1), idempotency_key="b1")
+    got = {r["k"]: (r["n"], float(r["total"])) for r in mv.read().collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+    # delete one 'a' row and ALL of 'c'; append another 'b'
+    src.delete_where("k = 'a' AND v = 2.0")
+    src.delete_where("k = 'c'")
+    src.append(spark.createDataFrame([("b", 1.5)], "k string, v double"))
+    v2 = src.latest_version()
+    mv.refresh_retractions(src.read_change_feed(v1, v2), idempotency_key="b2")
+    got = {r["k"]: (r["n"], float(r["total"])) for r in mv.read().collect()}
+    # matches GROUP BY over the live source; group 'c' vanished
+    ref = {
+        r["k"]: (r["n"], float(r["total"]))
+        for r in src.read()
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(v AS DECIMAL(18,2))")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == ref and "c" not in got
+
+    # replayed feed is a no-op (exactly-once)
+    mv_v = mv.table.latest_version()
+    mv.refresh_retractions(src.read_change_feed(v1, v2), idempotency_key="b2")
+    assert mv.table.latest_version() == mv_v
+
+
+def test_retraction_refresh_validates_aggregates(spark, tmp_path):
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+
+    feed_schema = "_change_type string, k string, v double"
+    feed = spark.createDataFrame([("insert", "a", 1.0)], feed_schema)
+    minmax = IncrementalAggregate(
+        spark, str(tmp_path / "m1"), keys=["k"],
+        aggs={"n": ("count", "1"), "mx": ("max", "v")},
+    )
+    with _pytest.raises(ValueError):
+        minmax.refresh_retractions(feed)
+    no_count = IncrementalAggregate(
+        spark, str(tmp_path / "m2"), keys=["k"],
+        aggs={"total": ("sum", "CAST(v AS DECIMAL(18,2))")},
+    )
+    with _pytest.raises(ValueError):
+        no_count.refresh_retractions(feed)
