@@ -8528,6 +8528,102 @@ ORDER BY l_returnflag
 """
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/mining.py:mutual_information) between
+    event type and the value's 50-unit band — the feature-relevance score
+    in exact integer micro-nat decomposition per observed cell (the PMI /
+    PSI discipline: one double quotient per cell from exact BIGINTs,
+    rounded once; weights in ppm; MI = the shared integer sum column)."""
+    from observation_lakehouse_spark.operators.mining import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    banded = ev.withColumn(
+        "value_band",
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(50.0)))
+        ).cast("int"),
+    )
+    return mutual_information(banded, "event_type", "value_band")
+
+
+_ORACLE_MUTUAL_INFORMATION = """
+WITH cells AS (
+    SELECT event_type AS a,
+           CAST(CAST(LEAST(9, GREATEST(0, CAST(FLOOR(value / 50.0) AS BIGINT)))
+                AS INTEGER) AS VARCHAR) AS b,
+           COUNT(*) AS n_ab
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+), t AS (
+    SELECT a, b, n_ab,
+           SUM(n_ab) OVER () AS nn,
+           SUM(n_ab) OVER (PARTITION BY a) AS na,
+           SUM(n_ab) OVER (PARTITION BY b) AS nb
+    FROM cells
+), c AS (
+    SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * 1000000 // nn AS BIGINT) AS p_ppm,
+           CAST(ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE))
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS lr_micro_nats
+    FROM t
+), k AS (
+    SELECT a, b, n_ab, p_ppm, lr_micro_nats,
+           CAST(p_ppm * lr_micro_nats // 1000000 AS BIGINT) AS contrib_micro
+    FROM c
+)
+SELECT a, b, n_ab, p_ppm, lr_micro_nats, contrib_micro,
+       CAST(SUM(contrib_micro) OVER () AS BIGINT) AS mi_micro
+FROM k ORDER BY a, b
+"""
+
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson matrix (operators/stats.py:
+    correlation_matrix) over lineitem's four numeric measures — every
+    co-moment an exact decimal sum cast to double once, pair rows unfolded
+    via stack from ONE aggregate (no per-pair scan), listwise NULL
+    deletion for a shared n."""
+    from observation_lakehouse_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _CORR_COLS)
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    sums = [f"COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({dec(c)}) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(SUM({dec(c)} * {dec(c)}) AS DOUBLE) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"CAST(SUM({dec(a)} * {dec(b)}) AS DOUBLE) AS x_{a}_{b}")
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    branches = []
+    for a, b in pairs:
+        cov = f"(x_{a}_{b} - s_{a} * s_{b} / CAST(n AS DOUBLE))"
+        vx = f"(q_{a} - s_{a} * s_{a} / CAST(n AS DOUBLE))"
+        vy = f"(q_{b} - s_{b} * s_{b} / CAST(n AS DOUBLE))"
+        branches.append(
+            f"SELECT '{a}' AS var_a, '{b}' AS var_b, CAST(n AS BIGINT) AS n,\n"
+            f"       CASE WHEN n >= 2 AND {vx} > 0 AND {vy} > 0\n"
+            f"            THEN ROUND({cov} / sqrt({vx} * {vy}), 6) END AS corr\n"
+            f"FROM agg"
+        )
+    return (
+        "WITH agg AS (\n    SELECT " + ",\n           ".join(sums)
+        + f"\n    FROM lineitem WHERE {nn}\n)\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY var_a, var_b"
+    )
+
+
 _MMR_K, _MMR_LAM = 5, 700_000
 
 
@@ -9713,6 +9809,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "returned_item_revenue": q_returned_item_revenue,
         "priority_line_counts": q_priority_line_counts,
+        "mutual_information": q_mutual_information,
+        "corr_matrix": q_corr_matrix,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -9901,6 +9999,8 @@ def oracle_sql() -> dict[str, str]:
         "market_share": _ORACLE_MARKET_SHARE,
         "returned_item_revenue": _ORACLE_RETURNED_ITEM_REVENUE,
         "priority_line_counts": _ORACLE_PRIORITY_LINE_COUNTS,
+        "mutual_information": _ORACLE_MUTUAL_INFORMATION,
+        "corr_matrix": _corr_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

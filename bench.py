@@ -117,6 +117,8 @@ HEADLINE = [
     "market_share",
     "returned_item_revenue",
     "priority_line_counts",
+    "mutual_information",
+    "corr_matrix",
     "retrieval_metrics",
     "association_rules",
     "pmi_collocations",

@@ -165,3 +165,65 @@ def pmi_collocations(
         .limit(int(k))
     )
     return scored
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Plug-in mutual information between two categorical columns — the
+    feature-relevance / redundancy score (MI = expected PMI over the joint):
+    ``MI = Σ_ab P(ab)·ln( P(ab) / (P(a)P(b)) )`` in exact integer micro-nat
+    decomposition per observed cell, so the whole table is oracle-checkable
+    and the MI is the shared sum column.
+
+    Determinism (the pmi_collocations discipline): each cell's log argument
+    is ONE double quotient assembled from exact BIGINT counts (per-factor
+    double casts, no integer-overflow path), rounded once to micro-nats;
+    the cell weight is an exact ppm floor-div; the contribution is pure
+    integer. NULLs in either column are excluded (the drift-family
+    convention). Only observed cells contribute (the plug-in estimator —
+    empty cells have P(ab)=0 and contribute 0 by the limit).
+
+    One hash aggregate to |A×B| observed cells, then bounded-cardinality
+    windows for the marginals and total. Output: (a, b, n_ab, p_ppm,
+    lr_micro_nats, contrib_micro, mi_micro), ordered by (a, b).
+    """
+    from pyspark.sql import Window
+
+    MICRO = 1_000_000
+    nn = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    cells = (
+        df.filter(nn)
+        .groupBy(
+            F.col(a_col).cast("string").alias("a"),
+            F.col(b_col).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    scored = (
+        cells.withColumn("_N", F.sum("n_ab").over(w_all))
+        .withColumn("_na", F.sum("n_ab").over(w_a))
+        .withColumn("_nb", F.sum("n_ab").over(w_b))
+        .withColumn("p_ppm", F.expr(f"n_ab * {MICRO} div _N"))
+        .withColumn(
+            "lr_micro_nats",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("_N").cast("double"))
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "contrib_micro", F.expr(f"p_ppm * lr_micro_nats div {MICRO}")
+        )
+    )
+    return (
+        scored.withColumn("mi_micro", F.sum("contrib_micro").over(w_all))
+        .select(
+            "a", "b", "n_ab", "p_ppm", "lr_micro_nats", "contrib_micro", "mi_micro"
+        )
+        .orderBy("a", "b")
+    )
