@@ -8528,6 +8528,83 @@ ORDER BY l_returnflag
 """
 
 
+def q_retraction_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full row-level-delete pipeline, oracle-checked end to end
+    (transaction.py delete_where/update_where → read_change_feed →
+    plans/incremental.py refresh_retractions): orders land in two appends,
+    a predicate DELETE and a row-level UPDATE hit the table (deletion
+    vectors — no file rewrites), and the (status, priority) aggregate MV
+    folds the two change feeds by the counting algorithm. The oracle is
+    the ONE-SHOT GROUP BY over the post-delete/post-update rows computed
+    independently in SQL — the hash-match proves DV reads, CDF retraction
+    rows, and counting-algorithm maintenance agree with full recompute."""
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="olake_rmv_")
+    try:
+        src = AtomicParquetTable(spark, f"{loc}/src", schema=orders.schema)
+        mv = IncrementalAggregate(
+            spark,
+            f"{loc}/mv",
+            keys=["o_orderstatus", "o_orderpriority"],
+            aggs={
+                "n_orders": ("count", "1"),
+                "sum_total": ("sum", "CAST(o_totalprice AS DECIMAL(28,2))"),
+            },
+            agg_types={"sum_total": "decimal(38,2)"},
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        v1 = src.latest_version()
+        mv.refresh_retractions(src.read_change_feed(0, v1), idempotency_key="b1")
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        src.delete_where("o_totalprice > 400000")
+        src.update_where(
+            "o_orderkey % 1000 = 0", {"o_orderpriority": "'5-LOW'"}
+        )
+        mv.refresh_retractions(src.read_change_feed(v1), idempotency_key="b2")
+        rows = (
+            mv.read()
+            .select(
+                "o_orderstatus",
+                "o_orderpriority",
+                "n_orders",
+                F.col("sum_total").cast("double").alias("sum_total"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, o_orderpriority string, n_orders bigint, "
+        "sum_total double",
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+_ORACLE_RETRACTION_MV = """
+WITH live AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 1000 = 0 THEN '5-LOW'
+                ELSE o_orderpriority END AS o_orderpriority,
+           o_totalprice
+    FROM orders
+    WHERE NOT (o_totalprice > 400000)
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_total
+FROM live
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information (operators/mining.py:mutual_information) between
     event type and the value's 50-unit band — the feature-relevance score
@@ -9635,6 +9712,7 @@ _HEAVY_FIRST = [
     "label_propagation",
     "bfs_distances",
     "incremental_mv",
+    "retraction_mv",
     "bloom_decontaminate",
     "dup_clusters",
     "canonical_docs",
@@ -9811,6 +9889,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_line_counts": q_priority_line_counts,
         "mutual_information": q_mutual_information,
         "corr_matrix": q_corr_matrix,
+        "retraction_mv": q_retraction_mv,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -10001,6 +10080,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_line_counts": _ORACLE_PRIORITY_LINE_COUNTS,
         "mutual_information": _ORACLE_MUTUAL_INFORMATION,
         "corr_matrix": _corr_oracle(),
+        "retraction_mv": _ORACLE_RETRACTION_MV,
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

@@ -297,6 +297,9 @@ def heavy_queries(spark, sf_dir):
         # loop-shaped: 5 eager greedy rounds + pool/sim checkpoints dominate
         # (scheduler floor, not data) — tracked here, not min-of-two'd
         "mmr_rerank": (qs["mmr_rerank"], "full registered shape (k=5 greedy rounds)"),
+        # table-build-shaped: two appends + DV delete/update + two counting-
+        # algorithm feeds against a temp store — commit latency, not a scan
+        "retraction_mv": (qs["retraction_mv"], "full registered shape (2 feeds + DV delete/update)"),
     }
 
 

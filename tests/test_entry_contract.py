@@ -64,7 +64,7 @@ def test_bench_helpers_shape(spark):
     hq = bench.heavy_queries(spark, "/root/testdata/sf0.001")
     assert set(hq) == {
         "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train",
-        "bpe_encode", "unigram_train", "mmr_rerank",
+        "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -86,7 +86,7 @@ def test_every_registered_query_is_benchmarked():
     registered = set(e.queries())
     heavies = {
         "incremental_mv", "chargram_jaccard", "pagerank",
-        "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank",
+        "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
     }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)
