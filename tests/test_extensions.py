@@ -693,3 +693,68 @@ def test_cluster_quality_separates_planted_clusters(spark):
     assert all(abs(r.avg_silhouette) < 0.2 for r in srows)
     with pytest.raises(ValueError, match="centroids"):
         cluster_quality(tight, [[1.0, 0.0, 0.0, 0.0]])
+
+
+# -- mutual_information / correlation_matrix (r9) ------------------------------
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    import math
+
+    from observation_lakehouse_spark.operators.mining import mutual_information
+
+    # perfectly dependent: b == a -> MI = H(a) = ln 2 for a uniform binary
+    dep = spark.createDataFrame(
+        [("x", "x")] * 50 + [("y", "y")] * 50, "a string, b string"
+    )
+    rows = mutual_information(dep, "a", "b").collect()
+    mi = rows[0]["mi_micro"]
+    assert abs(mi - round(math.log(2) * 1e6)) <= 2  # integer-div slack
+    # independent uniform: MI ~ 0 (every cell's log-ratio is exactly 0)
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)],
+        "a string, b string",
+    )
+    rows = mutual_information(ind, "a", "b").collect()
+    assert rows[0]["mi_micro"] == 0
+    # NULLs excluded
+    with_null = dep.union(
+        spark.createDataFrame([(None, "x"), ("x", None)], "a string, b string")
+    )
+    assert sum(r["n_ab"] for r in mutual_information(with_null, "a", "b").collect()) == 100
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from observation_lakehouse_spark.operators.stats import correlation_matrix
+
+    rng = np.random.RandomState(11)
+    x = np.round(rng.randn(80), 2)
+    y = np.round(0.5 * x + 0.1 * rng.randn(80), 2)
+    z = np.round(rng.randn(80), 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {
+        (r["var_a"], r["var_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert abs(got[("x", "y")] - np.corrcoef(x, y)[0, 1]) < 1e-6
+    assert abs(got[("x", "z")] - np.corrcoef(x, z)[0, 1]) < 1e-6
+
+
+def test_correlation_matrix_degenerate_and_validation(spark):
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.operators.stats import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+    )
+    rows = correlation_matrix(df, ["x", "c"]).collect()
+    assert rows[0]["corr"] is None  # constant column -> NULL, no div-by-zero
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
