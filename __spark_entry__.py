@@ -8205,7 +8205,8 @@ WITH t AS (
                 - CAST(nc AS DOUBLE) * CAST(r AS DOUBLE))
                * (CAST(o AS DOUBLE) * CAST(nr AS DOUBLE)
                   - CAST(nc AS DOUBLE) * CAST(r AS DOUBLE))
-               / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) * CAST(r AS DOUBLE))
+               / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                  * (CAST(r AS DOUBLE) + CAST(o AS DOUBLE)))
                * 1000000) AS BIGINT) AS contrib_micro,
            CAST(kk - 1 AS BIGINT) AS df
     FROM s

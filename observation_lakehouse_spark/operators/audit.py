@@ -420,10 +420,13 @@ def chi2_test(ref: DataFrame, cur: DataFrame, cat_col: str) -> DataFrame:
     """Pearson χ² homogeneity test between two CATEGORICAL samples — the
     drift gate for label/segment/source-mix columns, completing the family
     (ks_test: continuous exact, psi_drift: binned continuous, this:
-    categorical). ``χ² = Σ_c (o_c − E_c)²/E_c`` with ``E_c = n_cur·r_c/n_ref``,
-    add-one smoothed on every category of the UNION (like psi_drift's bins:
-    a category seen on only one side stays finite instead of dividing by a
-    zero expectation).
+    categorical). TRUE two-sample homogeneity (r10, was goodness-of-fit
+    against the reference — the r9 advisory): both samples' ``(O − E)²/E``
+    terms against the POOLED expectation, which algebraically collapses to
+    ``χ² = Σ_c (r_c·N_C − o_c·N_R)² / (N_R·N_C·(r_c + o_c))`` — one term per
+    category, df = K−1. Add-one smoothed on every category of the UNION
+    (like psi_drift's bins: a category seen on only one side stays finite
+    instead of dividing by a zero expectation).
 
     Determinism: all inputs to the per-category float expression are exact
     smoothed BIGINT counts shared by both engines, each factor casts to
@@ -474,10 +477,12 @@ def chi2_from_counts(per_cat: DataFrame) -> DataFrame:
         F.col("_o").cast("double") * F.col("_NR").cast("double")
         - F.col("_NC").cast("double") * F.col("_r").cast("double")
     )
+    # Pooled-expectation homogeneity: both samples' (O-E)^2/E terms sum to
+    # Δ²/(NR·NC·(r+o)) per category — see chi2_test's docstring identity.
     den = (
         F.col("_NR").cast("double")
         * F.col("_NC").cast("double")
-        * F.col("_r").cast("double")
+        * (F.col("_r").cast("double") + F.col("_o").cast("double"))
     )
     contrib = F.round(num * num / den * F.lit(1_000_000.0)).cast("long")
     return (

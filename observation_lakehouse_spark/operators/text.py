@@ -1604,6 +1604,13 @@ def unigram_train_vocab(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
+        # Re-checkpoint the loop input AT the loop width (the r9
+        # co-partition-at-MAX rule: a localCheckpoint keeps its build-time
+        # partition count, and every in-loop join against it would drag the
+        # round back to the session width otherwise — the mmr_rerank fix
+        # applied here). Cheap: reshuffles the already-checkpointed
+        # vocab-bounded word table, not the corpus.
+        wc = wc.repartition(loop_parts, "word").localCheckpoint()
         return _unigram_train_rounds(
             wc, vocab_size, seed_size, n_rounds, max_piece_len, max_word_len
         )

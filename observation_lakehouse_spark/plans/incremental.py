@@ -181,7 +181,27 @@ class IncrementalAggregate:
                 c = F.sum(sign.cast("decimal(38,6)") * e)
             cols.append(c.alias(name))
         partial = feed.groupBy(*[F.col(k) for k in self.keys]).agg(*cols)
-        witness = count_cols[0]
+        # The liveness witness must be a COUNT over a NON-NULLABLE expression
+        # (e.g. count('1')): COUNT skips NULL rows, so a nullable witness
+        # could reach 0 while live rows remain and silently drop the group
+        # from the view. Analysis-only check (no job) against the feed schema.
+        witness = next(
+            (
+                n
+                for n in count_cols
+                if not feed.select(F.expr(self.aggs[n][1]).alias("_w"))
+                .schema[0]
+                .nullable
+            ),
+            None,
+        )
+        if witness is None:
+            raise ValueError(
+                "retraction refresh needs a COUNT over a non-nullable "
+                "expression (e.g. count over a literal: ('count', '1')) as "
+                "the group-liveness witness; all declared counts are over "
+                f"nullable expressions: {count_cols}"
+            )
         for _ in range(self.max_refresh_retries):
             if idempotency_key is not None:
                 committed = self.table.committed_keys()

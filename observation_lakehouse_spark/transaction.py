@@ -91,6 +91,7 @@ class AtomicParquetTable:
                 meta.get("check_constraints", {})
             )
         elif schema is not None:
+            self._reject_reserved_columns(schema)
             self.manifest_dir.mkdir(parents=True, exist_ok=True)
             self.data_dir.mkdir(parents=True, exist_ok=True)
             self.schema = schema
@@ -99,6 +100,24 @@ class AtomicParquetTable:
             self._write_schema_file()
         else:
             raise ValueError(f"no table at {location} and no schema given to create one")
+
+    _RESERVED_COLUMNS = frozenset({"_file", "_pos"})
+
+    @classmethod
+    def _reject_reserved_columns(cls, schema: StructType) -> None:
+        """``_file``/``_pos`` are the internal row-identity aliases every
+        DV-aware read adds (:meth:`_read_with_pos`); a user column with
+        either name would collide with them and silently bind in
+        delete/update predicates (the r9 advisory). Rejected at CREATE so
+        the collision cannot exist."""
+        clash = sorted(
+            f.name for f in schema.fields if f.name.lower() in cls._RESERVED_COLUMNS
+        )
+        if clash:
+            raise ValueError(
+                f"column names {clash} are reserved for deletion-vector row "
+                "identity (_file/_pos); rename them before creating the table"
+            )
 
     def _write_schema_file(self) -> None:
         schema_file = self.location / "_schema.json"
@@ -1063,6 +1082,11 @@ class AtomicParquetTable:
         """
         from pyspark.sql.types import StructField, _parse_datatype_string
 
+        if column.lower() in self._RESERVED_COLUMNS:
+            raise ValueError(
+                f"column name {column!r} is reserved for deletion-vector row "
+                "identity (_file/_pos)"
+            )
         dt = _parse_datatype_string(spark_type)
 
         def widen(meta: dict) -> dict:

@@ -501,3 +501,19 @@ def test_chi2_one_sided_category_stays_finite(spark):
     rows = {r["category"]: r for r in chi2_test(ref, cur, "cat").collect()}
     assert rows["b"]["n_ref"] == 0
     assert rows["b"]["contrib_micro"] >= 0  # smoothed: finite, no div-by-zero
+
+
+def test_chi2_exact_two_sample_homogeneity_value(spark):
+    """Pins the pooled-expectation identity Δ²/(NR·NC·(r+o)) with a
+    hand-computed case (r10: true homogeneity, not goodness-of-fit)."""
+    from observation_lakehouse_spark.operators.audit import chi2_test
+
+    ref = spark.createDataFrame([(c,) for c in ["a"] * 10 + ["b"] * 10], "cat string")
+    cur = spark.createDataFrame([(c,) for c in ["a"] * 20], "cat string")
+    rows = {r["category"]: r for r in chi2_test(ref, cur, "cat").collect()}
+    # smoothed: r_a=11,o_a=21,r_b=11,o_b=1, NR=22, NC=22
+    # a: (21*22-22*11)^2/(22*22*32) = 220^2/15488 = 3.125 exactly
+    # b: (1*22-22*11)^2/(22*22*12)  = 220^2/5808  = 8.33333...
+    assert rows["a"]["contrib_micro"] == 3_125_000
+    assert rows["b"]["contrib_micro"] == 8_333_333
+    assert rows["a"]["chi2_micro"] == 11_458_333

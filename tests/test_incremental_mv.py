@@ -183,3 +183,28 @@ def test_retraction_refresh_validates_aggregates(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         no_count.refresh_retractions(feed)
+
+
+def test_retraction_refresh_rejects_nullable_witness(spark, tmp_path):
+    """A COUNT over a nullable expression cannot be the liveness witness
+    (COUNT skips NULLs: the group could be dropped while live rows remain
+    — the r9 advisory). Only non-nullable witnesses qualify."""
+    import pytest as _pytest
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+
+    feed_schema = "_change_type string, k string, v double"
+    feed = spark.createDataFrame([("insert", "a", 1.0)], feed_schema)
+    nullable_witness = IncrementalAggregate(
+        spark, str(tmp_path / "mw"), keys=["k"],
+        aggs={"n_v": ("count", "v")},  # v is nullable in the feed
+    )
+    with _pytest.raises(ValueError, match="non-nullable"):
+        nullable_witness.refresh_retractions(feed)
+    # a literal witness next to the nullable count is accepted
+    ok = IncrementalAggregate(
+        spark, str(tmp_path / "mw2"), keys=["k"],
+        aggs={"n_v": ("count", "v"), "n": ("count", "1")},
+    )
+    ok.refresh_retractions(feed)
+    assert {r["k"]: r["n"] for r in ok.read().collect()} == {"a": 1}

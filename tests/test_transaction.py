@@ -804,3 +804,31 @@ def test_change_feed_rejects_replace_ranges(spark, table):
     table.optimize(min_input_files=2, target_file_bytes=1 << 30)
     with pytest.raises(ValueError):
         table.read_change_feed(v0)
+
+
+def test_reserved_row_identity_columns_rejected(spark, tmp_path):
+    """_file/_pos are the DV row-identity aliases every DV-aware read adds;
+    a user column with either name would collide and silently bind in
+    delete/update predicates (the r9 advisory) — rejected at CREATE and at
+    additive evolution."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    with pytest.raises(ValueError, match="reserved"):
+        AtomicParquetTable(
+            spark,
+            str(tmp_path / "bad"),
+            schema=_parse_datatype_string("run_id bigint, _file string"),
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        AtomicParquetTable(
+            spark,
+            str(tmp_path / "bad2"),
+            schema=_parse_datatype_string("run_id bigint, _POS bigint"),
+        )
+    t = AtomicParquetTable(
+        spark,
+        str(tmp_path / "ok"),
+        schema=_parse_datatype_string("run_id bigint"),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("_pos", "bigint")
