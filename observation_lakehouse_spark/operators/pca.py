@@ -71,15 +71,29 @@ def pca_train(
     m = np.zeros(d)
     for r in moments:
         m[r["dim"]] = r["s"] / n
-    # Upper-triangle second moments; mirrored driver-side. The join is
-    # id-colocated (same exchange both legs), output n·d(d+1)/2 rows into a
-    # map-side-combining aggregate with d² groups.
-    e2 = e.select(F.col("_id"), F.col("dim").alias("dim2"), F.col("x").alias("x2"))
+    # Upper-triangle second moments, emitted MAP-SIDE from the carried array
+    # (r10, was an _id self-join that pushed both n·d-row legs through an
+    # exchange): each exploded (dim, x) row re-explodes the tail slice of its
+    # own vector, so the n·d(d+1)/2 product rows are generated inside one
+    # codegen stage and the ONLY exchange is the (dim, dim2) aggregate's,
+    # which carries d² partials — vectors never shuffle.
     gram = (
-        e.join(e2, "_id")
-        .filter(F.col("dim") <= F.col("dim2"))
+        corpus.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+            F.col(vec_col).alias("_v"),
+        )
+        .select(
+            "dim",
+            "x",
+            F.posexplode(F.expr(f"slice(_v, dim + 1, {d})")).alias("_j", "y"),
+        )
+        .select(
+            "dim",
+            (F.col("dim") + F.col("_j")).alias("dim2"),
+            (F.col("x") * F.col("y")).alias("_p"),
+        )
         .groupBy("dim", "dim2")
-        .agg(F.sum(F.col("x") * F.col("x2")).alias("sxy"))
+        .agg(F.sum("_p").alias("sxy"))
     ).collect()
     S = np.zeros((d, d))
     for r in gram:
