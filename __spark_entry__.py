@@ -2144,6 +2144,255 @@ def _pq_residual_codebooks() -> list[list[list[float]]]:
     return _PQ_RESIDUAL_CODEBOOKS
 
 
+# >>> REFREEZE opq — scripts/refreeze.py rewrites this block
+# (trained by operators.opq.train_opq — OPQ-P init (PCA + eigenvalue
+#  allocation) + 10 OPQ-NP Procrustes rounds, m=8, k=16,
+#  lloyd_iters=5, on /root/testdata/sf0.1: the d×d rotation overfits the
+#  sf0.01 sample, so OPQ alone trains at the drop's largest SF)
+_OPQ_ROTATION: list[list[float]] = [
+        [-0.12723, 0.069907, -0.118868, 0.129449, -0.041289, -0.01982, -0.036639, 0.12246, -0.098451, 0.002281, -0.180156, -0.040714, -0.027113, -0.096118, -0.03904, 0.297618, -0.2675, 0.078918, -0.239121, 0.214732, 0.128392, 0.194838, 0.057568, -0.072622, -0.225296, -0.073793, -0.109067, 0.121186, 0.218573, 0.037264, 0.063028, -0.048175, -0.044854, -0.196222, -0.051197, 0.166489, -0.083772, -0.1052, -0.183963, 0.207639, 0.017559, -0.083132, -0.097315, -0.080252, 0.021347, 0.060168, -0.050383, -0.082428, 0.128042, -0.043901, -0.093203, 0.086547, -0.114959, -0.103079, 0.105961, -0.019511, -0.07372, -0.272213, 0.059036, 0.039395, 0.153467, 0.086297, -0.120536, 0.029728],
+        [-0.0661, 0.260942, 0.078115, 0.122079, -0.264103, 0.314411, 0.283384, 0.016829, -0.088196, -0.18151, -0.052396, 0.012999, -0.086456, 0.042657, -0.093403, -0.007239, 0.006921, 0.063231, -0.024604, -0.181877, -0.218745, -0.067119, -0.145304, -0.112079, 0.034865, 0.120211, 0.10984, -0.160967, -0.015663, -0.011249, -0.130221, 0.109922, -0.010568, 0.012756, 0.004641, -0.164551, -0.129769, -0.023701, -0.191098, 0.122645, -0.162441, 0.053038, -0.006686, -0.014343, 0.010051, 0.02283, 0.16745, 0.033195, 0.040557, -0.075005, -0.143917, 0.11556, -0.214553, 0.069021, -0.088266, -0.226872, -0.102598, 0.016156, -0.111533, 0.015199, 0.078476, -0.139105, -0.17433, -0.050146],
+        [-0.20009, 0.040162, -0.092036, -0.160386, -0.025198, 0.011051, -0.075077, 0.454039, 0.048006, 0.086098, 0.156014, -0.095312, -0.054653, -0.068551, 0.025545, -0.336572, -0.144878, -0.068127, -0.114625, 0.120584, -0.31148, -0.08453, 0.105834, 0.120655, -0.050847, 0.050614, -0.174188, -0.136826, 0.062884, 0.054618, 0.033858, -0.05198, -0.010294, 0.059512, 0.006572, 0.019631, -0.052235, -0.086171, -0.062227, 0.236657, 0.127245, 0.014433, 0.099576, -0.027101, 0.033294, -0.102502, -0.021821, 0.044487, -0.145457, -0.035911, 0.253104, -0.071346, -0.127605, 0.230531, 0.073751, -0.060588, -0.048285, 0.060422, -0.003449, -0.03874, -0.040555, 0.035036, 0.015827, 0.051354],
+        [-0.073279, -0.141215, 0.024616, 0.014846, -0.122758, 0.060758, -0.134025, 0.000243, 0.062752, 0.015684, 0.064389, 0.07049, 0.027361, 0.092953, 0.382614, -0.09611, -0.135885, 0.179789, -0.17559, -0.147675, 0.005899, 0.088728, -0.019916, 0.082658, 0.259188, -0.060338, 0.083847, 0.009702, 0.017212, -0.153974, 0.047424, 0.173091, -0.294444, -0.095337, 0.06874, 0.045396, 0.032943, 0.015698, -0.030643, -0.015997, -0.014619, 0.170955, -0.100961, -0.21725, -0.124932, 0.067674, -0.122071, -0.344858, 0.012848, 0.24332, -0.067012, -0.059608, 0.079009, 0.119732, -0.02021, -0.153777, -0.071515, -0.06397, -0.127213, -0.10537, -0.038973, -0.010131, -0.024388, 0.096935],
+        [0.187821, -0.136665, 0.052288, -0.04176, -0.086925, 0.165261, 0.114177, 0.04449, -0.254491, 0.046774, 0.169391, 0.056359, 0.321806, 0.227575, -0.101618, 0.000487, 0.05429, 0.114966, -0.009331, -0.001396, -0.131135, 0.174092, -0.259256, -0.10311, -0.110854, -0.011996, -0.105242, 0.135353, -0.025664, 0.319412, -0.045201, -0.063705, 0.049, 0.02442, 0.110998, 0.055914, 0.239091, 0.007795, -0.049466, 0.181781, 0.106664, 0.074786, -0.043254, -0.147696, -0.033385, 0.059781, -0.047651, 0.085967, 0.067301, 0.082071, 0.096121, 0.050651, 0.082577, 0.002064, -0.013247, 0.001039, 0.160893, 0.043276, -0.179419, -0.07776, 0.01973, 0.261544, 0.00639, 0.062474],
+        [0.108905, 0.153009, 0.029341, 0.048781, 0.263999, 0.214483, 0.079022, -0.04115, 0.217316, -0.049138, 0.222224, -0.041801, -0.039356, 0.086468, -0.022989, -0.102556, -0.057815, -0.209167, 0.089925, 0.021533, 0.079454, 0.045159, 0.002327, -0.048806, 0.079832, 0.025433, 0.056375, -0.155385, 0.171183, 0.047354, -0.008211, -0.080894, 0.014995, -0.123245, -0.104025, -0.014201, -0.153794, -0.033374, 0.359083, 0.024869, -0.125643, -0.011721, -0.09215, -0.165818, 0.111139, 0.209119, -0.057555, -0.098464, 0.170494, 0.079066, 0.130352, 0.130589, -0.017958, 0.205726, 0.118548, 0.038669, 0.226234, -0.119673, 0.033574, 0.097083, 0.169867, 0.10635, -0.156478, 0.089976],
+        [-0.084756, -0.042492, -0.074584, 0.178049, -0.085265, -0.247106, -0.028057, 0.019917, 0.182937, 0.087954, -0.031035, 0.031071, -0.029036, 0.00842, 0.04416, 0.096241, 0.243728, -0.129536, -0.118996, -0.005773, 0.098999, -0.241014, -0.135408, 0.018122, 0.031138, -0.045832, -0.102166, -0.098443, 0.043022, -0.035976, 0.029889, 0.111222, 0.061683, 0.138802, -0.107424, -0.187946, -0.030697, 0.114729, -0.017319, 0.225524, 0.160756, -0.091479, -0.087472, 0.027576, 0.060425, 0.04123, 0.07741, 0.116357, 0.04451, 0.17253, 0.012467, 0.143792, 0.316419, 0.067741, -0.116095, -0.23561, -0.130677, 0.008387, -0.039897, 0.033503, 0.135925, 0.342978, -0.165249, -0.013235],
+        [0.074604, 0.187764, 0.270788, -0.040011, 0.092292, -0.028565, 0.144052, 0.11637, 0.138193, -0.06961, -0.060285, -0.151278, 0.155324, -0.085136, -0.098364, 0.242224, 0.034695, 0.154482, -0.097927, 0.093667, -0.061319, -0.257321, 0.056329, 0.181746, 0.125043, -0.089833, 0.017982, -0.037784, 0.058499, 0.080448, -0.055084, 0.155115, -0.09827, 0.095266, 0.020208, 0.112535, 0.218366, -0.025879, -0.017257, 0.051336, 0.002137, -0.149073, -0.043169, -0.026121, 0.250566, 0.065449, -0.04367, 0.019276, 0.208751, 0.18104, -0.066713, -0.114782, -0.03134, 0.069615, 0.042739, 0.207386, -0.12041, 0.086475, -0.094925, 0.077091, -0.216789, -0.102845, 0.005733, 0.248989],
+        [0.010858, -0.024584, 0.052366, -0.166464, 0.025406, -0.0294, -0.105732, 0.0244, 0.021502, 0.236842, 0.044023, 0.113618, -0.207544, -0.111481, 0.097445, 0.060868, 0.014033, -0.158754, 0.067751, -0.084227, -0.050525, 0.059574, -0.15964, 0.126902, 0.009346, -0.072624, 0.14525, 0.088345, -0.025511, 0.277564, 0.114118, 0.260021, 0.12316, 0.003288, 0.191592, -0.116881, 0.024294, -0.008649, -0.078116, 0.143274, -0.275054, -0.116363, 0.10216, 0.100231, 0.099426, -0.115805, 0.111134, -0.212833, 0.303655, -0.132127, 0.090207, 0.152313, 0.016395, 0.02105, 0.039893, 0.117081, -0.049198, -0.150091, -0.014682, -0.260734, -0.000894, -0.014793, 0.041892, -0.049722],
+        [-0.051856, -0.080872, 0.001251, 0.243354, 0.029781, -0.055619, -0.098993, 0.197673, 0.099945, -0.10878, -0.021683, -0.194398, -0.016432, -0.091181, -0.062227, -0.001192, 0.043718, 0.340592, 0.156025, 0.063176, -0.18426, 0.225313, -0.100936, 0.026776, 0.28279, 0.041109, -0.059783, -0.018379, -0.038186, 0.182573, 0.205486, -0.167879, -0.064365, -0.089308, 0.032074, -0.123855, 0.191248, 0.01478, 0.272842, -0.068596, -0.042442, -0.036202, -0.02703, 0.265532, -0.027655, 0.046268, 0.132604, 0.018319, 0.040834, -0.113423, -0.080292, -0.063965, 0.058069, 0.046517, 0.059032, -0.109893, -0.128821, -0.154831, -0.087415, 0.085026, 0.131669, 0.000759, 0.027931, -0.119089],
+        [-0.0099, 0.03347, 0.10104, -0.126203, 0.092507, 0.030158, 0.100999, -0.268832, 0.032252, -0.132765, -0.304385, -0.133668, 0.119175, -0.086708, -0.026669, -0.166499, 0.014099, -0.06632, 0.075272, 0.070084, -0.069082, -0.006245, -0.133221, -0.035402, 0.026641, -0.210293, 0.092726, 0.303974, 0.137979, -0.240842, 0.131785, 0.033326, 0.018607, -0.206287, 0.057155, -0.208787, 0.037429, -0.115832, 0.032025, 0.192631, 0.014273, -0.056154, 0.006563, 0.039417, -0.119178, -0.164659, -0.091443, 0.012599, 0.008981, 0.040302, 0.154615, -0.169657, -0.196146, 0.190836, -0.096992, -0.016711, -0.094835, 0.028469, -0.043469, 0.041885, 0.035877, 0.246747, 0.069686, -0.063091],
+        [-0.115951, 0.126918, 0.162116, -0.058933, -0.139247, -0.038042, 0.005111, -0.06572, -0.099113, 0.136371, 0.065075, -0.063798, 0.098574, -0.174551, 0.228998, 0.053416, -0.116461, 0.11027, 0.091507, -0.019493, 0.14921, -0.174985, -0.003242, 0.081398, -0.085881, 0.059911, -0.030409, -0.042389, 0.332085, 0.289051, -0.059726, 0.003541, -0.142916, -0.057652, 0.176826, -0.101985, -0.088882, 0.307616, 0.153574, -0.06967, -0.041202, 0.040897, -0.156942, 0.026793, -0.118258, 0.016808, -0.142581, 0.277853, -0.13223, 0.078771, -0.007822, 0.102651, -0.138964, 0.079301, -0.072023, 0.073419, 0.007665, -0.018282, 0.050304, -0.055531, 0.023496, -0.000264, 0.062544, -0.245714],
+        [-0.021177, 0.02468, -0.074577, -0.056778, 0.213143, -0.084026, -0.017871, 0.229792, 0.087527, -0.159269, -0.126554, -0.063755, 0.149269, 0.109007, 0.043084, -0.067374, -0.075031, 0.055681, -0.162077, -0.183845, 0.107423, -0.075502, 0.132944, -0.217292, -0.21479, -0.029653, -0.075682, -0.062992, 0.1347, 0.05247, 0.078668, 0.085117, -0.078172, 0.104488, 0.140883, -0.28951, 0.115326, -0.09328, -0.024762, -0.263346, -0.12125, -0.012582, 0.202543, -0.242546, 0.041163, -0.075178, -0.020548, -0.027474, 0.173916, -0.099522, 0.018593, 0.001757, 0.097996, -0.092454, -0.102201, 0.01048, 0.035536, 0.124028, -0.195386, 0.060346, 0.218745, -0.025955, 0.049577, -0.185374],
+        [-0.059359, -0.162119, -0.023411, -0.060378, 0.043958, 0.101766, 0.201888, 0.078042, -0.06673, -0.172287, -0.051358, 0.130372, -0.012877, -0.001907, 0.004077, 0.18489, -0.058685, -0.115664, -0.012102, -0.220403, -0.03147, -0.084122, 0.322138, 0.229864, 0.031893, -0.027797, 0.202661, -0.042284, -0.143784, 0.087357, -0.079807, -0.062584, -0.085587, -0.289995, 0.164133, 0.02372, 0.24886, 0.036305, -0.012496, -0.061818, 0.166282, -0.087528, -0.021742, 0.031521, -0.19909, -0.138981, 0.057723, 0.095428, 0.050309, -0.037412, 0.211703, 0.158022, 0.112036, 0.079762, 0.072467, -0.090071, -0.050973, -0.00683, 0.218498, 0.110582, 0.138364, 0.057423, -0.125693, 0.06391],
+        [0.009334, 0.067669, 0.134156, -0.156813, -0.115768, 0.008339, -0.045354, -0.013317, -0.021107, -0.188056, 0.154986, 0.010181, -0.07746, 0.009977, -0.108777, -0.243504, 0.055251, 0.007654, 0.000746, 0.114973, 0.402227, 0.057342, -0.255979, 0.063256, -0.164865, -0.000748, -0.2497, -0.071415, -0.01975, -0.110002, -0.129852, 0.159973, -0.047823, -0.183306, 0.049248, 0.200836, 0.214003, 0.04397, 0.064721, -0.023564, -0.074551, -0.016165, -0.005408, 0.005534, 0.017335, -0.10011, 0.004883, 0.010632, 0.097374, -0.159868, 0.033773, -0.048302, 0.148698, 0.087039, 0.194419, -0.133561, -0.252156, 0.064827, 0.029081, 0.063602, -0.051912, -0.090594, -0.15768, -0.140112],
+        [-0.169344, 0.084012, 0.050686, -0.09273, 0.098985, 0.018317, -0.031604, -0.171192, -0.127309, 0.015267, 0.242219, -0.098085, -0.287967, 0.022943, -0.101101, 0.002363, 0.02865, 0.097278, -0.026183, -0.105735, -0.006194, -0.021574, 0.164682, -0.361749, 0.010521, 0.19836, -0.054005, 0.253688, -0.009604, -0.064724, 0.228188, -0.042792, -0.278629, -0.028336, 0.081968, -0.079564, 0.163514, -0.040361, -0.079621, 0.064177, -0.050201, -0.072839, 0.037353, 0.029587, 0.248862, -0.028056, 0.086017, 0.151326, -0.056973, 0.285106, 0.064734, 0.080044, 0.102826, 0.00079, 0.048419, -0.05999, 0.04544, -0.062921, 0.117806, -0.05007, -0.133803, -0.001052, -0.057302, 0.005643],
+        [-0.045013, -0.142148, 0.002745, -0.039615, -0.180899, 0.139186, -0.034834, 0.06129, 0.005805, -0.206621, -0.06392, -0.117499, -0.170746, -0.030288, -0.124478, 0.100152, -0.213175, -0.065649, 0.113152, -0.028759, -0.020316, 0.088234, -0.102332, -0.067008, 0.202209, -0.056855, 0.082414, 0.006262, 0.330991, -0.068426, 0.063833, 0.184132, 0.159315, 0.21554, -0.015352, 0.161323, -0.047145, 0.073061, -0.004207, -0.139926, 0.162062, -0.306177, 0.041205, 0.003098, -0.095392, -0.102186, -0.085136, 0.043436, -0.070691, 0.106904, 0.168358, 0.139715, 0.144159, -0.08336, 0.151041, -0.045801, 0.191423, 0.044926, -0.243034, 0.010523, -0.105944, -0.059505, -0.009691, -0.088992],
+        [0.043166, -0.194403, 0.138507, -0.248104, -0.209011, 0.056735, 0.060799, -0.162608, 0.18036, 0.025666, -0.129829, -0.242238, -0.044196, -0.028419, 0.013267, 0.038773, 0.036802, -0.174082, -0.221639, 0.077652, -0.084353, -0.16428, 0.096547, -0.02055, -0.050476, 0.363566, -0.103968, -0.121278, -0.06726, -0.021011, -0.047906, -0.089526, -0.009738, 0.012665, 0.124137, 0.019443, 0.102621, -0.045145, 0.022217, -0.051936, 0.075447, 0.0967, 0.015673, 0.152083, -0.041942, 0.04024, -0.056933, -0.120536, 0.121254, -0.080522, -0.139818, -0.130527, -0.013629, -0.029129, 0.064177, -0.001741, 0.229955, -0.304993, -0.162165, -0.036586, -0.021057, 0.150174, -0.099335, -0.150062],
+        [0.219108, 0.057399, -0.006062, 0.066116, -0.00369, -0.073859, 0.076543, 0.121546, 0.290272, 0.093245, 0.06949, -0.09085, -0.050607, -0.134119, 0.101553, -0.0955, -0.063462, 0.202961, 0.021335, -0.129657, 0.14727, -0.064282, -0.15128, -0.018049, -0.108971, -0.089286, 0.150674, 0.169105, 0.110982, -0.039468, -0.055561, -0.070252, 0.171054, -0.01795, 0.048874, -0.134094, 0.145218, -0.051087, -0.202198, 0.079109, 0.117579, 0.150002, 0.173954, 0.115317, -0.183657, 0.035775, 0.077204, 0.084795, -0.098475, 0.103675, -0.065116, -0.096884, 0.028724, 0.003104, 0.224658, 0.047557, 0.245245, -0.026904, 0.118045, -0.072168, 0.088248, -0.190439, -0.308221, 0.109852],
+        [-0.029311, 0.000142, 0.095959, 0.050381, 0.047902, -0.067987, 0.176218, -0.016115, -0.130848, -0.154545, -0.165657, -0.027022, 0.0616, -0.126701, -0.084695, -0.142456, 0.0851, 0.11382, -0.265892, -0.122293, 0.147109, 0.052765, -0.01649, 0.078662, 0.062664, 0.005988, -0.11478, 0.082676, -0.105751, 0.066107, 0.032718, -0.150761, 0.054697, 0.284303, 0.28583, -0.003198, -0.255376, -0.048709, 0.325943, 0.184167, 0.097751, -0.109801, 0.104035, -0.132765, -0.109171, 0.046041, 0.046492, -0.186642, -0.029903, 0.027221, 0.074996, 0.12495, 0.052012, -0.026969, -0.045643, 0.007189, 0.000561, -0.092296, 0.202682, -0.125528, -0.176353, -0.140384, -0.113327, -0.028176],
+        [-0.10792, 0.047075, 0.149668, 0.026048, -0.117903, -0.088987, 0.322532, 0.234838, -0.057493, 0.043468, 0.146916, -0.092176, -0.115998, 0.046944, 0.123255, 0.014754, -0.102406, -0.15984, 0.037772, -0.100461, 0.019394, 0.185936, -0.126194, -0.006142, -0.081688, -0.064002, -0.06107, 0.037631, -0.092396, -0.165931, -0.178661, 0.123566, -0.194728, 0.023841, -0.130243, -0.135896, 0.063034, -0.310324, 0.174836, -0.104628, 0.118971, -0.089399, -0.011548, 0.17936, -0.066819, 0.084345, 0.005488, -0.043282, -0.112614, 0.053278, -0.069269, 0.097761, 0.011015, -0.119056, -0.08102, 0.367371, -0.080306, -0.034756, 0.004002, -0.055433, 0.044388, 0.178148, 0.060957, -0.023954],
+        [0.183428, 0.123059, -0.052104, -0.018646, -0.131629, 0.025739, -0.200508, 0.085224, -0.186964, 0.133826, 0.026699, -0.181906, 0.105128, -0.072836, 0.106024, -0.022384, -0.006401, -0.061223, 0.099055, 0.152453, 0.06988, -0.130118, -0.054006, -0.102372, 0.133982, 0.032144, 0.191551, -0.000398, -0.13696, -0.001004, 0.076531, -0.069393, -0.203572, 0.011632, 0.029734, 0.022173, -0.124165, -0.384334, -0.103455, -0.013816, 0.146788, -0.176469, -0.087387, -0.019481, -0.175767, 0.124844, -0.041118, 0.107426, 0.331436, -0.109147, -0.003402, 0.031766, 0.154541, 0.125854, -0.108917, -0.071661, 0.089964, 0.149112, 0.133075, 0.061777, -0.055083, -0.107331, -0.039256, -0.161003],
+        [0.176602, 0.058675, 0.026099, 0.01185, 0.113137, 0.189059, -0.276987, -0.01865, -0.101295, -0.114241, -0.071058, -0.125794, -0.013036, -0.084401, 0.087887, -0.073933, -0.01035, 0.065539, 0.000472, -0.114181, 0.076624, 0.062753, -0.038398, 0.242059, 0.039131, 0.523706, 0.072005, 0.144252, 0.125039, 0.021347, -0.22644, 0.009416, -0.030429, -0.016717, -0.118601, -0.014676, -0.062665, 0.038165, -0.03138, 0.084919, 0.162103, -0.111127, 0.201187, 0.01656, 0.133124, -0.055899, 0.027175, -0.054947, -0.00941, 0.038953, -0.01937, -0.009697, 0.045362, -0.141373, -0.071391, 0.076669, -0.159666, 0.133506, 0.025939, -0.06463, 0.249225, 0.15529, 0.048401, 0.113241],
+        [-0.086774, -0.100139, -0.180298, 0.122525, 0.042709, 0.027147, 0.409243, -0.057821, -0.113615, 0.051451, 0.015301, -0.049978, 0.033878, -0.331759, 0.163776, -0.185981, -0.041137, -0.040081, -0.068201, 0.216184, 0.081207, -0.117445, -0.137762, 0.09565, 0.136403, 0.118502, -0.153875, 0.123823, -0.177742, -0.042082, 0.094925, 2.4e-05, -0.072832, -0.026624, -0.123153, 0.045002, 0.016084, 0.114105, -0.086541, -0.09376, -0.178967, -0.065077, 0.06471, -0.095213, -0.003778, -0.144988, -0.014256, 0.132885, 0.111678, 0.007908, -0.000432, 0.116315, 0.085135, -0.022821, 0.038795, 0.000376, 0.176971, -0.026702, -0.167273, 0.005807, 0.193403, -0.119949, 0.153657, 0.203544],
+        [0.225838, -0.05787, 0.032075, 0.145853, 0.183118, -0.246393, 0.14426, -0.090173, -0.045234, -0.241024, 0.116648, -0.169512, -0.225489, -0.021929, 0.191574, 0.011388, -0.029786, -0.012257, 0.033607, -0.111048, -0.064007, 0.053336, 0.097342, 0.071854, 0.005331, -0.063622, 0.054225, 0.009179, 0.088775, 0.099837, -0.009241, 0.067289, -0.086999, 0.07063, -0.180652, 0.266262, -0.001635, -0.046455, -0.051908, 0.130734, 0.025458, 0.183296, -0.031586, -0.155912, 0.044212, -0.086209, 0.040053, 0.216051, 0.024141, -0.265358, 0.089033, -0.135408, 0.02107, 0.023896, -0.259644, -0.030926, 0.003557, -0.150035, -0.117649, -0.169247, -0.123009, 0.040916, -0.125692, -0.156113],
+        [-0.020873, 0.125814, 0.050184, -0.16121, -0.020098, 0.1578, 0.082986, 0.042708, -0.117671, 0.043898, 0.069301, -0.198494, -0.001926, -0.137829, 0.048265, 0.034472, 0.04022, 0.129953, 0.326078, -0.083487, 0.177003, -0.051197, 0.231034, -0.106607, 0.036114, -0.150407, -0.00214, -0.134996, -0.072828, -0.051016, 0.006723, 0.02261, 0.195334, 0.009096, 0.197507, 0.015017, -0.102244, -0.039337, -0.07556, 0.182422, 0.005528, 0.023656, 0.018872, -0.090055, 0.055022, 0.013643, -0.090486, -0.092485, -0.226494, -0.175317, -0.152215, -0.08836, 0.349689, 0.015199, -0.007109, -0.026733, -0.072652, -0.212959, -0.120049, 0.076145, 0.116644, 0.137172, 0.17164, 0.176407],
+        [0.247379, 0.056582, -0.139239, -0.010382, -0.140752, 0.208445, -0.031366, -0.066472, 0.093978, 0.085112, -0.054051, -0.12708, -0.165149, 0.01281, -0.004152, 0.001013, -0.038293, 0.092066, -0.035584, 0.06078, 0.02758, 0.042314, 0.143304, 0.279973, -0.188521, -0.13109, -0.177961, 0.002791, -0.131355, 0.059127, 0.221697, 0.074887, -0.005092, -0.058676, 0.07618, 0.124134, 0.048228, -0.055017, 0.04602, -0.053966, -0.251439, -0.154069, 0.113787, 0.090869, -0.05183, 0.145856, 0.067086, -0.024629, -0.222178, 0.173384, 0.058082, 0.073985, -0.021086, 0.00071, -0.389246, -0.005568, 0.072067, 0.166022, -0.097773, 0.099161, 0.025278, 0.071653, -0.194016, -0.020829],
+        [-0.113887, -0.205698, 0.009351, -0.255251, 0.146229, -0.073357, 0.080734, -0.134637, -0.010643, -0.005349, 0.250076, 0.125189, -0.105303, -0.274367, -0.100862, 0.047728, 0.078218, 0.16333, -0.103248, -0.031512, 0.00327, -0.015553, -0.153388, 0.008673, -0.026086, -0.124749, 0.138125, -0.175182, 0.109286, 0.086655, 0.015746, -0.115835, -0.028289, -0.13773, -0.107887, 0.073304, -0.04272, -0.096691, -0.037132, -0.060723, 0.199486, -0.125829, 0.36583, -0.065454, -0.015244, 0.211896, 0.031802, -0.071959, 0.001198, -0.008713, -0.271531, 0.086432, -0.152438, 0.097609, -0.094647, -0.11787, -0.009153, 0.117334, -0.07582, 0.068117, -0.008853, 0.106581, 0.087489, -0.071791],
+        [-0.053147, -0.187358, 0.204009, 0.108621, 0.061357, 0.177936, -0.088971, 0.057427, -0.129662, -0.160382, 0.016932, -0.02191, -0.182671, 0.005231, -0.001646, 0.191143, -0.132097, 0.029219, -0.063915, 0.31039, -0.004066, -0.172402, -0.116718, 0.057604, -0.091373, -0.060157, 0.173378, 0.037782, -0.22652, -0.122274, 0.219199, 0.148831, -0.055647, 0.145415, 0.092852, -0.116424, -0.02925, 0.141893, 0.083822, 0.057461, 0.053139, 0.253744, 0.061881, -0.112941, 0.106275, 0.167872, -0.010855, 0.02651, -0.117806, -0.159374, -0.002965, -0.038916, 0.011759, 0.059527, 0.146303, 0.143873, 0.068857, 0.206608, 0.10202, -0.056901, 0.182633, 0.089948, -0.050089, -0.100047],
+        [0.022455, 0.130981, 0.055198, 0.161695, 0.100944, 0.121077, 0.012884, -0.207017, -0.01127, 0.377966, -0.099768, -0.027022, -0.026609, -0.109555, -0.076061, 0.056945, -0.022294, 0.078398, -0.145594, -0.300527, -0.169401, 0.117802, -0.15979, 0.125137, -0.222764, -0.051426, 0.00048, -0.234482, -0.01862, -0.068787, 0.127032, 0.132604, -0.151854, 0.053476, 0.056985, 0.125361, -0.097252, -0.157523, 0.16124, -0.083636, 0.120187, 0.063517, 0.015196, 0.020702, 0.050906, -0.17523, -0.099464, 0.178471, 0.048007, -0.02216, 0.092648, -0.159134, 0.106614, -0.07617, 0.241774, -0.154481, 0.023623, 0.021918, 0.009067, 0.055846, 0.071104, 0.029152, 0.09185, 0.028215],
+        [-0.001789, -0.00462, -0.022768, -0.029811, 0.070468, 0.044067, 0.123403, 0.125353, 0.12125, -0.019421, -0.178077, 0.168076, 0.023566, -0.180383, -0.067528, -0.030572, 0.061533, 0.011921, 0.17061, 0.042509, 0.073685, 0.149421, 0.151744, 0.106653, 0.060662, 0.140039, -0.102814, 0.061511, -0.163246, 0.194009, 0.013225, 0.305379, 0.02266, -0.245593, -0.106262, -0.22473, -0.113997, -0.150462, -0.050089, -0.020267, 0.099203, -0.007805, -0.110348, -0.193874, 0.110128, 0.160982, -0.088989, 0.090634, -0.102531, 0.087721, -0.067833, -0.122343, 0.012935, -0.122608, 0.17943, -0.157564, 0.127781, 0.085018, -0.025904, -0.180658, -0.231499, 0.074885, -0.062891, -0.222905],
+        [0.058996, -0.063199, -0.085394, 0.080658, -0.08101, 0.055469, -0.073655, 0.046343, -0.223708, 0.043009, -0.015283, -0.000539, 0.195297, -0.215956, -0.035624, -0.019738, -0.006477, -0.064653, -0.074656, -0.265173, 0.108392, 0.097243, 0.180082, -0.006337, 0.151174, -0.066572, -0.092905, 0.01714, -0.019006, -0.142248, 0.054959, 0.059326, 0.228374, 0.161288, -0.105593, 0.096658, 0.18929, -0.053616, 0.009246, -0.097854, -0.024388, 0.089328, -0.005476, 0.10898, 0.278543, -0.0574, -0.108855, 0.036627, 0.02975, 0.051918, -0.199119, 0.098425, -0.170266, 0.424391, 0.052406, 0.081958, 0.031836, 0.022971, 0.079442, -0.11282, 0.104947, 0.085644, -0.12745, -0.19387],
+        [-0.088822, -0.143899, 0.069194, 0.045774, -0.019345, 0.363469, 0.162555, 0.138733, 0.136865, 0.208503, -0.102931, 0.183115, 0.017761, 0.188335, 0.048119, -0.002663, 0.15408, -0.09118, 0.089298, 0.059122, 0.206721, -0.107762, 0.03592, 0.034036, 0.133593, -0.129168, 0.017733, 0.164923, 0.182859, 0.02944, 0.023554, -0.191243, -0.169958, 0.066875, -0.040544, 0.153745, 0.020816, -0.105478, 0.043342, 0.101941, 0.082975, 0.089689, 0.23324, 0.126226, 0.236367, 0.006295, -0.115509, 0.063236, 0.00303, -0.026829, 0.053045, -0.074988, -0.000323, -0.141448, -0.120451, -0.100909, -0.115272, -0.079306, -0.029588, -0.07335, 0.093592, -0.194755, 0.005056, -0.201827],
+        [0.098476, -0.115478, 0.260257, -0.049697, 0.002232, 0.075098, -0.038996, 0.226411, -0.217424, 0.003065, -0.042656, -0.09012, 0.047024, 0.079439, -0.118932, 0.018557, 0.108742, -0.048855, -0.203766, -0.013753, 0.13044, 0.115242, 0.02628, 0.148529, 0.042643, -0.107309, -0.041801, -0.107442, 0.182803, -0.133372, 0.027785, 0.027417, -0.029098, -0.164219, -0.143003, -0.139909, -0.187897, 0.104074, -0.132084, -0.071137, -0.15452, 0.059372, 0.077883, 0.084846, -0.04631, 0.044445, 0.373426, 0.141562, 0.05277, 0.104496, 0.040106, -0.155817, 0.129611, 0.09914, -0.071891, -0.054953, 0.229143, -0.166049, 0.128877, -0.035609, -0.088989, 0.007195, 0.238371, 0.043246],
+        [0.12997, 0.04604, 0.115092, -0.03131, -0.028501, -0.166309, -0.156067, 0.115352, 0.037204, -0.259219, -0.063251, 0.245661, 0.094654, -0.11222, 0.054209, -0.010279, -0.054962, -0.09398, 0.055742, -0.168901, 0.090383, -0.098084, -0.242189, 0.02529, 0.095344, 0.025685, -0.028067, -0.101202, -0.118534, 0.048817, 0.128833, -0.010437, -0.20153, -0.007442, 0.082657, 0.110975, -0.000203, -0.141608, -0.112123, 0.183631, -0.070649, 0.067949, -0.015295, 0.105514, 0.19926, -0.095645, -0.045206, -0.026854, -0.22695, 0.04822, 0.046613, 0.11939, -0.134411, -0.137146, -0.015921, -0.002387, 0.288953, -0.14936, 0.017766, 0.370853, 0.033775, 0.054281, 0.114208, -0.040995],
+        [-0.115867, -0.047548, -0.197501, -0.001183, 0.127203, 0.021541, 0.054336, -0.043697, -0.114315, 0.045403, 0.010915, 0.02367, 0.087449, -0.138227, 0.061537, 0.09496, -0.057152, -0.005873, 0.221966, -0.082498, -0.069202, -0.035293, -0.099872, 0.007474, 0.045576, -0.066898, -0.281024, 0.015462, 0.155778, -0.164046, -0.185588, 0.054135, -0.181996, 0.055225, 0.234986, -0.007168, 0.008544, 0.137921, -0.074015, -0.063937, 0.101508, -0.080866, -0.09852, 0.134921, 0.183783, 0.22112, 0.241016, -0.227063, 0.06959, -0.202387, 0.151414, -0.24639, -0.05896, -0.048283, -0.098038, -0.068169, 0.22015, 0.11419, 0.078832, -0.010123, -0.009653, 0.047311, -0.199451, 0.045438],
+        [0.218425, 0.025689, 0.070536, -0.01386, 0.080944, -0.202073, 0.058917, 0.133965, -0.228422, 0.207296, 0.020707, -0.072692, -0.045182, -0.001034, -0.310459, 0.206482, -0.240388, -0.119011, 0.144942, 0.004124, 0.161647, -0.116591, -0.025022, -0.014229, 0.042702, 0.058784, -0.023024, 0.064526, -0.109953, 0.062788, -0.015712, -0.056635, -0.133178, 0.004216, -0.124764, -0.157357, -0.072019, 0.105148, 0.090462, -0.07492, 0.027994, 0.155075, 0.142222, 0.046193, -0.081874, -0.182845, -0.134334, -0.272782, -0.051235, 0.096178, 0.079265, -0.053593, -0.109675, 0.086684, -0.041144, -0.27772, -0.091818, -0.013052, -0.212283, -0.002612, -0.021303, -0.035413, -0.155729, 0.076285],
+        [-0.157864, -0.059278, -0.129029, -0.195952, -0.103253, -0.042102, -0.100378, -0.013611, 0.147959, -0.115805, -0.113532, -0.229848, -0.072901, 0.257995, 0.088199, 0.199537, -0.002894, 0.133875, 0.2088, -0.046046, 0.08258, 0.054325, -0.169369, 0.174288, -0.085957, -0.137498, -0.086615, 0.034308, -0.237426, 0.003082, -0.185808, -0.173105, -0.067575, 0.034729, 0.017884, -0.04277, -0.157642, -0.067233, 0.055974, -0.071558, 0.035454, -0.05312, 0.041203, -0.170216, 0.220501, -0.21973, 0.030396, 0.176836, 0.088197, 0.086333, -0.093836, 0.070301, -0.151609, 0.184958, 0.027447, -0.103151, 0.160269, -0.050075, 0.040221, -0.177213, 0.045165, -0.012641, 0.040011, 0.114147],
+        [0.193312, 0.196664, 0.057738, -0.041851, 0.003458, -0.195595, -0.02942, -0.023077, -0.132644, -0.057205, -0.183754, 0.064653, -0.217084, -0.02997, 0.052453, 0.067696, 0.204094, -0.072607, 0.016913, 0.133029, -0.227673, 0.070789, 0.005379, -0.116194, 0.184658, -0.113869, -0.22322, -0.128046, -0.019732, -0.045916, -0.191328, -0.012962, -0.002877, -0.102135, 0.178742, 0.098775, 0.030964, 0.019123, -0.085061, -0.077007, 0.0362, 0.061187, 0.218479, -0.0628, -0.037459, 0.225528, -0.161642, 0.05562, -0.012175, 0.233084, 0.162905, 0.022764, 0.010954, 0.030586, 0.089639, 0.018218, -0.041327, -0.036615, 0.013481, -0.179368, 0.343502, -0.124418, 0.074119, -0.083707],
+        [0.166117, 0.118819, 0.134992, -0.163834, 0.321595, 0.105161, 0.119137, 0.205692, -0.038459, 0.091379, 0.035173, 0.013384, -0.216176, 0.14682, 0.238267, -0.022588, 0.053283, 0.128632, -0.130968, -0.044768, 0.035604, -0.002152, -0.063025, 0.053121, 0.100185, -0.032999, -0.066027, 0.097418, -0.1168, -0.118735, 0.059664, -0.163871, 0.156429, 0.173058, 0.025844, 0.027156, -0.037445, 0.168998, -0.179861, -0.148339, -0.005438, -0.202074, -0.254631, 0.065106, -0.069777, 0.003152, -0.125721, 0.020113, 0.05432, -0.043227, -0.061961, 0.02544, -0.213287, -0.114221, 0.114113, -0.192073, -0.05408, 0.002243, 0.028445, 0.100228, -0.032803, 0.229084, 0.009349, -0.139034],
+        [-0.033492, -0.017695, 0.013934, -0.127706, 0.122674, 0.006354, -0.091974, 0.040188, 0.007698, 0.003812, -0.00045, -0.012286, 0.020973, -0.136059, -0.099397, 0.016909, -0.015132, -0.102969, -0.023619, -0.163719, -0.174433, -0.112723, -0.020361, 0.148684, -0.089551, -0.090365, -0.029323, 0.309526, -0.026533, -0.070743, -0.11817, -0.250322, -0.018943, -0.089652, 0.022641, 0.119201, -0.219335, -0.053849, -0.008151, 0.011149, -0.07297, 0.172382, -0.253707, -0.020154, 0.013929, 0.079346, 0.244114, -0.001834, -0.030763, 0.120324, -0.076814, 0.120238, 0.248067, 0.030717, 0.152916, 0.132391, -0.108588, 0.099799, -0.379264, 0.071606, 0.060091, -0.118439, -0.042039, -0.242918],
+        [0.025433, 0.061265, -0.10037, -0.009181, -0.117624, -0.08619, 0.103552, -0.053364, -0.189962, -0.216902, 0.10963, 0.001651, 0.010117, 0.097615, 0.029363, -0.060576, 0.36345, -0.106184, 0.139385, 0.063895, -0.107218, 0.101849, 0.104872, 0.329774, -0.183823, -0.040939, 0.033904, 0.048179, 0.248796, 0.074746, 0.254039, -0.064756, -0.222591, 0.181327, -0.00542, -0.151045, -0.113165, -0.01025, -0.147318, -0.090441, -0.005376, 0.014202, 0.024958, 0.093945, -0.000917, -0.042944, -0.2073, -0.160516, 0.030698, 0.019341, -0.171462, -0.034822, 0.057211, 0.021689, 0.248983, 0.01776, 0.022735, -0.00151, 0.007295, 0.078526, 0.029406, -0.004587, -0.138567, 0.067127],
+        [0.040314, 0.027536, 0.105164, 0.04677, -0.195175, -0.187764, 0.070495, -0.034235, 0.082213, 0.001077, 0.322683, 0.039373, 0.1346, 0.153494, -0.168929, 0.042092, 0.038809, 0.242293, 0.036089, -0.097441, -0.030511, -0.218963, 0.180073, 0.124237, -0.024431, 0.067216, -0.053008, 0.161987, -0.042947, -0.169842, 0.118494, 0.160782, 0.075753, -0.081416, -0.088942, 0.112009, -0.102903, -0.027769, 0.053827, 0.101633, 0.05499, -0.226565, -0.064342, -0.037608, -0.039362, 0.000238, 0.044074, -0.147723, 0.061926, -0.055524, 0.12587, -0.077096, -0.144096, -0.063212, 0.051079, -0.059144, 0.138661, -0.025581, 0.013925, -0.139239, 0.35056, -0.081742, 0.194702, -0.197014],
+        [-0.069073, 0.182154, -0.095789, 0.052635, 0.04383, -0.081065, 0.055673, 0.046993, 0.012635, 0.002081, 0.15878, -0.021009, 0.136091, 0.01627, 0.029287, 0.117543, -0.093788, -0.376872, -0.000493, 0.116395, 0.011993, 0.13703, -0.088616, 0.146287, -0.011051, 0.142997, 0.220244, 0.091344, 0.014961, -0.047512, 0.031902, 0.001772, 0.109162, 0.143654, 0.293341, 0.117414, 0.18729, -0.039421, 0.071879, -0.042054, -0.067248, -0.094561, 0.077807, -0.213514, -0.015421, 0.060739, 0.221253, 0.085716, -0.152926, 0.181721, -0.204075, -0.272336, -0.049096, 0.003567, -0.020638, -0.252911, -0.064935, -0.102456, 0.032807, 0.016828, 0.052817, -0.008688, 0.104842, -0.115321],
+        [-0.234798, 0.368963, -0.074256, -0.14724, 0.055371, -0.04533, 0.028936, 0.048757, -0.065825, 0.030268, -0.021067, 0.110836, 0.006087, 0.103402, 0.174928, 0.178864, 0.137396, 0.094709, -0.025172, 0.073266, 0.118194, 0.204962, 0.106597, 0.009468, 0.109753, 0.115854, 0.023209, -0.003617, -0.059107, -0.088113, 0.102346, 0.099981, 0.080507, -0.054837, -0.023726, 0.105831, -0.021329, 0.112374, 0.162573, 0.192512, 0.1664, 0.227686, 0.18576, 0.14473, -0.145007, -0.142971, 0.131938, 0.020338, 0.180849, 0.003217, 0.006784, 0.006347, -0.01664, 0.029942, -0.033194, 0.115921, 0.239321, 0.166531, -0.247388, 0.143117, -0.048286, 0.01177, -0.090075, -0.070656],
+        [0.005508, -0.100104, -0.107829, 0.257708, -0.055325, 0.068444, 0.022992, -0.119627, -0.004954, 0.062256, 0.113051, 0.026598, -0.10491, -0.015105, -0.022974, 0.120421, -0.026438, 0.074506, 0.05357, -0.026399, 0.162462, 0.045989, 0.032665, 0.100816, 0.094783, 0.029539, -0.054454, -0.256588, -0.05529, -0.067387, -0.130765, -0.270611, -0.036913, 0.058247, 0.04099, -0.191498, 0.040651, -0.021445, -0.207753, 0.211724, -0.148674, -0.126851, 0.09681, -0.187645, -0.086058, -0.111565, 0.002279, -0.052174, 0.06824, 0.144328, 0.173582, -0.220715, -0.058903, 0.032852, 0.162056, 0.302742, -0.055232, 0.038407, -0.095722, 0.128331, -0.127685, 0.09688, 0.043982, -0.31046],
+        [0.146807, -0.211256, -0.243773, -0.216611, 0.157171, 0.006444, 0.08823, 0.23503, 0.072535, 0.075133, -0.011717, -0.021453, 0.107088, 0.016481, -0.166196, 0.103938, 0.187384, 0.038983, 0.032704, -0.038076, -0.081633, 0.059907, -0.15733, -0.138817, 0.0291, 0.163821, 0.085981, -0.142016, 0.015146, -0.204126, 0.104952, 0.148604, -0.201214, -0.090251, 0.097813, 0.125396, -0.153489, 0.179634, 0.044732, 0.15001, -0.1181, -0.128147, -0.073889, -0.05801, -0.099685, -0.151884, -0.124057, 0.121828, -0.106507, 0.03505, -0.16094, -0.05899, 0.00284, 0.024238, -0.095473, 0.245993, -0.082589, -0.060635, 0.09152, -0.086267, 0.083609, -0.081025, -0.206507, -0.054682],
+        [0.014063, 0.028528, -0.112417, 0.264097, -0.053842, 0.017153, -0.055065, 0.125594, -0.006294, 0.092241, -0.115241, 0.082149, -0.205567, 0.074513, -0.118363, -0.20627, 0.167086, 0.03731, 0.026307, -0.061151, 0.039323, -0.120963, 0.005984, -0.066019, -0.11978, 0.015717, 0.100091, 0.267301, -0.084074, 0.087039, -0.128434, 0.202237, -0.105721, -0.035869, 0.143153, 0.126282, -0.085766, 0.175688, -0.00859, -0.182257, 0.205011, -0.087523, 0.112164, -0.104039, -0.011413, 0.088559, 0.03772, 0.008604, 0.036201, -0.04776, -0.031073, -0.063796, -0.107925, 0.299245, 0.004998, 0.164341, 0.036319, -0.287342, -0.122062, 0.260693, -0.101176, 0.114378, 0.096269, 0.008769],
+        [0.214529, 0.070736, -0.149118, 0.129134, 0.141526, 0.047889, 0.156631, -0.023654, 0.137956, -0.105471, 0.086203, 0.05605, 0.173363, 0.028082, 0.019382, -0.000529, -0.181781, 0.173921, 0.033243, 0.277824, -0.101851, -0.014483, 0.053584, -0.005446, -0.131652, 0.010801, 0.066239, -0.058322, 0.014387, -0.144213, -0.155798, 0.065617, -0.063583, -0.000907, 0.173173, 0.033739, -0.130377, 0.018442, -0.073911, -0.043511, 0.041695, 0.10068, 0.134317, 0.289839, 0.118826, -0.159794, 0.023055, -0.11875, 0.032615, 0.11793, -0.027671, 0.292175, 0.180757, 0.108102, 0.020222, -0.104119, -0.022449, -0.069863, 0.080188, -0.131195, -0.194331, 0.140605, 0.195438, -0.22642],
+        [0.095387, 0.08783, 0.214755, -0.007644, -0.029749, 0.078941, 0.009318, -0.079004, 0.248226, 0.056505, 0.013004, -0.030217, 0.183713, -0.051411, 0.037465, 0.059468, -0.071664, -0.151667, 0.176493, -0.063721, -0.038799, 0.200174, -0.03012, 0.021178, -0.049377, 0.064555, -0.229686, -0.037278, -0.082081, -0.107304, 0.3563, -0.082568, -0.057618, 0.011555, -0.056117, -0.059177, 0.013527, 0.234616, -0.238338, -0.085968, 0.348832, 0.014281, 0.088309, -0.22626, -0.013479, 0.053745, 0.155102, -0.019185, 0.025798, -0.094702, 0.051822, 0.224539, -0.038665, 0.083029, -0.070157, 0.118624, -0.187043, -0.111244, 0.024763, 0.014328, -0.050639, -0.135218, 0.004215, -0.014964],
+        [-0.008864, -0.101525, 0.051337, 0.019459, 0.138109, -0.104001, 0.061332, -0.061386, 0.022781, 0.261555, -0.212237, -0.229854, -0.032619, 0.163639, -0.079704, -0.02786, 0.133912, 0.032022, 0.116091, 0.061598, 0.052242, 0.011925, 0.072851, 0.065165, 0.128295, 0.08859, -0.044163, -0.009771, 0.190025, 0.006349, -0.104095, 0.148515, -0.156091, 0.12209, -0.001718, 0.1094, 0.196464, -0.143729, -0.069916, 0.129092, -0.114103, 0.105388, -0.02595, -0.166314, -0.159209, 0.011135, 0.209436, -0.117662, -0.200469, -0.15165, -0.08446, 0.371442, -0.109124, 0.06787, 0.197637, -0.071769, 0.080145, 0.164115, 0.09242, 0.093571, 0.019561, 0.036693, 0.11132, -0.043289],
+        [-0.091529, 0.148531, -0.058649, -0.193743, 0.038131, -0.009055, 0.022154, -0.053026, 0.022438, 0.015078, -0.159084, -0.032967, 0.00719, -0.093548, -0.18873, -0.225312, -0.034656, 0.076849, -0.026623, 0.065488, 0.12067, 0.196756, 0.042856, 0.035191, -0.125509, -0.110131, 0.349626, -0.149582, -0.169406, 0.069202, -0.089758, -0.041879, -0.219593, 0.262361, -0.218865, -0.001592, 0.194525, 0.225829, -0.111372, 0.085593, 0.091156, -0.065621, -0.226687, 0.074364, 0.055527, 0.116635, 0.034093, -0.108305, -0.025981, 0.094161, 0.136809, -0.036285, 0.047496, 0.01542, -0.077005, -0.008924, 0.10421, -0.113113, -0.056009, -0.114671, 0.197744, -0.07058, 0.056592, -0.138722],
+        [-0.20219, -0.157179, -0.007585, 0.076732, 0.241401, 0.087204, -0.141402, -0.046929, 0.057814, -0.083112, 0.211789, -0.298929, 0.14541, -0.012971, -0.047382, 0.061732, 0.064671, -0.118499, -0.003477, -0.104828, 0.007752, 0.11534, 0.03567, 0.069363, -0.056327, -0.051636, -0.096271, 0.092205, -0.178428, 0.007631, -0.175603, 0.260071, 0.027716, 0.086102, 0.018072, -0.052451, -0.063032, 0.050901, -0.136341, 0.165838, -0.054471, 0.083863, 0.112514, 0.200902, -0.186215, 0.220133, -0.302016, 0.112197, 0.115652, 0.084184, 0.061058, 0.083507, -0.111592, -0.073122, -0.046441, -0.119427, -0.021571, -0.099399, 0.002122, 0.190681, -0.013414, -0.188907, 0.050121, -0.039625],
+        [0.063358, -0.05792, -0.187049, -0.126813, -0.072353, -0.045433, 0.205921, 0.020328, 0.102333, -0.11657, -0.121306, 0.026152, -0.014363, 0.029688, 0.136802, 0.237738, -0.00625, 0.031326, -0.023296, -0.171886, 0.169259, 0.031188, -0.097549, -0.124607, -0.123391, 0.26199, 0.01236, 0.058251, 0.016583, 0.089855, 0.150201, -0.024571, 0.009633, 0.109656, -0.085145, 0.09526, -0.086173, -0.073523, -0.02494, 0.005309, -0.129746, 0.061241, -0.023254, 0.185593, -0.039753, 0.329372, -0.002778, -0.00897, -0.055678, -0.042577, 0.282657, -0.119214, 0.030266, 0.332738, 0.148594, -0.03897, -0.182944, 0.12385, -0.002505, -0.013283, -0.033349, -0.019909, 0.266886, 0.08572],
+        [-0.120737, -0.236538, 0.373306, 0.047818, -0.045652, -0.13124, 0.076342, 0.111885, 0.036616, 0.034571, -0.135115, 0.102157, -0.01384, -0.115811, 0.073598, -0.143817, -0.076176, 0.072306, 0.360956, 0.022858, -0.083068, 0.120164, 0.137244, -0.121883, -0.229079, 0.11951, 0.039819, -0.024519, -0.035346, -0.030203, -0.008726, -0.033141, 0.048348, 0.151871, 0.014195, 0.249549, -0.127961, 0.027592, -0.025967, 0.011587, -0.177962, 0.015812, 0.064764, -0.013045, -0.046106, -0.022341, 0.045662, -0.002352, 0.288755, 0.274079, -0.03845, -0.084827, 0.012147, 0.007273, -0.060527, -0.073318, -0.014255, 0.135569, 0.110418, 0.126357, 0.088788, 0.130094, -0.120086, 0.029705],
+        [-0.09437, 0.029577, -0.038997, -0.160624, -0.101019, -0.146868, 0.089207, -0.121739, -0.038491, 0.099247, 0.009083, -0.186252, 0.268698, 0.158443, 0.024802, -0.099061, -0.104416, 0.093744, -0.077504, 0.021965, -0.027134, -0.001728, -0.036115, 0.00365, 0.261511, -0.06504, 0.158953, 0.027509, -0.098953, 0.13232, 0.007081, 0.090543, 0.029161, -0.024766, -0.070377, 0.092377, -0.227132, 0.024336, -0.123083, -0.215718, -0.113463, 0.047391, 0.242788, -0.010107, 0.172839, 0.087585, 0.103492, 0.064101, -0.092064, -0.021353, 0.211062, -0.027826, 0.024038, -0.153232, 0.174418, 0.099465, -0.175956, -0.102881, 0.095947, 0.160189, 0.038859, 0.202478, -0.298061, -0.101739],
+        [-0.17066, 0.138256, -0.152092, 0.029612, 0.081209, -0.012042, -0.00867, 0.007309, -0.001153, -0.090634, -0.072207, 0.018185, -0.080736, 0.141262, -0.329287, -0.174421, -0.202655, -0.014285, 0.156409, -0.158198, 0.121326, -0.220219, -0.09654, 0.186264, 0.138268, 0.033887, -0.07819, -0.108029, 0.035569, -0.01474, 0.22713, -0.054742, 0.008587, -0.000939, 0.105153, 0.15191, 0.034106, -0.039911, -0.133599, -0.040662, -0.004373, 0.225372, 0.00263, 0.065961, -0.205817, 0.172926, -0.054293, 0.104975, 0.21315, 0.074966, -0.127278, 0.012635, -0.015404, -0.136817, -0.05329, 0.127719, -0.04037, -0.019111, 0.041659, -0.281225, -0.027537, 0.228953, 0.075454, 0.067884],
+        [-0.213958, 0.028022, 0.083071, 0.056278, 0.108458, 0.091667, -0.060736, 0.061528, 0.030967, -0.013944, 0.108067, 0.016253, 0.031152, -0.175089, -0.084281, 0.152799, 0.32935, 0.156996, 0.018551, 0.154733, 0.08204, -0.018544, -0.128574, 0.053753, -0.042021, 0.157497, 0.076577, -0.029125, 0.053673, -0.03552, -0.003047, 0.005744, 0.14555, 0.054646, 0.054967, 0.051171, 0.003657, -0.302399, -0.160323, -0.349371, -0.004401, 0.18204, -0.182033, -0.076653, -0.066661, -0.153734, -0.009915, -0.10872, -0.111584, 0.068447, 0.336584, 0.059936, -0.060329, 0.051597, -0.213339, 0.041631, -0.00913, -0.158738, -0.02459, -0.07716, 0.042109, 0.042804, -0.117567, 0.033985],
+        [-0.014002, 0.041293, 0.128518, -0.000178, -0.035041, -0.136815, -0.118834, 0.014733, 0.025361, 0.077953, -0.015781, 0.264207, 0.116868, -0.021752, -0.071247, 0.016731, -0.046108, 0.096391, 0.013305, 0.024913, -0.00807, 0.108716, 0.097059, 0.155985, -0.012668, 0.10344, 0.118909, 0.057772, 0.020424, -0.352987, -0.096968, -0.129792, -0.113861, 0.082971, 0.074648, -0.105031, 0.049892, -0.02688, 0.031878, 0.015516, -0.232988, -0.153773, 0.146353, -0.013054, -0.009907, 0.233268, -0.161593, 0.293343, -0.04481, -0.297958, 0.09535, 0.167381, 0.024206, 0.055211, 0.031054, -0.074125, 0.046832, -0.115428, -0.265883, -0.127871, -0.106235, 0.096561, -0.13713, 0.162798],
+        [0.120551, -0.064072, 0.068282, -0.044068, 0.016822, 0.062271, -0.053581, -0.14459, 0.191933, -0.066525, 0.152473, 0.184295, 0.002365, -0.050072, -0.103677, -0.022537, -0.063326, -0.057113, -0.117733, 0.130112, 0.179552, 0.150199, 0.199806, -0.126314, 0.196662, -0.100748, -0.123997, 0.027916, -0.026377, 0.19043, -0.055663, 0.109996, -0.206154, 0.235244, 0.193384, -0.027991, -0.227349, -0.128509, -0.083249, -0.040135, 0.075618, -0.00667, -0.106564, 0.157424, -0.15235, -0.155762, 0.210155, 0.187108, -0.016527, -0.032586, -0.087093, -0.103309, -0.145396, 0.064765, 0.071708, 0.038787, -0.095822, 0.081938, -0.13872, -0.066345, 0.227541, 0.086877, -0.022317, 0.190922],
+        [0.17364, -0.037151, -0.168072, -0.141173, -0.319697, -0.065079, 0.101194, 0.110763, 0.143855, 0.053251, 0.118521, -0.087253, -0.173078, -0.214411, -0.190142, 0.002641, 0.054114, 0.036694, -0.065243, -0.010313, 0.019868, 0.194612, 0.064677, 0.0638, 0.109514, -0.017435, 0.104958, 0.132952, 0.101126, -0.144536, -0.055708, -0.027651, 0.003527, 0.042387, 0.166277, -0.107359, -0.004604, 0.086008, 0.086304, -0.009197, 0.018154, 0.341224, -0.099473, -0.159496, 0.169356, 0.027766, -0.073927, 0.063059, 0.233263, -0.034744, 0.105478, 0.088541, -0.080842, -0.211478, -0.112541, -0.052272, -0.055662, 0.115686, 0.126576, 0.213364, -0.014542, 0.078638, 0.170909, 0.033596],
+        [0.032522, 0.171175, -0.066761, 0.007995, -0.109215, 0.2042, -0.147294, 0.129945, 0.1054, -0.120358, 0.042793, -0.061248, 0.127836, -0.28613, 0.052979, 0.124738, 0.219584, -0.076925, 0.043879, -0.078856, -0.047889, -0.140898, 0.042263, -0.175668, -0.056397, -0.179145, -0.018025, 0.092559, -0.082821, 0.002882, -0.042688, -0.045554, -0.223923, 0.095837, -0.228926, 0.144661, 0.06144, 0.132484, 0.139825, -0.025615, -0.180879, 0.018742, 0.18414, -0.095575, -0.245048, -0.051038, 0.110557, -0.068496, 0.011112, -0.018479, 0.044906, 0.005163, -0.096616, -0.177194, 0.189932, -0.080539, -0.006482, -0.017075, 0.075066, -0.199275, -0.110215, 0.280363, 0.031755, -0.006728],
+        [-0.000659, 0.090879, -0.054787, -0.249741, 0.025427, 0.107156, -0.007705, -0.08809, 0.029341, 0.003779, -0.010626, 0.28147, -0.071679, -0.007921, -0.077696, 0.116011, -0.19112, 0.152593, 0.036224, 0.045815, -0.197578, -0.057704, -0.059907, 0.111928, 0.087237, 0.035329, -0.230066, 0.182258, 0.062302, 0.037963, -0.10959, 0.106456, -0.001707, 0.278076, -0.257994, -0.110246, 0.07728, -0.086578, 0.051346, -0.011002, -0.078861, 0.068622, 0.06382, -0.125439, -0.189319, -0.041047, -0.044059, 0.035775, 0.030821, -0.027624, -0.086892, -0.106668, 0.245484, 0.144308, -0.110638, 0.032945, 0.022694, -0.229818, 0.275314, 0.230166, 0.059093, -0.020647, -0.011899, -0.105642],
+        [0.180303, -0.175243, -0.18741, -0.150366, 0.045151, 0.059075, -0.057465, -0.031869, -0.253019, -0.019518, -0.032559, 0.075175, 0.022868, -0.007635, 0.167152, -0.076036, -0.001955, 0.115159, 0.16682, 0.075402, 0.040619, -0.170181, 0.067189, 0.028797, -0.132913, -0.0107, 0.004577, -0.158055, 0.036039, -0.139594, 0.076469, 0.14823, 0.068256, 0.115509, -0.04687, -0.117751, 0.079721, -0.142068, 0.214448, 0.051953, 0.129806, 0.058089, -0.042878, -0.016124, -0.008632, 0.108427, 0.276238, 0.139688, 0.109454, 0.204978, 0.086912, 0.09247, -0.249645, -0.175768, 0.144204, -0.017377, -0.202014, -0.28894, -0.151328, 0.061078, -0.025578, -0.103579, -0.032048, 0.051502],
+    ]
+_OPQ_CODEBOOKS: list[list[list[float]]] = [
+        [  # rotated sub-vector 0 (dims 0..7)
+            [-0.079264, -0.142493, -0.018821, -0.119144, -0.074856, 0.019055, -0.087363, -0.138962],
+            [-0.163294, 0.037755, 0.039562, 0.119074, -0.132421, 0.118598, -0.005026, -0.032432],
+            [0.094381, -0.049983, 0.100912, 0.151018, 0.054846, -0.077049, -0.04335, -0.114032],
+            [0.11802, 0.013528, 0.042869, -0.182923, 0.008738, 0.067639, 0.012233, 0.109499],
+            [0.109031, -0.105537, -0.05879, -0.065639, 0.137389, -0.124864, 0.052823, 0.033427],
+            [0.064941, 0.015397, -0.03765, 0.018123, -0.043564, 0.043762, -0.242132, 0.016951],
+            [0.008272, -0.105395, 0.021402, -0.006622, -0.138869, -0.06802, -0.050395, 0.173596],
+            [-0.036659, 0.184396, -0.056788, -0.025609, -0.101667, -0.126133, 0.060728, 0.017607],
+            [0.093734, -0.008361, -0.191459, -0.012526, -0.12341, -0.069188, 0.013963, -0.067579],
+            [0.025753, 0.176628, -0.046055, -0.032591, 0.094866, 0.137539, 0.015309, -0.09315],
+            [-0.003581, -0.130031, -0.086469, 0.002638, 0.030884, 0.144702, 0.121849, -0.031747],
+            [-0.135325, 0.03959, 0.046546, -0.004897, 0.135352, 0.003579, -0.13175, 0.060119],
+            [-0.143629, -0.084117, 0.112615, 0.026916, -0.003711, -0.065749, 0.125719, 0.04495],
+            [-0.051, 0.037167, -0.164148, 0.117403, 0.104588, -0.000464, 0.021472, 0.071762],
+            [-0.061319, 0.06231, 0.185297, -0.133449, 0.023487, -0.067535, -0.006428, -0.102771],
+            [0.116514, 0.089686, 0.079999, 0.117659, -0.087739, 0.081718, 0.078724, 0.059261],
+        ],
+        [  # rotated sub-vector 1 (dims 8..15)
+            [-0.121842, 0.02157, 0.034789, -0.174649, -0.05246, -0.09792, 0.00782, -0.015282],
+            [0.01942, 0.083899, 0.133181, -0.02421, 0.118097, -0.063504, -0.117755, -0.044922],
+            [0.170173, 0.097916, 0.056929, -0.006824, -0.148999, -0.012475, -0.08078, 0.019324],
+            [-0.020772, -0.039882, -0.021909, 0.056074, -0.085172, -0.056567, 0.087638, 0.19472],
+            [-0.016329, -0.133582, 0.041761, -0.000496, -0.203677, -0.005058, -0.086697, -0.052876],
+            [0.06235, 0.001031, -0.036854, 0.196296, 0.028504, 0.074958, -0.059396, -0.037999],
+            [-0.011839, -0.010109, -0.063514, 0.066638, -0.055137, -0.105225, 0.108067, -0.173349],
+            [0.020232, 0.004224, 0.018953, -0.129209, 0.093161, 0.14415, -0.061978, 0.154063],
+            [0.06959, -0.096042, -0.050096, -0.113893, -0.036851, 0.13533, -0.031201, -0.101293],
+            [0.120797, -0.090448, -0.084186, -0.085369, 0.122972, -0.067177, 0.049845, 0.06703],
+            [-0.002798, -0.11434, 0.199851, 0.070776, 0.021092, 0.07991, 0.006134, 0.089697],
+            [-0.090317, 0.153862, 0.074418, 0.011541, 0.040553, 0.107667, 0.096044, -0.015335],
+            [0.040579, 0.159678, -0.187182, -0.003048, -0.006504, 0.017645, -0.012715, 0.025784],
+            [-0.194878, -0.096001, -0.074359, -0.00192, 0.01691, 0.110576, -0.006475, -0.014325],
+            [0.084762, -0.040409, 0.071711, -0.017937, 0.05501, -0.000183, 0.183666, -0.04442],
+            [-0.094369, -0.030619, -0.057, 0.057617, 0.06397, -0.166213, -0.104825, 0.027219],
+        ],
+        [  # rotated sub-vector 2 (dims 16..23)
+            [-0.061576, 0.212457, -0.061609, 0.046141, 0.076134, -0.055398, -0.010676, 0.018496],
+            [0.000543, 0.080921, 0.030215, 0.051053, -0.104795, 0.118337, 0.161837, -0.032519],
+            [0.056047, -0.04232, -0.231106, 0.04924, -0.063273, -0.085515, 0.037834, 0.026059],
+            [-0.154246, 0.060074, -0.030291, -0.061125, -0.029304, 0.161214, -0.084639, -0.030035],
+            [0.134886, -0.073781, 0.084501, -0.135657, 0.018571, 0.073033, 0.037351, 0.049583],
+            [-0.057946, -0.106588, 0.090051, 0.027126, -0.076775, -0.011567, -0.16703, -0.091663],
+            [-0.14323, -0.046986, -0.097733, -0.053432, -0.081067, -0.076554, 0.075822, -0.009025],
+            [-0.062593, -0.022014, 0.024778, -0.047255, 0.192487, -0.043955, -0.04944, 0.090201],
+            [0.069456, 0.035468, 0.05319, 0.065583, -0.007942, -0.044072, 0.063421, 0.197041],
+            [0.087284, -0.021377, 0.043569, 0.130629, -0.009228, -0.138793, -0.028917, -0.089196],
+            [-0.036323, -0.100892, -0.02777, 0.169352, 0.055635, 0.111115, -0.026949, 0.030439],
+            [-0.003393, -0.111281, -0.124956, -0.11489, 0.093214, 0.008082, -0.013218, -0.066112],
+            [0.027515, 0.100111, 0.051473, -0.134308, -0.01284, -0.078291, -0.000712, -0.139716],
+            [0.17355, 0.014636, -0.067892, 0.017861, 0.082166, 0.123782, 0.017392, -0.102337],
+            [-0.121432, -0.072411, 0.173535, -0.013796, 0.035877, -0.055157, 0.092428, -0.011815],
+            [0.070989, 0.032566, -0.022812, -0.063052, -0.131507, 0.007059, -0.14705, 0.089864],
+        ],
+        [  # rotated sub-vector 3 (dims 24..31)
+            [0.030014, -0.156542, -0.049912, -0.033449, -0.015825, -0.029637, -0.138352, 0.066389],
+            [0.061779, -0.005866, -0.167111, -0.038027, -0.0072, -0.148285, 0.057831, -0.001202],
+            [-0.01468, -0.078934, 0.098257, -0.180505, 0.079425, 0.01505, 0.053583, -0.00642],
+            [-0.023864, -0.045587, -0.042898, 0.010021, -0.081595, 0.204563, 0.056443, 0.026119],
+            [0.057051, -0.016974, 0.048871, 0.094761, -0.147359, -0.033319, 0.114252, 0.067275],
+            [-0.11691, -0.094599, -0.014022, -0.010937, -0.101622, -0.027388, 0.071343, -0.164904],
+            [0.040036, 0.093965, 0.175019, 0.017437, 0.064514, 0.033418, -0.021609, 0.109308],
+            [-0.188362, -0.073686, 0.051055, 0.045329, 0.018864, -0.062765, 0.049883, 0.091214],
+            [-0.151282, 0.070712, -0.092688, 0.114274, -0.025963, -0.019299, -0.09407, -0.001856],
+            [0.074122, 0.024548, -0.044846, 0.047069, 0.159647, -0.01481, 0.092009, -0.047297],
+            [-0.069689, -0.019074, -0.045791, 0.044294, 0.133296, 0.087841, -0.027015, -0.143288],
+            [0.010794, 0.007164, 0.155947, 0.056164, 0.026237, -0.160697, -0.044473, -0.09766],
+            [0.11251, -0.005073, 0.021319, 0.15433, -0.004394, 0.061274, -0.103757, -0.00459],
+            [-0.004097, 0.13078, -0.077055, -0.043162, 0.0418, 0.011962, 0.038953, 0.156136],
+            [0.162636, -0.011718, 0.022612, -0.081824, -0.079979, 0.035462, 0.018927, -0.130679],
+            [-0.041849, 0.13366, 0.022134, -0.140009, -0.073261, 0.036322, -0.091962, -0.043617],
+        ],
+        [  # rotated sub-vector 4 (dims 32..39)
+            [-0.048777, -0.048345, 0.090698, -0.080324, -0.062465, -0.040039, 0.066504, -0.166784],
+            [0.003336, -0.119278, -0.06238, -0.090242, 0.107328, 0.076718, 0.121665, -0.033901],
+            [-0.014579, -0.124092, -0.035569, 0.044299, 0.034132, -0.105903, -0.142593, -0.036441],
+            [-0.077967, -0.065409, -0.054708, -0.097626, -0.09602, 0.083246, -0.114057, 0.027357],
+            [-0.06149, -0.064099, 0.072313, 0.065446, -0.060152, 0.014609, 0.012293, 0.176178],
+            [-0.03011, 0.114752, -0.145982, -0.055005, 0.030402, -0.05921, 0.055971, 0.109453],
+            [0.110761, -0.014071, -0.146494, 0.110598, -0.072496, 0.013867, -0.060658, 0.091391],
+            [0.09672, 0.046423, -0.013052, 0.004049, -0.127903, -0.129411, -0.009391, -0.074555],
+            [-0.181161, 0.117282, -0.012356, 0.035603, 0.002319, 0.090242, -0.004015, -0.025701],
+            [0.049634, 0.052986, 0.133816, 0.076685, 0.004728, 0.119625, -0.100594, -0.039822],
+            [0.095478, 0.078142, -0.08082, -0.082322, 0.078571, 0.043472, -0.054163, -0.102368],
+            [0.07304, -0.02092, 0.017721, -0.008302, -0.137802, 0.076726, 0.13346, 0.024948],
+            [-0.095271, -0.02507, 0.058612, 0.038136, 0.170466, -0.123643, 0.019971, 0.023697],
+            [0.135361, 0.016706, 0.056643, 0.031168, 0.110997, -0.012646, 0.024295, 0.105686],
+            [-0.001334, 0.004091, 0.129595, -0.139332, -0.00153, -0.111089, -0.014434, 0.055117],
+            [-0.021481, -0.036428, -0.048212, 0.183478, 0.011099, -0.007994, 0.092698, -0.10367],
+        ],
+        [  # rotated sub-vector 5 (dims 40..47)
+            [-0.022236, -0.037545, 0.179119, -0.083787, 0.067887, -0.004064, -0.084615, -0.007863],
+            [-0.079574, -0.010003, 0.048783, 0.04162, -0.037203, -0.190547, 0.002559, 0.045692],
+            [-0.002222, -0.023755, 0.10881, 0.000749, -0.034555, -0.047799, 0.132454, -0.129643],
+            [-0.090368, 0.034072, 0.024307, -0.041923, 0.101174, 0.007641, 0.165844, 0.073669],
+            [-0.113095, -0.153551, 0.020394, -0.081839, 3.2e-05, 0.083214, -0.014325, -0.021994],
+            [-0.043769, 0.142558, -0.03484, -0.163093, 0.000572, 0.036393, -0.008234, -0.009611],
+            [-0.021614, 0.07374, -0.007922, 0.083794, 0.065808, -0.021326, -0.020711, -0.183914],
+            [0.078398, -0.025476, -0.156135, 0.016844, 0.1116, -0.031437, 0.055582, 0.027669],
+            [0.183736, -0.04245, 0.105827, 0.035024, -0.073245, -0.010336, 0.012844, 0.047453],
+            [0.027732, -0.134512, -0.07856, 0.093423, -0.08587, 0.103432, 0.055513, -0.088035],
+            [0.018395, 0.110901, 0.037412, 0.062321, 0.078963, 0.174758, 0.00943, 0.038792],
+            [0.078997, 0.068895, 0.05787, 0.152911, 0.03996, -0.022486, -0.07156, 0.072205],
+            [-0.042222, 0.073137, -0.029844, 0.028106, -0.196089, 0.041202, 0.016626, 0.032893],
+            [0.103881, -0.058843, -0.073774, -0.15535, -0.06827, -0.066566, 0.029644, 0.018474],
+            [-0.127861, -0.063626, -0.056702, 0.119469, 0.02463, 0.039464, -0.056239, 0.107172],
+            [0.02461, -0.012592, -0.069088, -0.025951, -0.004408, -0.043161, -0.198443, -0.033172],
+        ],
+        [  # rotated sub-vector 6 (dims 48..55)
+            [-0.055147, 0.039717, 0.090613, 0.171287, -0.040612, -0.02915, -0.070787, -0.048537],
+            [0.00013, -0.149356, 0.120442, -0.062403, -0.029818, 0.068437, -0.036319, -0.002891],
+            [0.170649, -0.013469, -0.088352, 0.113133, -0.030035, -0.049839, 0.018006, 0.004789],
+            [-0.016505, 0.066895, -0.076025, 0.06072, 0.034911, -0.0368, 0.199214, -0.047929],
+            [0.009542, 0.032335, 0.02517, -0.186895, 0.006928, -0.046232, 0.104126, -0.038491],
+            [0.099179, -0.061725, -0.027162, -0.069639, -0.130037, 0.061714, -0.024352, -0.097061],
+            [0.086427, 0.067292, 0.143136, 0.059904, 0.083643, 0.054134, -0.006727, 0.058966],
+            [0.035112, 0.120098, -0.068793, -0.01739, 0.028202, 0.128828, -0.059476, -0.056908],
+            [0.036474, 0.016607, 0.057016, -0.019391, -0.101219, -0.136997, 0.086776, 0.101341],
+            [-0.077656, -0.129639, -0.135707, 0.052652, 0.024815, -0.08283, -0.001228, -0.048663],
+            [-0.102209, 0.027488, -0.074407, -0.016528, -0.172519, 0.01545, -0.000956, -0.017297],
+            [0.039792, 0.039931, 0.068619, -0.035949, 0.024335, -0.106337, -0.052573, -0.166696],
+            [-0.183371, 0.02933, 0.012598, -0.059186, 0.040491, 0.055762, 0.039089, 0.050923],
+            [0.05117, -0.105225, 0.000352, 0.020805, 0.176909, 0.025913, 0.037719, -0.0158],
+            [0.012093, -0.065302, -0.019763, 0.109074, -0.063995, 0.088323, 0.04132, 0.119549],
+            [0.016263, 0.019792, -0.053854, -0.072857, 0.035838, -0.082489, -0.123402, 0.110424],
+        ],
+        [  # rotated sub-vector 7 (dims 56..63)
+            [0.178604, -0.026109, -0.023375, -0.093431, 0.053108, -0.004222, -0.006159, 0.044458],
+            [0.017698, 0.015814, 0.169299, 0.009106, -0.147393, 0.001977, -0.054944, 0.015475],
+            [0.03842, -0.063206, -0.027605, -0.013083, -0.087881, 0.077854, 0.163476, -0.052585],
+            [-0.037821, 0.034588, -0.040278, -0.172224, -0.033315, -0.036529, -0.046593, -0.08431],
+            [0.091933, 0.124209, 0.015882, 0.029064, 0.000156, 0.070923, -0.010229, -0.114628],
+            [0.048443, 0.0324, -0.099004, -0.019673, -0.063752, 0.11502, -0.075359, 0.096208],
+            [-0.107433, 0.157095, -0.04443, 0.004983, 0.022013, -0.000932, 0.017218, 0.049458],
+            [0.005786, 0.016349, 0.098746, 0.002888, 0.127945, 0.018946, 0.138978, -0.016799],
+            [-0.039654, -0.166844, 0.04199, -0.078381, 0.126295, -0.026692, -0.031193, -0.012968],
+            [-0.050614, -0.051922, -0.147675, 0.059144, 0.097333, 0.00748, -0.010488, 0.082696],
+            [-0.006422, -0.002432, 0.068077, 0.166936, 0.073195, 0.048425, -0.091309, 0.036296],
+            [-0.007555, -0.146899, -0.03388, 0.059526, -0.077757, -0.031687, -0.080881, -0.061126],
+            [0.004451, 0.020839, -0.100743, 0.111811, -0.022625, -0.072814, 0.072493, -0.137004],
+            [0.054234, -0.013326, 0.037176, 0.054878, -0.055697, -0.106762, 0.106078, 0.119325],
+            [-0.16257, -0.043823, 0.058196, -0.054216, -0.024419, 0.110122, 0.023772, 0.016348],
+            [-0.039655, 0.043467, 0.012902, -0.029719, 0.068826, -0.191794, -0.061825, -0.007367],
+        ],
+    ]
+# <<< REFREEZE opq
+
+
+def _opq_rotation() -> list[list[float]]:
+    """Frozen OPQ rotation (operators/opq.py:train_opq — Ge et al. CVPR'13:
+    OPQ-P init via the r9 PCA machinery + OPQ-NP Procrustes rounds). A d×d
+    orthogonal literal matrix, frozen like the codebooks so the DuckDB
+    oracle replays the rotated coordinates bit-for-bit; trained on the
+    drop's LARGEST SF (refreeze.OPQ_SF_DIR — the d² free parameters
+    measurably overfit the 500-vector sf0.01 sample). Refreeze per drop
+    via scripts/refreeze.py."""
+    return _OPQ_ROTATION
+
+
+def _opq_codebooks() -> list[list[list[float]]]:
+    """PQ codebooks for the OPQ-ROTATED space (trained by train_opq's final
+    Lloyd pass on the rotated corpus) — same m×k bit budget and freeze
+    contract as _PQ_CODEBOOKS."""
+    return _OPQ_CODEBOOKS
+
+
+def _opq_rot_centroids() -> list[list[float]]:
+    """The frozen IVF centroids carried into the rotated space (driver-side
+    literal-on-literal product, operators/opq.py:rotate_matrix) — cell
+    assignment of R·x against R·c preserves the raw family's cell geometry
+    (orthogonal invariance of dots), so the coarse stage needs no separate
+    training in the rotated space."""
+    from observation_lakehouse_spark.operators.opq import rotate_matrix
+
+    return rotate_matrix(_ivf_centroids(), _opq_rotation())
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (operators/similarity.py:pq_encode —
     Jegou et al. TPAMI'11, the memory side of IVF-PQ): each vector becomes
@@ -2206,6 +2455,47 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OPQ rides a deeper ADC cut than the raw family (320 vs 256): the honest
+# decomposition at sf0.1 (r10, numpy replica of the full pipeline) is
+# raw@256 0.790 -> raw@320 0.825 (depth alone) -> opq@320 0.855 (rotation
+# adds ~+0.03 on these near-isotropic embeddings — same muted-gain story
+# as residual encoding, documented rather than oversold). Bit budget is
+# UNCHANGED (m x k codes); the extra cost is one rotation pass (a d-wide
+# codegen aggregate) plus 64 more exact re-rank rows per query.
+_OPQ_RERANK = 320
+
+
+def q_ann_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-IVFADC ANN (operators/opq.py — Ge et al. CVPR'13, FAISS's
+    ``OPQd,IVFx,PQy``): the frozen orthogonal rotation decorrelates and
+    balances the PQ subspaces, then the UNCHANGED ivfadc_topk machinery
+    runs entirely in the rotated space — coarse cells against the rotated
+    centroids (cell geometry preserved by orthogonal invariance), codes
+    from the rotated-space codebooks, exact cosine re-rank on rotated
+    vectors (== raw cosine up to the 6-dp rotation freeze). The rotation
+    pass is one posexplode -> broadcast weight join -> d-wide hash
+    aggregate in exact integer micro-units, so the SQL oracle replays the
+    rotated coordinates and everything after them bit-for-bit."""
+    from observation_lakehouse_spark.operators.opq import rotate_vectors
+    from observation_lakehouse_spark.operators.similarity import ivfadc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rot = rotate_vectors(emb, _opq_rotation()).persist()
+    queries_df = rot.filter(F.col("vec_id") % 100 == 0)
+    out = ivfadc_topk(
+        rot,
+        queries_df,
+        _opq_codebooks(),
+        _opq_rot_centroids(),
+        k=10,
+        rerank=_OPQ_RERANK,
+        recall_target_ppm=_PQ_RECALL_TARGET_PPM,
+        min_candidates=_PQ_MIN_CANDIDATES,
+    )
+    out._cached_deps = tuple(getattr(out, "_cached_deps", ())) + (rot,)
+    return out
+
+
 def _pq_micro_lit_values(cbs: list[list[list[float]]] | None = None) -> str:
     """The (m, code, j, c_micro) literal table as a VALUES CTE — the SAME
     micro-unit integers operators.similarity._pq_lit_table builds, computed
@@ -2220,25 +2510,31 @@ def _pq_micro_lit_values(cbs: list[list[list[float]]] | None = None) -> str:
     return rows
 
 
-def _pq_base_ctes(cbs: list[list[list[float]]] | None = None) -> str:
+def _pq_base_ctes(
+    cbs: list[list[list[float]]] | None = None, base_block: str | None = None
+) -> str:
     """Shared CTE prefix mirroring _pq_sub_dists: micro-unit int64 distance
     sums (order-independent — no ulp drift), argmin per (vec, sub-vector)
     with the same (dsq, code) tie-break. Generated from the frozen codebook
     SHAPE (m sub-vectors of 64/m dims), so a refreeze to a different (m, k)
-    regenerates a matching oracle automatically."""
+    regenerates a matching oracle automatically. ``base_block`` overrides
+    the ``base`` CTE chain (the OPQ family injects the rotated corpus; any
+    helper CTEs may precede ``base`` inside the block)."""
     cbs = cbs if cbs is not None else _pq_codebooks()
     m = len(cbs)
     sub = len(cbs[0][0])
     code_cols = ",\n           ".join(
         f"MAX(CASE WHEN m = {i} THEN code END) AS c{i}" for i in range(m)
     )
+    if base_block is None:
+        base_block = """base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)"""
     return f"""
 WITH lit(m, code, j, c_micro) AS (
     VALUES {_pq_micro_lit_values(cbs)}
-), base AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-), ex AS MATERIALIZED (
+), {base_block}, ex AS MATERIALIZED (
     SELECT vec_id, u.dim AS dim, u.x AS x_micro
     FROM (SELECT vec_id,
                  unnest(list_transform(range(1, len(v) + 1),
@@ -2298,8 +2594,16 @@ def _pq_topk_oracle() -> str:
     top-``_PQ_RERANK`` cut (dsq_micro, neighbor tie-break), same 6-dp cosine
     re-rank."""
     glit_rows, _K = _ivf_int_glit_values()
+    return _pq_topk_sql(_pq_base_ctes(), glit_rows, _PQ_RERANK)
+
+
+def _pq_topk_sql(base_ctes: str, glit_rows: str, rerank: int) -> str:
+    """The IVFADC oracle tail shared by the raw and OPQ families: cell
+    argmax + adaptive probing + ADC + exact re-rank over whatever ``base``
+    the prefix defines and whatever (rotated or raw) normalized-centroid
+    micro matrix ``glit_rows`` carries."""
     return (
-        _pq_base_ctes()
+        base_ctes
         + f""",
 glit(dim, cell, g) AS (
     VALUES {glit_rows}
@@ -2355,7 +2659,7 @@ short AS (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsq_micro, neighbor_id) AS ar
         FROM adc
-    ) WHERE ar <= {_PQ_RERANK}
+    ) WHERE ar <= {rerank}
 ),
 rer AS (
     SELECT s.query_id, s.neighbor_id,
@@ -2370,6 +2674,61 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
     FROM rer
 ) WHERE rank <= 10 ORDER BY query_id, rank
 """
+    )
+
+
+def _opq_rot_values() -> str:
+    """(dim, od, w_micro) VALUES rows of the frozen OPQ rotation — the SAME
+    micro-unit integers operators.opq.rotate_vectors' wide literal table
+    carries, computed once here so neither engine rounds anything."""
+    return ", ".join(
+        f"({dim}, {od}, {int(round(w * 1_000_000))})"
+        for od, row in enumerate(_opq_rotation())
+        for dim, w in enumerate(row)
+    )
+
+
+def _opq_base_block() -> str:
+    """The rotated ``base`` CTE chain for :func:`_pq_base_ctes`: raw
+    coordinates micro-quantize, each output coordinate is the exact int64
+    dot with the rotation row, and the ONLY float op is the single
+    ROUND(s/10¹², 6) — mirroring operators.opq.rotate_vectors expression
+    for expression, so rotated coordinates agree bit-for-bit and every
+    downstream CTE (codes, cells, ADC, re-rank) is the shared IVFADC
+    tail."""
+    return f"""rotw(dim, od, w) AS (
+    VALUES {_opq_rot_values()}
+), rawx AS MATERIALIZED (
+    SELECT vec_id, u.dim AS dim, u.x AS x_micro
+    FROM (SELECT vec_id,
+                 unnest(list_transform(range(1, len(embedding) + 1),
+                        i -> {{'dim': i - 1, 'x': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}})) AS u
+          FROM embeddings)
+), rsum AS (
+    SELECT r.vec_id, w.od AS od, CAST(SUM(r.x_micro * w.w) AS BIGINT) AS s
+    FROM rawx r JOIN rotw w ON w.dim = r.dim
+    GROUP BY r.vec_id, w.od
+), base AS MATERIALIZED (
+    SELECT vec_id, list(ROUND(CAST(s AS DOUBLE) / 1e12, 6) ORDER BY od) AS v
+    FROM rsum GROUP BY vec_id
+)"""
+
+
+def _pq_opq_topk_oracle() -> str:
+    """OPQ-IVFADC twin of q_ann_pq_opq_topk: the rotated base block feeds
+    the SAME shared IVFADC tail as the raw family (_pq_topk_sql), with the
+    rotated-space codebooks and the rotated normalized-centroid micro
+    matrix — only ``base`` and the literals differ."""
+    from observation_lakehouse_spark.operators.similarity import _ivf_cn_micro
+
+    cn = _ivf_cn_micro(_opq_rot_centroids())
+    glit_rows = ", ".join(
+        f"({j}, {i}, {cn[i][j]})" for i in range(len(cn)) for j in range(len(cn[0]))
+    )
+    return _pq_topk_sql(
+        _pq_base_ctes(_opq_codebooks(), _opq_base_block()),
+        glit_rows,
+        _OPQ_RERANK,
     )
 
 
@@ -9853,6 +10212,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_residual_topk": q_ann_pq_residual_topk,
+        "ann_pq_opq_topk": q_ann_pq_opq_topk,
         "part_cooccurrence": q_part_cooccurrence,
         "regression_stats": q_regression_stats,
         "chargram_jaccard": q_chargram_jaccard,
@@ -10044,6 +10404,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _pq_encode_oracle(),
         "ann_pq_topk": _pq_topk_oracle(),
         "ann_pq_residual_topk": _pq_residual_topk_oracle(),
+        "ann_pq_opq_topk": _pq_opq_topk_oracle(),
         "part_cooccurrence": _ORACLE_PART_COOCCUR,
         "regression_stats": _ORACLE_REGRESSION,
         "chargram_jaccard": _ORACLE_CHARGRAM,

@@ -73,6 +73,7 @@ HEADLINE = [
     "pq_encode",
     "ann_pq_topk",
     "ann_pq_residual_topk",
+    "ann_pq_opq_topk",
     "ann_lsh_topk",
     "ann_rp_topk",
     "srm_output_map",
@@ -372,6 +373,14 @@ def main() -> None:
     pq_residual_recall = len(
         exact & pairs(entrymod.q_ann_pq_residual_topk(spark, sf_dir))
     ) / len(exact)
+    # OPQ (r10, Ge et al. CVPR'13): frozen rotation in front of the same
+    # m x k bit budget, ADC cut deepened 256 -> 320. Honest decomposition
+    # at sf0.1: raw@256 0.790 -> raw@320 0.825 (depth) -> opq@320 0.855
+    # (rotation ~ +0.03 on near-isotropic embeddings — the residual-family
+    # muted-gain story again, measured rather than assumed).
+    pq_opq_recall = len(
+        exact & pairs(entrymod.q_ann_pq_opq_topk(spark, sf_dir))
+    ) / len(exact)
     rp_recall = len(exact & pairs(entrymod.q_ann_rp_topk(spark, sf_dir))) / len(exact)
 
     # kNN-graph recall@5: cell-blocked neighbors vs the GLOBAL exact top-5
@@ -585,6 +594,7 @@ def main() -> None:
         ),
         "ann_pq_recall_at_10": round(pq_recall, 4),
         "ann_pq_residual_recall_at_10": round(pq_residual_recall, 4),
+        "ann_pq_opq_recall_at_10": round(pq_opq_recall, 4),
         "knn_graph_recall_at_5": round(knn_recall, 4),
         "minhash_lsh_pair_recall": round(minhash_pair_recall, 4),
         "hll_count_distinct_rel_err": round(hll_rel_err, 4),
@@ -670,6 +680,7 @@ def main() -> None:
                 # tests/test_ann_recall.py::test_pq_adc_recall_floor)
                 "ann_pq_recall_at_10": round(pq_recall, 4),
                 "ann_pq_residual_recall_at_10": round(pq_residual_recall, 4),
+        "ann_pq_opq_recall_at_10": round(pq_opq_recall, 4),
                 # Cell-blocked kNN graph vs global exact top-5: asymmetric
                 # probing (r9, q_knn_graph probe_cells=6 of 8) — neighbor y
                 # of x is missed only when y's cell is outside x's 6 probes;

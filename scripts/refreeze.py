@@ -10,6 +10,9 @@ flow both ANN docstrings describe):
   operators.similarity.residual_corpus (IVF-PQ residual encoding, r7 judge
   #3): codebooks for ``x − centroid(cell(x))``, trained against the SAME
   freshly-trained IVF centroids so the two families move in lockstep
+- ``_OPQ_ROTATION`` / ``_OPQ_CODEBOOKS`` — operators.opq.train_opq (r10):
+  the OPQ rotation + codebooks for the rotated space, trained on
+  ``OPQ_SF_DIR`` (the d×d rotation overfits the 500-vector sf0.01 sample)
 
 (The sign-LSH hyperplanes are SEEDED, not trained — ``_lsh_planes()`` is
 drop-independent and never needs refreezing; its recall is still re-measured
@@ -48,6 +51,13 @@ RECALL_SF_DIR = "/root/testdata/sf0.001"
 IVF_K, IVF_ITERS = 8, 3
 PQ_M, PQ_K, PQ_ITERS = 8, 16, 3
 PCA_K = 8
+# OPQ trains its own d×d rotation (4096 free parameters) — the sf0.01
+# sample (500 vectors) measurably OVERFITS it (recall at sf0.1 drops below
+# the unrotated family), so the rotation+codebooks train on the drop's
+# largest SF. Still train-then-freeze: both engines replay the same
+# literals at every SF.
+OPQ_SF_DIR = "/root/testdata/sf0.1"
+OPQ_LLOYD_ITERS, OPQ_ROUNDS = 5, 10
 
 
 def _fmt_floats(xs: list[float]) -> str:
@@ -123,6 +133,33 @@ def _pca_block(components: list[list[float]], bias: list[float], sf_dir: str) ->
     )
 
 
+def _opq_block(opq: dict, sf_dir: str) -> str:
+    rot_rows = ",\n".join(f"        {_fmt_floats(r)}" for r in opq["rotation"])
+    sub = len(opq["codebooks"][0][0])
+    parts = []
+    for mi, cb in enumerate(opq["codebooks"]):
+        cents = ",\n".join(f"            {_fmt_floats(c)}" for c in cb)
+        lo, hi = mi * sub, (mi + 1) * sub - 1
+        parts.append(
+            f"        [  # rotated sub-vector {mi} (dims {lo}..{hi})\n{cents},\n        ]"
+        )
+    cb_rows = ",\n".join(parts)
+    return (
+        "# >>> REFREEZE opq — scripts/refreeze.py rewrites this block\n"
+        f"# (trained by operators.opq.train_opq — OPQ-P init (PCA + eigenvalue\n"
+        f"#  allocation) + {OPQ_ROUNDS} OPQ-NP Procrustes rounds, m={PQ_M}, k={PQ_K},\n"
+        f"#  lloyd_iters={OPQ_LLOYD_ITERS}, on {sf_dir}: the d×d rotation overfits the\n"
+        f"#  sf0.01 sample, so OPQ alone trains at the drop's largest SF)\n"
+        "_OPQ_ROTATION: list[list[float]] = [\n"
+        f"{rot_rows},\n"
+        "    ]\n"
+        "_OPQ_CODEBOOKS: list[list[list[float]]] = [\n"
+        f"{cb_rows},\n"
+        "    ]\n"
+        "# <<< REFREEZE opq"
+    )
+
+
 def _splice(src: str, name: str, block: str) -> str:
     pat = re.compile(
         rf"# >>> REFREEZE {name}.*?# <<< REFREEZE {name}", re.DOTALL
@@ -149,8 +186,15 @@ def _recalls(spark) -> dict[str, float]:
     ]
     if hasattr(entry, "q_ann_pq_residual_topk"):
         fams.append(("pq_residual", entry.q_ann_pq_residual_topk))
+    if hasattr(entry, "q_ann_pq_opq_topk"):
+        fams.append(("pq_opq", entry.q_ann_pq_opq_topk))
     for fam, q in fams:
-        out[fam] = round(len(exact & pairs(q(spark, RECALL_SF_DIR))) / len(exact), 4)
+        try:
+            out[fam] = round(
+                len(exact & pairs(q(spark, RECALL_SF_DIR))) / len(exact), 4
+            )
+        except Exception as exc:  # placeholder literals pre-first-freeze
+            out[fam] = f"n/a ({type(exc).__name__})"
     return out
 
 
@@ -194,6 +238,17 @@ def main() -> int:
     pca_comps = [[round(float(x), 6) for x in c] for c in pca["components"]]
     pca_bias = [round(float(b), 6) for b in pca["bias"]]
 
+    from observation_lakehouse_spark.operators.opq import train_opq
+
+    print(f"training OPQ (m={PQ_M}, k={PQ_K}, rounds={OPQ_ROUNDS}) on {OPQ_SF_DIR} ...")
+    opq = train_opq(
+        entry._t(spark, OPQ_SF_DIR, "embeddings"),
+        m=PQ_M,
+        k=PQ_K,
+        lloyd_iters=OPQ_LLOYD_ITERS,
+        n_rounds=OPQ_ROUNDS,
+    )
+
     same_ivf = ivf == [[round(float(x), 6) for x in c] for c in entry._ivf_centroids()]
     same_pq = (
         len(entry._pq_codebooks()) == PQ_M
@@ -210,14 +265,23 @@ def main() -> int:
         and pca_comps == [[round(float(x), 6) for x in c] for c in frozen_pca]
         and pca_bias == [round(float(b), 6) for b in entry._PCA_BIAS]
     )
+    frozen_rot = getattr(entry, "_OPQ_ROTATION", None)
+    frozen_ocb = getattr(entry, "_OPQ_CODEBOOKS", None)
+    same_opq = (
+        frozen_rot is not None
+        and opq["rotation"] == [[round(float(x), 6) for x in r] for r in frozen_rot]
+        and opq["codebooks"]
+        == [[[round(float(x), 6) for x in c] for c in cb] for cb in frozen_ocb]
+    )
     print(f"ivf_centroids: {'unchanged' if same_ivf else 'DRIFTED'}; "
           f"pq_codebooks: {'unchanged' if same_pq else 'DRIFTED'}; "
           f"pq_residual_codebooks: {'unchanged' if same_res else 'DRIFTED'}; "
-          f"pca_components: {'unchanged' if same_pca else 'DRIFTED'}")
+          f"pca_components: {'unchanged' if same_pca else 'DRIFTED'}; "
+          f"opq: {'unchanged' if same_opq else 'DRIFTED'}")
 
     if check:
-        return 0 if (same_ivf and same_pq and same_res and same_pca) else 1
-    if same_ivf and same_pq and same_res and same_pca:
+        return 0 if (same_ivf and same_pq and same_res and same_pca and same_opq) else 1
+    if same_ivf and same_pq and same_res and same_pca and same_opq:
         print("frozen literals already match this drop — nothing to rewrite")
         print(f"recall@10 (sf0.001): {old_recalls}")
         return 0
@@ -230,13 +294,18 @@ def main() -> int:
     src = _splice(src, "pq_codebooks", _pq_block(pq, sf_dir))
     src = _splice(src, "pq_residual_codebooks", _pq_residual_block(pq_res, sf_dir))
     src = _splice(src, "pca_components", _pca_block(pca_comps, pca_bias, sf_dir))
+    src = _splice(src, "opq", _opq_block(opq, OPQ_SF_DIR))
     ENTRY.write_text(src)
     print(f"rewrote literal blocks in {ENTRY}")
 
     new_recalls = _recalls(spark)
+
+    def _fmt(v) -> str:
+        return f"{v:.4f}" if isinstance(v, float) else str(v)
+
     print("recall@10 (sf0.001), old -> new literals:")
     for fam in new_recalls:
-        print(f"  {fam:10s} {old_recalls[fam]:.4f} -> {new_recalls[fam]:.4f}")
+        print(f"  {fam:11s} {_fmt(old_recalls.get(fam))} -> {_fmt(new_recalls[fam])}")
     print("now re-run: pytest tests/ -q && python scripts/check_correctness.py "
           "(both SFs) — oracles regenerate from the refrozen literals.")
     return 0

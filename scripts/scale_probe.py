@@ -210,6 +210,17 @@ def main() -> None:
     _PQ_CBS = entrymod._pq_codebooks()
     _IVF_CENTS = entrymod._ivf_centroids()
 
+    def _ann_opq(d: DataFrame) -> DataFrame:
+        from observation_lakehouse_spark.operators.opq import rotate_vectors
+
+        rot = rotate_vectors(d, entrymod._opq_rotation())
+        return ivfadc_topk(
+            rot, rot.filter(F.col("vec_id") % 100 == 0),
+            entrymod._opq_codebooks(), entrymod._opq_rot_centroids(),
+            k=10, recall_target_ppm=entrymod._PQ_RECALL_TARGET_PPM,
+            min_candidates=entrymod._PQ_MIN_CANDIDATES,
+            rerank=entrymod._OPQ_RERANK)
+
     def _ann_ivf_adaptive(d: DataFrame) -> DataFrame:
         # q_ann_ivf_topk's composition over any embeddings replica
         from observation_lakehouse_spark.operators.similarity import (
@@ -368,6 +379,11 @@ def main() -> None:
              entrymod._pq_residual_codebooks(), _IVF_CENTS,
              k=10, recall_target_ppm=entrymod._PQ_RECALL_TARGET_PPM, min_candidates=entrymod._PQ_MIN_CANDIDATES, rerank=entrymod._PQ_RERANK,
              residual=True)),
+        # r10: OPQ — one extra rotation pass (posexplode + broadcast weight
+        # join + d-wide hash agg: row-linear map-side work), then the same
+        # probed-cell-bounded IVFADC over the rotated corpus
+        ("ann_pq_opq_topk (OPQ rotation + IVFADC)", emb, emb_k,
+         lambda d: _ann_opq(d)),
         # --- r6-round additions ---
         # one-pass audit aggregate: map-side-combinable sums/min — the alpha
         # should be scan-linear with near-total overhead amortization

@@ -208,3 +208,63 @@ def test_knn_graph_recall_floor(spark):
         for r in entrymod.q_knn_graph(spark, SF_DIR).collect()
     }
     assert len(exact & got) / len(exact) >= 0.80
+
+
+def test_pq_opq_ivfadc_recall_floor(spark):
+    """OPQ-IVFADC (frozen rotation + rotated-space codebooks + deeper ADC
+    cut, r10): measured 0.855 at sf0.1 / 0.82 at sf0.001 (2026-08-16 drop;
+    raw family 0.79 / 0.82 — the rotation's gain concentrates at the
+    larger SF where candidate sets are big enough for ADC ordering to
+    bind). Floor 0.55 = measured/1.5 (r6 floor policy) under FROZEN
+    literals; refreeze governs rotation drift like the codebooks."""
+    import __spark_entry__ as e
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in e.q_ann_cosine_topk(spark, "/root/testdata/sf0.001").collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in e.q_ann_pq_opq_topk(spark, "/root/testdata/sf0.001").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, recall
+
+
+def test_opq_rotation_is_orthogonal_and_replayable(spark):
+    """The frozen rotation must be (near-)orthogonal — rotate_vectors'
+    cosine-preservation contract — and rotate_vectors must reproduce the
+    exact integer-micro coordinates the oracle computes."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from observation_lakehouse_spark.operators.opq import rotate_vectors
+
+    R = np.array(e._opq_rotation())
+    assert R.shape == (64, 64)
+    # 6-dp freeze: off-orthogonality bounded by ~d * 1e-6
+    assert float(np.abs(R @ R.T - np.eye(64)).max()) < 1e-4
+    vecs = {
+        1: [0.123457 * ((-1) ** d) for d in range(64)],
+        2: [round(0.01 * d - 0.31, 6) for d in range(64)],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id int, embedding array<double>"
+    )
+    got = {r["vec_id"]: list(r["embedding"]) for r in rotate_vectors(df, e._opq_rotation()).collect()}
+    wm = [[int(round(w * 1_000_000)) for w in row] for row in e._opq_rotation()]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for vid, vec in vecs.items():
+        xm = [int(round(x * 1_000_000)) for x in vec]
+        expect = [
+            # Spark's ROUND = BigDecimal.valueOf(double) + HALF_UP: quantize
+            # the double's shortest repr, NOT Python round (banker's — off by
+            # one micro on exact .5 ties, which round-number vectors do hit)
+            float(
+                Decimal(repr(sum(xm[d] * wm[od][d] for d in range(64)) / 1e12))
+                .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+            for od in range(64)
+        ]
+        assert got[vid] == expect, vid
