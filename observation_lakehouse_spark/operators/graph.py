@@ -258,6 +258,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000_000_000,
     seeds: DataFrame | None = None,
+    _salt_override: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer pico-units — deterministic on any
     engine and any partitioning.
@@ -348,8 +349,37 @@ def pagerank(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     e = nodes_l = None
     try:
-        e = e0.repartition(loop_parts, F.col("src")).persist()
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+        outdeg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+        # Skew hardening (r10 judge #7). The two skew modes differ: a hot
+        # DST (every node links one hub) is ALREADY absorbed — the
+        # contribution aggregate's map-side partial combine runs inside the
+        # src-partitioned join stage, so the hub's reducer receives at most
+        # loop_parts partials, never the in-edge list (pinned by
+        # test_graph_skew). A hot SRC is the real hazard: the src-keyed
+        # contribution join puts ALL of the hub's out-edges in ONE task.
+        # When the pre-loop degree pass detects a src whose out-edge count
+        # exceeds 2x the even per-partition share, the edge table is salted
+        # by dst-hash into S buckets (S ~ hub share in even-share units) and
+        # the per-round rank rows fan out to the S salts — hub work spreads
+        # across S tasks, everything stays exact integer.
+        S = 1
+        if _salt_override is not None:
+            S = max(1, int(_salt_override))
+        elif loop_parts > 1:
+            mx = outdeg.agg(F.max("outdeg").alias("mx")).collect()[0]["mx"] or 0
+            share = max(1, n_edges // loop_parts)
+            if mx > 2 * share:
+                S = int(min(loop_parts, -(-mx // share)))
+        if S > 1:
+            e = (
+                e0.withColumn(
+                    "_salt", F.pmod(F.xxhash64(F.col("dst")), F.lit(S)).cast("int")
+                )
+                .repartition(loop_parts, F.col("src"), F.col("_salt"))
+                .persist()
+            )
+        else:
+            e = e0.repartition(loop_parts, F.col("src")).persist()
         # Loop-width node table (r9, the hits() finding): nodes_b is cached
         # at the CALLER's shuffle width, and Spark co-partitions joins at
         # the MAX width of their non-shuffle children — per-round joins
@@ -359,11 +389,20 @@ def pagerank(
         # layout is actually reused (only the 16-byte rank table moves).
         nodes_l = nodes_b.repartition(loop_parts, F.col("node")).persist()
         pr = nodes_l.withColumn("pr", pr0_expr).select("node", "pr")
+        salts = F.array(*[F.lit(i).cast("int") for i in range(S)])
         for i in range(n_iters):
+            ranked = pr.join(outdeg, pr["node"] == outdeg["src"])
+            if S > 1:
+                # fan the 16-byte rank rows out to the S salts (codegen
+                # explode — S is bounded by loop_parts) so the join hits
+                # every (src, _salt) bucket of the salted edge layout
+                joined = ranked.withColumn("_salt", F.explode(salts)).join(
+                    e, ["src", "_salt"]
+                )
+            else:
+                joined = ranked.join(e, "src")
             contrib = (
-                pr.join(outdeg, pr["node"] == outdeg["src"])
-                .join(e, "src")
-                .select("dst", F.expr("pr DIV outdeg").alias("c"))
+                joined.select("dst", F.expr("pr DIV outdeg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_sum"))
             )
