@@ -8965,6 +8965,108 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def q_result_mv_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving tier under row-level deletes, end to end (r10 judge #8:
+    transaction.py delete_where → read_change_feed →
+    plans/result_mv.ProblemResultMV.refresh_from_change_feed): an
+    observations-shaped corpus (events mapped to the reference's
+    data_set/problem/test/step/implementation grain) lands in an atomic
+    table, the SRM output-map MV materializes per problem partition, a
+    predicate DELETE hits ONE problem via deletion vectors, and the change
+    feed names exactly the partitions to recompute — untouched partitions
+    are neither read nor rewritten (pinned by test_result_mv). The served
+    rows must equal the one-shot SRM map over the post-delete corpus,
+    computed independently in SQL — maps serialized to canonical strings
+    in both engines (the srm_output_map discipline)."""
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.plans.result_mv import (
+        ProblemResultMV,
+        srm_map_mv_compute,
+    )
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("value").isNotNull() & (F.col("user_id") % 20 < 6))
+        .groupBy(
+            F.col("event_type").alias("data_set_id"),
+            (F.col("user_id") % 20).cast("string").alias("problem_id"),
+            (F.col("event_id") % 8).cast("string").alias("test_id"),
+            (F.col("event_id") % 5).cast("string").alias("step_id"),
+            (F.col("user_id") % 10).cast("string").alias("implementation_id"),
+        )
+        .agg(
+            F.max(F.col("value").cast("decimal(18,2)")).cast("string").alias("output")
+        )
+    )
+    loc = tempfile.mkdtemp(prefix="olake_rsmv_")
+    try:
+        src = AtomicParquetTable(
+            spark,
+            f"{loc}/src",
+            schema=obs.schema,
+            partition_by=("data_set_id", "problem_id"),
+        )
+        src.append(obs)
+        v1 = src.latest_version()
+        mv = ProblemResultMV(spark, f"{loc}/mv", srm_map_mv_compute)
+        mv.refresh_full(src.read())
+        # one problem's rows die via deletion vectors — no file rewrite
+        src.delete_where("problem_id = '3' AND implementation_id IN ('2', '7')")
+        mv.refresh_from_change_feed(src, v1)
+        rows = (
+            mv.read()
+            .select(
+                "data_set_id",
+                "problem_id",
+                "test_id",
+                "step_id",
+                F.array_join(
+                    F.transform(
+                        F.map_entries(F.col("outputs")),
+                        lambda e: F.concat_ws(":", e["key"], e["value"]),
+                    ),
+                    ",",
+                ).alias("outputs_repr"),
+            )
+            .orderBy("data_set_id", "problem_id", "test_id", "step_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "data_set_id string, problem_id string, test_id string, "
+        "step_id string, outputs_repr string",
+    ).orderBy("data_set_id", "problem_id", "test_id", "step_id")
+
+
+_ORACLE_RESULT_MV_AFTER_DELETE = """
+WITH obs AS (
+    SELECT event_type AS data_set_id,
+           CAST(user_id % 20 AS VARCHAR) AS problem_id,
+           CAST(event_id % 8 AS VARCHAR) AS test_id,
+           CAST(event_id % 5 AS VARCHAR) AS step_id,
+           CAST(user_id % 10 AS VARCHAR) AS implementation_id,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS output
+    FROM events
+    WHERE value IS NOT NULL AND user_id % 20 < 6
+    GROUP BY 1, 2, 3, 4, 5
+), live AS (
+    SELECT * FROM obs
+    WHERE NOT (problem_id = '3' AND implementation_id IN ('2', '7'))
+)
+SELECT data_set_id, problem_id, test_id, step_id,
+       STRING_AGG(implementation_id || ':' || output, ','
+                  ORDER BY implementation_id) AS outputs_repr
+FROM live
+GROUP BY data_set_id, problem_id, test_id, step_id
+ORDER BY data_set_id, problem_id, test_id, step_id
+"""
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information (operators/mining.py:mutual_information) between
     event type and the value's 50-unit band — the feature-relevance score
@@ -10073,6 +10175,7 @@ _HEAVY_FIRST = [
     "bfs_distances",
     "incremental_mv",
     "retraction_mv",
+    "result_mv_after_delete",
     "bloom_decontaminate",
     "dup_clusters",
     "canonical_docs",
@@ -10251,6 +10354,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "corr_matrix": q_corr_matrix,
         "retraction_mv": q_retraction_mv,
+        "result_mv_after_delete": q_result_mv_after_delete,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -10443,6 +10547,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_information": _ORACLE_MUTUAL_INFORMATION,
         "corr_matrix": _corr_oracle(),
         "retraction_mv": _ORACLE_RETRACTION_MV,
+        "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

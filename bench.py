@@ -301,6 +301,7 @@ def heavy_queries(spark, sf_dir):
         # table-build-shaped: two appends + DV delete/update + two counting-
         # algorithm feeds against a temp store — commit latency, not a scan
         "retraction_mv": (qs["retraction_mv"], "full registered shape (2 feeds + DV delete/update)"),
+        "result_mv_after_delete": (qs["result_mv_after_delete"], "MV build + DV delete + feed-scoped partition refresh"),
     }
 
 

@@ -65,6 +65,7 @@ def test_bench_helpers_shape(spark):
     assert set(hq) == {
         "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train",
         "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
+        "result_mv_after_delete",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -86,7 +87,8 @@ def test_every_registered_query_is_benchmarked():
     registered = set(e.queries())
     heavies = {
         "incremental_mv", "chargram_jaccard", "pagerank",
-        "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
+        "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank",
+        "retraction_mv", "result_mv_after_delete",
     }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)
