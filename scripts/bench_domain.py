@@ -425,6 +425,17 @@ def main() -> None:
             "three_way_join": 90.7,
         },
     }
+    # Cross-round load adjustment (r10 judge #5): the SAME canary bench.py
+    # emits, so serving p50s can be load-normalized across rounds the way
+    # headline numbers are. The canary's shuffle job is width-independent
+    # at this size, so the tuned (shuffle=1) session doesn't skew it.
+    import bench as _bench
+
+    canary_ms = _bench.trivial_job_p50_ms(spark)
+    out["trivial_job_p50_ms"] = round(canary_ms, 1)
+    out["load_ratio"] = round(
+        min(5.0, max(0.5, canary_ms / _bench.CANARY_REF_TRIVIAL_MS)), 4
+    )
     line = json.dumps(out)
     Path(__file__).resolve().parent.parent.joinpath("DOMAIN_BENCH.json").write_text(
         line + "\n"
