@@ -9067,6 +9067,95 @@ ORDER BY data_set_id, problem_id, test_id, step_id
 """
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry pairwise ratings via Hunter's MM iteration
+    (operators/ranking.py — the batch form of arena Elo, the canonical
+    analytics over the reference's arena-export domain): events map to a
+    deterministic battle log (two item ids from user_id digits, winner by
+    value threshold), one corpus-sized pair-count aggregate, then 4
+    item-bounded MM rounds in exact integer fixed-point (DECIMAL products,
+    truncating DIV — both engines agree bit-for-bit), ratings normalized
+    to sum to n_items·1e6. The oracle unrolls the 4 rounds as CTEs."""
+    from observation_lakehouse_spark.operators.ranking import bradley_terry
+
+    ev = _t(spark, sf_dir, "events")
+    battles = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 8).alias("a"),
+        (F.expr("user_id div 8") % 8).alias("b"),
+        "value",
+    ).filter(F.col("a") != F.col("b")).select(
+        F.when(F.col("value") >= 50, F.col("a")).otherwise(F.col("b")).alias("winner_id"),
+        F.when(F.col("value") >= 50, F.col("b")).otherwise(F.col("a")).alias("loser_id"),
+    )
+    return bradley_terry(battles, n_rounds=4)
+
+
+def _bradley_terry_oracle(n_rounds: int = 4) -> str:
+    """Unrolled-CTE MM twin: HUGEINT products (a 3-factor DECIMAL product
+    errors in DuckDB — r9), truncating // like Spark's DIV, every CTE
+    column uniquely aliased (the r8 cross-CTE binding gotcha)."""
+    head = """
+WITH battles AS (
+    SELECT CASE WHEN value >= 50 THEN a ELSE b END AS w,
+           CASE WHEN value >= 50 THEN b ELSE a END AS l
+    FROM (SELECT CAST(user_id % 8 AS BIGINT) AS a,
+                 CAST((user_id // 8) % 8 AS BIGINT) AS b, value
+          FROM events WHERE value IS NOT NULL)
+    WHERE a <> b
+), raw AS (
+    SELECT w AS a, l AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM battles GROUP BY w, l
+), pairs AS (
+    SELECT a, b, CAST(SUM(n_ab) + 1 AS BIGINT) AS n_ab FROM (
+        SELECT a, b, n_ab FROM raw
+        UNION ALL SELECT b AS a, a AS b, CAST(0 AS BIGINT) AS n_ab FROM raw
+    ) GROUP BY a, b
+), t AS (
+    SELECT p.a AS a, p.b AS b, p.n_ab AS n_ab,
+           CAST(p.n_ab + q.n_ab AS BIGINT) AS t_ab
+    FROM pairs p JOIN pairs q ON q.a = p.b AND q.b = p.a
+), wins AS (
+    SELECT a, CAST(SUM(n_ab) AS BIGINT) AS tw FROM t GROUP BY a
+), ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wins
+), w0 AS (SELECT a, CAST(1000000 AS BIGINT) AS wm FROM wins)"""
+    body = []
+    for r in range(1, n_rounds + 1):
+        prev = f"w{r - 1}"
+        body.append(f""", d{r} AS (
+    SELECT t.a AS a,
+           CAST(SUM(CAST(t.t_ab AS HUGEINT) * 1000000000000000
+                    // (wi.wm + wj.wm)) AS BIGINT) AS dsum
+    FROM t JOIN {prev} wi ON wi.a = t.a JOIN {prev} wj ON wj.a = t.b
+    GROUP BY t.a
+), u{r} AS (
+    SELECT wins.a AS a,
+           CAST(CAST(wins.tw AS HUGEINT) * 1000000000000000 // d{r}.dsum
+                AS BIGINT) AS wm_raw
+    FROM wins JOIN d{r} ON d{r}.a = wins.a
+), w{r} AS (
+    SELECT a, CAST(CAST(wm_raw AS HUGEINT)
+                   * (SELECT n * 1000000 FROM ni)
+                   // (SELECT SUM(CAST(wm_raw AS HUGEINT)) FROM u{r})
+                   AS BIGINT) AS wm
+    FROM u{r}
+)""")
+    tail = f""", rw AS (
+    SELECT a, CAST(SUM(n_ab) AS BIGINT) AS wins FROM raw GROUP BY a
+), rt AS (
+    SELECT a, CAST(SUM(n_ab) AS BIGINT) AS battles FROM (
+        SELECT a, n_ab FROM raw UNION ALL SELECT b AS a, n_ab FROM raw
+    ) GROUP BY a
+)
+SELECT w{n_rounds}.a AS item, w{n_rounds}.wm AS rating_micro,
+       COALESCE(rw.wins, 0) AS wins, rt.battles AS battles
+FROM w{n_rounds}
+JOIN rt ON rt.a = w{n_rounds}.a
+LEFT JOIN rw ON rw.a = w{n_rounds}.a
+ORDER BY rating_micro DESC, item ASC
+"""
+    return head + "".join(body) + tail
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information (operators/mining.py:mutual_information) between
     event type and the value's 50-unit band — the feature-relevance score
@@ -10176,6 +10265,7 @@ _HEAVY_FIRST = [
     "incremental_mv",
     "retraction_mv",
     "result_mv_after_delete",
+    "bradley_terry",
     "bloom_decontaminate",
     "dup_clusters",
     "canonical_docs",
@@ -10355,6 +10445,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "retraction_mv": q_retraction_mv,
         "result_mv_after_delete": q_result_mv_after_delete,
+        "bradley_terry": q_bradley_terry,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -10548,6 +10639,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _corr_oracle(),
         "retraction_mv": _ORACLE_RETRACTION_MV,
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
+        "bradley_terry": _bradley_terry_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

@@ -613,6 +613,21 @@ def main() -> None:
              d, entrymod._UNI_FROZEN_VOCAB, "text", "doc_id",
              max_piece_len=entrymod._UNI_PLEN,
              max_word_len=entrymod._UNI_WLEN)),
+        # Bradley-Terry: ONE corpus-sized pair-count aggregate, then
+        # item-bounded MM rounds — alpha tracks the battle log only
+        ("bradley_terry (4 MM rounds)", ev, ev_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.ranking",
+             fromlist=["bradley_terry"]).bradley_terry(
+             d.filter(F.col("value").isNotNull())
+             .select((F.col("user_id") % 8).alias("a"),
+                     (F.expr("user_id div 8") % 8).alias("b"), "value")
+             .filter(F.col("a") != F.col("b"))
+             .select(F.when(F.col("value") >= 50, F.col("a"))
+                     .otherwise(F.col("b")).alias("winner_id"),
+                     F.when(F.col("value") >= 50, F.col("b"))
+                     .otherwise(F.col("a")).alias("loser_id")),
+             n_rounds=4)),
         # versioned-interval build: one key-partitioned window pass
         ("scd2_build (SCD Type 2 intervals)", ev, ev_k,
          lambda d: __import__(
