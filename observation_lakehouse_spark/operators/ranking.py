@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bradley_terry"]
+__all__ = ["bradley_terry", "bradley_terry_from_pairs"]
 
 # fixed-point scales: weights in micro (1e6); the per-term quotient carries
 # an extra 1e9 so one truncation per term costs < 1e-9 of the true value
@@ -73,6 +73,18 @@ def bradley_terry(
     # ONE corpus pass: the ordered-pair win counts are the only stage that
     # sees the battle log; checkpointed because three frames consume them
     raw = raw.localCheckpoint(eager=True)
+    return bradley_terry_from_pairs(raw, n_rounds=n_rounds)
+
+
+def bradley_terry_from_pairs(raw: DataFrame, n_rounds: int = 4) -> DataFrame:
+    """:func:`bradley_terry`'s math over PRE-AGGREGATED ordered-pair win
+    counts ``(a, b, n_ab)`` — the seam the streaming ratings monitor
+    shares, so the live report is bit-identical to the batch operator over
+    the same delivered counts by construction (the chi2_from_counts
+    pattern). ``raw`` should be materialized (checkpoint/table read): the
+    smoothing union and the post-loop totals consume it three times."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     # both orientations of every observed unordered pair, add-one smoothed;
     # t_ab = total battles of the pair (symmetric), n_ab = a's smoothed wins
     pairs = (
@@ -94,7 +106,7 @@ def bradley_terry(
     # Loop scoping (the r9 width discipline): everything below is bounded by
     # the item-pair table — measure it, size the loop's exchanges to it, and
     # checkpoint the loop inputs AT that width (co-partition-at-MAX rule).
-    spark = battles.sparkSession
+    spark = raw.sparkSession
     t = t.localCheckpoint(eager=True)
     n_pairs = t.count()
     parallelism = spark.sparkContext.defaultParallelism
