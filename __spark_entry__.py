@@ -9090,19 +9090,22 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(battles, n_rounds=4)
 
 
-def _bradley_terry_oracle(n_rounds: int = 4) -> str:
-    """Unrolled-CTE MM twin: HUGEINT products (a 3-factor DECIMAL product
-    errors in DuckDB — r9), truncating // like Spark's DIV, every CTE
-    column uniquely aliased (the r8 cross-CTE binding gotcha)."""
-    head = """
-WITH battles AS (
+_BT_BATTLES_CTE = """battles AS (
     SELECT CASE WHEN value >= 50 THEN a ELSE b END AS w,
            CASE WHEN value >= 50 THEN b ELSE a END AS l
     FROM (SELECT CAST(user_id % 8 AS BIGINT) AS a,
                  CAST((user_id // 8) % 8 AS BIGINT) AS b, value
           FROM events WHERE value IS NOT NULL)
     WHERE a <> b
-), raw AS (
+)"""
+
+
+def _bradley_terry_oracle(n_rounds: int = 4) -> str:
+    """Unrolled-CTE MM twin: HUGEINT products (a 3-factor DECIMAL product
+    errors in DuckDB — r9), truncating // like Spark's DIV, every CTE
+    column uniquely aliased (the r8 cross-CTE binding gotcha)."""
+    head = f"""
+WITH {_BT_BATTLES_CTE}, raw AS (
     SELECT w AS a, l AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
     FROM battles GROUP BY w, l
 ), pairs AS (
@@ -9154,6 +9157,56 @@ LEFT JOIN rw ON rw.a = w{n_rounds}.a
 ORDER BY rating_micro DESC, item ASC
 """
     return head + "".join(body) + tail
+
+
+def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arena win-rate matrix with Wilson lower bounds
+    (operators/ranking.py:pairwise_win_matrix) over the same deterministic
+    battle log as q_bradley_terry — which pairs are DECIDED vs still noise.
+    Counts exact integers, win rate an integer div, the Wilson bound ONE
+    double expression over exact ints rounded once to ppm (the roc_auc
+    float discipline — identical IEEE inputs in both engines)."""
+    from observation_lakehouse_spark.operators.ranking import pairwise_win_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    battles = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 8).alias("a"),
+        (F.expr("user_id div 8") % 8).alias("b"),
+        "value",
+    ).filter(F.col("a") != F.col("b")).select(
+        F.when(F.col("value") >= 50, F.col("a")).otherwise(F.col("b")).alias("winner_id"),
+        F.when(F.col("value") >= 50, F.col("b")).otherwise(F.col("a")).alias("loser_id"),
+    )
+    return pairwise_win_matrix(battles)
+
+
+def _win_matrix_oracle() -> str:
+    return f"""
+WITH {_BT_BATTLES_CTE}, m AS (
+    SELECT LEAST(CAST(w AS VARCHAR), CAST(l AS VARCHAR)) AS item_a,
+           GREATEST(CAST(w AS VARCHAR), CAST(l AS VARCHAR)) AS item_b,
+           CASE WHEN CAST(w AS VARCHAR) <= CAST(l AS VARCHAR) THEN 1 ELSE 0 END AS a_won
+    FROM battles
+), agg AS (
+    SELECT item_a, item_b,
+           CAST(SUM(a_won) AS BIGINT) AS wins_ab,
+           CAST(COUNT(*) - SUM(a_won) AS BIGINT) AS wins_ba,
+           CAST(COUNT(*) AS BIGINT) AS battles
+    FROM m GROUP BY item_a, item_b
+)
+SELECT item_a, item_b, wins_ab, wins_ba, battles,
+       CAST(wins_ab * 1000000 // battles AS BIGINT) AS win_rate_ppm,
+       CAST(ROUND(
+           (CAST(wins_ab AS DOUBLE) / CAST(battles AS DOUBLE)
+            + 3.8416 / (2.0 * CAST(battles AS DOUBLE))
+            - 1.96 * sqrt(CAST(wins_ab AS DOUBLE) / CAST(battles AS DOUBLE)
+                          * (1.0 - CAST(wins_ab AS DOUBLE) / CAST(battles AS DOUBLE))
+                          / CAST(battles AS DOUBLE)
+                          + 3.8416 / (4.0 * CAST(battles AS DOUBLE) * CAST(battles AS DOUBLE))))
+           / (1.0 + 3.8416 / CAST(battles AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS wilson_low_ppm
+FROM agg ORDER BY item_a, item_b
+"""
 
 
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10446,6 +10499,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retraction_mv": q_retraction_mv,
         "result_mv_after_delete": q_result_mv_after_delete,
         "bradley_terry": q_bradley_terry,
+        "win_matrix": q_win_matrix,
         "retrieval_metrics": q_retrieval_metrics,
         "association_rules": q_association_rules,
         "pmi_collocations": q_pmi_collocations,
@@ -10640,6 +10694,7 @@ def oracle_sql() -> dict[str, str]:
         "retraction_mv": _ORACLE_RETRACTION_MV,
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
         "bradley_terry": _bradley_terry_oracle(),
+        "win_matrix": _win_matrix_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),
         "association_rules": _ORACLE_ASSOCIATION_RULES,
         "pmi_collocations": _ORACLE_PMI,

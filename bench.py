@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_pq_residual_topk",
     "ann_pq_opq_topk",
+    "win_matrix",
     "ann_lsh_topk",
     "ann_rp_topk",
     "srm_output_map",

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bradley_terry", "bradley_terry_from_pairs"]
+__all__ = ["bradley_terry", "bradley_terry_from_pairs", "pairwise_win_matrix"]
 
 # fixed-point scales: weights in micro (1e6); the per-term quotient carries
 # an extra 1e9 so one truncation per term costs < 1e-9 of the true value
@@ -183,3 +183,64 @@ def _bt_loop(t: DataFrame, loop_parts: int, n_rounds: int, raw: DataFrame) -> Da
         )
         .orderBy(F.desc("rating_micro"), F.asc("item"))
     )
+
+
+def pairwise_win_matrix(
+    battles: DataFrame,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+) -> DataFrame:
+    """The arena win-rate matrix with uncertainty: per unordered item pair
+    (a < b by string order), win counts both ways, the exact integer win
+    rate, and the Wilson score lower bound (z = 1.96) — the display layer
+    next to :func:`bradley_terry` (which pair is actually decided vs still
+    noise).
+
+    One corpus-sized hash aggregate, then pure per-row column algebra.
+    Determinism: counts are exact integers; ``win_rate_ppm`` is an integer
+    ``div``; the Wilson bound is ONE double expression over those exact
+    integers, rounded once to ppm — identical IEEE inputs → identical
+    doubles → identical rounding in both engines (the roc_auc discipline).
+    Output: (item_a, item_b, wins_ab, wins_ba, battles, win_rate_ppm,
+    wilson_low_ppm) ordered by (item_a, item_b).
+    """
+    w, l = winner_col, loser_col
+    raw = (
+        battles.filter(
+            F.col(w).isNotNull() & F.col(l).isNotNull() & (F.col(w) != F.col(l))
+        )
+        .select(
+            F.least(F.col(w).cast("string"), F.col(l).cast("string")).alias("item_a"),
+            F.greatest(F.col(w).cast("string"), F.col(l).cast("string")).alias(
+                "item_b"
+            ),
+            F.when(
+                F.col(w).cast("string") <= F.col(l).cast("string"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("_a_won"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("_a_won").alias("wins_ab"),
+            (F.count(F.lit(1)) - F.sum("_a_won")).alias("wins_ba"),
+            F.count(F.lit(1)).alias("battles"),
+        )
+    )
+    # Wilson lower bound at z=1.96: (p + z²/2n − z·√(p(1−p)/n + z²/4n²))/(1+z²/n)
+    p = F.col("wins_ab").cast("double") / F.col("battles").cast("double")
+    n = F.col("battles").cast("double")
+    z2 = F.lit(3.8416)
+    z = F.lit(1.96)
+    wilson = (
+        p + z2 / (2 * n) - z * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (4 * n * n))
+    ) / (F.lit(1.0) + z2 / n)
+    return raw.select(
+        "item_a",
+        "item_b",
+        "wins_ab",
+        "wins_ba",
+        "battles",
+        F.expr(f"wins_ab * {_MICRO} div battles").alias("win_rate_ppm"),
+        F.round(wilson * F.lit(1_000_000.0)).cast("long").alias("wilson_low_ppm"),
+    ).orderBy("item_a", "item_b")

@@ -81,3 +81,24 @@ def test_bradley_terry_edges(spark):
     assert {r["item"] for r in out} == {1, 2}
     with pytest.raises(ValueError):
         bradley_terry(df, n_rounds=0)
+
+
+def test_pairwise_win_matrix_counts_and_wilson(spark):
+    from observation_lakehouse_spark.operators.ranking import pairwise_win_matrix
+
+    rows = [("a", "b")] * 9 + [("b", "a")] * 1 + [("c", "a")] * 4
+    df = spark.createDataFrame(rows, "winner_id string, loser_id string")
+    out = {(r["item_a"], r["item_b"]): r for r in pairwise_win_matrix(df).collect()}
+    ab = out[("a", "b")]
+    assert (ab["wins_ab"], ab["wins_ba"], ab["battles"]) == (9, 1, 10)
+    assert ab["win_rate_ppm"] == 900_000
+    # Wilson lower bound for 9/10 at z=1.96: ~0.59585
+    import math
+
+    p, n, z2, z = 0.9, 10.0, 3.8416, 1.96
+    want = (p + z2 / (2 * n) - z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (
+        1 + z2 / n
+    )
+    assert abs(ab["wilson_low_ppm"] - round(want * 1e6)) <= 1
+    ac = out[("a", "c")]
+    assert (ac["wins_ab"], ac["wins_ba"]) == (0, 4)  # a lost all 4 to c
