@@ -465,6 +465,17 @@ def hits(
     (broadcast back — the deliberate 1-row BroadcastNestedLoopJoin
     pattern). Lineage truncated per round via eager ``localCheckpoint``.
     Returns (node, authority_nano, hub_nano), authority DESC, node ASC.
+
+    Skew note (r10, the :func:`pagerank` analysis applies per half-round):
+    the two score AGGREGATES are hub-safe — map-side partial combine
+    bounds any hot key's reducer input at loop_parts partials. The
+    exposure is the edge-side JOIN task: a hot SRC concentrates the
+    authority half-round, a hot DST the hub half-round. pagerank's
+    dst-hash salting (detect via the degree tables this loop already
+    builds, salt the affected edge copy, fan the 16-byte score rows out
+    to the salts) transplants mechanically to either copy when a
+    deployment's graphs have 10⁸⁺-degree hubs; not wired here because the
+    salt measured wall-neutral below that regime.
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
@@ -592,7 +603,10 @@ def label_propagation(
     """Fixed-iteration weighted label propagation (Raghavan et al., Phys.
     Rev. E 76, 2007) — community detection, the complement to
     :func:`connected_components` (which finds *components*; LPA splits a
-    connected graph into dense *communities*).
+    connected graph into dense *communities*). Skew exposure matches
+    :func:`pagerank` (see its salting + the hits() skew note): the vote
+    aggregate is partial-combine-safe, the src-keyed edge join is the hot
+    spot a dst-hash salt would spread.
 
     Every node starts labeled with its own id. Each synchronous round,
 
