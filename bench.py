@@ -643,6 +643,16 @@ def main() -> None:
                 # change, and with table_rows recorded it cannot recur
                 # unattributed.
                 "drift_note": (
+                    "r10: drop unchanged (refreeze --check clean, now incl."
+                    " the OPQ family). New entries: ann_pq_opq_topk headline"
+                    " (OPQ rotation + IVFADC at ADC depth 320 — recall@10"
+                    " 0.79->0.855 at sf0.1, honest decomposition: depth"
+                    " +0.03 / rotation +0.03; steady-state ~1.1-1.4x the raw"
+                    " pq family depending on codegen sharing) and win_matrix"
+                    " headline; bradley_terry + result_mv_after_delete land"
+                    " in the heavy section (loop-/commit-latency-shaped)."
+                    " chi2_drift values CHANGED by design: true pooled"
+                    " two-sample homogeneity (was goodness-of-fit). --- "
                     "r9: drop unchanged (refreeze --check clean). Deliberate"
                     " r9 cost changes, all recall trades: ann_ivf_topk"
                     " adaptive occupancy-target probing (recall 0.66->0.915,"
