@@ -8965,6 +8965,71 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end to end (transaction.py:merge_into — the Delta/Iceberg
+    upsert with deletion-vector semantics): even orders land in an atomic
+    table, a source of every third order MERGEs in — matched rows (keys
+    divisible by 6) get their totalprice increased by the source's in a
+    DV + rewrite, unmatched source rows (odd thirds) INSERT — all in ONE
+    serializable commit; the DV-aware read then aggregates. The oracle is
+    the independent one-shot SQL over the same arithmetic — the hash-match
+    proves match/update/insert routing and the DV read path agree with a
+    from-scratch computation."""
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="olake_mrg_")
+    try:
+        t = AtomicParquetTable(spark, f"{loc}/t", schema=orders.schema)
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        t.merge_into(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            on="o_orderkey",
+            when_matched_update={"o_totalprice": "o_totalprice + src_o_totalprice"},
+        )
+        rows = (
+            t.read()
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, o_orderpriority string, n_orders bigint, "
+        "sum_total double",
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+_ORACLE_MERGE_UPSERT = """
+WITH merged AS (
+    SELECT o_orderstatus, o_orderpriority,
+           CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + o_totalprice
+                ELSE o_totalprice END AS px
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority, o_totalprice AS px
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(px AS DECIMAL(28,2))) AS DOUBLE) AS sum_total
+FROM merged
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def q_result_mv_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving tier under row-level deletes, end to end (r10 judge #8:
     transaction.py delete_where → read_change_feed →
@@ -10318,6 +10383,7 @@ _HEAVY_FIRST = [
     "incremental_mv",
     "retraction_mv",
     "result_mv_after_delete",
+    "merge_upsert",
     "bradley_terry",
     "bloom_decontaminate",
     "dup_clusters",
@@ -10498,6 +10564,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "retraction_mv": q_retraction_mv,
         "result_mv_after_delete": q_result_mv_after_delete,
+        "merge_upsert": q_merge_upsert,
         "bradley_terry": q_bradley_terry,
         "win_matrix": q_win_matrix,
         "retrieval_metrics": q_retrieval_metrics,
@@ -10693,6 +10760,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _corr_oracle(),
         "retraction_mv": _ORACLE_RETRACTION_MV,
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
+        "merge_upsert": _ORACLE_MERGE_UPSERT,
         "bradley_terry": _bradley_terry_oracle(),
         "win_matrix": _win_matrix_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),

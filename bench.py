@@ -304,6 +304,7 @@ def heavy_queries(spark, sf_dir):
         "retraction_mv": (qs["retraction_mv"], "full registered shape (2 feeds + DV delete/update)"),
         "result_mv_after_delete": (qs["result_mv_after_delete"], "MV build + DV delete + feed-scoped partition refresh"),
         "bradley_terry": (qs["bradley_terry"], "full registered shape (4 MM rounds)"),
+        "merge_upsert": (qs["merge_upsert"], "append + MERGE (DV update + insert) + DV-aware read"),
     }
 
 

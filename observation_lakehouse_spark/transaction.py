@@ -766,6 +766,159 @@ class AtomicParquetTable:
         )
         return {"version": v, "updated_rows": n}
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+        idempotency_key: str | None = None,
+    ) -> dict:
+        """MERGE INTO with deletion-vector semantics (the Delta/Iceberg
+        upsert, merge-on-read flavor): source rows match live target rows on
+        equality of the ``on`` columns; matched target rows are UPDATEd
+        (rewritten as new files, old positions into a DV — non-matching rows
+        in the same files are never copied) or DELETEd (DV only), and
+        unmatched source rows INSERT. Everything lands in ONE serializable
+        commit pinned to the head the positions were computed against
+        (:class:`CommitConflict` on a racing writer — re-run to recompute).
+
+        ``when_matched_update`` maps target column → SQL expression
+        evaluated over the matched pair: target columns by name, source
+        columns as ``src_<name>``. A target row matched by MORE THAN ONE
+        source row raises (the engine cannot pick which update wins —
+        Delta's multiple-source-rows-match error). Inserts require the
+        source to carry every table column (aligned by name, cast on
+        write). CHECK constraints gate all new rows. Returns
+        ``{"version", "matched_rows", "inserted_rows"}``.
+        """
+        from pyspark.sql import functions as F
+
+        on_cols = [on] if isinstance(on, str) else list(on)
+        if when_matched_update and when_matched_delete:
+            raise ValueError("choose ONE matched action: update or delete")
+        if not (when_matched_update or when_matched_delete or when_not_matched_insert):
+            raise ValueError("merge_into with no clauses is a no-op by construction")
+        schema_names = {f.name for f in self.schema.fields}
+        missing_on = [c for c in on_cols if c not in schema_names or c not in source.columns]
+        if missing_on:
+            raise ValueError(f"on columns missing from target or source: {missing_on}")
+        if when_matched_update:
+            unknown = set(when_matched_update) - schema_names
+            if unknown:
+                raise ValueError(f"update targets unknown columns: {sorted(unknown)}")
+        clash = sorted({f"src_{c}" for c in source.columns} & schema_names)
+        if clash:
+            raise ValueError(
+                f"target columns {clash} collide with the src_-prefixed source "
+                "namespace; rename them in the source"
+            )
+        if when_not_matched_insert:
+            absent = sorted(schema_names - set(source.columns))
+            if absent:
+                raise ValueError(
+                    f"when_not_matched_insert needs every table column in the "
+                    f"source; missing: {absent}"
+                )
+        if idempotency_key is not None:
+            committed = self.committed_keys()
+            if idempotency_key in committed:
+                return {
+                    "version": committed[idempotency_key],
+                    "matched_rows": 0,
+                    "inserted_rows": 0,
+                }
+        head_v = self.latest_version()
+        m = self._manifest(head_v)
+        src_pref = source.select(
+            [F.col(c).alias(f"src_{c}") for c in source.columns]
+        )
+        if not m["files"]:
+            if not when_not_matched_insert:
+                return {"version": head_v, "matched_rows": 0, "inserted_rows": 0}
+            inserts = src_pref.select(
+                [F.col(f"src_{f.name}").alias(f.name) for f in self.schema.fields]
+            )
+            n_ins = inserts.count()
+            if n_ins == 0:
+                return {"version": head_v, "matched_rows": 0, "inserted_rows": 0}
+            v = self.append(inserts, idempotency_key=idempotency_key)
+            return {"version": v, "matched_rows": 0, "inserted_rows": n_ins}
+        live = self._live_rows(m)
+        cond = None
+        for c in on_cols:
+            term = live[c] == src_pref[f"src_{c}"]
+            cond = term if cond is None else (cond & term)
+        matched = live.join(src_pref, cond, "inner")
+        if when_matched_update or when_matched_delete:
+            dup = (
+                matched.groupBy("_file", "_pos")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "merge_into: a target row matches multiple source rows on "
+                    f"{on_cols} — the matched action is ambiguous; de-duplicate "
+                    "the source on the merge key first"
+                )
+        new_rows = None
+        if when_matched_update:
+            new_rows = matched.select(
+                [
+                    F.expr(when_matched_update[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in when_matched_update
+                    else F.col(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+        if when_not_matched_insert:
+            inserts = src_pref.join(
+                live.select(*on_cols),
+                [src_pref[f"src_{c}"] == F.col(c) for c in on_cols],
+                "left_anti",
+            ).select(
+                [
+                    F.col(f"src_{f.name}").cast(f.dataType).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            new_rows = inserts if new_rows is None else new_rows.unionByName(inserts)
+        if self.check_constraints and new_rows is not None:
+            bad = self._check_violations(new_rows, self.check_constraints)
+            if bad:
+                raise CheckViolation(str(self.location), bad)
+        name, n_matched, files_hit = (None, 0, [])
+        if when_matched_update or when_matched_delete:
+            name, n_matched, files_hit = self._write_delete_sidecar(
+                matched.select(F.col("_file").alias("file"), F.col("_pos").alias("pos"))
+            )
+        new_files = self.stage(new_rows) if new_rows is not None else []
+        n_new = 0
+        if new_files:
+            n_new = (
+                self.spark.read.schema(self.schema)
+                .parquet(*[str(self.data_dir / f) for f in new_files])
+                .count()
+            )
+        n_inserted = n_new - (n_matched if when_matched_update else 0)
+        if n_matched == 0 and n_new == 0:
+            return {"version": head_v, "matched_rows": 0, "inserted_rows": 0}
+        v = self._commit(
+            new_files,
+            idempotency_key,
+            add_deletes={f: [name] for f in files_hit} if n_matched else None,
+            expected_version=head_v,
+        )
+        return {
+            "version": v,
+            "matched_rows": n_matched,
+            "inserted_rows": n_inserted,
+        }
+
     def _commit(
         self,
         new_files: list[str],

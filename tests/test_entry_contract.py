@@ -65,7 +65,7 @@ def test_bench_helpers_shape(spark):
     assert set(hq) == {
         "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train",
         "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
-        "result_mv_after_delete", "bradley_terry",
+        "result_mv_after_delete", "bradley_terry", "merge_upsert",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -88,7 +88,7 @@ def test_every_registered_query_is_benchmarked():
     heavies = {
         "incremental_mv", "chargram_jaccard", "pagerank",
         "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank",
-        "retraction_mv", "result_mv_after_delete", "bradley_terry",
+        "retraction_mv", "result_mv_after_delete", "bradley_terry", "merge_upsert",
     }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)

@@ -849,3 +849,91 @@ def test_optimize_drops_dv_anti_join_from_read_plan(spark, table):
     after = table.read()._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" not in after  # compaction materialized the DVs
     assert sorted(r["run_id"] for r in table.read().collect()) == rows_before
+
+
+def test_merge_into_upsert(spark, table):
+    """MERGE = update matched via DV + rewrite, insert unmatched, ONE
+    commit: Delta's merge-on-read upsert shape."""
+    table.append(_batch(spark, "a", 0, 10))
+    v0 = table.latest_version()
+    src = spark.createDataFrame(
+        [("a", "p2", 5, 500.0), ("a", "p1", 7, 700.0), ("a", "p1", 100, 1000.0)],
+        "data_set_id string, problem_id string, run_id bigint, score double",
+    )
+    res = table.merge_into(
+        src,
+        on=["data_set_id", "run_id"],
+        when_matched_update={"score": "score + src_score"},
+    )
+    assert res["matched_rows"] == 2 and res["inserted_rows"] == 1
+    assert res["version"] == v0 + 1  # one serializable commit
+    rows = {r["run_id"]: r["score"] for r in table.read().collect()}
+    assert len(rows) == 11
+    assert rows[5] == 5 * 0.5 + 500.0 and rows[7] == 7 * 0.5 + 700.0
+    assert rows[100] == 1000.0
+    assert rows[3] == 3 * 0.5  # untouched
+    # the matched rows' old positions live in a DV, not a rewrite
+    assert table._manifest(table.latest_version()).get("deletes")
+
+
+def test_merge_into_delete_clause_and_multi_match(spark, table):
+    table.append(_batch(spark, "a", 0, 6))
+    src = spark.createDataFrame(
+        [("a", "p2", 2, 0.0), ("a", "p1", 4, 0.0)],
+        "data_set_id string, problem_id string, run_id bigint, score double",
+    )
+    res = table.merge_into(
+        src,
+        on=["data_set_id", "run_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert res["matched_rows"] == 2 and res["inserted_rows"] == 0
+    assert sorted(r["run_id"] for r in table.read().collect()) == [0, 1, 3, 5]
+    # a target row matching two source rows is ambiguous -> loud error
+    dup_src = spark.createDataFrame(
+        [("a", "p0", 3, 1.0), ("a", "p0", 3, 2.0)],
+        "data_set_id string, problem_id string, run_id bigint, score double",
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        table.merge_into(
+            dup_src, on=["data_set_id", "run_id"],
+            when_matched_update={"score": "src_score"},
+        )
+
+
+def test_merge_into_validation_and_checks(spark, table):
+    table.append(_batch(spark, "a", 0, 4))
+    table.add_check_constraint("score_nonneg", "score >= 0")
+    src = spark.createDataFrame(
+        [("a", "p1", 1, -5.0)],
+        "data_set_id string, problem_id string, run_id bigint, score double",
+    )
+    from observation_lakehouse_spark.transaction import CheckViolation
+
+    with pytest.raises(CheckViolation):
+        table.merge_into(
+            src, on=["data_set_id", "run_id"],
+            when_matched_update={"score": "src_score"},
+        )
+    assert table.read().count() == 4  # nothing committed
+    with pytest.raises(ValueError, match="ONE matched action"):
+        table.merge_into(src, on="run_id",
+                         when_matched_update={"score": "1.0"},
+                         when_matched_delete=True)
+    with pytest.raises(ValueError, match="missing"):
+        table.merge_into(
+            spark.createDataFrame([(1,)], "run_id bigint"), on="run_id"
+        )  # insert needs every table column
+
+
+def test_merge_into_empty_table_and_idempotency(spark, table):
+    src = spark.createDataFrame(
+        [("a", "p1", 1, 1.0)],
+        "data_set_id string, problem_id string, run_id bigint, score double",
+    )
+    res = table.merge_into(src, on="run_id", idempotency_key="m1")
+    assert res["inserted_rows"] == 1
+    v = table.latest_version()
+    replay = table.merge_into(src, on="run_id", idempotency_key="m1")
+    assert replay["version"] == v and table.latest_version() == v
