@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from observation_lakehouse_spark.operators.cdc import apply_changes
@@ -79,6 +79,82 @@ def stream_cdc_apply(
             except CommitConflict:
                 continue  # head moved under us — re-read, re-merge, retry
         raise CommitConflict(f"batch {batch_id}: table kept advancing during merge retries")
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", ckpt
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_merge_into(
+    table: AtomicParquetTable,
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    delete_col: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The MERGE-ON-READ twin of :func:`stream_cdc_apply` (r10, rides
+    :meth:`~observation_lakehouse_spark.transaction.AtomicParquetTable.
+    merge_into`): each micro-batch compacts newest-wins per key, then
+    upserts land as a row-level MERGE — matched rows become a deletion
+    vector + rewritten rows, inserts append, UNTOUCHED ROWS ARE NEVER
+    COPIED — and tombstones follow as a matched-delete MERGE (DV only).
+    The fact-table shape: per-batch cost tracks the batch's keys, not the
+    table (stream_cdc_apply rewrites the whole snapshot per batch — right
+    for dimensions, quadratic-ish for facts).
+
+    Exactly-once: each sub-action commits under its own (checkpoint,
+    batch_id)-derived idempotency key, and merge_into pins its positions to
+    the head it computed them against — a racing writer raises
+    CommitConflict and the batch re-merges against the new head. A batch is
+    up to TWO commits (upserts, then deletes), each individually atomic and
+    replay-safe; a crash between them resumes at the delete step on replay.
+    """
+    ckpt = checkpoint or f"/tmp/merge_into_ckpt_{uuid.uuid4().hex}"
+    ckpt_id = uuid.uuid5(uuid.NAMESPACE_URL, ckpt).hex
+    data_cols = [f.name for f in table.schema.fields]
+    upd = {c: f"src_{c}" for c in data_cols if c not in keys}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from observation_lakehouse_spark.operators.cdc import latest_per_key
+
+        latest = latest_per_key(batch_df, keys, order_by).localCheckpoint(eager=True)
+        ups = latest
+        dels = None
+        if delete_col is not None:
+            ups = latest.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+            dels = latest.filter(F.coalesce(F.col(delete_col), F.lit(False)))
+        ups = ups.select(*data_cols)
+        for attempt in range(5):
+            try:
+                table.merge_into(
+                    ups,
+                    on=keys,
+                    when_matched_update=upd,
+                    idempotency_key=f"mrg:{ckpt_id}:{batch_id}:u",
+                )
+                break
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        if dels is not None:
+            for attempt in range(5):
+                try:
+                    table.merge_into(
+                        dels.select(*keys),
+                        on=keys,
+                        when_matched_delete=True,
+                        when_not_matched_insert=False,
+                        idempotency_key=f"mrg:{ckpt_id}:{batch_id}:d",
+                    )
+                    break
+                except CommitConflict:
+                    if attempt == 4:
+                        raise
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", ckpt

@@ -83,3 +83,48 @@ def test_stream_cdc_apply_agrees_with_batch_apply_changes(spark, tmp_path):
     _run(spark, table, landing, tmp_path / "ckpt")
     got = sorted((r["k"], r["v"]) for r in table.read().collect())
     assert got == expected
+
+
+def test_stream_merge_into_merge_on_read(spark, tmp_path):
+    """The merge-on-read streaming twin: upserts via DV+rewrite MERGE,
+    tombstones via matched-delete MERGE, exactly-once under replay."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from observation_lakehouse_spark.streaming.cdc_apply import stream_merge_into
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    schema = "k bigint, v string"
+    chg_schema = "k bigint, v string, seq bigint, deleted boolean"
+    table = AtomicParquetTable(
+        spark, str(tmp_path / "t"), schema=_parse_datatype_string(schema)
+    )
+    table.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    landing = tmp_path / "landing"
+    batch1 = [
+        (2, "b2", 1, False),  # update
+        (4, "d", 1, False),   # insert
+        (3, None, 1, True),   # delete
+        (2, "b1-stale", 0, False),  # older change, newest-wins drops it
+    ]
+    spark.createDataFrame(batch1, chg_schema).write.parquet(str(landing / "f1"))
+    stream = spark.readStream.schema(chg_schema).parquet(str(landing) + "/*")
+    q = stream_merge_into(
+        table, stream, keys=["k"], order_by=["seq"], delete_col="deleted",
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}
+    # deletes live as DVs, not rewrites of untouched files
+    assert table._manifest(table.latest_version()).get("deletes")
+
+    # replaying the same files through the same checkpoint is a no-op
+    v = table.latest_version()
+    stream = spark.readStream.schema(chg_schema).parquet(str(landing) + "/*")
+    q = stream_merge_into(
+        table, stream, keys=["k"], order_by=["seq"], delete_col="deleted",
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert table.latest_version() == v
+    assert {r["k"]: r["v"] for r in table.read().collect()} == got
