@@ -500,3 +500,58 @@ def test_mmr_rerank_matches_bruteforce_greedy(spark_global, pool, sims, lambda_p
             picked.append(best[0])
             want.append((qq, rank, best[0], best[1]))
     assert sorted(got) == sorted(want)
+
+
+merge_rows_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(0, 99)),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    target=merge_rows_strategy,
+    source=merge_rows_strategy,
+    action=st.sampled_from(["update", "delete"]),
+    insert=st.booleans(),
+)
+def test_merge_into_matches_dict_semantics(
+    spark_global, tmp_path_factory, target, source, action, insert
+):
+    """merge_into must equal the obvious dict merge for ANY (target, source)
+    and clause combination — pins match routing, the DV read path after a
+    merge, and clause interaction."""
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+    from pyspark.sql.types import _parse_datatype_string
+
+    spark = spark_global
+    if action == "delete" and not insert and not source:
+        return
+    loc = tmp_path_factory.mktemp("merge_prop")
+    t = AtomicParquetTable(
+        spark, str(loc / "t"), schema=_parse_datatype_string("k bigint, v bigint")
+    )
+    if target:
+        t.append(spark.createDataFrame(target, "k bigint, v bigint"))
+    src = spark.createDataFrame(source or [(None, None)], "k bigint, v bigint").filter(
+        "k IS NOT NULL"
+    )
+    t.merge_into(
+        src,
+        on="k",
+        when_matched_update={"v": "v + src_v"} if action == "update" else None,
+        when_matched_delete=(action == "delete"),
+        when_not_matched_insert=insert,
+    )
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    ref = dict(target)
+    for k, v in source:
+        if k in ref:
+            if action == "update":
+                ref[k] = ref[k] + v
+            else:
+                del ref[k]
+        elif insert:
+            ref[k] = v
+    assert got == sorted(ref.items())
