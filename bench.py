@@ -305,6 +305,7 @@ def heavy_queries(spark, sf_dir):
         "result_mv_after_delete": (qs["result_mv_after_delete"], "MV build + DV delete + feed-scoped partition refresh"),
         "bradley_terry": (qs["bradley_terry"], "full registered shape (4 MM rounds)"),
         "merge_upsert": (qs["merge_upsert"], "append + MERGE (DV update + insert) + DV-aware read"),
+        "merge_multi_clause": (qs["merge_multi_clause"], "append + conditional MERGE ladder (matched + not-matched-by-source) + DV-aware read"),
     }
 
 

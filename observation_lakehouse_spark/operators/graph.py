@@ -443,6 +443,7 @@ def hits(
     dst: str = "dst",
     n_iters: int = 2,
     scale: int = 1_000_000_000,
+    _salt_override: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg, JACM'99: hubs & authorities) in
     integer NANO-units — deterministic on any engine and partitioning, the
@@ -466,16 +467,17 @@ def hits(
     pattern). Lineage truncated per round via eager ``localCheckpoint``.
     Returns (node, authority_nano, hub_nano), authority DESC, node ASC.
 
-    Skew note (r10, the :func:`pagerank` analysis applies per half-round):
-    the two score AGGREGATES are hub-safe — map-side partial combine
-    bounds any hot key's reducer input at loop_parts partials. The
-    exposure is the edge-side JOIN task: a hot SRC concentrates the
-    authority half-round, a hot DST the hub half-round. pagerank's
-    dst-hash salting (detect via the degree tables this loop already
-    builds, salt the affected edge copy, fan the 16-byte score rows out
-    to the salts) transplants mechanically to either copy when a
-    deployment's graphs have 10⁸⁺-degree hubs; not wired here because the
-    salt measured wall-neutral below that regime.
+    Skew hardening (r11, the :func:`pagerank` analysis applies per
+    half-round): the two score AGGREGATES are hub-safe — map-side partial
+    combine bounds any hot key's reducer input at loop_parts partials.
+    The exposure is the edge-side JOIN task: a hot SRC concentrates the
+    authority half-round (src-keyed join against ``e``), a hot DST the
+    hub half-round (dst-keyed join against ``e_dst``). Each cached edge
+    copy is salted INDEPENDENTLY by the opposite endpoint's hash when the
+    pre-loop degree pass measures a degree above 2x the even
+    per-partition share, and the 16-byte score rows fan out to that
+    copy's salts — hub work spreads across S tasks, everything stays
+    exact integer (pinned bit-identical in test_graph_skew).
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
@@ -507,7 +509,41 @@ def hits(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     e = e_dst = nodes_l = None
     try:
-        e = e0.repartition(loop_parts, F.col("src")).persist()
+        # degree tables, once (moved pre-loop in r11 so the salting rule can
+        # read their maxima): the L1 totals never need a second pass over
+        # the edge join — see the a_tot/h_tot notes below.
+        outdeg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("_od")).persist()
+        indeg = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("_id")).persist()
+        # Hot-hub salting (r11, pagerank's machinery per edge copy): the
+        # authority half-round's src-keyed join concentrates a hot SRC, the
+        # hub half-round's dst-keyed join a hot DST. One combined action
+        # reads both maxima; each copy salts independently by the OPPOSITE
+        # endpoint's hash so the hub's edges spread across S tasks.
+        S_src = S_dst = 1
+        if _salt_override is not None:
+            S_src = S_dst = max(1, int(_salt_override))
+        elif loop_parts > 1:
+            mm = (
+                outdeg.agg(F.max("_od").alias("mo"))
+                .crossJoin(indeg.agg(F.max("_id").alias("mi")))
+                .collect()[0]
+            )
+            share = max(1, n_edges // loop_parts)
+            if (mm["mo"] or 0) > 2 * share:
+                S_src = int(min(loop_parts, -(-int(mm["mo"]) // share)))
+            if (mm["mi"] or 0) > 2 * share:
+                S_dst = int(min(loop_parts, -(-int(mm["mi"]) // share)))
+        if S_src > 1:
+            e = (
+                e0.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64(F.col("dst")), F.lit(S_src)).cast("int"),
+                )
+                .repartition(loop_parts, F.col("src"), F.col("_salt"))
+                .persist()
+            )
+        else:
+            e = e0.repartition(loop_parts, F.col("src")).persist()
         # Second cached copy partitioned on dst (r8 judge #5): the
         # authority half-round joins edges on src, the hub half-round on
         # dst — with only the src-partitioned copy the hub pass paid a
@@ -515,7 +551,17 @@ def hits(
         # co-partitioned with their join key, so the per-round shuffles
         # move only the 16-byte score tables; the price is one extra
         # cached edge table (linear, bounded like e itself).
-        e_dst = e0.repartition(loop_parts, F.col("dst")).persist()
+        if S_dst > 1:
+            e_dst = (
+                e0.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64(F.col("src")), F.lit(S_dst)).cast("int"),
+                )
+                .repartition(loop_parts, F.col("dst"), F.col("_salt"))
+                .persist()
+            )
+        else:
+            e_dst = e0.repartition(loop_parts, F.col("dst")).persist()
         # Loop-width node table (r9): `nodes` is persisted at the CALLER's
         # shuffle width, and Spark co-partitions a join at the MAX width of
         # its non-shuffle children — so any per-round join that touches the
@@ -526,26 +572,31 @@ def hits(
         # keeps every in-loop frame at loop_parts, so both edge copies'
         # cached layouts are actually reused.
         nodes_l = nodes.repartition(loop_parts, F.col("node")).persist()
-        # degree tables, once: the L1 totals never need a second pass over
-        # the edge join — Σ_v a_raw(v) = Σ_u h(u)·outdeg(u) and
-        # Σ_u h_raw(u) = Σ_v a(v)·indeg(v), each a node-sized join against
-        # the CHECKPOINTED score table (a naive a_raw.agg() total embeds the
-        # edge-join subtree a second time per half-round — measured ~2x the
-        # round cost)
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od")).persist()
-        indeg = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("_id")).persist()
+        # L1-total note (the degree tables above): the totals never need a
+        # second pass over the edge join — Σ_v a_raw(v) = Σ_u h(u)·outdeg(u)
+        # and Σ_u h_raw(u) = Σ_v a(v)·indeg(v), each a node-sized join
+        # against the CHECKPOINTED score table (a naive a_raw.agg() total
+        # embeds the edge-join subtree a second time per half-round —
+        # measured ~2x the round cost)
         h = nodes_l.withColumn("h", F.lit(scale // n)).localCheckpoint(eager=True)
         a = None
+        salts_src = F.array(*[F.lit(i).cast("int") for i in range(S_src)])
+        salts_dst = F.array(*[F.lit(i).cast("int") for i in range(S_dst)])
         for i in range(n_iters):
             a_tot = (
                 h.join(outdeg, h["node"] == outdeg["src"])
                 .agg(F.sum(F.col("h") * F.col("_od")).alias("_t"))
             )
-            a_raw = (
-                e.join(h.withColumnRenamed("node", "src"), "src")
-                .groupBy("dst")
-                .agg(F.sum("h").alias("_s"))
-            )
+            h_src = h.withColumnRenamed("node", "src")
+            if S_src > 1:
+                # fan the 16-byte score rows out to the S salts (bounded
+                # codegen explode) so the join hits every (src, _salt)
+                # bucket of the salted edge layout
+                h_src = h_src.withColumn("_salt", F.explode(salts_src))
+                a_join = e.join(h_src, ["src", "_salt"])
+            else:
+                a_join = e.join(h_src, "src")
+            a_raw = a_join.groupBy("dst").agg(F.sum("h").alias("_s"))
             a = (
                 nodes_l.join(a_raw, nodes_l["node"] == a_raw["dst"], "left")
                 .crossJoin(F.broadcast(a_tot))
@@ -558,11 +609,13 @@ def hits(
                 a.join(indeg, a["node"] == indeg["dst"])
                 .agg(F.sum(F.col("a") * F.col("_id")).alias("_t2"))
             )
-            h_raw = (
-                e_dst.join(a.withColumnRenamed("node", "dst"), "dst")
-                .groupBy("src")
-                .agg(F.sum("a").alias("_s2"))
-            )
+            a_dst = a.withColumnRenamed("node", "dst")
+            if S_dst > 1:
+                a_dst = a_dst.withColumn("_salt", F.explode(salts_dst))
+                h_join = e_dst.join(a_dst, ["dst", "_salt"])
+            else:
+                h_join = e_dst.join(a_dst, "dst")
+            h_raw = h_join.groupBy("src").agg(F.sum("a").alias("_s2"))
             h = (
                 nodes_l.join(h_raw, nodes_l["node"] == h_raw["src"], "left")
                 .crossJoin(F.broadcast(h_tot))
@@ -599,14 +652,20 @@ def label_propagation(
     dst: str = "dst",
     weight: str | None = None,
     n_iters: int = 3,
+    _salt_override: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration weighted label propagation (Raghavan et al., Phys.
     Rev. E 76, 2007) — community detection, the complement to
     :func:`connected_components` (which finds *components*; LPA splits a
-    connected graph into dense *communities*). Skew exposure matches
-    :func:`pagerank` (see its salting + the hits() skew note): the vote
-    aggregate is partial-combine-safe, the src-keyed edge join is the hot
-    spot a dst-hash salt would spread.
+    connected graph into dense *communities*). Skew hardening matches
+    :func:`pagerank` (r11, ported from graph.py's pagerank salting): the
+    vote aggregate is partial-combine-safe, but the src-keyed edge join
+    puts a hub's whole (symmetrized) adjacency in ONE task — when the
+    pre-loop bounds pass measures a degree above 2x the even
+    per-partition share, the edge table is salted by dst-hash into S
+    buckets and the 16-byte label rows fan out to the S salts. Salting
+    is result-invisible: the vote terms are the same multiset of exact
+    integers (pinned bit-identical in test_graph_skew).
 
     Every node starts labeled with its own id. Each synchronous round,
 
@@ -674,6 +733,10 @@ def label_propagation(
             F.min("dst").alias("min_node"),
             F.sum("deg").alias("n_edges"),
             F.min("min_w").alias("min_w"),
+            # symmetrized graph: degree-by-dst == degree-by-src per node, so
+            # this one number is also the max OUT-degree the salting rule
+            # needs — no second pass over the edge table
+            F.max("deg").alias("max_deg"),
         )
         .collect()[0]
     )
@@ -710,24 +773,64 @@ def label_propagation(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     e = None
     try:
-        # re-partition by src ALONE at the loop width before persisting so
-        # the per-round label join reuses the cached layout instead of
+        # Hot-SRC salting (r11, the pagerank machinery): when one node's
+        # symmetrized adjacency exceeds 2x the even per-partition share, the
+        # src-keyed vote join serializes on that hub's task — salt the edge
+        # layout by dst-hash into S buckets and fan the label rows out to
+        # the salts so the hub's edges spread across S tasks. Exact integer
+        # votes make this result-invisible.
+        S = 1
+        if _salt_override is not None:
+            S = max(1, int(_salt_override))
+        elif loop_parts > 1:
+            share = max(1, int(b["n_edges"]) // loop_parts)
+            if int(b["max_deg"]) > 2 * share:
+                S = int(min(loop_parts, -(-int(b["max_deg"]) // share)))
+        # re-partition by src (+ salt) at the loop width before persisting
+        # so the per-round label join reuses the cached layout instead of
         # re-shuffling the (much larger) edge side every iteration — only
         # the 16-byte label table moves per round.
-        e = e0.repartition(loop_parts, F.col("src")).persist()
+        if S > 1:
+            e = (
+                e0.withColumn(
+                    "_salt", F.pmod(F.xxhash64(F.col("dst")), F.lit(S)).cast("int")
+                )
+                .repartition(loop_parts, F.col("src"), F.col("_salt"))
+                .persist()
+            )
+        else:
+            e = e0.repartition(loop_parts, F.col("src")).persist()
         lab = e.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node")
         )
+        salts = F.array(*[F.lit(i).cast("int") for i in range(S)])
         for i in range(n_iters):
             # labels are the (node-sized) small side — pin them as the
             # shuffle-hash build side; SMJ would re-sort the cached edge
             # partitions every round for nothing.
-            votes = (
-                lab.hint("shuffle_hash")
-                .join(e, lab["node"] == e["src"])
-                .groupBy("dst", "label")
-                .agg(F.sum("w").alias("lw"))
-            )
+            if S > 1:
+                # NO shuffle_hash hint here: the fanned label table is S x
+                # nodes — pinning it as a per-partition hash-map build side
+                # OOMs exactly in the hub regime the salt exists for
+                # (measured: SparkOutOfMemoryError building the hashed
+                # relation at 2.4M nodes x S=3 on a 1g driver). SMJ's sort
+                # is the memory-safe price of the salted path, as in
+                # pagerank's salted join.
+                fan = lab.select(
+                    F.col("node").alias("src"), "label"
+                ).withColumn("_salt", F.explode(salts))
+                votes = (
+                    fan.join(e, ["src", "_salt"])
+                    .groupBy("dst", "label")
+                    .agg(F.sum("w").alias("lw"))
+                )
+            else:
+                votes = (
+                    lab.hint("shuffle_hash")
+                    .join(e, lab["node"] == e["src"])
+                    .groupBy("dst", "label")
+                    .agg(F.sum("w").alias("lw"))
+                )
             if packable:
                 packed = votes.groupBy("dst").agg(
                     F.max(

@@ -774,6 +774,8 @@ class AtomicParquetTable:
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
         idempotency_key: str | None = None,
+        matched_clauses: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
     ) -> dict:
         """MERGE INTO with deletion-vector semantics (the Delta/Iceberg
         upsert, merge-on-read flavor): source rows match live target rows on
@@ -784,30 +786,86 @@ class AtomicParquetTable:
         commit pinned to the head the positions were computed against
         (:class:`CommitConflict` on a racing writer — re-run to recompute).
 
-        ``when_matched_update`` maps target column → SQL expression
-        evaluated over the matched pair: target columns by name, source
-        columns as ``src_<name>``. A target row matched by MORE THAN ONE
-        source row raises (the engine cannot pick which update wins —
+        Two clause grammars (r11 extends to the full Delta/Iceberg shape):
+
+        - Legacy single-action: ``when_matched_update`` maps target column →
+          SQL expression over the matched pair (target columns by name,
+          source columns as ``src_<name>``); ``when_matched_delete`` drops
+          matched rows.
+        - ``matched_clauses``: an ordered list of
+          ``{"action": "update"|"delete", "condition": <sql>|None,
+          "set": {col: expr}}`` — the ``WHEN MATCHED [AND cond] THEN …``
+          ladder, FIRST-match-wins per row; a matched row satisfying no
+          clause condition is left untouched. Conditions see the same
+          matched-pair namespace as update expressions.
+        - ``not_matched_by_source``: same clause shape evaluated over live
+          target rows with NO source match (``WHEN NOT MATCHED BY SOURCE``,
+          the CDC/GDPR sweep); conditions and SET expressions see target
+          columns only.
+
+        A target row matched by MORE THAN ONE source row raises when any
+        matched clause exists (the engine cannot pick which update wins —
         Delta's multiple-source-rows-match error). Inserts require the
         source to carry every table column (aligned by name, cast on
-        write). CHECK constraints gate all new rows. Returns
-        ``{"version", "matched_rows", "inserted_rows"}``.
+        write). CHECK constraints gate all new rows. The source is eagerly
+        ``localCheckpoint``-ed before the multi-consumer section so a
+        non-deterministic source (sample/rand/uncheckpointed shuffle)
+        cannot make the deletion vector disagree with the rewritten rows.
+        Returns ``{"version", "matched_rows", "inserted_rows",
+        "not_matched_by_source_rows"}``.
         """
         from pyspark.sql import functions as F
 
         on_cols = [on] if isinstance(on, str) else list(on)
         if when_matched_update and when_matched_delete:
             raise ValueError("choose ONE matched action: update or delete")
-        if not (when_matched_update or when_matched_delete or when_not_matched_insert):
-            raise ValueError("merge_into with no clauses is a no-op by construction")
+        if matched_clauses is not None and (when_matched_update or when_matched_delete):
+            raise ValueError(
+                "matched_clauses and when_matched_update/when_matched_delete "
+                "are mutually exclusive spellings of the WHEN MATCHED ladder"
+            )
         schema_names = {f.name for f in self.schema.fields}
+
+        def _norm(clauses: list[dict], namespace: str) -> list[dict]:
+            out = []
+            for cl in clauses:
+                action = cl.get("action")
+                if action not in ("update", "delete"):
+                    raise ValueError(f"{namespace} clause action must be "
+                                     f"'update' or 'delete', got {action!r}")
+                if action == "update":
+                    st = cl.get("set")
+                    if not st:
+                        raise ValueError(f"{namespace} update clause needs a "
+                                         "non-empty 'set' map")
+                    unknown = set(st) - schema_names
+                    if unknown:
+                        raise ValueError(
+                            f"update targets unknown columns: {sorted(unknown)}"
+                        )
+                elif cl.get("set"):
+                    raise ValueError(f"{namespace} delete clause takes no 'set'")
+                out.append({"action": action,
+                            "condition": cl.get("condition"),
+                            "set": cl.get("set") or {}})
+            return out
+
+        if matched_clauses is not None:
+            mclauses = _norm(matched_clauses, "matched")
+        elif when_matched_update:
+            mclauses = [{"action": "update", "condition": None,
+                         "set": dict(when_matched_update)}]
+        elif when_matched_delete:
+            mclauses = [{"action": "delete", "condition": None, "set": {}}]
+        else:
+            mclauses = []
+        nmbs_clauses = _norm(list(not_matched_by_source or []),
+                             "not_matched_by_source")
+        if not (mclauses or nmbs_clauses or when_not_matched_insert):
+            raise ValueError("merge_into with no clauses is a no-op by construction")
         missing_on = [c for c in on_cols if c not in schema_names or c not in source.columns]
         if missing_on:
             raise ValueError(f"on columns missing from target or source: {missing_on}")
-        if when_matched_update:
-            unknown = set(when_matched_update) - schema_names
-            if unknown:
-                raise ValueError(f"update targets unknown columns: {sorted(unknown)}")
         clash = sorted({f"src_{c}" for c in source.columns} & schema_names)
         if clash:
             raise ValueError(
@@ -821,37 +879,73 @@ class AtomicParquetTable:
                     f"when_not_matched_insert needs every table column in the "
                     f"source; missing: {absent}"
                 )
+        no_op = {"matched_rows": 0, "inserted_rows": 0,
+                 "not_matched_by_source_rows": 0}
         if idempotency_key is not None:
             committed = self.committed_keys()
             if idempotency_key in committed:
-                return {
-                    "version": committed[idempotency_key],
-                    "matched_rows": 0,
-                    "inserted_rows": 0,
-                }
+                return {"version": committed[idempotency_key], **no_op}
         head_v = self.latest_version()
         m = self._manifest(head_v)
+        # Determinism (r10 ADVICE): the source feeds up to four independent
+        # jobs (duplicate-match probe, DV sidecar, update staging, insert
+        # anti-join) — pin ONE evaluation so a non-deterministic source
+        # can't desynchronize them. MERGE sources are delta-sized by
+        # construction; the checkpoint is O(source), never O(table).
         src_pref = source.select(
             [F.col(c).alias(f"src_{c}") for c in source.columns]
-        )
+        ).localCheckpoint(eager=True)
         if not m["files"]:
             if not when_not_matched_insert:
-                return {"version": head_v, "matched_rows": 0, "inserted_rows": 0}
+                return {"version": head_v, **no_op}
             inserts = src_pref.select(
                 [F.col(f"src_{f.name}").alias(f.name) for f in self.schema.fields]
             )
             n_ins = inserts.count()
             if n_ins == 0:
-                return {"version": head_v, "matched_rows": 0, "inserted_rows": 0}
+                return {"version": head_v, **no_op}
             v = self.append(inserts, idempotency_key=idempotency_key)
-            return {"version": v, "matched_rows": 0, "inserted_rows": n_ins}
+            return {"version": v, "matched_rows": 0, "inserted_rows": n_ins,
+                    "not_matched_by_source_rows": 0}
         live = self._live_rows(m)
         cond = None
         for c in on_cols:
             term = live[c] == src_pref[f"src_{c}"]
             cond = term if cond is None else (cond & term)
-        matched = live.join(src_pref, cond, "inner")
-        if when_matched_update or when_matched_delete:
+
+        def _clause_case(clauses: list[dict]):
+            # first-match-wins ladder: CASE WHEN cond_0 THEN 0 WHEN … END;
+            # rows satisfying no condition stay NULL (= untouched)
+            case = None
+            for i, cl in enumerate(clauses):
+                c = F.expr(cl["condition"]) if cl["condition"] else F.lit(True)
+                case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
+            return case
+
+        def _updates(aff: DataFrame, clauses: list[dict]) -> DataFrame | None:
+            frames = []
+            for i, cl in enumerate(clauses):
+                if cl["action"] != "update":
+                    continue
+                frames.append(
+                    aff.filter(F.col("_clause") == i).select(
+                        [
+                            F.expr(cl["set"][f.name]).cast(f.dataType).alias(f.name)
+                            if f.name in cl["set"]
+                            else F.col(f.name)
+                            for f in self.schema.fields
+                        ]
+                    )
+                )
+            out = None
+            for fr in frames:
+                out = fr if out is None else out.unionByName(fr)
+            return out
+
+        affected_m = None
+        n_matched = n_upd_m = 0
+        if mclauses:
+            matched = live.join(src_pref, cond, "inner")
             dup = (
                 matched.groupBy("_file", "_pos")
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -865,16 +959,42 @@ class AtomicParquetTable:
                     f"{on_cols} — the matched action is ambiguous; de-duplicate "
                     "the source on the merge key first"
                 )
-        new_rows = None
-        if when_matched_update:
-            new_rows = matched.select(
-                [
-                    F.expr(when_matched_update[f.name]).cast(f.dataType).alias(f.name)
-                    if f.name in when_matched_update
-                    else F.col(f.name)
-                    for f in self.schema.fields
-                ]
+            # one evaluation of the matched join serves the DV positions,
+            # the per-clause rewrites and the counts below
+            affected_m = (
+                matched.withColumn("_clause", _clause_case(mclauses))
+                .filter(F.col("_clause").isNotNull())
+                .localCheckpoint(eager=True)
             )
+            n_matched = affected_m.count()
+            upd_idx_m = [i for i, cl in enumerate(mclauses) if cl["action"] == "update"]
+            if upd_idx_m:
+                n_upd_m = affected_m.filter(F.col("_clause").isin(upd_idx_m)).count()
+        affected_n = None
+        n_nmbs = n_upd_n = 0
+        if nmbs_clauses:
+            unmatched_t = live.join(
+                src_pref.select([f"src_{c}" for c in on_cols]).distinct(),
+                [live[c] == F.col(f"src_{c}") for c in on_cols],
+                "left_anti",
+            )
+            affected_n = (
+                unmatched_t.withColumn("_clause", _clause_case(nmbs_clauses))
+                .filter(F.col("_clause").isNotNull())
+                .localCheckpoint(eager=True)
+            )
+            n_nmbs = affected_n.count()
+            upd_idx_n = [i for i, cl in enumerate(nmbs_clauses)
+                         if cl["action"] == "update"]
+            if upd_idx_n:
+                n_upd_n = affected_n.filter(F.col("_clause").isin(upd_idx_n)).count()
+        new_rows = None
+        if affected_m is not None:
+            new_rows = _updates(affected_m, mclauses)
+        if affected_n is not None:
+            upd_n = _updates(affected_n, nmbs_clauses)
+            if upd_n is not None:
+                new_rows = upd_n if new_rows is None else new_rows.unionByName(upd_n)
         if when_not_matched_insert:
             inserts = src_pref.join(
                 live.select(*on_cols),
@@ -891,11 +1011,15 @@ class AtomicParquetTable:
             bad = self._check_violations(new_rows, self.check_constraints)
             if bad:
                 raise CheckViolation(str(self.location), bad)
-        name, n_matched, files_hit = (None, 0, [])
-        if when_matched_update or when_matched_delete:
-            name, n_matched, files_hit = self._write_delete_sidecar(
-                matched.select(F.col("_file").alias("file"), F.col("_pos").alias("pos"))
-            )
+        name, n_dv, files_hit = (None, 0, [])
+        if n_matched or n_nmbs:
+            hits = None
+            for aff in (affected_m, affected_n):
+                if aff is None:
+                    continue
+                h = aff.select(F.col("_file").alias("file"), F.col("_pos").alias("pos"))
+                hits = h if hits is None else hits.unionByName(h)
+            name, n_dv, files_hit = self._write_delete_sidecar(hits)
         new_files = self.stage(new_rows) if new_rows is not None else []
         n_new = 0
         if new_files:
@@ -904,19 +1028,20 @@ class AtomicParquetTable:
                 .parquet(*[str(self.data_dir / f) for f in new_files])
                 .count()
             )
-        n_inserted = n_new - (n_matched if when_matched_update else 0)
-        if n_matched == 0 and n_new == 0:
-            return {"version": head_v, "matched_rows": 0, "inserted_rows": 0}
+        n_inserted = n_new - n_upd_m - n_upd_n
+        if n_dv == 0 and n_new == 0:
+            return {"version": head_v, **no_op}
         v = self._commit(
             new_files,
             idempotency_key,
-            add_deletes={f: [name] for f in files_hit} if n_matched else None,
+            add_deletes={f: [name] for f in files_hit} if n_dv else None,
             expected_version=head_v,
         )
         return {
             "version": v,
             "matched_rows": n_matched,
             "inserted_rows": n_inserted,
+            "not_matched_by_source_rows": n_nmbs,
         }
 
     def _commit(
