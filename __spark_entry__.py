@@ -8965,6 +8965,90 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def q_retraction_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX under retractions (r10 judge #6 — plans/incremental.py
+    extrema_k candidate state): the aggregate MV declares MIN and MAX next
+    to the count witness, a mass DELETE clips every group's max frontier
+    (k=3, thousands of rows above the cutoff — frontiers EMPTY and exactly
+    those groups recompute from the post-change source, others fold
+    incrementally), a second surgical delete retires tracked minima. The
+    oracle is the one-shot GROUP BY with MIN/MAX over the post-delete rows
+    — the hash-match proves frontier maintenance + scoped recompute equal
+    full recompute."""
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="olake_rmm_")
+    try:
+        src = AtomicParquetTable(spark, f"{loc}/src", schema=orders.schema)
+        mv = IncrementalAggregate(
+            spark,
+            f"{loc}/mv",
+            keys=["o_orderstatus", "o_orderpriority"],
+            aggs={
+                "n_orders": ("count", "1"),
+                "min_total": ("min", "CAST(o_totalprice AS DOUBLE)"),
+                "max_total": ("max", "CAST(o_totalprice AS DOUBLE)"),
+            },
+            agg_types={"min_total": "double", "max_total": "double"},
+            extrema_k=3,
+        )
+        src.append(orders)
+        v1 = src.latest_version()
+        mv.refresh_retractions(src.read_change_feed(0, v1), idempotency_key="b1")
+        src.delete_where("o_totalprice > 400000")
+        src.delete_where("o_orderkey % 10 < 2")
+        mv.refresh_retractions(
+            src.read_change_feed(v1),
+            idempotency_key="b2",
+            source=src.read(),
+        )
+        if mv.last_recompute_groups <= 0:
+            raise AssertionError(
+                "vacuous fixture: no frontier emptied — the scoped-recompute "
+                "path is not exercised"
+            )
+        rows = (
+            mv.read()
+            .select(
+                "o_orderstatus",
+                "o_orderpriority",
+                "n_orders",
+                "min_total",
+                "max_total",
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, o_orderpriority string, n_orders bigint, "
+        "min_total double, max_total double",
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+_ORACLE_RETRACTION_MV_MINMAX = """
+WITH live AS (
+    SELECT o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE NOT (o_totalprice > 400000) AND NOT (o_orderkey % 10 < 2)
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_total,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_total
+FROM live
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO end to end (transaction.py:merge_into — the Delta/Iceberg
     upsert with deletion-vector semantics): even orders land in an atomic
@@ -10497,6 +10581,7 @@ _HEAVY_FIRST = [
     "incremental_mv",
     "retraction_mv",
     "result_mv_after_delete",
+    "retraction_mv_minmax",
     "merge_upsert",
     "merge_multi_clause",
     "bradley_terry",
@@ -10679,6 +10764,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "retraction_mv": q_retraction_mv,
         "result_mv_after_delete": q_result_mv_after_delete,
+        "retraction_mv_minmax": q_retraction_mv_minmax,
         "merge_upsert": q_merge_upsert,
         "merge_multi_clause": q_merge_multi_clause,
         "bradley_terry": q_bradley_terry,
@@ -10876,6 +10962,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _corr_oracle(),
         "retraction_mv": _ORACLE_RETRACTION_MV,
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
+        "retraction_mv_minmax": _ORACLE_RETRACTION_MV_MINMAX,
         "merge_upsert": _ORACLE_MERGE_UPSERT,
         "merge_multi_clause": _ORACLE_MERGE_MULTI_CLAUSE,
         "bradley_terry": _bradley_terry_oracle(),

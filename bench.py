@@ -302,6 +302,7 @@ def heavy_queries(spark, sf_dir):
         # table-build-shaped: two appends + DV delete/update + two counting-
         # algorithm feeds against a temp store — commit latency, not a scan
         "retraction_mv": (qs["retraction_mv"], "full registered shape (2 feeds + DV delete/update)"),
+        "retraction_mv_minmax": (qs["retraction_mv_minmax"], "MIN/MAX candidate-state MV: feed + 2 DV deletes + scoped recompute"),
         "result_mv_after_delete": (qs["result_mv_after_delete"], "MV build + DV delete + feed-scoped partition refresh"),
         "bradley_terry": (qs["bradley_terry"], "full registered shape (4 MM rounds)"),
         "merge_upsert": (qs["merge_upsert"], "append + MERGE (DV update + insert) + DV-aware read"),

@@ -66,6 +66,7 @@ def test_bench_helpers_shape(spark):
         "incremental_mv", "chargram_jaccard", "pagerank", "bpe_train",
         "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
         "result_mv_after_delete", "bradley_terry", "merge_upsert",
+        "merge_multi_clause", "retraction_mv_minmax",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -89,6 +90,7 @@ def test_every_registered_query_is_benchmarked():
         "incremental_mv", "chargram_jaccard", "pagerank",
         "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank",
         "retraction_mv", "result_mv_after_delete", "bradley_terry", "merge_upsert",
+        "merge_multi_clause", "retraction_mv_minmax",
     }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)
