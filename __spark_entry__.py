@@ -3239,6 +3239,156 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier, training leg (r10 judge #3 —
+    operators/classifier.py): hashed-token-count features (portable
+    length/first/last-codepoint bucket hash) + an intercept, frozen
+    heuristic labels (median-length gate), 6 rounds of exact-integer
+    batch gradient descent under a hard sigmoid with 1/round decay — the
+    fastText-style quality gate of LLM data curation, every quantity a
+    BIGINT so the unrolled-round SQL oracle (generated, one CTE block per
+    round) agrees bit-for-bit. Returns the trained weight table."""
+    from observation_lakehouse_spark.operators.classifier import (
+        hashed_token_features,
+        logreg_train,
+        quality_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = logreg_train(
+        hashed_token_features(docs), quality_labels(docs), n_rounds=6
+    )
+    return w.select(F.col("b").alias("bucket"), "w_micro").orderBy("bucket")
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring leg: train (deterministic — same weights as
+    q_classifier_train) then hard-sigmoid-score every document; emits the
+    heuristic label and the thresholded prediction next to the score so
+    the oracle hash pins the full confusion surface (bench reports the
+    derived recall/accuracy)."""
+    from observation_lakehouse_spark.operators.classifier import (
+        hashed_token_features,
+        logreg_score,
+        logreg_train,
+        quality_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feat = hashed_token_features(docs)
+    lab = quality_labels(docs)
+    w = logreg_train(feat, lab, n_rounds=6)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    scored = logreg_score(feat, ids, w)
+    out = (
+        scored.join(lab, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "score_micro",
+            F.col("y").alias("label"),
+            (F.col("score_micro") > F.lit(500_000)).cast("int").alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+    out._cached_deps = w._cached_deps  # noqa: SLF001
+    return out
+
+
+def _classifier_oracle_ctes(n_rounds: int = 6) -> tuple[str, int]:
+    """The shared unrolled-round CTE chain (generated — the round count is
+    a loop here exactly because the SQL is mechanical)."""
+    from observation_lakehouse_spark.operators.classifier import (
+        BIAS_BOOST,
+        LR_DEN_MULT,
+        SLOPE_DIV,
+        W_CLAMP,
+    )
+
+    ctes = [
+        """tk AS (
+    SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS t
+    FROM documents
+)""",
+        """featc AS (
+    SELECT id, CAST((length(t)*7 + ascii(substr(t,1,1))*13 + ascii(substr(t,length(t),1))*31) % 64 AS INT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM tk GROUP BY 1, 2
+)""",
+        """lab AS (
+    SELECT doc_id AS id,
+           CAST(CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) >= 56
+                THEN 1 ELSE 0 END AS BIGINT) AS y
+    FROM documents
+)""",
+        """feat AS (
+    SELECT id, b, x FROM featc
+    UNION ALL
+    SELECT id, CAST(-1 AS INT) AS b, CAST(1 AS BIGINT) AS x FROM lab
+)""",
+        "nn AS (SELECT COUNT(*) AS n FROM lab)",
+        "e1 AS (SELECT id, CAST(y*1000000 - 500000 AS BIGINT) AS e FROM lab)",
+    ]
+    for r in range(1, n_rounds + 1):
+        if r > 1:
+            ctes.append(f"""z{r} AS (
+    SELECT id, CAST(SUM(CAST(w AS HUGEINT) * x) AS BIGINT) AS z
+    FROM feat JOIN w{r-1} USING (b) GROUP BY id
+)""")
+            ctes.append(f"""e{r} AS (
+    SELECT lab.id,
+           CAST(y*1000000 - GREATEST(LEAST(500000 + COALESCE(z, 0) // {SLOPE_DIV}, 1000000), 0) AS BIGINT) AS e
+    FROM lab LEFT JOIN z{r} ON lab.id = z{r}.id
+)""")
+        ctes.append(f"""g{r} AS (
+    SELECT b, CAST(SUM(CAST(e AS HUGEINT) * x) AS BIGINT) AS g
+    FROM feat JOIN e{r} USING (id) GROUP BY b
+)""")
+        step = (
+            f"CASE WHEN b = -1 THEN (g * {BIAS_BOOST}) // ({LR_DEN_MULT}*n*{r}) "
+            f"ELSE g // ({LR_DEN_MULT}*n*{r}) END"
+        )
+        prev = "CAST(0 AS BIGINT)" if r == 1 else "w"
+        src = f"g{r}, nn" if r == 1 else f"w{r-1} JOIN g{r} USING (b), nn"
+        ctes.append(f"""w{r} AS (
+    SELECT b, GREATEST(LEAST({prev} + {step}, {W_CLAMP}), -{W_CLAMP}) AS w
+    FROM {src}
+)""")
+    return ",\n".join(ctes), n_rounds
+
+
+def _classifier_train_oracle() -> str:
+    ctes, R = _classifier_oracle_ctes()
+    return f"""
+WITH {ctes}
+SELECT CAST(b AS INT) AS bucket, CAST(w AS BIGINT) AS w_micro
+FROM w{R}
+ORDER BY bucket
+"""
+
+
+def _classifier_score_oracle() -> str:
+    from observation_lakehouse_spark.operators.classifier import SLOPE_DIV
+
+    ctes, R = _classifier_oracle_ctes()
+    return f"""
+WITH {ctes},
+zf AS (
+    SELECT id, CAST(SUM(CAST(w AS HUGEINT) * x) AS BIGINT) AS z
+    FROM feat JOIN w{R} USING (b) GROUP BY id
+),
+sc AS (
+    SELECT lab.id,
+           CAST(GREATEST(LEAST(500000 + COALESCE(z, 0) // {SLOPE_DIV}, 1000000), 0) AS BIGINT) AS score_micro,
+           y
+    FROM lab LEFT JOIN zf ON lab.id = zf.id
+)
+SELECT id AS doc_id, score_micro, CAST(y AS BIGINT) AS label,
+       CAST(CASE WHEN score_micro > 500000 THEN 1 ELSE 0 END AS INT) AS pred
+FROM sc
+ORDER BY doc_id
+"""
+
+
 _ORACLE_TEXT_QUALITY = """
 WITH toks AS (
     SELECT doc_id, text,
@@ -10582,6 +10732,8 @@ _HEAVY_FIRST = [
     "retraction_mv",
     "result_mv_after_delete",
     "retraction_mv_minmax",
+    "classifier_train",
+    "classifier_score",
     "merge_upsert",
     "merge_multi_clause",
     "bradley_terry",
@@ -10765,6 +10917,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retraction_mv": q_retraction_mv,
         "result_mv_after_delete": q_result_mv_after_delete,
         "retraction_mv_minmax": q_retraction_mv_minmax,
+        "classifier_train": q_classifier_train,
+        "classifier_score": q_classifier_score,
         "merge_upsert": q_merge_upsert,
         "merge_multi_clause": q_merge_multi_clause,
         "bradley_terry": q_bradley_terry,
@@ -10963,6 +11117,8 @@ def oracle_sql() -> dict[str, str]:
         "retraction_mv": _ORACLE_RETRACTION_MV,
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
         "retraction_mv_minmax": _ORACLE_RETRACTION_MV_MINMAX,
+        "classifier_train": _classifier_train_oracle(),
+        "classifier_score": _classifier_score_oracle(),
         "merge_upsert": _ORACLE_MERGE_UPSERT,
         "merge_multi_clause": _ORACLE_MERGE_MULTI_CLAUSE,
         "bradley_terry": _bradley_terry_oracle(),

@@ -27,6 +27,21 @@ from observation_lakehouse_spark.streaming.mv_refresh import stream_mv_refresh
 __all__ = ["StreamingArenaRatings"]
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind an eagerly localCheckpoint-ed frame.
+
+    ``DataFrame.unpersist`` is a CacheManager operation and leaves the
+    checkpoint's persisted RDD resident until driver GC collects the
+    wrapper; unpersisting the LogicalRDD's underlying RDD frees it now.
+    The frame becomes unrecomputable afterwards — only call this on a
+    frame whose consumers are done (here: the previous report)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — a dead context must not fail a report
+        pass
+
+
 class StreamingArenaRatings:
     def __init__(
         self,
@@ -82,5 +97,14 @@ class StreamingArenaRatings:
                 f"{self.max_pairs}; the item column is exploding — bucket or "
                 "filter it upstream"
             )
+        # Release the PREVIOUS report's checkpoint before taking a new one
+        # (r10 ADVICE: a long-lived monitor reporting repeatedly otherwise
+        # accumulates orphaned checkpoint RDD blocks until driver GC).
+        # DataFrame.unpersist only clears CacheManager entries, so the
+        # release must target the LogicalRDD's underlying checkpoint RDD.
+        prev = getattr(self, "_report_ckpt", None)
+        if prev is not None:
+            _release_local_checkpoint(prev)
         raw = state.select("a", "b", "n_ab").localCheckpoint(eager=True)
+        self._report_ckpt = raw
         return bradley_terry_from_pairs(raw, n_rounds=n_rounds)

@@ -444,6 +444,21 @@ def main() -> None:
         # TakeOrdered top-k — alpha should track token mass like the xents
         ("dsir_select (hashed-ngram importance weights)", docs, docs_k,
          lambda d: dsir_select(d)),
+        # r11: trained quality classifier — one corpus-sized hashed-feature
+        # aggregate, then 6 fixed GD rounds each one broadcast join + two
+        # hash aggregates over the PERSISTED features; alpha tracks token
+        # mass with heavy per-round floor amortization
+        ("classifier_train (6 GD rounds, fixed-point)", docs, docs_k,
+         lambda d: __import__(
+             "observation_lakehouse_spark.operators.classifier",
+             fromlist=["logreg_train"]).logreg_train(
+             __import__(
+                 "observation_lakehouse_spark.operators.classifier",
+                 fromlist=["hashed_token_features"]).hashed_token_features(d),
+             __import__(
+                 "observation_lakehouse_spark.operators.classifier",
+                 fromlist=["quality_labels"]).quality_labels(d),
+             n_rounds=6)),
         # r10: pagerank on a PLANTED-HUB graph — one src holds most edges;
         # as the replica grows, the hub's out-degree crosses the salting
         # threshold (2x even per-partition share) and the dst-hash salt

@@ -1,0 +1,100 @@
+"""Trained quality classifier (operators/classifier.py): exact-integer
+logistic regression over hashed token features.
+
+Contracts: (1) training is deterministic and partitioning-independent
+(exact integer arithmetic — same weights from any layout); (2) quality
+floors vs the frozen heuristic labels on the synthetic corpora; (3) the
+degenerate-majority failure mode is pinned OUT (both classes predicted);
+(4) bias/feature plumbing (intercept bucket -1, zero-feature docs score
+the intercept prior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from observation_lakehouse_spark.operators.classifier import (
+    hashed_token_features,
+    logreg_score,
+    logreg_train,
+    quality_labels,
+)
+from observation_lakehouse_spark.operators.dedup import release_cached
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _confusion(spark, docs, n_rounds=6):
+    feat = hashed_token_features(docs)
+    lab = quality_labels(docs)
+    w = logreg_train(feat, lab, n_rounds=n_rounds)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    j = logreg_score(hashed_token_features(docs), ids, w).join(lab, "id")
+    rows = j.select("score_micro", "y").collect()
+    release_cached(w)
+    tp = sum(1 for r in rows if r["score_micro"] > 500_000 and r["y"] == 1)
+    fn = sum(1 for r in rows if r["score_micro"] <= 500_000 and r["y"] == 1)
+    fp = sum(1 for r in rows if r["score_micro"] > 500_000 and r["y"] == 0)
+    tn = sum(1 for r in rows if r["score_micro"] <= 500_000 and r["y"] == 0)
+    return tp, fn, fp, tn
+
+
+def test_recall_and_accuracy_floors(spark, docs):
+    tp, fn, fp, tn = _confusion(spark, docs)
+    n = tp + fn + fp + tn
+    assert n == docs.count()
+    recall = tp / max(1, tp + fn)
+    acc = (tp + tn) / n
+    # measured 0.996 / 0.954 at sf0.001 — floors leave drop-drift margin
+    assert recall >= 0.85, (tp, fn, fp, tn)
+    assert acc >= 0.80, (tp, fn, fp, tn)
+    # the r11 failure mode that motivated the decaying rate + boosted
+    # intercept: an all-one (or all-zero) predictor must not pass
+    assert tp + fp < n and tn + fn < n, (tp, fn, fp, tn)
+
+
+def test_training_is_partitioning_independent(spark, docs):
+    """Exact integer arithmetic: the weight table is bit-identical whether
+    the corpus arrives in 1 partition or 32."""
+    def weights(d):
+        w = logreg_train(hashed_token_features(d), quality_labels(d), n_rounds=3)
+        rows = sorted((r["b"], r["w_micro"]) for r in w.collect())
+        release_cached(w)
+        return rows
+
+    assert weights(docs.repartition(1)) == weights(docs.repartition(32))
+
+
+def test_bias_and_zero_feature_docs(spark):
+    """The intercept is bucket -1; a doc with no tokens scores the
+    intercept-only prior sigma_hat(w_bias)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 20), (2, "x y " * 2), (3, "   ")],
+        "doc_id long, text string",
+    )
+    feat = hashed_token_features(docs)
+    lab = quality_labels(docs)  # doc 1 long (y=1), docs 2,3 short (y=0)
+    w = logreg_train(feat, lab, n_rounds=6)
+    wd = {r["b"]: r["w_micro"] for r in w.collect()}
+    assert -1 in wd  # intercept present
+    ids = docs.select(F.col("doc_id").alias("id"))
+    sc = {r["id"]: r["score_micro"] for r in logreg_score(feat, ids, w).collect()}
+    release_cached(w)
+    assert set(sc) == {1, 2, 3}
+    # zero-token doc = intercept only: sigma_hat(w_bias), truncating DIV
+    q = abs(wd[-1]) // 4 * (1 if wd[-1] >= 0 else -1)
+    assert sc[3] == max(0, min(1_000_000, 500_000 + q))
+    assert sc[1] > sc[3]  # long doc above the empty doc
+    assert sc[1] > 500_000  # positive class confidently above threshold
+
+
+def test_rejects_bad_round_count(spark, docs):
+    with pytest.raises(ValueError, match="n_rounds"):
+        logreg_train(
+            hashed_token_features(docs), quality_labels(docs), n_rounds=0
+        )

@@ -57,3 +57,27 @@ def test_stream_ratings_bounds_state(spark, tmp_path):
         mon.report()
     with pytest.raises(ValueError):
         StreamingArenaRatings(spark, str(tmp_path / "s2"), max_pairs=0)
+
+
+def test_repeated_reports_release_previous_checkpoint(spark, tmp_path):
+    """r11 (r10 ADVICE): report() must not accumulate checkpoint RDD
+    blocks across calls on a long-lived monitor — each report releases
+    the previous one's eagerly-checkpointed state snapshot."""
+    from observation_lakehouse_spark.streaming.ranking import StreamingArenaRatings
+
+    mon = StreamingArenaRatings(spark, str(tmp_path / "state_rel"))
+    landing = tmp_path / "landing_rel"
+    spark.createDataFrame(ROWS1, BATTLE_SCHEMA).write.parquet(str(landing / "f1"))
+    stream = spark.readStream.schema(BATTLE_SCHEMA).parquet(str(landing) + "/*")
+    q = mon.start(stream, checkpoint=str(tmp_path / "ckpt_rel"), available_now=True)
+    q.awaitTermination(120)
+
+    jsc = spark.sparkContext._jsc.sc()
+    first = [tuple(r) for r in mon.report(2).collect()]
+    ckpt1 = mon._report_ckpt
+    plan1 = ckpt1._jdf.queryExecution().analyzed()
+    rdd1_id = plan1.rdd().id()
+    assert jsc.getPersistentRDDs().contains(rdd1_id)
+    # a second report releases the first snapshot and still reports right
+    assert [tuple(r) for r in mon.report(2).collect()] == first
+    assert not jsc.getPersistentRDDs().contains(rdd1_id)
