@@ -5164,6 +5164,77 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine k-means training, oracle-checked (r11 —
+    operators/kmeans.py, the differentially-testable twin of the float
+    IVF trainer similarity.train_ivf_centroids): lanes quantized by
+    FLOOR(val*1e6) (identical IEEE double product in both engines, no
+    rounding ties), 2 Lloyd rounds over K=4 seeds (the K smallest ids),
+    squared-L2 argmin packed as dist*K + k, truncating-DIV centroid
+    means — the generated oracle unrolls the rounds as CTEs and matches
+    bit-for-bit."""
+    from observation_lakehouse_spark.operators.kmeans import (
+        kmeans_train_fixed_point,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_train_fixed_point(emb, k=4, n_rounds=2)
+
+
+def _kmeans_oracle(k: int = 4, n_rounds: int = 2) -> str:
+    ctes = [
+        """ex AS (
+    SELECT vec_id AS id, u.pos AS pos,
+           CAST(FLOOR(CAST(u.val AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> struct_pack(pos := i - 1, val := embedding[i]))) AS u
+        FROM embeddings
+    )
+)""",
+        f"""seeds AS (
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS k
+    FROM (SELECT DISTINCT id FROM ex) t
+    ORDER BY id LIMIT {k}
+)""",
+        """c0 AS (
+    SELECT s.k, ex.pos, ex.e AS c
+    FROM seeds s JOIN ex ON ex.id = s.id
+)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""d{r} AS (
+    SELECT ex.id, c.k,
+           CAST(SUM((ex.e - c.c) * (ex.e - c.c)) AS BIGINT) AS dist
+    FROM ex JOIN c{r-1} c ON ex.pos = c.pos
+    GROUP BY ex.id, c.k
+)""")
+        ctes.append(f"""a{r} AS (
+    SELECT id, CAST(MIN(dist * {k} + k) % {k} AS INT) AS k
+    FROM d{r} GROUP BY id
+)""")
+        ctes.append(f"""m{r} AS (
+    SELECT a.k, ex.pos,
+           CAST(SUM(ex.e) AS BIGINT) // COUNT(*) AS c_new
+    FROM ex JOIN a{r} a ON ex.id = a.id
+    GROUP BY a.k, ex.pos
+)""")
+        ctes.append(f"""c{r} AS (
+    SELECT p.k, p.pos, COALESCE(m.c_new, p.c) AS c
+    FROM c{r-1} p LEFT JOIN m{r} m ON p.k = m.k AND p.pos = m.pos
+)""")
+    R = n_rounds
+    return f"""
+WITH {','.join(ctes)},
+sizes AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_members FROM a{R} GROUP BY k)
+SELECT c.k, c.pos, CAST(c.c AS BIGINT) AS centroid_micro,
+       COALESCE(s.n_members, 0) AS n_members
+FROM c{R} c LEFT JOIN sizes s ON c.k = s.k
+ORDER BY c.k, c.pos
+"""
+
+
 _ORACLE_EMB_CENTROIDS = """
 WITH ex0 AS (
     SELECT label,
@@ -10734,6 +10805,7 @@ _HEAVY_FIRST = [
     "retraction_mv_minmax",
     "classifier_train",
     "classifier_score",
+    "kmeans_train",
     "merge_upsert",
     "merge_multi_clause",
     "bradley_terry",
@@ -10919,6 +10991,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retraction_mv_minmax": q_retraction_mv_minmax,
         "classifier_train": q_classifier_train,
         "classifier_score": q_classifier_score,
+        "kmeans_train": q_kmeans_train,
         "merge_upsert": q_merge_upsert,
         "merge_multi_clause": q_merge_multi_clause,
         "bradley_terry": q_bradley_terry,
@@ -11119,6 +11192,7 @@ def oracle_sql() -> dict[str, str]:
         "retraction_mv_minmax": _ORACLE_RETRACTION_MV_MINMAX,
         "classifier_train": _classifier_train_oracle(),
         "classifier_score": _classifier_score_oracle(),
+        "kmeans_train": _kmeans_oracle(),
         "merge_upsert": _ORACLE_MERGE_UPSERT,
         "merge_multi_clause": _ORACLE_MERGE_MULTI_CLAUSE,
         "bradley_terry": _bradley_terry_oracle(),

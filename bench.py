@@ -308,6 +308,7 @@ def heavy_queries(spark, sf_dir):
         "merge_multi_clause": (qs["merge_multi_clause"], "append + conditional MERGE ladder (matched + not-matched-by-source) + DV-aware read"),
         "classifier_train": (qs["classifier_train"], "6 GD rounds, exact fixed-point (loop-shaped: per-round checkpoints)"),
         "classifier_score": (qs["classifier_score"], "train + hard-sigmoid score of every doc"),
+        "kmeans_train": (qs["kmeans_train"], "2 Lloyd rounds, K=4, exact fixed-point"),
         # r11 (r10 judge #5): the residual IVFADC variant is the Jegou-
         # lineage reference implementation — measured ~neutral on this
         # drop's near-isotropic embeddings (centroids ~ origin), it is the

@@ -68,6 +68,7 @@ def test_bench_helpers_shape(spark):
         "result_mv_after_delete", "bradley_terry", "merge_upsert",
         "merge_multi_clause", "retraction_mv_minmax",
         "classifier_train", "classifier_score", "ann_pq_residual_topk",
+        "kmeans_train",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -93,6 +94,7 @@ def test_every_registered_query_is_benchmarked():
         "retraction_mv", "result_mv_after_delete", "bradley_terry", "merge_upsert",
         "merge_multi_clause", "retraction_mv_minmax",
         "classifier_train", "classifier_score", "ann_pq_residual_topk",
+        "kmeans_train",
     }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)
