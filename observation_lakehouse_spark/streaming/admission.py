@@ -86,6 +86,8 @@ class StreamingAdmissionPipeline:
         text_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.5,
+        classifier_weights: DataFrame | None = None,
+        min_classifier_micro: int = 500_000,
         **lsh_kwargs,
     ) -> None:
         if n_bins < 1 or not hi > lo:
@@ -114,6 +116,21 @@ class StreamingAdmissionPipeline:
         self.id_col = id_col
         self.threshold = threshold
         self.lsh_kwargs = lsh_kwargs
+        # r11: optional TRAINED quality gate (operators/classifier.py) next
+        # to the heuristic floor — the fastText-style shape where a frozen
+        # trained linear model scores every arriving doc. The weight table
+        # is collected ONCE here (<= n_buckets + intercept rows; the same
+        # frozen-yardstick discipline as ref_bins) and replayed per batch
+        # as a broadcast literal table. Rows must clear BOTH gates.
+        self.classifier_w: list[tuple[int, int]] | None = None
+        self.min_classifier_micro = int(min_classifier_micro)
+        if classifier_weights is not None:
+            self.classifier_w = [
+                (int(r["b"]), int(r["w_micro"]))
+                for r in classifier_weights.select("b", "w_micro").collect()
+            ]
+            if not self.classifier_w:
+                raise ValueError("classifier_weights is empty — train first")
         # freeze the reference histogram NOW (K rows collected once): the
         # monitor's whole point is a fixed yardstick
         self.ref_bins: dict[int, int] = {
@@ -252,6 +269,26 @@ class StreamingAdmissionPipeline:
                     .filter(F.col("quality_score") >= self.min_quality)
                     .select("doc_id")
                 )
+                if self.classifier_w is not None:
+                    from observation_lakehouse_spark.operators.classifier import (
+                        hashed_token_features,
+                        logreg_score,
+                    )
+
+                    docs = batch_df.select(
+                        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+                    )
+                    wdf = self.spark.createDataFrame(
+                        self.classifier_w, "b int, w_micro long"
+                    )
+                    clf_good = logreg_score(
+                        hashed_token_features(docs),
+                        docs.select(F.col("doc_id").alias("id")),
+                        wdf,
+                    ).filter(
+                        F.col("score_micro") >= self.min_classifier_micro
+                    ).select(F.col("id").alias("doc_id"))
+                    good = good.join(clf_good, "doc_id", "semi")
                 passed = batch_df.join(
                     good, batch_df[id_col] == good["doc_id"], "semi"
                 ).persist()

@@ -135,3 +135,50 @@ def test_token_budget_quarantines_overflow(spark, tmp_path):
     assert quarantine.read().count() == 1
     reasons = {r.quarantine_reason for r in log.read().collect() if r.quarantined}
     assert reasons == {"token_budget"}
+
+
+def test_trained_classifier_gate(spark, tmp_path):
+    """r11: an optional frozen trained classifier joins the row gates —
+    docs the trained model scores below the floor are rejected next to
+    the heuristic floor, and the weight table is frozen at construction
+    (no per-batch training)."""
+    from observation_lakehouse_spark.operators.classifier import (
+        hashed_token_features,
+        logreg_train,
+        quality_labels,
+    )
+
+    # train on a corpus where long docs are the positive class
+    train = spark.createDataFrame(
+        [(i, ("informative words flow through spark pipelines cleanly " * 6)
+          if i % 2 == 0 else "short junk")
+         for i in range(40)],
+        SCHEMA,
+    )
+    w = logreg_train(
+        hashed_token_features(train), quality_labels(train, min_tokens=20),
+        n_rounds=6,
+    )
+    pipe, admitted, quarantine, log = _mk(
+        spark, tmp_path,
+        classifier_weights=w,
+        min_classifier_micro=500_001,
+        min_batch_for_drift=10**9,       # disable the drift gate
+    )
+    pipe.min_quality = 0.0               # isolate the trained gate
+    landing = tmp_path / "landing"
+    # doc 100 carries the positive-class vocabulary (hashed features only
+    # score buckets the model SAW — a fully-novel vocabulary scores the
+    # intercept prior) and is not in the standing corpus (the training
+    # corpus never entered it), so only the trained gate decides; doc 101
+    # is short junk the model rejects
+    batch = [
+        (100, "informative words flow through spark pipelines cleanly " * 6),
+        (101, "tiny junk doc"),
+    ]
+    spark.createDataFrame(batch, SCHEMA).write.parquet(str(landing / "f1"))
+    _run(spark, pipe, landing, tmp_path / "ckpt")
+    admitted_ids = {r["doc_id"] for r in admitted.read().collect()}
+    assert 100 in admitted_ids and 101 not in admitted_ids
+    lg = log.read().collect()[0]
+    assert lg["n_quality_rejected"] == 1 and lg["n_admitted"] == 1
