@@ -3258,7 +3258,11 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = logreg_train(
         hashed_token_features(docs), quality_labels(docs), n_rounds=6
     )
-    return w.select(F.col("b").alias("bucket"), "w_micro").orderBy("bucket")
+    out = w.select(F.col("b").alias("bucket"), "w_micro").orderBy("bucket")
+    # .select() drops _cached_deps (r8 gotcha) — re-attach or the persisted
+    # feature/label tables leak past release_cached
+    out._cached_deps = w._cached_deps  # noqa: SLF001
+    return out
 
 
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
