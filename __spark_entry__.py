@@ -3298,9 +3298,14 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _classifier_oracle_ctes(n_rounds: int = 6) -> tuple[str, int]:
+def _classifier_oracle_ctes(
+    n_rounds: int = 6, bigrams: bool = False
+) -> tuple[str, int]:
     """The shared unrolled-round CTE chain (generated — the round count is
-    a loop here exactly because the SQL is mechanical)."""
+    a loop here exactly because the SQL is mechanical). With ``bigrams``
+    the feature union gains the adjacent-token-pair buckets (ids 64..127,
+    the fastText bag-of-ngrams layout — classifier.hashed_bigram_features'
+    hash replayed with the same ANSI character algebra)."""
     from observation_lakehouse_spark.operators.classifier import (
         BIAS_BOOST,
         LR_DEN_MULT,
@@ -3324,11 +3329,29 @@ def _classifier_oracle_ctes(n_rounds: int = 6) -> tuple[str, int]:
                 THEN 1 ELSE 0 END AS BIGINT) AS y
     FROM documents
 )""",
-        """feat AS (
-    SELECT id, b, x FROM featc
-    UNION ALL
-    SELECT id, CAST(-1 AS INT) AS b, CAST(1 AS BIGINT) AS x FROM lab
-)""",
+    ]
+    feat_branches = [
+        "SELECT id, b, x FROM featc",
+        "SELECT id, CAST(-1 AS INT) AS b, CAST(1 AS BIGINT) AS x FROM lab",
+    ]
+    if bigrams:
+        ctes.append("""bgp AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(tk2)), i -> tk2[i])) AS t1,
+           unnest(list_transform(range(1, len(tk2)), i -> tk2[i+1])) AS t2
+    FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk2 FROM documents)
+    WHERE len(tk2) >= 2
+)""")
+        ctes.append("""bgf AS (
+    SELECT id,
+           CAST(((length(t1)*7 + ascii(substr(t1,1,1))*13 + ascii(substr(t1,length(t1),1))*31) * 17
+               + (length(t2)*7 + ascii(substr(t2,1,1))*13 + ascii(substr(t2,length(t2),1))*31) * 29) % 64 + 64 AS INT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM bgp GROUP BY 1, 2
+)""")
+        feat_branches.insert(1, "SELECT id, b, x FROM bgf")
+    ctes += [
+        "feat AS (\n    " + "\n    UNION ALL\n    ".join(feat_branches) + "\n)",
         "nn AS (SELECT COUNT(*) AS n FROM lab)",
         "e1 AS (SELECT id, CAST(y*1000000 - 500000 AS BIGINT) AS e FROM lab)",
     ]
@@ -3360,14 +3383,36 @@ def _classifier_oracle_ctes(n_rounds: int = 6) -> tuple[str, int]:
     return ",\n".join(ctes), n_rounds
 
 
-def _classifier_train_oracle() -> str:
-    ctes, R = _classifier_oracle_ctes()
+def _classifier_train_oracle(bigrams: bool = False) -> str:
+    ctes, R = _classifier_oracle_ctes(bigrams=bigrams)
     return f"""
 WITH {ctes}
 SELECT CAST(b AS INT) AS bucket, CAST(w AS BIGINT) AS w_micro
 FROM w{R}
 ORDER BY bucket
 """
+
+
+def q_classifier_train_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier over the WIDENED feature space (r11 judge
+    #5 — operators/classifier.py:hashed_bigram_features): unigram buckets
+    0..63 plus adjacent-token-pair buckets 64..127 co-train in one weight
+    table (the fastText bag-of-ngrams layout), same exact-integer GD and
+    generated unrolled-round oracle. Returns the trained weight table —
+    128 feature buckets + the intercept."""
+    from observation_lakehouse_spark.operators.classifier import (
+        hashed_bigram_features,
+        hashed_token_features,
+        logreg_train,
+        quality_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feat = hashed_token_features(docs).unionByName(hashed_bigram_features(docs))
+    w = logreg_train(feat, quality_labels(docs), n_rounds=6)
+    out = w.select(F.col("b").alias("bucket"), "w_micro").orderBy("bucket")
+    out._cached_deps = w._cached_deps  # noqa: SLF001
+    return out
 
 
 def _classifier_score_oracle() -> str:
@@ -10808,6 +10853,7 @@ _HEAVY_FIRST = [
     "result_mv_after_delete",
     "retraction_mv_minmax",
     "classifier_train",
+    "classifier_train_bigram",
     "classifier_score",
     "kmeans_train",
     "merge_upsert",
@@ -10994,6 +11040,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_mv_after_delete": q_result_mv_after_delete,
         "retraction_mv_minmax": q_retraction_mv_minmax,
         "classifier_train": q_classifier_train,
+        "classifier_train_bigram": q_classifier_train_bigram,
         "classifier_score": q_classifier_score,
         "kmeans_train": q_kmeans_train,
         "merge_upsert": q_merge_upsert,
@@ -11195,6 +11242,7 @@ def oracle_sql() -> dict[str, str]:
         "result_mv_after_delete": _ORACLE_RESULT_MV_AFTER_DELETE,
         "retraction_mv_minmax": _ORACLE_RETRACTION_MV_MINMAX,
         "classifier_train": _classifier_train_oracle(),
+        "classifier_train_bigram": _classifier_train_oracle(bigrams=True),
         "classifier_score": _classifier_score_oracle(),
         "kmeans_train": _kmeans_oracle(),
         "merge_upsert": _ORACLE_MERGE_UPSERT,

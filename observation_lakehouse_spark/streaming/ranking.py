@@ -97,14 +97,18 @@ class StreamingArenaRatings:
                 f"{self.max_pairs}; the item column is exploding — bucket or "
                 "filter it upstream"
             )
-        # Release the PREVIOUS report's checkpoint before taking a new one
-        # (r10 ADVICE: a long-lived monitor reporting repeatedly otherwise
-        # accumulates orphaned checkpoint RDD blocks until driver GC).
-        # DataFrame.unpersist only clears CacheManager entries, so the
-        # release must target the LogicalRDD's underlying checkpoint RDD.
-        prev = getattr(self, "_report_ckpt", None)
-        if prev is not None:
-            _release_local_checkpoint(prev)
+        # The report is item-sized (max_pairs bounds it), so materialize it
+        # INSIDE the call and release the state snapshot before returning
+        # (r11 ADVICE: the previous release-on-next-report scheme poisoned
+        # a still-held report N frame — its post-loop totals lazily re-read
+        # the snapshot — when report N+1 released it). The returned frame
+        # is a local table with no checkpoint lineage: nothing accumulates
+        # across calls and every returned report stays actionable forever.
         raw = state.select("a", "b", "n_ab").localCheckpoint(eager=True)
-        self._report_ckpt = raw
-        return bradley_terry_from_pairs(raw, n_rounds=n_rounds)
+        try:
+            rep = bradley_terry_from_pairs(raw, n_rounds=n_rounds)
+            schema = rep.schema
+            rows = rep.collect()
+        finally:
+            _release_local_checkpoint(raw)
+        return self.spark.createDataFrame(rows, schema)

@@ -67,8 +67,8 @@ def test_bench_helpers_shape(spark):
         "bpe_encode", "unigram_train", "mmr_rerank", "retraction_mv",
         "result_mv_after_delete", "bradley_terry", "merge_upsert",
         "merge_multi_clause", "retraction_mv_minmax",
-        "classifier_train", "classifier_score", "ann_pq_residual_topk",
-        "kmeans_train",
+        "classifier_train", "classifier_score", "classifier_train_bigram",
+        "ann_pq_residual_topk", "kmeans_train",
     }
     for name, (fn, params) in hq.items():
         assert isinstance(params, str) and params, name
@@ -93,8 +93,8 @@ def test_every_registered_query_is_benchmarked():
         "bpe_train", "bpe_encode", "unigram_train", "mmr_rerank",
         "retraction_mv", "result_mv_after_delete", "bradley_terry", "merge_upsert",
         "merge_multi_clause", "retraction_mv_minmax",
-        "classifier_train", "classifier_score", "ann_pq_residual_topk",
-        "kmeans_train",
+        "classifier_train", "classifier_score", "classifier_train_bigram",
+        "ann_pq_residual_topk", "kmeans_train",
     }
     covered = set(bench.HEADLINE) | heavies
     assert registered <= covered, sorted(registered - covered)
