@@ -5243,9 +5243,9 @@ def _kmeans_oracle(k: int = 4, n_rounds: int = 2) -> str:
     )
 )""",
         f"""seeds AS (
-    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS k
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS k
     FROM (SELECT DISTINCT id FROM ex) t
-    ORDER BY id LIMIT {k}
+    ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k}
 )""",
         """c0 AS (
     SELECT s.k, ex.pos, ex.e AS c

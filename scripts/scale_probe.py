@@ -129,6 +129,137 @@ def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def replicate_orders(od: DataFrame, k: int) -> DataFrame:
+    """K disjoint order-key shards. The offset is a multiple of 3000 =
+    LCM of every modulus the commit-shaped probes' predicates use
+    (% 2 / 3 / 6 / 10 / 12 / 1000), so each replica preserves the base
+    shard's residue classes exactly — clause selectivities replicate
+    instead of drifting with the offset."""
+    parts = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * 300_000_000))
+        for r in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _local_result(df: DataFrame) -> DataFrame:
+    """Collect a (tiny) result inside the timed window and hand back a
+    local frame — the commit-shaped probes rmtree their temp store before
+    returning, so the returned plan must not re-read it."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def _merge_upsert_probe(d: DataFrame) -> DataFrame:
+    # q_merge_upsert's shape at probe scale: append half, MERGE a third in
+    # (DV update + inserts), DV-aware read + aggregate — ONE commit.
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    loc = tempfile.mkdtemp(prefix="olake_probe_mrg_")
+    try:
+        t = AtomicParquetTable(d.sparkSession, f"{loc}/t", schema=d.schema)
+        t.append(d.filter(F.col("o_orderkey") % 2 == 0))
+        t.merge_into(
+            d.filter(F.col("o_orderkey") % 3 == 0),
+            on="o_orderkey",
+            when_matched_update={"o_totalprice": "o_totalprice + src_o_totalprice"},
+        )
+        return _local_result(
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("o_orderstatus")
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def _merge_multi_clause_probe(d: DataFrame) -> DataFrame:
+    # q_merge_multi_clause's shape: FIXED clause count (2 matched + 2
+    # not-matched-by-source), scaled base + delta.
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    loc = tempfile.mkdtemp(prefix="olake_probe_mmc_")
+    try:
+        t = AtomicParquetTable(d.sparkSession, f"{loc}/t", schema=d.schema)
+        t.append(d.filter(F.col("o_orderkey") % 2 == 0))
+        t.merge_into(
+            d.filter(F.col("o_orderkey") % 3 == 0),
+            on="o_orderkey",
+            matched_clauses=[
+                {"action": "delete", "condition": "o_orderkey % 12 = 0"},
+                {
+                    "action": "update",
+                    "condition": "o_totalprice < 100000",
+                    "set": {"o_totalprice": "o_totalprice + src_o_totalprice"},
+                },
+            ],
+            not_matched_by_source=[
+                {"action": "delete", "condition": "o_orderkey % 10 = 4"},
+                {
+                    "action": "update",
+                    "condition": "o_orderkey % 10 = 8",
+                    "set": {"o_orderpriority": "concat('X-', o_orderpriority)"},
+                },
+            ],
+        )
+        return _local_result(
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("o_orderstatus")
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def _retraction_mv_probe(d: DataFrame) -> DataFrame:
+    # q_retraction_mv's shape: 2 appends + DV delete + DV update, two
+    # change feeds folded by the counting algorithm.
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    loc = tempfile.mkdtemp(prefix="olake_probe_rmv_")
+    try:
+        src = AtomicParquetTable(d.sparkSession, f"{loc}/src", schema=d.schema)
+        mv = IncrementalAggregate(
+            d.sparkSession,
+            f"{loc}/mv",
+            keys=["o_orderstatus", "o_orderpriority"],
+            aggs={
+                "n_orders": ("count", "1"),
+                "sum_total": ("sum", "CAST(o_totalprice AS DECIMAL(28,2))"),
+            },
+            agg_types={"sum_total": "decimal(38,2)"},
+        )
+        src.append(d.filter(F.col("o_orderkey") % 2 == 0))
+        v1 = src.latest_version()
+        mv.refresh_retractions(src.read_change_feed(0, v1), idempotency_key="b1")
+        src.append(d.filter(F.col("o_orderkey") % 2 == 1))
+        src.delete_where("o_totalprice > 400000")
+        src.update_where("o_orderkey % 1000 = 0", {"o_orderpriority": "'5-LOW'"})
+        mv.refresh_retractions(src.read_change_feed(v1), idempotency_key="b2")
+        return _local_result(
+            mv.read()
+            .select("o_orderstatus", "o_orderpriority", "n_orders")
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def timed(fn, df_builder) -> float:
     # min of two: first run absorbs codegen for this plan size.
     # The clock starts BEFORE fn() (r9): iterative operators (pagerank,
@@ -162,13 +293,15 @@ def main() -> None:
     li = entrymod._t(spark, sf_dir, "lineitem").persist()
     emb = entrymod._t(spark, sf_dir, "embeddings").persist()
     cust = entrymod._t(spark, sf_dir, "customer").persist()
-    docs.count(), ev.count(), li.count(), emb.count(), cust.count()
+    od = entrymod._t(spark, sf_dir, "orders").persist()
+    docs.count(), ev.count(), li.count(), emb.count(), cust.count(), od.count()
     docs_k = replicate_docs(docs, k).persist()
     ev_k = replicate_events(ev, k).persist()
     li_k = replicate_lineitem(li, k).persist()
     emb_k = replicate_embeddings(emb, k).persist()
     cust_k = replicate_customer(cust, k).persist()
-    docs_k.count(), ev_k.count(), li_k.count(), emb_k.count(), cust_k.count()
+    od_k = replicate_orders(od, k).persist()
+    docs_k.count(), ev_k.count(), li_k.count(), emb_k.count(), cust_k.count(), od_k.count()
 
     from observation_lakehouse_spark.operators.dedup import (
         bloom_decontaminate,
@@ -702,6 +835,17 @@ def main() -> None:
              "l_orderkey", "left_semi")
          .groupBy("l_orderkey")
          .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))),
+        # --- r12 (r11 judge #8): the commit-shaped family. Fixed clause
+        # count, base AND delta scale Kx together — the work is one base
+        # scan + delta-sized joins + DV/parquet commits, so alpha well
+        # under 1 shows the commit/scheduler floor dominates and the
+        # data-dependent part tracks the delta, not a table rewrite.
+        ("merge_upsert (append + MERGE + DV read)", od, od_k,
+         _merge_upsert_probe),
+        ("merge_multi_clause (4-clause MERGE ladder)", od, od_k,
+         _merge_multi_clause_probe),
+        ("retraction_mv (2 feeds + DV delete/update)", od, od_k,
+         _retraction_mv_probe),
     ]
 
     lines = [
