@@ -656,3 +656,189 @@ def encode_mp4_skeleton(
     ftyp = box(b"ftyp", brand + u32(512) + brand + b"mp41")
     mdat = box(b"mdat", bytes((i * 37 + 11) % 256 for i in range(n_samples * 64)))
     return ftyp + moov + mdat
+
+
+# --- WebM / Matroska (EBML) -------------------------------------------------
+
+
+def _ebml_vint(data: bytes, off: int, keep_marker: bool) -> tuple[int, int]:
+    """Decode one EBML variable-length integer at ``off``; returns
+    (value, next_offset). Element IDs keep the length-marker bit
+    (``keep_marker=True``, the Matroska convention); sizes strip it."""
+    if off >= len(data):
+        raise UnsupportedMediaFormat("EBML vint past end of payload")
+    first = data[off]
+    if first == 0:
+        raise UnsupportedMediaFormat("invalid EBML vint (zero lead byte)")
+    n_bytes = 8 - first.bit_length() + 1
+    if off + n_bytes > len(data):
+        raise UnsupportedMediaFormat("truncated EBML vint")
+    raw = int.from_bytes(data[off : off + n_bytes], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * n_bytes)) - 1
+    return raw, off + n_bytes
+
+
+def _ebml_elements(data: bytes, off: int, end: int):
+    """Yield (element_id, body_start, body_end) walking sibling EBML
+    elements; an unknown-size element (all-ones size) extends to ``end``."""
+    while off < end:
+        try:
+            eid, off = _ebml_vint(data, off, keep_marker=True)
+            size, off = _ebml_vint(data, off, keep_marker=False)
+        except UnsupportedMediaFormat:
+            return
+        n_size_bits = 7 * max(1, (size.bit_length() + 6) // 7)
+        unknown = size == (1 << n_size_bits) - 1 and size.bit_length() % 7 == 0
+        body_end = end if unknown else min(off + size, end)
+        yield eid, off, body_end
+        if unknown:
+            return
+        off = body_end
+
+
+_EBML_HEADER, _MKV_SEGMENT = 0x1A45DFA3, 0x18538067
+_MKV_INFO, _MKV_TRACKS = 0x1549A966, 0x1654AE6B
+_MKV_TIMESCALE, _MKV_DURATION, _MKV_DOCTYPE = 0x2AD7B1, 0x4489, 0x4282
+_MKV_TRACKENTRY, _MKV_TRACKNUM, _MKV_TRACKTYPE, _MKV_CODECID = 0xAE, 0xD7, 0x83, 0x86
+_MKV_VIDEO, _MKV_PIXELW, _MKV_PIXELH = 0xE0, 0xB0, 0xBA
+_MKV_AUDIO, _MKV_SAMPLEFREQ, _MKV_CHANNELS = 0xE1, 0xB5, 0x9F
+_MKV_TRACK_TYPES = {1: "video", 2: "audio", 17: "subtitle"}
+
+
+def _mkv_uint(data: bytes, body: int, end: int) -> int:
+    return int.from_bytes(data[body:end], "big") if end > body else 0
+
+
+def _mkv_float(data: bytes, body: int, end: int) -> float:
+    import struct as _struct
+
+    width = end - body
+    if width == 4:
+        return _struct.unpack(">f", data[body:end])[0]
+    if width == 8:
+        return _struct.unpack(">d", data[body:end])[0]
+    raise UnsupportedMediaFormat(f"EBML float of width {width}")
+
+
+def parse_webm(data: bytes) -> dict:
+    """Parse a WebM/Matroska container's EBML structure — pure stdlib, the
+    ISO-BMFF :func:`parse_mp4` twin for the other major web container
+    (public spec: RFC 8794 EBML + the Matroska element registry).
+
+    Returns ``{"doctype", "timescale_ns", "duration_ms", "tracks":
+    [{"track_number", "track_type", "codec", "width", "height",
+    "sample_rate", "channels"}]}``. Frame decode stays environment-blocked
+    (no libvpx) — structure, identity, and timing never needed it.
+    Raises :class:`UnsupportedMediaFormat` for non-EBML payloads.
+    """
+    if data is None or len(data) < 4 or data[:4] != b"\x1a\x45\xdf\xa3":
+        raise UnsupportedMediaFormat("not an EBML (WebM/Matroska) container")
+    out: dict = {
+        "doctype": None, "timescale_ns": 1_000_000, "duration_ms": None,
+        "tracks": [],
+    }
+    duration_ticks: float | None = None
+    for eid, body, bend in _ebml_elements(data, 0, len(data)):
+        if eid == _EBML_HEADER:
+            for hid, hb, he in _ebml_elements(data, body, bend):
+                if hid == _MKV_DOCTYPE:
+                    out["doctype"] = data[hb:he].split(b"\x00")[0].decode("latin-1")
+        elif eid == _MKV_SEGMENT:
+            for sid, sb, se in _ebml_elements(data, body, bend):
+                if sid == _MKV_INFO:
+                    for iid, ib, ie in _ebml_elements(data, sb, se):
+                        if iid == _MKV_TIMESCALE:
+                            out["timescale_ns"] = _mkv_uint(data, ib, ie)
+                        elif iid == _MKV_DURATION:
+                            duration_ticks = _mkv_float(data, ib, ie)
+                elif sid == _MKV_TRACKS:
+                    for tid, tb, te in _ebml_elements(data, sb, se):
+                        if tid != _MKV_TRACKENTRY:
+                            continue
+                        trk = {
+                            "track_number": None, "track_type": None,
+                            "codec": None, "width": None, "height": None,
+                            "sample_rate": None, "channels": None,
+                        }
+                        for fid, fb, fe in _ebml_elements(data, tb, te):
+                            if fid == _MKV_TRACKNUM:
+                                trk["track_number"] = _mkv_uint(data, fb, fe)
+                            elif fid == _MKV_TRACKTYPE:
+                                trk["track_type"] = _MKV_TRACK_TYPES.get(
+                                    _mkv_uint(data, fb, fe), "other"
+                                )
+                            elif fid == _MKV_CODECID:
+                                trk["codec"] = (
+                                    data[fb:fe].split(b"\x00")[0].decode("latin-1")
+                                )
+                            elif fid == _MKV_VIDEO:
+                                for vid_, vb, ve in _ebml_elements(data, fb, fe):
+                                    if vid_ == _MKV_PIXELW:
+                                        trk["width"] = _mkv_uint(data, vb, ve)
+                                    elif vid_ == _MKV_PIXELH:
+                                        trk["height"] = _mkv_uint(data, vb, ve)
+                            elif fid == _MKV_AUDIO:
+                                for aid, ab, ae in _ebml_elements(data, fb, fe):
+                                    if aid == _MKV_SAMPLEFREQ:
+                                        trk["sample_rate"] = _mkv_float(data, ab, ae)
+                                    elif aid == _MKV_CHANNELS:
+                                        trk["channels"] = _mkv_uint(data, ab, ae)
+                        out["tracks"].append(trk)
+    if duration_ticks is not None and out["timescale_ns"]:
+        out["duration_ms"] = int(
+            duration_ticks * out["timescale_ns"] / 1_000_000.0
+        )
+    return out
+
+
+def encode_webm_skeleton(
+    duration_ms: int = 2000,
+    width: int = 64,
+    height: int = 48,
+    codec: bytes = b"V_VP9",
+    doctype: bytes = b"webm",
+) -> bytes:
+    """A structurally-valid WebM skeleton (EBML header + Segment with Info
+    and one video TrackEntry) — fixture generator and round-trip proof for
+    :func:`parse_webm`, the :func:`encode_mp4_skeleton` role."""
+
+    def vint_size(v: int) -> bytes:
+        # encode a size in the fewest marker-prefixed bytes
+        for n in range(1, 9):
+            if v < (1 << (7 * n)) - 1:
+                return ((1 << (7 * n)) | v).to_bytes(n, "big")
+        raise ValueError("EBML size too large")
+
+    def elem(eid: int, body: bytes) -> bytes:
+        eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return eid_bytes + vint_size(len(body)) + body
+
+    def uint_body(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    import struct as _struct
+
+    header = elem(
+        _EBML_HEADER,
+        elem(_MKV_DOCTYPE, doctype + b"\x00"),
+    )
+    info = elem(
+        _MKV_INFO,
+        elem(_MKV_TIMESCALE, uint_body(1_000_000))
+        + elem(_MKV_DURATION, _struct.pack(">d", float(duration_ms))),
+    )
+    video = elem(
+        _MKV_VIDEO,
+        elem(_MKV_PIXELW, uint_body(width)) + elem(_MKV_PIXELH, uint_body(height)),
+    )
+    track = elem(
+        _MKV_TRACKENTRY,
+        elem(_MKV_TRACKNUM, uint_body(1))
+        + elem(_MKV_TRACKTYPE, uint_body(1))
+        + elem(_MKV_CODECID, codec + b"\x00")
+        + video,
+    )
+    tracks = elem(_MKV_TRACKS, track)
+    segment = elem(_MKV_SEGMENT, info + tracks)
+    return header + segment

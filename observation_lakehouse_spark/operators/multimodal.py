@@ -9,12 +9,14 @@ stdlib+numpy — PNG / BMP / PPM images and PCM WAV audio (see
 64-bit perceptual aHash, baseline JPEG (functions/jpeg.py — pure-Python
 Huffman+DCT, cross-checked against JVM ImageIO), and MJPEG-in-AVI video (RIFF
 chunk-walk demux in codecs.py feeding the JPEG decoder, per-frame sampling).
-MP4/ISO-BMFF box STRUCTURE parses natively too (codecs.parse_mp4 — moov/
-trak/stbl walk: duration, codec fourcc, sample + keyframe tables,
-dimensions; see :func:`mp4_metadata`), so the video fallback is narrowed
-to frame DECODE only: progressive JPEG pixels and MP4/WebM frame decode
-(need libav, absent here) remain digest FALLBACKS, each clearly marked and
-reported via the ``decoded`` flag.
+MP4/ISO-BMFF and WebM/Matroska container STRUCTURE parses natively too
+(codecs.parse_mp4 — moov/trak/stbl walk: duration, codec fourcc, sample +
+keyframe tables, dimensions; codecs.parse_webm — the RFC 8794 EBML walk:
+doctype, Segment duration, track codecs/dimensions; see
+:func:`mp4_metadata` / :func:`webm_metadata`), so the video fallback is
+narrowed to frame DECODE only: progressive JPEG pixels and MP4/WebM frame
+decode (need libav/libvpx, absent here) remain digest FALLBACKS, each
+clearly marked and reported via the ``decoded`` flag.
 
 Why ``mapInPandas``: decode/resize/frame-sample are per-row CPU-bound transforms
 over large binary cells. ``mapInPandas`` streams Arrow batches through Python
@@ -366,6 +368,9 @@ def _video_frame_rows(
         mp4_rows = _mp4_sample_grid_rows(media_id, fmt, content, every_ms)
         if mp4_rows is not None:
             return mp4_rows
+        webm_rows = _webm_grid_rows(media_id, fmt, content, every_ms)
+        if webm_rows is not None:
+            return webm_rows
         if duration is None:
             return []
         return [
@@ -550,3 +555,99 @@ def _bisect_right(arr: list[int], x: int) -> int:
     import bisect
 
     return bisect.bisect_right(arr, x)
+
+
+WEBM_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("doctype", StringType(), True),
+        StructField("timescale_ns", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("track_number", LongType(), True),
+        StructField("track_type", StringType(), True),
+        StructField("codec", StringType(), True),
+        StructField("px_width", IntegerType(), True),
+        StructField("px_height", IntegerType(), True),
+        StructField("sample_rate", DoubleType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("parsed", BooleanType(), False),
+    ]
+)
+
+
+def webm_metadata(media: DataFrame) -> DataFrame:
+    """The WebM/Matroska twin of :func:`mp4_metadata`: one row per (video
+    payload, track) from the pure-stdlib EBML walk
+    (``functions/codecs.parse_webm`` — RFC 8794 + the Matroska registry).
+    Non-EBML payloads emit one ``parsed=false`` row."""
+    vids = media.filter(F.col("modality") == "video").select("media_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WEBM_METADATA_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise codecs.UnsupportedMediaFormat("no payload")
+                    meta = codecs.parse_webm(bytes(content))
+                except codecs.UnsupportedMediaFormat:
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None,
+                         None, None, None, None, False)
+                    )
+                    continue
+                tracks = meta["tracks"] or [None]
+                for trk in tracks:
+                    if trk is None:
+                        rows.append(
+                            (media_id, meta["doctype"], meta["timescale_ns"],
+                             meta["duration_ms"], 0, None, None, None, None,
+                             None, None, None, True)
+                        )
+                        continue
+                    rows.append(
+                        (
+                            media_id,
+                            meta["doctype"],
+                            meta["timescale_ns"],
+                            meta["duration_ms"],
+                            len(meta["tracks"]),
+                            trk["track_number"],
+                            trk["track_type"],
+                            trk["codec"],
+                            trk["width"],
+                            trk["height"],
+                            trk["sample_rate"],
+                            trk["channels"],
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return vids.mapInPandas(run, schema=WEBM_METADATA_SCHEMA)
+
+
+def _webm_grid_rows(
+    media_id: str, fmt: str | None, content, every_ms: int
+) -> list[tuple] | None:
+    """WebM fallback twin of :func:`_mp4_sample_grid_rows`: the grid runs
+    over the REAL parsed Segment duration with true PixelWidth/Height
+    (EBML carries no flat sample table outside clusters, so grid points
+    keep their grid timestamps); pixels stay ``decoded=False``."""
+    try:
+        meta = codecs.parse_webm(bytes(content))
+    except codecs.UnsupportedMediaFormat:
+        return None
+    vid = next(
+        (t for t in meta["tracks"] if t["track_type"] == "video"), None
+    )
+    if meta["duration_ms"] is None:
+        return None
+    w = vid["width"] if vid else None
+    h = vid["height"] if vid else None
+    return [
+        (media_id, fmt, ts, f"{media_id}@{ts}", False, w, h, None, None)
+        for ts in range(0, int(meta["duration_ms"]) + 1, every_ms)
+    ]

@@ -233,3 +233,29 @@ def test_mp4_parse_rejects_and_clamps():
     raw = encode_mp4_skeleton(n_samples=4, fps=4)
     meta = parse_mp4(raw[: len(raw) - 300])
     assert meta["brand"] == "isom"
+
+
+def test_webm_parse_round_trip():
+    """parse_webm x encode_webm_skeleton: doctype, timescale, duration and
+    the video track's codec/dimensions round-trip; non-EBML rejects."""
+    from observation_lakehouse_spark.functions.codecs import (
+        UnsupportedMediaFormat,
+        encode_webm_skeleton,
+        parse_webm,
+    )
+    import pytest
+
+    meta = parse_webm(encode_webm_skeleton(
+        duration_ms=3500, width=320, height=180, codec=b"V_AV1",
+    ))
+    assert meta["doctype"] == "webm"
+    assert meta["timescale_ns"] == 1_000_000
+    assert meta["duration_ms"] == 3500
+    assert len(meta["tracks"]) == 1
+    trk = meta["tracks"][0]
+    assert trk == {
+        "track_number": 1, "track_type": "video", "codec": "V_AV1",
+        "width": 320, "height": 180, "sample_rate": None, "channels": None,
+    }
+    with pytest.raises(UnsupportedMediaFormat):
+        parse_webm(b"\x00\x00\x00\x18ftypisom")  # MP4 is not EBML

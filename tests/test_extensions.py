@@ -800,3 +800,33 @@ def test_mp4_metadata_operator_and_narrowed_fallback(spark):
     # the non-container video keeps the metadata-grid digest fallback
     v2f = [r for r in frames if r["media_id"] == "v2"]
     assert [r["frame_ts_ms"] for r in v2f] == [0, 1000, 2000]
+
+
+def test_webm_metadata_operator_and_grid_fallback(spark):
+    """The WebM twin: webm_metadata parses EBML structure without codec
+    libs, and sample_video_frames' WebM fallback uses the REAL Segment
+    duration + PixelWidth/Height instead of the metadata column."""
+    from observation_lakehouse_spark.functions.codecs import encode_webm_skeleton
+    from observation_lakehouse_spark.operators.multimodal import webm_metadata
+
+    webm = encode_webm_skeleton(duration_ms=2000, width=100, height=80)
+    rows = [
+        # metadata duration column LIES (9999) — the parser must win
+        ("w1", "video", bytearray(webm), "webm", None, None, 9999, len(webm)),
+        ("w2", "video", b"junk", "webm", None, None, 1500, 4),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in webm_metadata(media).collect()}
+    assert meta["w1"]["parsed"] and meta["w1"]["doctype"] == "webm"
+    assert meta["w1"]["duration_ms"] == 2000
+    assert meta["w1"]["codec"] == "V_VP9"
+    assert (meta["w1"]["px_width"], meta["w1"]["px_height"]) == (100, 80)
+    assert meta["w2"]["parsed"] is False
+
+    from observation_lakehouse_spark.operators.multimodal import sample_video_frames
+
+    frames = [r for r in sample_video_frames(media, every_ms=1000).collect()
+              if r["media_id"] == "w1"]
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]  # real 2000ms
+    assert all((r["px_width"], r["px_height"]) == (100, 80) for r in frames)
+    assert all(not r["decoded"] for r in frames)
