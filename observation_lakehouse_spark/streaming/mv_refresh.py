@@ -44,3 +44,43 @@ def stream_mv_refresh(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_mv_refresh_retractions(
+    mv: IncrementalAggregate,
+    change_stream: DataFrame,
+    source: "callable | None" = None,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously maintain ``mv`` from a streaming CHANGE FEED (rows
+    tagged ``_change_type`` 'insert' / 'delete' — a CDC topic, or
+    change-feed files exported by ``AtomicParquetTable``).
+
+    The streaming leg of the counting algorithm (r12): each micro-batch
+    folds through :meth:`IncrementalAggregate.refresh_retractions` under
+    the same (checkpoint, batch_id) idempotency key as the append path —
+    a replayed batch would otherwise double-retract. With ``extrema_k``
+    views, ``source`` is a zero-arg callable returning the CURRENT
+    post-change corpus (e.g. ``table.read``): it is consulted lazily and
+    ONLY for the rare batch whose deletes drain a candidate frontier, so
+    the steady-state per-batch cost stays O(batch + touched groups). A
+    frontier drain with no source raises inside the batch — loud, exactly
+    like the batch API.
+    """
+    ckpt = checkpoint or f"/tmp/mv_retract_ckpt_{uuid.uuid4().hex}"
+    ckpt_id = uuid.uuid5(uuid.NAMESPACE_URL, ckpt).hex
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mv.refresh_retractions(
+            batch_df,
+            idempotency_key=f"mvr:{ckpt_id}:{batch_id}",
+            source=source() if source is not None else None,
+        )
+
+    writer = change_stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", ckpt
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

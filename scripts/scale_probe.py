@@ -260,6 +260,48 @@ def _retraction_mv_probe(d: DataFrame) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def _retraction_mv_minmax_probe(d: DataFrame) -> DataFrame:
+    # q_retraction_mv_minmax's shape with the r12 admission-threshold
+    # frontiers: build, mass DV delete clipping every max frontier (scoped
+    # recomputes), surgical delete retiring tracked minima.
+    import shutil
+    import tempfile
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from observation_lakehouse_spark.transaction import AtomicParquetTable
+
+    loc = tempfile.mkdtemp(prefix="olake_probe_rmm_")
+    try:
+        src = AtomicParquetTable(d.sparkSession, f"{loc}/src", schema=d.schema)
+        mv = IncrementalAggregate(
+            d.sparkSession,
+            f"{loc}/mv",
+            keys=["o_orderstatus", "o_orderpriority"],
+            aggs={
+                "n_orders": ("count", "1"),
+                "min_total": ("min", "CAST(o_totalprice AS DOUBLE)"),
+                "max_total": ("max", "CAST(o_totalprice AS DOUBLE)"),
+            },
+            agg_types={"min_total": "double", "max_total": "double"},
+            extrema_k=3,
+        )
+        src.append(d)
+        v1 = src.latest_version()
+        mv.refresh_retractions(src.read_change_feed(0, v1), idempotency_key="b1")
+        src.delete_where("o_totalprice > 400000")
+        src.delete_where("o_orderkey % 10 < 2")
+        mv.refresh_retractions(
+            src.read_change_feed(v1), idempotency_key="b2", source=src.read()
+        )
+        return _local_result(
+            mv.read()
+            .select("o_orderstatus", "o_orderpriority", "n_orders")
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def timed(fn, df_builder) -> float:
     # min of two: first run absorbs codegen for this plan size.
     # The clock starts BEFORE fn() (r9): iterative operators (pagerank,
@@ -846,6 +888,8 @@ def main() -> None:
          _merge_multi_clause_probe),
         ("retraction_mv (2 feeds + DV delete/update)", od, od_k,
          _retraction_mv_probe),
+        ("retraction_mv_minmax (threshold frontiers + scoped recompute)",
+         od, od_k, _retraction_mv_minmax_probe),
     ]
 
     lines = [

@@ -654,3 +654,83 @@ def test_merge_multi_clause_matches_dict_semantics(
             if k not in tgt_keys:
                 ref[k] = v
     assert got == sorted(ref.items())
+
+
+minmax_feed_intents = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),       # group key
+            st.integers(min_value=0, max_value=9),  # value
+            st.booleans(),                      # True = insert, False = delete
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(intents=minmax_feed_intents)
+def test_minmax_retraction_mv_equals_recompute_property(
+    spark_global, tmp_path_factory, intents
+):
+    """r12 (the ADVICE-high admission-threshold fix): for ANY well-formed
+    sequence of mixed insert/delete change feeds, the extrema_k MV equals
+    a full GROUP BY COUNT/MIN/MAX over the live multiset after every
+    feed. Delete intents resolve against the tracked live state (closest
+    live value of the group), so feeds only ever retract real rows —
+    exactly the change-feed contract. Covers inserts beyond/inside the
+    admission thresholds, frontier drains, scoped recomputes, and group
+    death."""
+    from collections import Counter
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+
+    spark = spark_global
+    loc = tmp_path_factory.mktemp("mmprop")
+    mv = IncrementalAggregate(
+        spark,
+        str(loc),
+        keys=["k"],
+        aggs={"n": ("count", "1"), "lo": ("min", "v"), "hi": ("max", "v")},
+        agg_types={"lo": "double", "hi": "double"},
+        extrema_k=2,
+    )
+    live: Counter = Counter()
+    for i, feed_intents in enumerate(intents):
+        batch = []
+        for key, val, is_insert in feed_intents:
+            if is_insert:
+                batch.append((key, float(val), "insert"))
+                live[(key, float(val))] += 1
+            else:
+                candidates = [kv for kv in live if kv[0] == key and live[kv] > 0]
+                if not candidates:
+                    continue
+                target = min(candidates, key=lambda kv: (abs(kv[1] - val), kv[1]))
+                batch.append((key, target[1], "delete"))
+                live[target] -= 1
+        if not batch:
+            continue
+        feed = spark.createDataFrame(batch, "k string, v double, _change_type string")
+        src_rows = [kv for kv, c in live.items() for _ in range(c)]
+        source = (
+            spark.createDataFrame(src_rows, "k string, v double")
+            if src_rows
+            else spark.createDataFrame([], "k string, v double")
+        )
+        mv.refresh_retractions(feed, idempotency_key=f"f{i}", source=source)
+        expected = {}
+        for (key, val), c in live.items():
+            if c <= 0:
+                continue
+            n, lo, hi = expected.get(key, (0, None, None))
+            expected[key] = (
+                n + c,
+                val if lo is None else min(lo, val),
+                val if hi is None else max(hi, val),
+            )
+        got = {r["k"]: (r["n"], r["lo"], r["hi"]) for r in mv.read().collect()}
+        assert got == expected, (i, batch, got, expected)
