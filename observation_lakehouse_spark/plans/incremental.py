@@ -22,8 +22,15 @@ extreme live values — the classic top-k-candidates fix for MIN/MAX under
 deletes): a delete removes its value from the candidate multiset, the
 served extremum is the candidate frontier's edge, and ONLY a group whose
 retired extremum exposes an EMPTY candidate list recomputes from the
-(caller-provided) post-change source. Without ``extrema_k`` a MIN/MAX view
-stays append-only, enforced at the API.
+(caller-provided) post-change source — a fully distributed left-semi
+prune against the checkpointed exposed-keys frame; the driver reads only
+the COUNT. Each frontier carries an ADMISSION THRESHOLD (``_thr_*``,
+r12): NULL means the frontier tracks every live copy; a non-NULL bound T
+maintains (for MIN, mirrored for MAX) that every live copy < T is
+tracked and every tracked copy is <= T — inserts beyond T are never
+admitted, which is what makes a delete-the-frontier-insert-past-the-
+extremum UPDATE recompute instead of serving the inserted value. Without
+``extrema_k`` a MIN/MAX view stays append-only, enforced at the API.
 
 Exactness: SUM partials are stored as DECIMAL, so the two-stage sum
 (per-batch partial, then merge) is bit-identical to a one-shot aggregate

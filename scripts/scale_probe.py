@@ -639,7 +639,7 @@ def main() -> None:
         # threshold (2x even per-partition share) and the dst-hash salt
         # spreads its contribution join across S tasks. alpha tracks edge
         # count; a super-linear alpha here would mean the hub task binds.
-        ("pagerank_skewed_hub (auto-salted contribution join)", li, li_k,
+        ("pagerank_skewed_hub (hot/cold split contribution join)", li, li_k,
          lambda d: pagerank(
              d.select((F.col("l_orderkey") % 100_000).alias("src"),
                       (F.col("l_partkey") % 100_000).alias("dst"))
@@ -651,7 +651,7 @@ def main() -> None:
         # salting was ported to (r10 judge #1) — the hub's (symmetrized)
         # adjacency crosses the 2x-share threshold as the replica grows and
         # the dst-hash salt spreads its per-round join; alpha tracks edges
-        ("lpa_skewed_hub (auto-salted vote join)", li, li_k,
+        ("lpa_skewed_hub (hot/cold split vote join)", li, li_k,
          lambda d: label_propagation(
              d.select((F.col("l_orderkey") % 100_000).alias("src"),
                       (F.col("l_partkey") % 100_000).alias("dst"))
@@ -659,7 +659,7 @@ def main() -> None:
                  F.lit(0).alias("src"),
                  F.xxhash64("l_orderkey", "l_partkey", "l_suppkey").alias("dst"))),
              n_iters=2)),
-        ("hits_skewed_hub (auto-salted authority join)", li, li_k,
+        ("hits_skewed_hub (hot/cold split authority join)", li, li_k,
          lambda d: __import__(
              "observation_lakehouse_spark.operators.graph",
              fromlist=["hits"]).hits(
