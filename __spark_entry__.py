@@ -3393,6 +3393,79 @@ ORDER BY bucket
 """
 
 
+def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-K stratified sampling (r12 — operators/
+    selection.py:stratified_sample; the per-stratum-rate hash sampler
+    `stratified_sample` is its Bernoulli sibling): 5 documents per
+    (lang, source) cell by md5-rank of the id text — the data-mixing
+    slice primitive with a hard per-cell quota. One hash-partitioned
+    rank window per stratum (no global sort, no RNG state); both engines
+    replay the md5 order, so the sample is oracle-checked ROW-FOR-ROW,
+    not just statistically."""
+    from observation_lakehouse_spark.operators.selection import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs.select("doc_id", "lang", "source"),
+            ["lang", "source"],
+            k_per_stratum=5,
+            id_cols=["doc_id"],
+        )
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
+_ORACLE_STRATIFIED_SAMPLE_K = """
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, source FROM ranked
+WHERE rk <= 5
+ORDER BY lang, source, doc_id
+"""
+
+
+def q_stratified_sample_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation variant: each (lang, source) stratum keeps
+    GREATEST(1, count * 200 DIV 1000) rows — an exact-integer 20% slice
+    that never empties a stratum; same md5-rank determinism."""
+    from observation_lakehouse_spark.operators.selection import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs.select("doc_id", "lang", "source"),
+            ["lang", "source"],
+            k_per_stratum=200,
+            id_cols=["doc_id"],
+            proportional_base=1000,
+        )
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
+_ORACLE_STRATIFIED_SAMPLE_PROP = """
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk,
+           COUNT(*) OVER (PARTITION BY lang, source) AS cnt
+    FROM documents
+)
+SELECT doc_id, lang, source FROM ranked
+WHERE rk <= GREATEST(1, cnt * 200 // 1000)
+ORDER BY lang, source, doc_id
+"""
+
+
 def q_classifier_train_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier over the WIDENED feature space (r11 judge
     #5 — operators/classifier.py:hashed_bigram_features): unigram buckets
@@ -10854,6 +10927,8 @@ _HEAVY_FIRST = [
     "retraction_mv_minmax",
     "classifier_train",
     "classifier_train_bigram",
+    "stratified_sample_k",
+    "stratified_sample_prop",
     "classifier_score",
     "kmeans_train",
     "merge_upsert",
@@ -11041,6 +11116,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retraction_mv_minmax": q_retraction_mv_minmax,
         "classifier_train": q_classifier_train,
         "classifier_train_bigram": q_classifier_train_bigram,
+        "stratified_sample_k": q_stratified_sample_k,
+        "stratified_sample_prop": q_stratified_sample_prop,
         "classifier_score": q_classifier_score,
         "kmeans_train": q_kmeans_train,
         "merge_upsert": q_merge_upsert,
@@ -11243,6 +11320,8 @@ def oracle_sql() -> dict[str, str]:
         "retraction_mv_minmax": _ORACLE_RETRACTION_MV_MINMAX,
         "classifier_train": _classifier_train_oracle(),
         "classifier_train_bigram": _classifier_train_oracle(bigrams=True),
+        "stratified_sample_k": _ORACLE_STRATIFIED_SAMPLE_K,
+        "stratified_sample_prop": _ORACLE_STRATIFIED_SAMPLE_PROP,
         "classifier_score": _classifier_score_oracle(),
         "kmeans_train": _kmeans_oracle(),
         "merge_upsert": _ORACLE_MERGE_UPSERT,

@@ -89,6 +89,8 @@ HEADLINE = [
     "quality_filter",
     "token_budget_select",
     "dsir_select",
+    "stratified_sample_k",
+    "stratified_sample_prop",
     "label_propagation",
     "hits",
     "personalized_pagerank",

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["token_budget_select"]
+__all__ = ["stratified_sample", "token_budget_select"]
 
 
 def token_budget_select(
@@ -129,4 +129,58 @@ def token_budget_select(
     )
     return kept.select(id_col, "quality_micro", "n_tokens").orderBy(
         F.desc("quality_micro"), F.asc(id_col)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k_per_stratum: int,
+    id_cols: list[str] | None = None,
+    proportional_base: int | None = None,
+) -> DataFrame:
+    """Deterministic stratified sampling — ``k`` rows per stratum by
+    md5-rank (r12; the data-mixing primitive next to mixture_resample:
+    "give me a balanced / proportional slice of every source x language
+    cell" without a driver loop or RNG state).
+
+    The "randomness" is the md5 hash of the row's id tuple rendered as
+    text — uniform spread, zero state, and BOTH engines replay it exactly
+    (the kmeans seeding discipline), so the sample is oracle-checkable
+    row-for-row, stable across partitionings, and re-runnable. With
+    ``proportional_base`` the per-stratum quota becomes
+    ``GREATEST(1, stratum_count * k_per_stratum DIV proportional_base)``
+    (integer-exact proportional allocation); without it every stratum
+    gets the same flat ``k_per_stratum``.
+
+    Scale shape: ONE hash-partitioned rank window per stratum (no global
+    sort, no single-task stage) + for the proportional variant one
+    map-side-combinable count aggregate broadcast back; the filter is a
+    per-row comparison. Skewed strata parallelize across the window's
+    hash partitions exactly like any per-key top-k.
+    """
+    if k_per_stratum < 1:
+        raise ValueError(f"k_per_stratum must be >= 1, got {k_per_stratum}")
+    ids = id_cols or [c for c in df.columns if c not in strata_cols]
+    if not ids:
+        raise ValueError("need at least one id column outside the strata")
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in ids]))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), *[F.col(c).asc() for c in ids])
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    if proportional_base is None:
+        return ranked.filter(F.col("_rk") <= k_per_stratum).drop("_rk")
+    if proportional_base < 1:
+        raise ValueError(
+            f"proportional_base must be >= 1, got {proportional_base}"
+        )
+    quota = df.groupBy(*strata_cols).agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"COUNT(1) * {int(k_per_stratum)} DIV {int(proportional_base)}"),
+        ).alias("_q")
+    )
+    return (
+        ranked.join(F.broadcast(quota), strata_cols)
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_rk", "_q")
     )

@@ -734,3 +734,94 @@ def test_minmax_retraction_mv_equals_recompute_property(
             )
         got = {r["k"]: (r["n"], r["lo"], r["hi"]) for r in mv.read().collect()}
         assert got == expected, (i, batch, got, expected)
+
+
+mixed_minmax_ops = st.lists(
+    st.tuples(
+        st.booleans(),  # True = append batch (refresh), False = change feed
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=9),
+                st.booleans(),  # feed only: True = insert, False = delete
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    min_size=2,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=mixed_minmax_ops)
+def test_minmax_mixed_append_retraction_property(
+    spark_global, tmp_path_factory, ops
+):
+    """Interleaved refresh() (append) and refresh_retractions() (change
+    feed) against a full recompute — pins the APPEND path's threshold
+    merge (tighten to least/greatest + boundary, then TRIM the kept
+    frontier), the subtlest r12 logic: an append-trimmed frontier must
+    still serve exact extrema through later deletes and recomputes."""
+    from collections import Counter
+
+    from observation_lakehouse_spark.plans.incremental import IncrementalAggregate
+
+    spark = spark_global
+    loc = tmp_path_factory.mktemp("mmmix")
+    mv = IncrementalAggregate(
+        spark,
+        str(loc),
+        keys=["k"],
+        aggs={"n": ("count", "1"), "lo": ("min", "v"), "hi": ("max", "v")},
+        agg_types={"lo": "double", "hi": "double"},
+        extrema_k=2,
+    )
+    live: Counter = Counter()
+    for i, (is_append, rows) in enumerate(ops):
+        if is_append:
+            batch = [(key, float(val)) for key, val, _ in rows]
+            for kv in batch:
+                live[kv] += 1
+            mv.refresh(
+                spark.createDataFrame(batch, "k string, v double"),
+                idempotency_key=f"a{i}",
+            )
+        else:
+            batch = []
+            for key, val, is_insert in rows:
+                if is_insert:
+                    batch.append((key, float(val), "insert"))
+                    live[(key, float(val))] += 1
+                else:
+                    cands = [kv for kv in live if kv[0] == key and live[kv] > 0]
+                    if not cands:
+                        continue
+                    t = min(cands, key=lambda kv: (abs(kv[1] - val), kv[1]))
+                    batch.append((key, t[1], "delete"))
+                    live[t] -= 1
+            if not batch:
+                continue
+            src_rows = [kv for kv, c in live.items() for _ in range(c)]
+            mv.refresh_retractions(
+                spark.createDataFrame(
+                    batch, "k string, v double, _change_type string"
+                ),
+                idempotency_key=f"r{i}",
+                source=spark.createDataFrame(src_rows, "k string, v double")
+                if src_rows
+                else spark.createDataFrame([], "k string, v double"),
+            )
+        expected = {}
+        for (key, val), c in live.items():
+            if c <= 0:
+                continue
+            n, lo, hi = expected.get(key, (0, None, None))
+            expected[key] = (
+                n + c,
+                val if lo is None else min(lo, val),
+                val if hi is None else max(hi, val),
+            )
+        got = {r["k"]: (r["n"], r["lo"], r["hi"]) for r in mv.read().collect()}
+        assert got == expected, (i, is_append, batch, got, expected)

@@ -83,3 +83,53 @@ def test_doc_window_is_partitioned_by_bin(spark):
         if "Window [sum(n_tokens" in ln and "], [_bin" in ln
     ]
     assert doc_windows, plan  # the per-doc running total partitions by _bin
+
+
+def test_stratified_sample_exact_k_and_proportional(spark):
+    """r12 stratified_sample: per-stratum quotas are exact, the md5-rank
+    sample is identical across partitionings (no RNG state), proportional
+    allocation floors at 1 row per stratum, and validation is loud."""
+    import hashlib
+
+    import pytest
+
+    from observation_lakehouse_spark.operators.selection import stratified_sample
+
+    rows = [(i, "s1" if i < 40 else ("s2" if i < 50 else "s3")) for i in range(52)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+
+    out = stratified_sample(df, ["stratum"], 3, id_cols=["id"])
+    by_s = {}
+    for r in out.collect():
+        by_s.setdefault(r["stratum"], []).append(r["id"])
+    assert {k: len(v) for k, v in by_s.items()} == {"s1": 3, "s2": 3, "s3": 2}
+    # the sample IS the md5-rank prefix, replayed here with hashlib
+    for stratum, ids in by_s.items():
+        pool = [i for i, s in rows if s == stratum]
+        want = sorted(
+            pool, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:3]
+        assert sorted(ids) == sorted(want), stratum
+    # partitioning-independence
+    a = sorted(tuple(r) for r in stratified_sample(
+        df.repartition(1), ["stratum"], 3, id_cols=["id"]).collect())
+    b = sorted(tuple(r) for r in stratified_sample(
+        df.repartition(13), ["stratum"], 3, id_cols=["id"]).collect())
+    assert a == b
+
+    # proportional: 20% of 40/10/2 with a floor of 1 -> 8/2/1
+    prop = stratified_sample(
+        df, ["stratum"], 200, id_cols=["id"], proportional_base=1000
+    )
+    sizes = {
+        r["stratum"]: r["n"]
+        for r in prop.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"s1": 8, "s2": 2, "s3": 1}
+
+    with pytest.raises(ValueError, match="k_per_stratum"):
+        stratified_sample(df, ["stratum"], 0, id_cols=["id"])
+    with pytest.raises(ValueError, match="proportional_base"):
+        stratified_sample(df, ["stratum"], 1, id_cols=["id"], proportional_base=0)
+    with pytest.raises(ValueError, match="id column"):
+        stratified_sample(df.select("stratum"), ["stratum"], 1)
