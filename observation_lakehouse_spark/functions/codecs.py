@@ -477,21 +477,6 @@ def _iso_find(data: bytes, off: int, end: int, fourcc: bytes):
     return None
 
 
-def _fullbox_u32s(data: bytes, body: int, v0_words: list[int], v1_words: list[int]):
-    """Read the version byte of a full box and the requested big-endian
-    words: ``v0_words`` are u32 byte offsets (after the 4-byte version+flags)
-    for version 0, ``v1_words`` u64 offsets for version 1."""
-    version = data[body]
-    out = []
-    if version == 0:
-        for w in v0_words:
-            out.append(int.from_bytes(data[body + 4 + w : body + 8 + w], "big"))
-    else:
-        for w in v1_words:
-            out.append(int.from_bytes(data[body + 4 + w : body + 12 + w], "big"))
-    return version, out
-
-
 def parse_mp4(data: bytes) -> dict:
     """Parse an MP4/ISO-BMFF container's box structure — pure stdlib, no
     codec libraries (the moov/trak/stbl walk of ISO/IEC 14496-12, the same
