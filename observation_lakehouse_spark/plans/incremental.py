@@ -47,11 +47,71 @@ time-travelable like any table.
 
 from __future__ import annotations
 
+import os
+import re
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import _parse_datatype_string
 
 from observation_lakehouse_spark.transaction import AtomicParquetTable, CommitConflict
+
+# Target COMPRESSED delta bytes per shuffle partition inside a refresh
+# scope. Deliberately far below the guide's 128 MB scan-split target: a
+# refresh executes ~10 CPU passes per input byte (rank-k window sorts,
+# per-(key,value) multiset rebuilds, union-merges), and parquet deltas
+# expand ~5-10x in memory, so 1 MB compressed ≈ 5-10 MB of rows per task of
+# heavy CPU. Measured on a 2.6 MB delta: width 2-4 is ~25% faster than
+# width 1; the defaultParallelism clamp (not this constant) is what bounds
+# the width on TB-scale deltas, so the constant only decides how quickly
+# small deltas fan out. The width derives from the DELTA's input size —
+# scale-adaptive, not a local-mode constant.
+_REFRESH_BYTES_PER_PART = 1 << 20
+
+
+def _refresh_width(spark: SparkSession, *frames: DataFrame | None) -> int:
+    """Shuffle width for one refresh: ceil(delta input bytes / 128 MB),
+    clamped to [1, defaultParallelism]. Derived from the feed's own input
+    files (driver-side stat of the already-listed FileIndex — no job), so a
+    KB-sized delta refreshes at width 1-4 while a TB-sized delta uses every
+    core; any listing/stat failure falls back to the full parallelism."""
+    par = spark.sparkContext.defaultParallelism
+    cap = par * _REFRESH_BYTES_PER_PART
+    total = 0
+    for df in frames:
+        if df is None:
+            continue
+        try:
+            for f in df.inputFiles():
+                try:
+                    total += os.stat(re.sub("^file:/+", "/", f)).st_size
+                except OSError:
+                    return par
+                if total >= cap:
+                    return par
+        except Exception:  # noqa: BLE001 — non-file sources: keep full width
+            return par
+    return max(1, min(par, -(-total // _REFRESH_BYTES_PER_PART)))
+
+
+@contextmanager
+def _refresh_scope(spark: SparkSession, width: int):
+    """Fixed-shape refresh scope (the graph-loop conf discipline): AQE off —
+    every exchange in the merge plan otherwise becomes its own adaptive
+    query-stage job (measured: 59 jobs vs 19 for one minmax-MV pipeline) —
+    and the shuffle width sized by the delta instead of the caller's
+    default. Actions (checkpoint, probe count, stage write) all run inside
+    the scope; confs restore on exit."""
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    width_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", width_before)
 
 # out_col -> (fn, source_expr_sql); fn drives both the per-batch partial and
 # the merge function.
@@ -309,21 +369,25 @@ class IncrementalAggregate:
         a streaming MV from at-least-once to exactly-once.
         """
         partial = self._partial(delta)
-        for _ in range(self.max_refresh_retries):
-            if idempotency_key is not None:
-                committed = self.table.committed_keys()
-                if idempotency_key in committed:
-                    return committed[idempotency_key]
-            base_v = self.table.latest_version()
-            state = self.table.read(version=base_v)
-            merged = self._merge(state, partial)
-            staged = self.table.stage(merged)
-            try:
-                return self.table.commit_replace(
-                    staged, idempotency_key=idempotency_key, expected_version=base_v
-                )
-            except CommitConflict:
-                continue
+        spark = delta.sparkSession
+        with _refresh_scope(spark, _refresh_width(spark, delta)):
+            for _ in range(self.max_refresh_retries):
+                if idempotency_key is not None:
+                    committed = self.table.committed_keys()
+                    if idempotency_key in committed:
+                        return committed[idempotency_key]
+                base_v = self.table.latest_version()
+                state = self.table.read(version=base_v)
+                merged = self._merge(state, partial)
+                staged = self.table.stage(merged)
+                try:
+                    return self.table.commit_replace(
+                        staged,
+                        idempotency_key=idempotency_key,
+                        expected_version=base_v,
+                    )
+                except CommitConflict:
+                    continue
         raise CommitConflict("concurrent refreshers kept winning; giving up")
 
     def refresh_retractions(
@@ -403,26 +467,45 @@ class IncrementalAggregate:
                 "the group-liveness witness; all declared counts are over "
                 f"nullable expressions: {count_cols}"
             )
-        for _ in range(self.max_refresh_retries):
-            if idempotency_key is not None:
-                committed = self.table.committed_keys()
-                if idempotency_key in committed:
-                    return committed[idempotency_key]
-            base_v = self.table.latest_version()
-            state = self.table.read(version=base_v)
-            if not self._minmax():
-                merged = self._merge(state, partial).filter(F.col(witness) > 0)
-            else:
-                merged = self._merge_retraction(
-                    state, partial, feed, sign, witness, source
-                )
-            staged = self.table.stage(merged)
-            try:
-                return self.table.commit_replace(
-                    staged, idempotency_key=idempotency_key, expected_version=base_v
-                )
-            except CommitConflict:
-                continue
+        # Insert-only fast path for candidate-state views (r12): a feed with
+        # no delete rows is an APPEND, and the append merge (one union-agg
+        # with frontier re-slice + threshold trim) is exact for it — the
+        # per-(key, value) multiset rebuild below exists only to absorb
+        # deletes. This is the initial-load shape (replaying a change feed
+        # into an empty MV) and every pure-append batch after it. The probe
+        # is near-free when the feed was built by read_change_feed with no
+        # in-range DV sidecars: the 'delete' branch is then absent from the
+        # plan, so the filter constant-folds to an empty scan.
+        if self._minmax():
+            if feed.filter(F.col("_change_type") == "delete").isEmpty():
+                self.last_recompute_groups = 0
+                return self.refresh(feed, idempotency_key=idempotency_key)
+        spark = feed.sparkSession
+        with _refresh_scope(spark, _refresh_width(spark, feed, source)):
+            for _ in range(self.max_refresh_retries):
+                if idempotency_key is not None:
+                    committed = self.table.committed_keys()
+                    if idempotency_key in committed:
+                        return committed[idempotency_key]
+                base_v = self.table.latest_version()
+                state = self.table.read(version=base_v)
+                if not self._minmax():
+                    merged = self._merge(state, partial).filter(
+                        F.col(witness) > 0
+                    )
+                else:
+                    merged = self._merge_retraction(
+                        state, partial, feed, sign, witness, source
+                    )
+                staged = self.table.stage(merged)
+                try:
+                    return self.table.commit_replace(
+                        staged,
+                        idempotency_key=idempotency_key,
+                        expected_version=base_v,
+                    )
+                except CommitConflict:
+                    continue
         raise CommitConflict("concurrent refreshers kept winning; giving up")
 
     def _merge_retraction(
