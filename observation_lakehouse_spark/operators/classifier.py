@@ -183,6 +183,23 @@ def logreg_train(
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     spark = feat.sparkSession
+    # Conf scope opens BEFORE the setup counts (r12): with AQE on, each
+    # materializing count runs one job per adaptive query stage (measured 3-4
+    # jobs apiece for the label and feature builds); fixed-shape, so AQE buys
+    # nothing here. Width starts at full parallelism for the corpus-sized
+    # feature explode and narrows to loop_parts for the rounds.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    parallelism = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
+    # The per-round gradient join must stay a co-partitioned SMJ: the z
+    # side is DOC-sized (unbounded at scale), and the planner's estimate
+    # of the aggregated cached frame otherwise picks a broadcast hash join
+    # — one extra broadcast-collect job per round locally, an OOM-class
+    # broadcast of millions of doc rows at 100 TB.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     labels = labels.persist()
     n = labels.count()
     # bias term: one constant feature per labeled doc (bucket -1) — without
@@ -192,106 +209,145 @@ def logreg_train(
         labels.select("id", F.lit(-1).cast("int").alias("b"), F.lit(1).alias("x"))
     )
     if n == 0:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
         feat = feat.persist()
         out = spark.createDataFrame([], "b int, w_micro long")
         out._cached_deps = (feat, labels)  # noqa: SLF001
         if track_loss:
             out.round_loss_micro = []
         return out
-    # Loop scoping (the connected_components/bradley_terry discipline):
-    # AQE off for the fixed-shape rounds, shuffle width sized by the
-    # FEATURE table, not the caller's default and not the label count —
-    # an untuned 200-wide session otherwise runs 6 rounds x several stages
-    # of near-empty tasks (measured 24 s at sf0.01 on the bare harness
-    # session; the data is kilobytes), while a label-count sizing (r11)
-    # left a 40k-doc corpus's 800k feature rows on ONE partition: the
-    # per-round aggregates scan the persisted features twice per round,
-    # so the loop's wall grew linearly with every core but one idle
-    # (probe alpha 0.36). 200k rows/partition keeps small corpora at
-    # width 1 (the scheduler floor) and parallelizes the scans above it.
-    # The materialize-then-repartition order makes the sizing count free:
-    # round 1 needed the features resident anyway.
-    parallelism = spark.sparkContext.defaultParallelism
+    # Loop width sized by the FEATURE table, not the caller's default and
+    # not the label count — an untuned 200-wide session otherwise runs
+    # 6 rounds x several stages of near-empty tasks (measured 24 s at
+    # sf0.01 on the bare harness session; the data is kilobytes), while a
+    # label-count sizing (r11) left a 40k-doc corpus's 800k feature rows
+    # on ONE partition (probe alpha 0.36). 32k rows/partition (r12; was
+    # 200k) keeps truly tiny corpora at width 1 while fanning mid-size ones
+    # out — each round re-scans the features ~3x (z pass, gradient join,
+    # gradient agg), so the per-row CPU justifies a narrower target than a
+    # scan-bound stage (measured at sf0.1: 108k rows, width 1 -> 4 is
+    # 3.96 -> 3.38 s for the 6-round train). The materialize-then-
+    # repartition order makes the sizing count free: round 1 needed the
+    # features resident anyway.
     feat_src = feat.persist()
     n_feat = feat_src.count()
-    loop_parts = max(1, min(parallelism, -(-n_feat // 200_000)))
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    loop_parts = max(1, min(parallelism, -(-n_feat // 32_000)))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        feat = feat_src.repartition(loop_parts, F.col("id")).persist()
+        # Pre-join the label onto every feature row ONCE (r12): the loop's
+        # per-round aggregates need (x, b) and e(y, z) keyed by id — with y
+        # riding on the id-partitioned feature row, the z pass and the
+        # gradient join are exchange-free, and the only per-round shuffle
+        # is the n_buckets-sized gradient aggregate.
+        feat = (
+            feat_src.repartition(loop_parts, F.col("id"))
+            .join(labels.repartition(loop_parts, F.col("id")), "id")
+            .persist()
+        )
         feat.count()
         feat_src.unpersist(blocking=True)
-        losses: list[int] = []
-        err = labels.select(
-            "id", (F.col("y") * F.lit(_MICRO) - F.lit(500_000)).alias("e")
-        )
-        w = None
-        for r in range(1, n_rounds + 1):
-            if w is not None:
-                z = (
-                    feat.join(F.broadcast(w), "b")
-                    .groupBy("id")
-                    .agg(F.sum(F.col("w_micro") * F.col("x")).alias("z"))
+        # The model is DRIVER-HELD between rounds (r12): the weight table is
+        # bounded by n_buckets (~129 rows), so each round collects the
+        # gradient and applies the update in exact Python integers instead
+        # of checkpointing a weight DataFrame and broadcast-joining it back
+        # (that shape cost 3 jobs/round: broadcast-z, broadcast-update,
+        # checkpoint; this one costs exactly 1 — the gradient collect).
+        # Weights enter the plan as a literal map, so the z pass is a
+        # per-row expression + one exchange-free id aggregate. Same class
+        # of bounded driver state as the labels count above and the
+        # streaming admission gate's collected weight rows.
+        wmap: dict[int, int] | None = None
+        loss_plans: list[DataFrame] = []
+
+        def _zerr(weights: dict[int, int]) -> DataFrame:
+            wlit = F.create_map(
+                *[F.lit(v) for kv in weights.items() for v in kv]
+            )
+            return (
+                feat.groupBy("id")
+                .agg(
+                    F.sum(F.element_at(wlit, F.col("b")) * F.col("x")).alias(
+                        "z"
+                    ),
+                    F.max("y").alias("y"),
                 )
-                err = labels.join(z, "id", "left").select(
+                .select(
                     "id",
                     (
-                        F.col("y") * F.lit(_MICRO)
-                        - _hard_sigmoid("COALESCE(z, 0)")
+                        F.col("y") * F.lit(_MICRO) - _hard_sigmoid("z")
                     ).alias("e"),
                 )
+            )
+
+        def _tdiv(a: int, d: int) -> int:
+            """Truncating integer division (SQL DIV semantics: toward zero;
+            Python // floors, which differs on negative numerators)."""
+            q = abs(a) // d
+            return q if a >= 0 else -q
+
+        for r in range(1, n_rounds + 1):
+            if wmap is None:
+                # round 1: w = 0, so sigma_hat = 500000 for every doc and
+                # the error is a per-row expression — no z pass
+                graded = feat.select(
+                    "b",
+                    "x",
+                    (F.col("y") * F.lit(_MICRO) - F.lit(500_000)).alias("e"),
+                )
+            else:
+                graded = feat.join(_zerr(wmap), "id").select("b", "x", "e")
             if track_loss:
-                losses.append(
-                    err.agg(F.sum(F.abs(F.col("e")))).collect()[0][0]
+                loss_plans.append(
+                    (labels.select(
+                        (F.col("y") * F.lit(_MICRO) - F.lit(500_000)).alias("e")
+                    ) if wmap is None else _zerr(wmap)).agg(
+                        F.lit(r).alias("_r"),
+                        F.sum(F.abs(F.col("e"))).alias("_loss"),
+                    )
                 )
             grad = (
-                feat.join(err, "id")
-                .groupBy("b")
+                graded.groupBy("b")
                 .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
+                .collect()
             )
             lr_den = LR_DEN_MULT * n * r  # Robbins–Monro 1/round decay
-            step = F.expr(
-                f"CASE WHEN b = -1 THEN (g * {BIAS_BOOST}) DIV {lr_den} "
-                f"ELSE g DIV {lr_den} END"
-            )
-            if w is None:
-                upd = grad.select("b", step.alias("w_raw"))
-            else:
-                upd = w.join(grad, "b").select(
-                    "b", (F.col("w_micro") + step).alias("w_raw")
+            new_w: dict[int, int] = {}
+            for row in grad:
+                b, g = row["b"], int(row["g"])
+                step = _tdiv(g * BIAS_BOOST, lr_den) if b == -1 else _tdiv(
+                    g, lr_den
                 )
-            # the weight table is <= n_buckets rows: one checkpoint block,
-            # not one per shuffle partition
-            w = (
-                upd.select(
-                    "b",
-                    F.greatest(
-                        F.lit(-W_CLAMP).cast("long"),
-                        F.least(F.lit(W_CLAMP).cast("long"), F.col("w_raw")),
-                    ).alias("w_micro"),
-                )
-                .coalesce(1)
-                .localCheckpoint(eager=True)
-            )
+                raw = step if wmap is None else wmap[b] + step
+                new_w[b] = max(-W_CLAMP, min(W_CLAMP, raw))
+            wmap = new_w
+        losses: list[int] = []
         if track_loss:
-            z = (
-                feat.join(F.broadcast(w), "b")
-                .groupBy("id")
-                .agg(F.sum(F.col("w_micro") * F.col("x")).alias("z"))
+            # all rounds' losses in ONE job (was one collect per round):
+            # loss_r evaluates the PRE-update weights, collected above as
+            # lazy 1-row aggregates; the final entry evaluates the trained
+            # weights
+            loss_plans.append(
+                _zerr(wmap).agg(
+                    F.lit(n_rounds + 1).alias("_r"),
+                    F.sum(F.abs(F.col("e"))).alias("_loss"),
+                )
             )
-            final_err = labels.join(z, "id", "left").select(
-                (
-                    F.col("y") * F.lit(_MICRO) - _hard_sigmoid("COALESCE(z, 0)")
-                ).alias("e")
-            )
-            losses.append(
-                final_err.agg(F.sum(F.abs(F.col("e")))).collect()[0][0]
-            )
+            plan = loss_plans[0]
+            for p in loss_plans[1:]:
+                plan = plan.unionByName(p)
+            losses = [
+                int(row["_loss"])
+                for row in sorted(plan.collect(), key=lambda row: row["_r"])
+            ]
+        w = spark.createDataFrame(
+            sorted(wmap.items()), "b int, w_micro long"
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
     out = w.orderBy("b")
     out._cached_deps = (feat, labels)  # noqa: SLF001
     if track_loss:
