@@ -894,22 +894,33 @@ def bloom_decontaminate(
         raise ValueError("depth > 4 needs more digest bits than one md5 carries")
     words_per = 32
 
-    def gram_pos(i):
+    def lane_pos(i, h):
         # All `depth` bit positions slice ONE md5 digest (disjoint 32-bit
         # lanes, hex chars 1-8 / 9-16 / 17-24 / 25-32) — one hash per gram
         # instead of `depth` salted hashes, same cross-engine reproducibility
         # (DuckDB: substr(md5(g), 1+8i, 8)), statistically equivalent bits.
+        # The digest `h` is computed ONCE per gram by the caller (r12): as
+        # `depth` independent md5(g) expressions the lanes sat in separate
+        # projection layers (probe side: one per broadcast join), where
+        # common-subexpression elimination cannot reach — the corpus paid
+        # 4 md5s per gram for 1 digest's worth of bits.
         return (
-            F.conv(F.substring(F.md5(F.col("g")), 1 + 8 * i, 8), 16, 10).cast("long")
-            % m_bits
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
         )
 
     def positions(side: DataFrame) -> DataFrame:
-        ex = side.select(F.explode(word_shingles(text_col, ngram)).alias("g"))
-        lanes = [ex.select(gram_pos(i).alias("pos")) for i in range(depth)]
-        allpos = lanes[0]
-        for l in lanes[1:]:
-            allpos = allpos.unionAll(l)
+        # one explode pass + one md5 per gram; the `depth` lane positions
+        # unpack row-locally from the digest (was: `depth` unioned scans,
+        # each re-exploding the benchmark and re-hashing every gram)
+        allpos = (
+            side.select(F.explode(word_shingles(text_col, ngram)).alias("g"))
+            .select(F.md5(F.col("g")).alias("_h"))
+            .select(
+                F.explode(
+                    F.array(*[lane_pos(i, F.col("_h")) for i in range(depth)])
+                ).alias("pos")
+            )
+        )
         return allpos.select(
             F.expr(f"pos DIV {words_per}").alias("word"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {words_per} AS INT))").alias(
@@ -932,11 +943,11 @@ def bloom_decontaminate(
     probe = parallelize_scan(train).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, ngram)).alias("g"),
-    )
+    ).withColumn("_h", F.md5(F.col("g")))
     all_set = F.lit(True)
     for i in range(depth):
         wi, mi, bi = f"_w{i}", f"_m{i}", f"_b{i}"
-        pos = gram_pos(i)
+        pos = lane_pos(i, F.col("_h"))
         probe = (
             probe.withColumn(f"_p{i}", pos)
             .withColumn(wi, F.expr(f"_p{i} DIV {words_per}"))

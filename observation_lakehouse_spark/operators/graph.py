@@ -1088,7 +1088,13 @@ def k_core(
     n_edges = e.count()
     spark = edges.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 1_000_000)))
+    # 150k edges/partition (r12; was 1M): each peel makes ~4 passes over
+    # the surviving edges (degree union-agg reads them twice, both
+    # semi-joins once each), so the per-row CPU justifies a narrower
+    # target than a scan-bound stage — measured on the 599k-edge co-order
+    # graph (interleaved min-of-4): width 1 -> 4 is 6.5 -> 4.2 s; width 16
+    # regresses (task overhead beats the extra cores at this size).
+    loop_parts = max(1, min(parallelism * 4, -(-n_edges // 150_000)))
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
