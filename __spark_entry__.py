@@ -9939,7 +9939,14 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_vec = cands.select("doc_id").join(
         emb, cands["doc_id"] == emb["vec_id"]
     ).select("doc_id", "embedding")
-    e = pool_vec.select("doc_id", F.posexplode("embedding").alias("dim", "x"))
+    # persist: e feeds FOUR consumers (both norm legs + both sides of the
+    # pair self-join) — unpersisted, each re-executes the BM25-rooted
+    # pool_vec subtree (measured: ~80 AQE stage-jobs inside mmr_rerank,
+    # ~4x the whole query's remaining job count). Pool-bounded: 10 docs x
+    # 64 dims = 640 rows.
+    e = pool_vec.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "x")
+    ).persist()
     norm = e.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
     )
@@ -9977,7 +9984,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = mmr_rerank(cands, sims, k=_MMR_K, lambda_ppm=_MMR_LAM)
-    out._cached_deps = getattr(ranked, "_cached_deps", ())  # noqa: SLF001
+    out._cached_deps = (  # noqa: SLF001
+        *getattr(ranked, "_cached_deps", ()),
+        e,
+    )
     return out
 
 

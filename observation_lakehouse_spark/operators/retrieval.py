@@ -511,6 +511,17 @@ def mmr_rerank(
     pool = pool.localCheckpoint(eager=True)
     spark = pool.sparkSession
     n_pool = pool.count()
+    if n_pool <= 1024:
+        # Driver greedy (r12; the connected_components union-find rule): the
+        # pool contract above says N <= hundreds, so the k greedy argmax
+        # rounds are pure fixed scheduler latency as Spark jobs (~5 rounds x
+        # joins + window + checkpoint + union, measured ~4 s at a 10-doc
+        # pool) and microseconds as Python. Collect the pool and its
+        # pairwise sims (<= N² rows at N <= 1024; the heavy sim/relevance
+        # PLANS still ran distributed above) and replay the exact integer
+        # objective — same argmax, same tie-break, bit-identical output.
+        # Pools beyond the guard keep the distributed loop below.
+        return _mmr_driver(spark, pool, sym, k, lam, inv, q, d)
     loop_parts = max(1, min(spark.sparkContext.defaultParallelism, n_pool // 10_000))
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -520,6 +531,56 @@ def mmr_rerank(
         return _mmr_loop(pool, sym, k, lam, inv, q, d)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+
+
+def _mmr_driver(spark, pool, sym, k, lam, inv, q, d):
+    """Driver-side replay of :func:`_mmr_loop` for contract-sized pools:
+    identical integer objective (lam·rel − inv·maxsim), identical
+    (-mmr, doc id) tie-break, identical output schema and ordering."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    by_q: dict = {}
+    for row in pool.collect():
+        by_q.setdefault(row["_q"], []).append((row["_d"], row["rel_micro"]))
+    sim: dict = {}
+    for row in sym.collect():
+        sim[(row["_q"], row["_a"], row["_b"])] = row["_s"]
+    out_rows = []
+    for qid in by_q:
+        remaining = dict(by_q[qid])
+        if len(remaining) != len(by_q[qid]):
+            raise ValueError(
+                f"duplicate candidate doc ids for query {qid!r} — the MMR "
+                "pool must be unique per (query, doc)"
+            )
+        selected: list = []
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for doc, rel in remaining.items():
+                ms = max(
+                    (sim.get((qid, doc, s), 0) for s in selected), default=0
+                )
+                mmr = lam * rel - inv * ms
+                key = (-mmr, doc)
+                if best is None or key < best[0]:
+                    best = (key, doc, rel, mmr)
+            _, doc, rel, mmr = best
+            out_rows.append((qid, rank, doc, rel, mmr))
+            selected.append(doc)
+            del remaining[doc]
+    fields = {f.name: f.dataType for f in pool.schema.fields}
+    schema = StructType(
+        [
+            StructField(q, fields["_q"]),
+            StructField("pick_rank", IntegerType()),
+            StructField(d, fields["_d"]),
+            StructField("rel_micro", fields["rel_micro"]),
+            StructField("mmr_micro2", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema).orderBy(q, "pick_rank")
 
 
 def _mmr_loop(pool, sym, k, lam, inv, q, d):
