@@ -945,31 +945,46 @@ class AtomicParquetTable:
         affected_m = None
         n_matched = n_upd_m = 0
         if mclauses:
-            matched = live.join(src_pref, cond, "inner")
-            dup = (
-                matched.groupBy("_file", "_pos")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .collect()
+            # ONE evaluation of the matched join (r12; the dup probe
+            # previously re-executed the whole live-side join): checkpoint
+            # the clause-tagged matched rows BEFORE the clause filter, then
+            # answer the dup probe, the matched count and the update count
+            # from the checkpoint in ONE aggregate job.
+            matched_all = (
+                live.join(src_pref, cond, "inner")
+                .withColumn("_clause", _clause_case(mclauses))
+                .localCheckpoint(eager=True)
             )
-            if dup:
+            upd_idx_m = [i for i, cl in enumerate(mclauses) if cl["action"] == "update"]
+            stats = (
+                matched_all.groupBy("_file", "_pos")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum(
+                        F.col("_clause").isNotNull().cast("long")
+                    ).alias("_nm"),
+                    F.sum(
+                        F.col("_clause").isin(upd_idx_m).cast("long")
+                        if upd_idx_m
+                        else F.lit(0).cast("long")
+                    ).alias("_nu"),
+                )
+                .agg(
+                    F.max("_n").alias("_dup"),
+                    F.sum("_nm").alias("_nm"),
+                    F.sum("_nu").alias("_nu"),
+                )
+                .collect()[0]
+            )
+            if (stats["_dup"] or 0) > 1:
                 raise ValueError(
                     "merge_into: a target row matches multiple source rows on "
                     f"{on_cols} — the matched action is ambiguous; de-duplicate "
                     "the source on the merge key first"
                 )
-            # one evaluation of the matched join serves the DV positions,
-            # the per-clause rewrites and the counts below
-            affected_m = (
-                matched.withColumn("_clause", _clause_case(mclauses))
-                .filter(F.col("_clause").isNotNull())
-                .localCheckpoint(eager=True)
-            )
-            n_matched = affected_m.count()
-            upd_idx_m = [i for i, cl in enumerate(mclauses) if cl["action"] == "update"]
-            if upd_idx_m:
-                n_upd_m = affected_m.filter(F.col("_clause").isin(upd_idx_m)).count()
+            n_matched = int(stats["_nm"] or 0)
+            n_upd_m = int(stats["_nu"] or 0)
+            affected_m = matched_all.filter(F.col("_clause").isNotNull())
         affected_n = None
         n_nmbs = n_upd_n = 0
         if nmbs_clauses:
@@ -983,11 +998,18 @@ class AtomicParquetTable:
                 .filter(F.col("_clause").isNotNull())
                 .localCheckpoint(eager=True)
             )
-            n_nmbs = affected_n.count()
             upd_idx_n = [i for i, cl in enumerate(nmbs_clauses)
                          if cl["action"] == "update"]
-            if upd_idx_n:
-                n_upd_n = affected_n.filter(F.col("_clause").isin(upd_idx_n)).count()
+            nstats = affected_n.agg(
+                F.count(F.lit(1)).alias("_nm"),
+                F.sum(
+                    F.col("_clause").isin(upd_idx_n).cast("long")
+                    if upd_idx_n
+                    else F.lit(0).cast("long")
+                ).alias("_nu"),
+            ).collect()[0]
+            n_nmbs = int(nstats["_nm"] or 0)
+            n_upd_n = int(nstats["_nu"] or 0)
         new_rows = None
         if affected_m is not None:
             new_rows = _updates(affected_m, mclauses)
@@ -1023,10 +1045,13 @@ class AtomicParquetTable:
         new_files = self.stage(new_rows) if new_rows is not None else []
         n_new = 0
         if new_files:
-            n_new = (
-                self.spark.read.schema(self.schema)
-                .parquet(*[str(self.data_dir / f) for f in new_files])
-                .count()
+            # row count from the just-staged parquet FOOTERS (driver-side,
+            # same metadata _collect_stats reads at commit) — not a count job
+            import pyarrow.parquet as pq
+
+            n_new = sum(
+                pq.ParquetFile(str(self.data_dir / f)).metadata.num_rows
+                for f in new_files
             )
         n_inserted = n_new - n_upd_m - n_upd_n
         if n_dv == 0 and n_new == 0:
