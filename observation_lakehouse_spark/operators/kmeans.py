@@ -102,56 +102,24 @@ def kmeans_train_fixed_point(
             )
             .drop("_h")
         )
-        # The model is DRIVER-HELD between rounds (r12; the classifier
-        # rule): the centroid table is K·d BIGINTs — collecting it beats
-        # checkpointing a centroid DataFrame and broadcast-joining it back
-        # (3 jobs/round) hands down. Per round the centroids enter the plan
-        # as K literal pos→c maps, so the K distance sums are per-row
-        # expressions over the id-partitioned lane table, the packed argmin
-        # is exchange-free, and the round's ONE job is the (k, pos) mean
-        # aggregate's collect. Arithmetic is unchanged and all-integer:
-        # same packed ``dist·K + k`` min, same SUM DIV COUNT means (both
-        # still computed IN Spark), so the result is bit-identical.
-        cmap: dict[tuple[int, int], int] = {
-            (r["k"], r["pos"]): r["c"]
-            for r in ex.join(F.broadcast(seeds), "id")
+        cent = (
+            ex.join(F.broadcast(seeds), "id")
             .select("k", "pos", F.col("e").alias("c"))
-            .collect()
-        }
-        d_lanes = sorted({pos for _k, pos in cmap})
-
-        def _assign():
-            # per-cluster literal pos→centroid maps; K distance-sum columns;
-            # packed argmin identical to the join formulation
-            # positions are posexplode output: contiguous 0..d-1, so each
-            # cluster's centroid enters as an ARRAY literal indexed by
-            # pos + 1 — O(1) access (a literal MAP's element_at is a linear
-            # scan per row: measured 2.6 -> 4.5 s on 450k lane rows)
-            assert d_lanes == list(range(len(d_lanes))), d_lanes
-
-            def _dsum(kk: int):
-                arr = F.array(*[F.lit(cmap[(kk, pos)]) for pos in d_lanes])
-                diff = F.col("e") - F.element_at(arr, F.col("pos") + 1)
-                # integer multiply, NOT pow (pow is double — would break
-                # bit-exactness and lose precision past 2^53)
-                return F.sum(diff * diff).alias(f"_d{kk}")
-
-            dist_cols = [_dsum(kk) for kk in range(k)]
-            packed = F.least(
-                *[
-                    F.col(f"_d{kk}") * F.lit(k).cast("long") + F.lit(kk)
-                    for kk in range(k)
-                ]
-            )
-            return (
-                ex.groupBy("id")
-                .agg(*dist_cols)
-                .select("id", (packed % F.lit(k)).cast("int").alias("k"))
-            )
-
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
         assign = None
         for _ in range(n_rounds):
-            assign = _assign()
+            dists = (
+                ex.join(F.broadcast(cent), "pos")
+                .groupBy("id", "k")
+                .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("dist"))
+            )
+            assign = dists.groupBy("id").agg(
+                (F.min(F.col("dist") * F.lit(k) + F.col("k")) % F.lit(k))
+                .cast("int")
+                .alias("k")
+            )
             means = (
                 ex.join(assign, "id")
                 .groupBy("k", "pos")
@@ -159,27 +127,28 @@ def kmeans_train_fixed_point(
                     F.expr("SUM(e) DIV COUNT(1)").alias("c_new"),
                     F.count(F.lit(1)).alias("_n"),
                 )
-                .collect()
             )
-            new_c = dict(cmap)  # emptied cluster keeps its previous centroid
-            for r in means:
-                new_c[(r["k"], r["pos"])] = r["c_new"]
-            cmap = new_c
-        sizes = {
-            r["k"]: r["n_members"]
-            for r in assign.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .collect()
-        }
-        out = spark.createDataFrame(
-            [
-                (kk, pos, cmap[(kk, pos)], sizes.get(kk, 0))
-                for kk in range(k)
-                for pos in d_lanes
-                if (kk, pos) in cmap
-            ],
-            "k int, pos int, centroid_micro long, n_members bigint",
+            cent = (
+                cent.select("k", "pos", F.col("c").alias("c_prev"))
+                .join(means, ["k", "pos"], "left")
+                .select(
+                    "k", "pos", F.coalesce("c_new", "c_prev").alias("c")
+                )
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
+        sizes = assign.groupBy("k").agg(F.count(F.lit(1)).alias("n_members"))
+        out = (
+            cent.join(F.broadcast(sizes), "k", "left")
+            .select(
+                "k",
+                "pos",
+                F.col("c").alias("centroid_micro"),
+                F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            )
+            .orderBy("k", "pos")
         )
+        out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
